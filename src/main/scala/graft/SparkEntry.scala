@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.QueryEngine
+import graft.model._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator row from SURVEY.md §2,
+  * compiled through [[graft.engine.QueryEngine]] over the canonical TS
+  * view (events → (timestamp, tag, value), FIXTURES.md §4), with a
+  * DuckDB-equivalent SQL in [[oracleSql]].
+  *
+  * Determinism rules (SURVEY.md §7.4): every query ends in a total-order
+  * sort; reassociation-sensitive Double aggregates (sum/avg) are rounded
+  * to 4 decimals on BOTH sides so distributed vs sequential fold
+  * differences cannot flip the driver's hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Time range present at every SF (data spans 2024-01-01..2024-01-30):
+  // 2024-01-08T00:00Z .. 2024-01-22T00:00Z epoch millis.
+  private val T1 = 1704672000000L
+  private val T2 = 1705881600000L
+  // A (timestamp, tag) that exists at sf0.01 (verify's SF).
+  private val POINT_TS = 1704067207179L
+
+  private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
+    (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
+
+  /** Same, with the Double `result` column rounded (sum/avg queries). */
+  private def tsR(qm: QueryModel): (SparkSession, String) => DataFrame =
+    (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
+      .withColumn("result", round(col("result"), 4))
+
+  private val FROM = Tables.tsOracleFrom
+  private def range = s""""timestamp" >= $T1 AND "timestamp" < $T2"""
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * F1+F3(Gx): per-tag average over a two-week window, canonical order —
+    * the M2 end-to-end slice of SURVEY.md §7.2.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    tsR(QueryModel(ge = Some(T1), lt = Some(T2),
+      aggFunc = Some(Agg.Avg), groupBy = Some(GroupBy.Tag)))(
+      spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1: agg-only full-scan fast path (G1-G5 scalar over all rows)
+    "a1_count_all" -> ts(QueryModel(aggFunc = Some(Agg.Count))),
+    "a1_sum_all" -> tsR(QueryModel(aggFunc = Some(Agg.Sum))),
+    "a1_avg_all" -> tsR(QueryModel(aggFunc = Some(Agg.Avg))),
+    "a1_min_all" -> ts(QueryModel(aggFunc = Some(Agg.Min))),
+    "a1_max_all" -> ts(QueryModel(aggFunc = Some(Agg.Max))),
+    // ---- A2/F1/O1: timestamp-range collect, asc (default sort)
+    "a2_range_collect" -> ts(QueryModel(ge = Some(T1), lt = Some(T2))),
+    // ---- F1 exclusive/inclusive bound variants
+    "f1_gt_le_collect" -> ts(QueryModel(gt = Some(T1), le = Some(T2))),
+    // ---- A3/F3: tag-index scan (tagEq + range)
+    "a3_tag_collect" -> ts(QueryModel(tagEq = Some("click"),
+      ge = Some(T1), lt = Some(T2))),
+    // ---- A4/F2: point lookup on timestamp
+    "a4_point_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS))),
+    // ---- G6: group by tag (sort ignored, canonical group order)
+    "g6_group_tag_avg" -> tsR(QueryModel(ge = Some(T1), lt = Some(T2),
+      aggFunc = Some(Agg.Avg), groupBy = Some(GroupBy.Tag))),
+    "g6_group_tag_count" -> ts(QueryModel(ge = Some(T1), lt = Some(T2),
+      aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag))),
+    "g6_group_tag_min" -> ts(QueryModel(
+      aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag))),
+    // ---- G7: group by tag at one timestamp
+    "g7_group_tag_tseq" -> ts(QueryModel(tsEq = Some(POINT_TS),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))),
+    // ---- G8 + O1 + L2: group by timestamp, desc, limit
+    "g8_group_ts_sum_desc" -> tsR(QueryModel(ge = Some(T1), lt = Some(T2),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Timestamp),
+      sort = SortDir.Desc, limit = Some(500))),
+    // ---- G9: group by timestamp within one tag
+    "g9_group_ts_tag" -> tsR(QueryModel(tagEq = Some("purchase"),
+      ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Avg),
+      groupBy = Some(GroupBy.Timestamp), limit = Some(500))),
+    // ---- G10: group by timestamp at one timestamp
+    "g10_group_ts_tseq" -> ts(QueryModel(tsEq = Some(POINT_TS),
+      aggFunc = Some(Agg.Max), groupBy = Some(GroupBy.Timestamp))),
+    // ---- G11: scalar aggregate over filtered data
+    "g11_scalar_filtered_sum" -> tsR(QueryModel(tagEq = Some("view"),
+      ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Sum))),
+    // ---- O1 + L1: top-k most recent (desc collect + limit)
+    "o1_l1_topk_recent" -> ts(QueryModel(sort = SortDir.Desc,
+      limit = Some(1000))),
+    // ---- L2: limit on grouped results (asc)
+    "l2_group_limit" -> ts(QueryModel(aggFunc = Some(Agg.Count),
+      groupBy = Some(GroupBy.Timestamp), limit = Some(100))),
+    // ---- P2: key projection (timestamp, tag)
+    "p2_key_projection" -> ((s, dir) =>
+      Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T2)
+        .select(col("timestamp"), col("tag"))
+        .orderBy(asc("timestamp"), asc("tag"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "a1_count_all" ->
+      s"""SELECT CAST(count(*) AS DOUBLE) AS result FROM $FROM t""",
+    "a1_sum_all" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t""",
+    "a1_avg_all" ->
+      s"""SELECT round(avg(value), 4) AS result FROM $FROM t""",
+    "a1_min_all" ->
+      s"""SELECT min(value) AS result FROM $FROM t""",
+    "a1_max_all" ->
+      s"""SELECT max(value) AS result FROM $FROM t""",
+    "a2_range_collect" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE $range ORDER BY "timestamp", tag""",
+    "f1_gt_le_collect" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" > $T1 AND "timestamp" <= $T2 ORDER BY "timestamp", tag""",
+    "a3_tag_collect" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
+    "a4_point_lookup" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS ORDER BY "timestamp", tag""",
+    "g6_group_tag_avg" ->
+      s"""SELECT tag AS grp, round(avg(value), 4) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
+    "g6_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
+    "g6_group_tag_min" ->
+      s"""SELECT tag AS grp, min(value) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "g7_group_tag_tseq" ->
+      s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" = $POINT_TS GROUP BY tag ORDER BY grp""",
+    "g8_group_ts_sum_desc" ->
+      s"""SELECT "timestamp" AS grp, round(sum(value), 4) AS result FROM $FROM t WHERE $range GROUP BY "timestamp" ORDER BY grp DESC LIMIT 500""",
+    "g9_group_ts_tag" ->
+      s"""SELECT "timestamp" AS grp, round(avg(value), 4) AS result FROM $FROM t WHERE tag = 'purchase' AND $range GROUP BY "timestamp" ORDER BY grp LIMIT 500""",
+    "g10_group_ts_tseq" ->
+      s"""SELECT "timestamp" AS grp, max(value) AS result FROM $FROM t WHERE "timestamp" = $POINT_TS GROUP BY "timestamp" ORDER BY grp""",
+    "g11_scalar_filtered_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE tag = 'view' AND $range""",
+    "o1_l1_topk_recent" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t ORDER BY "timestamp" DESC, tag LIMIT 1000""",
+    "l2_group_limit" ->
+      s"""SELECT "timestamp" AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY "timestamp" ORDER BY grp LIMIT 100""",
+    "p2_key_projection" ->
+      s"""SELECT "timestamp", tag FROM $FROM t WHERE $range ORDER BY "timestamp", tag""",
+  )
 }

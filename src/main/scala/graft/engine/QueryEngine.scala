@@ -1,0 +1,123 @@
+package graft.engine
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles a validated [[graft.model.QueryModel]] into a DataFrame plan.
+  *
+  * This is the whole §2 pipeline of SURVEY.md: scan → filter → optional
+  * group-by → aggregate → sort → limit, producing one of the reference's
+  * three result shapes (Model.hs:63-75):
+  *   - collect:    (timestamp: Long, tag: String, value: Double)
+  *   - group agg:  (grp, result: Double)
+  *   - scalar agg: (result: Double)
+  *
+  * Design notes (Spark-first, SURVEY.md §4): no custom Catalyst work is
+  * needed — the reference's index slicing, fast paths and parallel folds
+  * are subsumed by predicate pushdown, column pruning, partial/final hash
+  * aggregation and TakeOrderedAndProject. The compiled plan is fully
+  * declarative, so at 100 TB the same code yields partition-pruned scans
+  * and distributed aggregation with no driver-side iteration.
+  *
+  * Determinism: the reference leaves group-by-tag order and
+  * intra-timestamp row order unspecified (SURVEY.md §2.5); we canonicalize
+  * (sort by group / by (timestamp, tag)) so results are total-ordered.
+  */
+object QueryEngine {
+
+  /** Conjunction of the query's predicates (reference qmToF,
+    * Queries/Utils.hs:21-30 — structural trie slicing becomes a plain
+    * pushed-down Filter).
+    */
+  def predicate(qm: QueryModel): Column = {
+    val ts = col("timestamp")
+    val conds: Seq[Column] =
+      qm.gt.map(ts > _).toSeq ++
+        qm.ge.map(ts >= _) ++
+        qm.lt.map(ts < _) ++
+        qm.le.map(ts <= _) ++
+        qm.tsEq.map(ts === _) ++
+        qm.tagEq.map(col("tag") === _)
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** The aggregate expression over `value` for one [[Agg]].
+    * `count` is cast to Double — the reference's AggR.result is a Double
+    * (Model.hs:66-67). `min`/`max` default to ±Infinity on empty input,
+    * mirroring the reference's orphan `Bounded Double`
+    * (Model.hs:146-148); `sum` defaults to 0 (monoid mempty).
+    */
+  def aggExpr(agg: Agg): Column = agg match {
+    case Agg.Count => count(lit(1)).cast("double")
+    case Agg.Sum   => coalesce(sum(col("value")), lit(0.0))
+    case Agg.Avg   => avg(col("value"))
+    case Agg.Min   => coalesce(min(col("value")), lit(Double.PositiveInfinity))
+    case Agg.Max   => coalesce(max(col("value")), lit(Double.NegativeInfinity))
+  }
+
+  /** Pure plan construction; assumes `qm` already validated. */
+  def compile(store: DataFrame, qm: QueryModel): DataFrame = {
+    val filtered = store.filter(predicate(qm))
+    (qm.aggFunc, qm.groupBy) match {
+      case (None, _) => // collect (CollectR)
+        val ordered = qm.sort match {
+          case SortDir.Asc  => filtered.orderBy(asc("timestamp"), asc("tag"))
+          case SortDir.Desc => filtered.orderBy(desc("timestamp"), asc("tag"))
+        }
+        val limited = qm.limit.fold(ordered)(ordered.limit)
+        limited.select(col("timestamp"), col("tag"), col("value"))
+
+      case (Some(agg), Some(GroupBy.Tag)) => // [GroupAggR] keyed by tag
+        // Reference iterates a HashMap => order unspecified and `sort`
+        // ignored (G6, Queries/Tag.hs:35-53); we canonicalize by group.
+        val grouped = filtered.groupBy(col("tag").as("grp"))
+          .agg(aggExpr(agg).as("result"))
+          .orderBy(asc("grp"))
+        qm.limit.fold(grouped)(grouped.limit)
+
+      case (Some(agg), Some(GroupBy.Timestamp)) => // [GroupAggR] keyed by ts
+        // Honors `sort` for group order (G8, Queries/TS.hs:31-44).
+        val grouped = filtered.groupBy(col("timestamp").as("grp"))
+          .agg(aggExpr(agg).as("result"))
+        val ordered = qm.sort match {
+          case SortDir.Asc  => grouped.orderBy(asc("grp"))
+          case SortDir.Desc => grouped.orderBy(desc("grp"))
+        }
+        qm.limit.fold(ordered)(ordered.limit)
+
+      case (Some(agg), None) => // scalar AggR; limit ignored (L3)
+        filtered.agg(aggExpr(agg).as("result"))
+    }
+  }
+
+  /** Validated + error-semantics execution, matching the reference's
+    * HTTP-400 behaviors (SURVEY.md §7.4 hard part #1):
+    *   - illegal QueryModel (Model.hs:126-134)
+    *   - tagEq / tsEq pointing at no data → NoData (Utils.hs:47-49)
+    *   - avg over empty input → "Average failed." (Utils.hs:67-69)
+    * These checks need actions (isEmpty), so they live here rather than
+    * in [[compile]]; the SparkEntry oracle queries use [[compile]] with
+    * inputs chosen to hit data.
+    */
+  def execute(store: DataFrame, qm0: QueryModel): Either[QueryError, DataFrame] =
+    Validation.validate(qm0).flatMap { qm =>
+      for {
+        _ <- qm.tagEq match {
+          case Some(t) if store.filter(col("tag") === t).isEmpty =>
+            Left(QueryError.NoData(s"No data for tag $t."))
+          case _ => Right(())
+        }
+        _ <- qm.tsEq match {
+          case Some(t) if store.filter(predicate(qm)).isEmpty =>
+            Left(QueryError.NoData(s"No data for timestamp $t."))
+          case _ => Right(())
+        }
+        _ <- qm.aggFunc match {
+          case Some(Agg.Avg) if store.filter(predicate(qm)).isEmpty =>
+            Left(QueryError.EmptyAverage)
+          case _ => Right(())
+        }
+      } yield compile(store, qm)
+    }
+}

@@ -1,0 +1,104 @@
+package graft.model
+
+/** Core data model of the time-series engine.
+  *
+  * Mirrors the reference's logical model (adrianotm/timeseries-db,
+  * server/src/Repository/Model.hs:44-116) re-expressed as plain Scala:
+  *   - `TS(timestamp, tag, value)` — epoch-millis Long, String, Double
+  *   - `TSKey(timestamp, tag)`     — the unique primary key (README.md:63)
+  *   - `QueryModel`                — the whole query language (Model.hs:104-116)
+  *
+  * Everything here is pure and Spark-free; the engine package compiles a
+  * validated [[QueryModel]] into a DataFrame plan.
+  */
+final case class TS(timestamp: Long, tag: String, value: Double)
+
+/** Key-only projection (reference TS', Model.hs:84-88). */
+final case class TSKey(timestamp: Long, tag: String)
+
+/** Aggregation functions (reference Model.hs:60-61). */
+sealed abstract class Agg(val name: String)
+object Agg {
+  case object Avg extends Agg("avg")
+  case object Sum extends Agg("sum")
+  case object Count extends Agg("count")
+  case object Min extends Agg("min")
+  case object Max extends Agg("max")
+  val all: Seq[Agg] = Seq(Avg, Sum, Count, Min, Max)
+  def parse(s: String): Option[Agg] = all.find(_.name == s.toLowerCase)
+}
+
+/** Grouping dimension (reference Model.hs:54). */
+sealed abstract class GroupBy(val name: String)
+object GroupBy {
+  case object Tag extends GroupBy("tag")
+  case object Timestamp extends GroupBy("timestamp")
+  def parse(s: String): Option[GroupBy] =
+    Seq(Tag, Timestamp).find(_.name == s.toLowerCase)
+}
+
+/** Timestamp sort order; asc is the default (reference Model.hs:57,163-166). */
+sealed abstract class SortDir(val name: String)
+object SortDir {
+  case object Asc extends SortDir("asc")
+  case object Desc extends SortDir("desc")
+  def parse(s: String): Option[SortDir] =
+    Seq(Asc, Desc).find(_.name == s.toLowerCase)
+}
+
+/** The entire query language: one record, all fields optional
+  * (reference Model.hs:104-116).
+  */
+final case class QueryModel(
+    gt: Option[Long] = None,
+    ge: Option[Long] = None,
+    lt: Option[Long] = None,
+    le: Option[Long] = None,
+    tsEq: Option[Long] = None,
+    tagEq: Option[String] = None,
+    aggFunc: Option[Agg] = None,
+    groupBy: Option[GroupBy] = None,
+    sort: SortDir = SortDir.Asc,
+    limit: Option[Int] = None
+)
+
+/** Engine-level errors: the reference answers these as HTTP 400 with a
+  * message; we model them as values (SURVEY.md §7.4 "error-semantics
+  * parity").
+  */
+sealed trait QueryError { def message: String }
+object QueryError {
+  /** Reference `illegalQM` (Model.hs:126-134). */
+  final case class IllegalQuery(message: String) extends QueryError
+  /** Reference `noDataErr` (Queries/Utils.hs:47-49). */
+  final case class NoData(message: String) extends QueryError
+  /** Reference `handleAvg` "Average failed." (Queries/Utils.hs:67-69). */
+  case object EmptyAverage extends QueryError {
+    val message = "Average failed."
+  }
+  /** Mutation validation failures, capped at 10 messages like the
+    * reference (Handlers.hs:55 `take 10`).
+    */
+  final case class MutationErrors(messages: Seq[String]) extends QueryError {
+    def message: String = messages.mkString("; ")
+  }
+}
+
+/** Port of the reference's query-validation rules
+  * (`illegalQM`, server/src/Repository/Model.hs:126-134).
+  */
+object Validation {
+  import QueryError.IllegalQuery
+
+  def validate(qm: QueryModel): Either[QueryError, QueryModel] =
+    if (qm.groupBy.isDefined && qm.aggFunc.isEmpty)
+      Left(IllegalQuery("Illegal query: 'groupBy' requires 'aggFunc'."))
+    else if (qm.gt.isDefined && qm.ge.isDefined)
+      Left(IllegalQuery("Illegal query: can't use 'gt' and 'ge' in the same query."))
+    else if (qm.lt.isDefined && qm.le.isDefined)
+      Left(IllegalQuery("Illegal query: can't use 'lt' and 'le' in the same query."))
+    else if (qm.tsEq.isDefined &&
+      (qm.gt.isDefined || qm.ge.isDefined || qm.lt.isDefined || qm.le.isDefined))
+      Left(IllegalQuery("Illegal query: can't use 'tsEq' with any range bound."))
+    else Right(qm)
+}

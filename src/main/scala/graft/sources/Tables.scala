@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Central reader/cache for the driver-provided parquet tables
+  * (/root/repo/TESTDATA.md).
+  *
+  * Each table is read once per (session, dir) and cached (`.cache()`):
+  * the reference store is RAM-resident (SURVEY.md §6), so keeping the
+  * working set cached is both parity-faithful and what Bench needs —
+  * per-query parquet re-reads would dominate the measurement.
+  *
+  * At 100 TB the same code path works uncached: every downstream query
+  * is a plain filter/agg over the scan, so Parquet column pruning,
+  * predicate pushdown and row-group skipping still apply; caching is a
+  * local-bench optimization, disable with `graft.cacheTables=false`.
+  */
+object Tables {
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def cachingEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.cacheTables").forall(_.toBoolean)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, name)
+    cache.getOrElseUpdate(key, {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+      // (micros) cannot hold; read it as a Long nanos column instead.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (cachingEnabled(spark)) df.cache() else df
+    })
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The canonical TS store view (FIXTURES.md §4): the `events` fixture
+    * projected onto the reference's record
+    * (reference server/src/Repository/Model.hs:77-82):
+    *   timestamp = epoch millis of `ts` (Long; floor, = DuckDB epoch_ms)
+    *   tag       = event_type
+    *   value     = value
+    * `(timestamp, tag)` is unique in the fixture at every SF (verified),
+    * matching the reference's primary-key constraint (README.md:63).
+    */
+  def ts(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, "__ts_view__")
+    cache.getOrElseUpdate(key, {
+      // `ts` reads as Long nanos (nanosAsLong); integer `div` keeps full
+      // precision (a double division would lose bits above 2^53) and
+      // floors like DuckDB's epoch_ms for these positive epochs.
+      val df = events(spark, dir).select(
+        expr("ts div 1000000").cast("long").as("timestamp"),
+        col("event_type").as("tag"),
+        col("value"))
+      if (cachingEnabled(spark)) df.cache() else df
+    })
+  }
+
+  /** DuckDB-side equivalent of [[ts]], usable as a FROM subquery. */
+  val tsOracleFrom: String =
+    """(SELECT epoch_ms(ts) AS "timestamp", event_type AS tag, value FROM events)"""
+
+  /** Drop all cached entries (test hygiene). */
+  def clear(): Unit = { cache.values.foreach(_.unpersist()); cache.clear() }
+}
