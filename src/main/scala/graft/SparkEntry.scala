@@ -26,6 +26,8 @@ object SparkEntry {
   private val T2 = 1705881600000L
   // A (timestamp, tag) that exists at sf0.01 (verify's SF).
   private val POINT_TS = 1704067207179L
+  // 90 days in millis — shifts a batch's keys past the data's range.
+  private val SHIFT = 7776000000L
 
   private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
     (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
@@ -99,6 +101,42 @@ object SparkEntry {
       Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T2)
         .select(col("timestamp"), col("tag"))
         .orderBy(asc("timestamp"), asc("tag"))),
+    // ---- S1: insert = all-or-nothing append; the two join legs of it,
+    // expressed as queries: conflict detection (left_semi) + apply (union)
+    "s1_insert_conflict_check" -> ((s, dir) => {
+      val store = Tables.ts(s, dir)
+      val batch = store.filter(col("tag") === "signup") // keys that DO exist
+      store.join(batch, Seq("timestamp", "tag"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("result"))
+    }),
+    "s1_insert_apply_union" -> ((s, dir) => {
+      val store = Tables.ts(s, dir)
+      val batch = store.select((col("timestamp") + SHIFT).as("timestamp"),
+        col("tag"), col("value")) // shifted => disjoint keys
+      store.unionAll(batch).groupBy(col("tag").as("grp"))
+        .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
+    }),
+    // ---- S2: update apply = left join + coalesce of new values
+    "s2_update_apply" -> ((s, dir) => {
+      val store = Tables.ts(s, dir)
+      val updates = store.filter(col("tag") === "click")
+        .select(col("timestamp"), col("tag"), (col("value") * 2).as("new_value"))
+      store.join(updates, Seq("timestamp", "tag"), "left")
+        .select(col("timestamp"), col("tag"),
+          coalesce(col("new_value"), col("value")).as("value"))
+        .groupBy(col("tag").as("grp"))
+        .agg(round(sum(col("value")), 4).as("result")).orderBy(asc("grp"))
+    }),
+    // ---- S3: delete apply = left_anti join against the key batch
+    "s3_delete_apply" -> ((s, dir) => {
+      val store = Tables.ts(s, dir)
+      val deletes = store.filter(col("tag") === "error" &&
+        col("timestamp") >= T1 && col("timestamp") < T2)
+        .select(col("timestamp"), col("tag"))
+      store.join(deletes, Seq("timestamp", "tag"), "left_anti")
+        .groupBy(col("tag").as("grp"))
+        .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -145,5 +183,13 @@ object SparkEntry {
       s"""SELECT "timestamp" AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY "timestamp" ORDER BY grp LIMIT 100""",
     "p2_key_projection" ->
       s"""SELECT "timestamp", tag FROM $FROM t WHERE $range ORDER BY "timestamp", tag""",
+    "s1_insert_conflict_check" ->
+      s"""SELECT CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE EXISTS (SELECT 1 FROM $FROM b WHERE b.tag = 'signup' AND b."timestamp" = t."timestamp" AND b.tag = t.tag)""",
+    "s1_insert_apply_union" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM (SELECT * FROM $FROM t UNION ALL SELECT "timestamp" + $SHIFT, tag, value FROM $FROM t2) u GROUP BY tag ORDER BY grp""",
+    "s2_update_apply" ->
+      s"""SELECT tag AS grp, round(sum(CASE WHEN tag = 'click' THEN value * 2 ELSE value END), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "s3_delete_apply" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.engine.{QueryEngine, TimeSeriesStore}
+import graft.model._
+import java.nio.file.Files
+
+/** Mutation-surface semantics (SURVEY.md §2.1 S1-S4): all-or-nothing
+  * batches, ≤10 error messages, query-after-mutation correctness.
+  */
+class TimeSeriesStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TimeSeriesStore =
+    new TimeSeriesStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  private val base = Seq(
+    TS(1L, "a", 1.0), TS(2L, "a", 2.0), TS(1L, "b", 3.0), TS(3L, "c", 4.0))
+
+  test("S1 insert: append then read back") {
+    val st = freshStore()
+    assert(st.insert(base.toDS()).isRight)
+    assert(st.current().count() == 4)
+    assert(st.insert(Seq(TS(9L, "a", 5.0)).toDS()).isRight)
+    assert(st.current().count() == 5)
+  }
+
+  test("S1 insert: whole batch rejected on any existing key (all-or-nothing)") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    val r = st.insert(Seq(TS(5L, "z", 0.0), TS(1L, "a", 9.9)).toDS())
+    assert(r.isLeft)
+    assert(r.left.toOption.get.messages.exists(_.contains("(1, a)")))
+    assert(st.current().count() == 4) // nothing applied
+  }
+
+  test("S1 insert: within-batch duplicate keys rejected") {
+    val st = freshStore()
+    val r = st.insert(Seq(TS(7L, "x", 1.0), TS(7L, "x", 2.0)).toDS())
+    assert(r.isLeft)
+    assert(st.current().count() == 0)
+  }
+
+  test("S1 insert: error messages capped at 10") {
+    val st = freshStore()
+    st.insert((1L to 30L).map(i => TS(i, "t", i.toDouble)).toDS())
+    val r = st.insert((1L to 30L).map(i => TS(i, "t", 0.0)).toDS())
+    assert(r.isLeft && r.left.toOption.get.messages.size == 10)
+  }
+
+  test("S2 update: values change, keys unchanged; missing key rejects batch") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    assert(st.update(Seq(TS(1L, "a", 100.0)).toDS()).isRight)
+    val rows = st.current().filter($"timestamp" === 1L && $"tag" === "a").collect()
+    assert(rows.head.getDouble(2) == 100.0)
+    assert(st.current().count() == 4)
+    val bad = st.update(Seq(TS(2L, "a", 5.0), TS(99L, "q", 5.0)).toDS())
+    assert(bad.isLeft)
+    // and the valid part of the rejected batch was NOT applied:
+    assert(st.current().filter($"timestamp" === 2L).head().getDouble(2) == 2.0)
+  }
+
+  test("S3 delete: rows removed, rest queryable; missing key rejects batch") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    assert(st.delete(Seq(TSKey(1L, "a")).toDS()).isRight)
+    assert(st.current().count() == 3)
+    assert(st.current().filter($"timestamp" === 1L && $"tag" === "a").isEmpty)
+    // query-after-delete through the engine (reference's intended semantics)
+    val q = QueryEngine.compile(st.current(), QueryModel(aggFunc = Some(Agg.Sum)))
+    assert(q.collect().head.getDouble(0) == 9.0)
+    assert(st.delete(Seq(TSKey(1L, "a")).toDS()).isLeft) // already gone
+  }
+
+  test("S4 truncate resets to empty; store remains usable") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    st.truncate()
+    assert(st.current().count() == 0)
+    assert(st.insert(Seq(TS(1L, "a", 1.0)).toDS()).isRight)
+    assert(st.current().count() == 1)
+  }
+
+  test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    val before = st.current()
+    st.insert(Seq(TS(50L, "z", 0.0)).toDS())
+    assert(before.count() == 4)
+    assert(st.current().count() == 5)
+  }
+}
