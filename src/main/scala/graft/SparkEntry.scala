@@ -1,7 +1,9 @@
 package graft
 
 import graft.engine.QueryEngine
+import graft.functions.TextFunctions
 import graft.model._
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,6 +139,73 @@ object SparkEntry {
         .groupBy(col("tag").as("grp"))
         .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
     }),
+    // ---- W1: tumbling time window (batch form of the streaming agg —
+    // the natural generalization of G8 "group by timestamp")
+    "w1_tumbling_window_1d" -> ((s, dir) =>
+      Tables.ts(s, dir)
+        .groupBy((expr("timestamp div 86400000") * 86400000L).as("window_start"),
+          col("tag"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          round(sum(col("value")), 4).as("sum_val"))
+        .orderBy(col("window_start"), col("tag"))),
+
+    // ==== training-data pipeline extensions (builder brief) ====
+    // ---- text analysis: token counts, punctuation, quality score
+    "x_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextFunctions.punctCount(col("text")).as("punct"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    // ---- text analysis: heuristic language ID vs labeled lang
+    "x_text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        col("lang"))
+        .orderBy(col("doc_id"))),
+    // ---- text analysis: rolling-hash fingerprint (custom codegen'd
+    // Catalyst Expression; no oracle — engine-specific hash)
+    "x_text_fingerprint" -> ((s, dir) => {
+      TextFunctions.register(s)
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.rollingHash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- dedup: exact (hash-groupBy on content)
+    "x_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // ---- dedup: exact n-gram Jaccard pairs on a bounded subset
+    // (ground truth for the MinHash path)
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 200),
+        n = 3, minJaccard = 0.5)),
+    // ---- dedup: MinHash + LSH banding over the full table (scale path;
+    // no oracle — xxhash64 signatures are engine-specific)
+    "x_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir),
+        n = 3, k = 64, bands = 16, minEstJaccard = 0.5)),
+    // ---- dedup: SimHash near-dup pairs (no oracle)
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
+    // ---- embedding near-dup: exact cosine pairs on a bounded subset
+    "x_neardup_embed_brute" -> ((s, dir) =>
+      Similarity.cosineNearDupBrute(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- embedding near-dup: LSH-bucketed (scale path; no oracle)
+    "x_neardup_embed_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, dir), minCosine = 0.35)),
+    // ---- similarity search: exact cosine top-5 for 10 query vectors
+    "x_ann_topk_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    // ---- similarity search: LSH-bucketed approximate top-5 (no oracle)
+    "x_ann_topk_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,5 +260,54 @@ object SparkEntry {
       s"""SELECT tag AS grp, round(sum(CASE WHEN tag = 'click' THEN value * 2 ELSE value END), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "s3_delete_apply" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
+    "w1_tumbling_window_1d" ->
+      s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "x_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
+        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= fr THEN 'en' WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |  lang
+        |FROM (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS en,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y','en','los','se'))) AS es,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','et','les','des','un','une'))) AS fr
+        |  FROM documents) s ORDER BY doc_id""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "x_neardup_embed_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_ann_topk_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |           FROM e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id, score,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

