@@ -149,6 +149,19 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_val"))
         .orderBy(col("window_start"), col("tag"))),
 
+    // ---- W2: sliding window (1d window, 12h slide), batch form: each
+    // row contributes to size/slide = 2 windows via explode
+    "w2_sliding_window" -> ((s, dir) =>
+      Tables.ts(s, dir)
+        .select(col("tag"), col("value"), explode(array(
+          (expr("timestamp div 43200000") * 43200000L),
+          (expr("timestamp div 43200000") * 43200000L - 43200000L)))
+          .as("window_start"))
+        .groupBy(col("window_start"), col("tag"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          round(sum(col("value")), 4).as("sum_val"))
+        .orderBy(col("window_start"), col("tag"))),
+
     // ==== training-data pipeline extensions (builder brief) ====
     // ---- text analysis: token counts, punctuation, quality score
     "x_text_stats" -> ((s, dir) =>
@@ -206,6 +219,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- multimodal: binary payload column → batched (stub) decode →
+    // typed features (no oracle — mapPartitions codec plumbing)
+    "x_multimodal_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("brightness"), 4).as("brightness"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,6 +285,12 @@ object SparkEntry {
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "w2_sliding_window" ->
+      s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
+         |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 AS window_start FROM $FROM t
+         |  UNION ALL
+         |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 - 43200000 AS window_start FROM $FROM t2
+         |) u GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
     "x_text_stats" ->
       """SELECT doc_id,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed in batched
+  * per-partition passes.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape,
+  * typed output — is real and tested. The codec step is a clearly
+  * marked STUB (this container has no image/audio libraries): it
+  * deterministically fakes a decode from the payload bytes, preserving
+  * exactly the call shape a real codec (JNI/JavaCV/ImageIO) would have.
+  *
+  * Scale notes: payloads stay columnar (parquet binary) end-to-end;
+  * [[decodeImages]] is a narrow mapPartitions (no shuffle) that
+  * processes rows in bounded batches — the Scala analogue of
+  * `mapInPandas` batch processing — so executor memory is bounded by
+  * `batchSize × payload`, not partition size. Repartition upstream by
+  * byte budget (`repartitionForDecode`) before fan-out to the codec.
+  */
+object Multimodal {
+
+  final case class MediaFile(media_id: Long, modality: String,
+                             payload: Array[Byte], source: String)
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 channels: Int, brightness: Double,
+                                 embedding: Array[Float])
+
+  /** Deterministic media fixture from `documents`: payload = UTF-8 text
+    * bytes posing as an encoded image.
+    */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaFile]
+  }
+
+  /** Size partitions for the codec step: target ~`targetMb` MB of
+    * payload per partition so decode memory is bounded regardless of
+    * upstream layout.
+    */
+  def repartitionForDecode(media: Dataset[MediaFile], totalBytes: Long,
+                           targetMb: Int = 64): Dataset[MediaFile] = {
+    val parts = math.max(1, (totalBytes / (targetMb * 1024L * 1024L)).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+
+  /** STUB — stands in for a real image codec.
+    *
+    * A production build replaces ONLY this function with e.g. an
+    * ImageIO/JavaCV call returning the same `ImageFeatures` shape.
+    * The fake is deterministic in the payload bytes: "dimensions" come
+    * from the first bytes, "brightness" is the mean byte value, the
+    * "embedding" is a seeded byte-histogram projection.
+    */
+  private[operators] def decodeOneStub(m: MediaFile): ImageFeatures = {
+    val p = m.payload
+    val w = 64 + (if (p.length > 0) (p(0) & 0x7f) else 0)
+    val h = 64 + (if (p.length > 1) (p(1) & 0x7f) else 0)
+    val brightness =
+      if (p.isEmpty) 0.0 else p.map(b => (b & 0xff).toDouble).sum / p.length
+    val hist = new Array[Float](16)
+    p.foreach(b => hist((b & 0xff) % 16) += 1f)
+    val n = math.max(1, p.length).toFloat
+    ImageFeatures(m.media_id, w, h, 3, brightness, hist.map(_ / n))
+  }
+
+  /** Batched decode over partitions — bounded-memory batches, the
+    * `mapInPandas` call shape in Scala.
+    */
+  def decodeImages(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode `batch` in one vectorized call here
+        batch.iterator.map(decodeOneStub)
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video payloads: every `everyNth` frame of
+    * `frameCount` (metadata-declared) frames — pure plan, no decode.
+    */
+  def frameSamplePlan(media: DataFrame, frameCount: Int, everyNth: Int): DataFrame =
+    media.select(col("media_id"),
+        explode(sequence(lit(0), lit(frameCount - 1), lit(everyNth))).as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.model.TS
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming ingest: the streaming generalization of the
+  * reference's synchronous HTTP batch ingest + "group by timestamp"
+  * aggregation (SURVEY.md §2.8 disposition; north_star in BASELINE.json).
+  *
+  * The reference has no streaming semantics to match, so these are
+  * defined Spark-first and validated against their batch equivalents
+  * (exactly-once per window under watermarked event time):
+  *   - [[withEventTime]]  : TS rows (epoch-millis Long) → event-time col
+  *   - [[dedupeStream]]   : the S1 (timestamp, tag) uniqueness constraint
+  *                          applied on-stream within the watermark
+  *   - [[tumblingAgg]]    : per-(window, tag) count/sum/min/max
+  *   - [[slidingAgg]]     : overlapping windows
+  *   - [[runningStats]]   : arbitrary per-tag state via
+  *                          flatMapGroupsWithState (count/sum/max so far)
+  *
+  * Scale notes: state size is bounded by the watermark (late data beyond
+  * it is dropped); the shuffle key is (window, tag) — at 100 TB/day the
+  * tag cardinality spreads state across executors, and checkpointing
+  * (Parquet/HDFS-backed) gives the durability acid-state's WAL gave the
+  * reference.
+  */
+object StreamingIngest {
+
+  /** Adds `event_time` (TimestampType) derived from the Long
+    * epoch-millis `timestamp` column.
+    */
+  def withEventTime(ts: DataFrame): DataFrame =
+    ts.withColumn("event_time", timestamp_millis(col("timestamp")))
+
+  /** Drop duplicate (timestamp, tag) keys on-stream — the ingest
+    * uniqueness rule (reference validInsert, Queries.hs:76-77) under a
+    * watermark bound.
+    */
+  def dedupeStream(ts: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ts)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("timestamp", "tag")
+
+  /** Tumbling-window aggregate per tag. Output columns:
+    * (window_start: Long millis, tag, cnt, sum_val, min_val, max_val).
+    */
+  def tumblingAgg(ts: DataFrame, window: String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ts)
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window), col("tag"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
+      .select(unix_millis(col("window.start")).as("window_start"), col("tag"),
+        col("cnt"), col("sum_val"), col("min_val"), col("max_val"))
+
+  /** Sliding-window aggregate per tag (window `size`, sliding every
+    * `slide`).
+    */
+  def slidingAgg(ts: DataFrame, size: String = "1 hour", slide: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ts)
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), size, slide), col("tag"))
+      .agg(count(lit(1)).cast("double").as("cnt"), sum(col("value")).as("sum_val"))
+      .select(unix_millis(col("window.start")).as("window_start"), col("tag"),
+        col("cnt"), col("sum_val"))
+
+  /** Per-tag running statistics carried across micro-batches. */
+  final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
+
+  /** Custom streaming state via flatMapGroupsWithState: emits the
+    * updated running stats for every tag touched by a micro-batch.
+    */
+  def runningStats(ts: Dataset[TS]): Dataset[TagStats] = {
+    import ts.sparkSession.implicits._
+    ts.groupByKey(_.tag)
+      .flatMapGroupsWithState[TagStats, TagStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tag, rows, state: GroupState[TagStats]) =>
+          val prev = state.getOption.getOrElse(TagStats(tag, 0L, 0.0, Double.NegativeInfinity))
+          val batch = rows.toSeq
+          val next = TagStats(tag,
+            prev.n + batch.size,
+            prev.total + batch.map(_.value).sum,
+            math.max(prev.maxValue, if (batch.isEmpty) Double.NegativeInfinity else batch.map(_.value).max))
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the training-data extension operators on tiny
+  * hand-built frames (near-dups with known overlap, known vectors).
+  */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different words appear here today friends"),
+    (4L, "spark engines shuffle data between executors quickly")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts collapse to min id with group size") {
+    val r = Dedup.exact(docs).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.toSeq == Seq((0L, 2.0), (2L, 1.0), (3L, 1.0), (4L, 1.0)))
+  }
+
+  test("n-gram jaccard: exact dup = 1.0; near dup in (0,1); disjoint absent") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minJaccard = 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("minhash LSH finds the exact and near dup; est_jaccard sane") {
+    val pairs = Dedup.minhashPairs(docs, n = 3, k = 64, bands = 16,
+      minEstJaccard = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical texts => hamming 0; banding finds them") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) == 0L)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // closest to 0
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(0f, 0f, 1f, 0f)),
+    (4L, Array(-1f, 0f, 0f, 0f))     // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: correct ranking, self excluded") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .collect().map(x => (x.getLong(2), x.getDouble(3)))
+    assert(r.head._1 == 1L && r.head._2 > 0.99)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L)) // -1 vector ranked last, cut off
+  }
+
+  test("cosine near-dup brute: only the aligned pair crosses 0.9") {
+    val r = Similarity.cosineNearDupBrute(vecs, 0.9).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((0L, 1L)))
+  }
+
+  test("LSH near-dup finds the aligned pair (dim=4 fixture)") {
+    val r = Similarity.cosineNearDupLsh(vecs, 0.9, tables = 8, planes = 2, dim = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.contains((0L, 1L)))
+  }
+
+  test("text functions: counts, quality bounds, langid, fingerprint") {
+    val r = docs.select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang")).collect()
+    val row0 = r.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == 9) // nine whitespace tokens
+    assert(row0.getLong(2) == 9) // same for pure lowercase words
+    assert(row0.getDouble(3) > 0.0 && row0.getDouble(3) <= 1.0)
+    assert(row0.getString(4) == "en")
+    TextFunctions.register(spark)
+    val fp = docs.select(TextFunctions.rollingHash(col("text"))).collect()
+    // matches the definition: h = (h*31 + byte) mod 1e9+7
+    val expect = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(fp.head.getLong(0) == expect)
+  }
+
+  test("multimodal: stubbed decode keeps schema/batching real + deterministic") {
+    val media = Multimodal.syntheticMedia(
+      docs.withColumn("source", lit("src")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text"))))
+    val feats = Multimodal.decodeImages(media, batchSize = 2).collect().sortBy(_.media_id)
+    assert(feats.length == 5)
+    assert(feats.forall(f => f.embedding.length == 16 && f.channels == 3))
+    assert(feats(0).brightness == feats(1).brightness) // identical payloads
+    val again = Multimodal.decodeImages(media, batchSize = 3).collect().sortBy(_.media_id)
+    assert(feats.map(_.brightness).toSeq == again.map(_.brightness).toSeq) // batch-size invariant
+  }
+
+  test("multimodal: frame sampling plan") {
+    val media = Seq((1L, "video")).toDF("media_id", "modality")
+    val frames = Multimodal.frameSamplePlan(media, frameCount = 10, everyNth = 3)
+      .collect().map(_.getInt(1))
+    assert(frames.toSeq == Seq(0, 3, 6, 9))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.model.TS
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming semantics validated against batch equivalents (SURVEY.md
+  * §7.4 hard part #6: streaming has no reference semantics — we define
+  * them and pin them here).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val rows = Seq(
+    TS(0L, "a", 1.0), TS(30000L, "a", 2.0), TS(45000L, "b", 5.0),
+    TS(60000L, "a", 3.0), TS(90000L, "b", 7.0), TS(150000L, "a", 4.0))
+
+  test("tumbling window agg on-stream == same agg on batch") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.tumblingAgg(mem.toDF(), "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_tumbling").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      // watermark is a no-op on batch frames => same function is the oracle
+      val batch = StreamingIngest.tumblingAgg(rows.toDF(), "1 minute", "0 seconds")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("sliding windows: each row lands in size/slide windows") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.slidingAgg(mem.toDF(), "1 minute", "30 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode("complete").start()
+    try {
+      mem.addData(TS(45000L, "a", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("t_sliding").collect().map(_.getLong(0)).sorted
+      assert(starts.toSeq == Seq(0L, 30000L)) // two overlapping windows
+    } finally q.stop()
+  }
+
+  test("stream dedupe enforces (timestamp, tag) uniqueness within watermark") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.dedupeStream(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("t_dedupe")
+      .outputMode("append").start()
+    try {
+      mem.addData(TS(1000L, "a", 1.0), TS(1000L, "a", 1.0), TS(1000L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(TS(1000L, "a", 9.0)) // duplicate key arriving later
+      q.processAllAvailable()
+      val keys = spark.table("t_dedupe").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(keys.toSeq == Seq((1000L, "a"), (1000L, "b")))
+    } finally q.stop()
+  }
+
+  test("runningStats carries per-tag state across micro-batches") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("append").start()
+    try {
+      mem.addData(TS(1L, "a", 2.0), TS(2L, "a", 4.0))
+      q.processAllAvailable()
+      mem.addData(TS(3L, "a", 10.0))
+      q.processAllAvailable()
+      val a = spark.table("t_state").as[StreamingIngest.TagStats]
+        .collect().filter(_.tag == "a").sortBy(_.n)
+      assert(a.map(s => (s.n, s.total, s.maxValue)).toSeq ==
+        Seq((2L, 6.0, 4.0), (3L, 16.0, 10.0)))
+    } finally q.stop()
+  }
+}
