@@ -1,0 +1,147 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.jdk.CollectionConverters._
+
+/** JSON wire protocol matching the reference's aeson derivations:
+  * schema-strict (`rejectUnknownFields = True`,
+  * /root/reference/server/src/Repository/Model.hs:197-201), the
+  * all-optional QueryModel (Model.hs:104-116), and the three QueryR
+  * result shapes (Model.hs:63-75, JSON keys "group"/"result" at
+  * Model.hs:187-195).
+  *
+  * Uses Jackson (ships with Spark) — no extra dependencies.
+  */
+object QueryJson {
+  import QueryError.IllegalQuery
+
+  private val mapper = new ObjectMapper()
+
+  private val qmFields = Set("gt", "ge", "lt", "le", "tsEq", "tagEq",
+    "aggFunc", "groupBy", "sort", "limit")
+
+  private def parseJson(body: String): Either[QueryError, JsonNode] =
+    try Right(mapper.readTree(body))
+    catch { case e: Exception => Left(IllegalQuery(s"Malformed JSON: ${e.getMessage}")) }
+
+  private def longField(n: JsonNode, f: String): Either[QueryError, Option[Long]] =
+    Option(n.get(f)) match {
+      case None => Right(None)
+      case Some(v) if v.isIntegralNumber => Right(Some(v.asLong()))
+      case Some(_) => Left(IllegalQuery(s"Field '$f' must be an integer."))
+    }
+
+  private def strField(n: JsonNode, f: String): Either[QueryError, Option[String]] =
+    Option(n.get(f)) match {
+      case None => Right(None)
+      case Some(v) if v.isTextual => Right(Some(v.asText()))
+      case Some(_) => Left(IllegalQuery(s"Field '$f' must be a string."))
+    }
+
+  private def enumField[A](n: JsonNode, f: String, parse: String => Option[A])
+      : Either[QueryError, Option[A]] =
+    strField(n, f).flatMap {
+      case None => Right(None)
+      case Some(s) => parse(s).map(a => Right(Some(a)))
+        .getOrElse(Left(IllegalQuery(s"Invalid value for '$f': $s")))
+    }
+
+  /** Strict QueryModel decode + validation (parse errors and illegal
+    * combinations both surface as the reference's HTTP-400 semantics).
+    */
+  def parseQueryModel(body: String): Either[QueryError, QueryModel] =
+    for {
+      node <- parseJson(body)
+      _ <- if (!node.isObject) Left(IllegalQuery("Expected a JSON object."))
+           else node.fieldNames.asScala.find(!qmFields.contains(_))
+             .map(f => Left(IllegalQuery(s"Unknown field: $f")))
+             .getOrElse(Right(()))
+      gt <- longField(node, "gt"); ge <- longField(node, "ge")
+      lt <- longField(node, "lt"); le <- longField(node, "le")
+      tsEq <- longField(node, "tsEq")
+      tagEq <- strField(node, "tagEq")
+      agg <- enumField(node, "aggFunc", Agg.parse)
+      grp <- enumField(node, "groupBy", GroupBy.parse)
+      sort <- enumField(node, "sort", SortDir.parse)
+      limit <- longField(node, "limit")
+      qm <- Validation.validate(QueryModel(gt, ge, lt, le, tsEq, tagEq,
+        agg, grp, sort.getOrElse(SortDir.Asc), limit.map(_.toInt)))
+    } yield qm
+
+  private def tsFields = Set("timestamp", "tag", "value")
+  private def keyFields = Set("timestamp", "tag")
+
+  /** Strict decode of an insert/update body: `[{timestamp, tag, value}]`. */
+  def parseTsBatch(body: String): Either[QueryError, Seq[TS]] =
+    parseJson(body).flatMap {
+      case arr: ArrayNode =>
+        arr.asScala.toSeq.foldLeft[Either[QueryError, Vector[TS]]](Right(Vector())) {
+          (acc, n) => acc.flatMap { v =>
+            n.fieldNames.asScala.find(!tsFields.contains(_)) match {
+              case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
+              case None =>
+                if (!n.hasNonNull("timestamp") || !n.hasNonNull("tag") || !n.hasNonNull("value"))
+                  Left(IllegalQuery("Each row needs timestamp, tag, value."))
+                else Right(v :+ TS(n.get("timestamp").asLong(),
+                  n.get("tag").asText(), n.get("value").asDouble()))
+            }
+          }
+        }
+      case _ => Left(IllegalQuery("Expected a JSON array."))
+    }
+
+  /** Strict decode of a delete body: `[{timestamp, tag}]`; `[]` is the
+    * reference's truncate command.
+    */
+  def parseKeyBatch(body: String): Either[QueryError, Seq[TSKey]] =
+    parseJson(body).flatMap {
+      case arr: ArrayNode =>
+        arr.asScala.toSeq.foldLeft[Either[QueryError, Vector[TSKey]]](Right(Vector())) {
+          (acc, n) => acc.flatMap { v =>
+            n.fieldNames.asScala.find(!keyFields.contains(_)) match {
+              case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
+              case None =>
+                if (!n.hasNonNull("timestamp") || !n.hasNonNull("tag"))
+                  Left(IllegalQuery("Each key needs timestamp and tag."))
+                else Right(v :+ TSKey(n.get("timestamp").asLong(), n.get("tag").asText()))
+            }
+          }
+        }
+      case _ => Left(IllegalQuery("Expected a JSON array."))
+    }
+
+  /** Encode a query result in the reference's QueryR JSON: rows /
+    * [{group, result}] / {result}, chosen by the query shape.
+    */
+  def encodeResult(qm: QueryModel, df: DataFrame): String = {
+    val rows = df.collect()
+    (qm.aggFunc, qm.groupBy) match {
+      case (None, _) => // CollectR
+        val arr = mapper.createArrayNode()
+        rows.foreach { r =>
+          val o = arr.addObject()
+          o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
+          o.put("value", r.getDouble(2))
+        }
+        mapper.writeValueAsString(arr)
+      case (Some(_), Some(gb)) => // [GroupAggR]
+        val arr = mapper.createArrayNode()
+        rows.foreach { r =>
+          val o = arr.addObject()
+          gb match {
+            case GroupBy.Tag => o.put("group", r.getString(0))
+            case GroupBy.Timestamp => o.put("group", r.getLong(0))
+          }
+          o.put("result", r.getDouble(1))
+        }
+        mapper.writeValueAsString(arr)
+      case (Some(_), None) => // AggR
+        val o: ObjectNode = mapper.createObjectNode()
+        o.put("result", rows.head.getDouble(0))
+        mapper.writeValueAsString(o)
+    }
+  }
+}

@@ -47,8 +47,14 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 64,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // hash each shingle string ONCE; the k "permutations" re-hash the
+    // fixed-width base hash (cheap) rather than re-hashing the string
+    // k times (dominated the signature stage, ~4x slower). Plain
+    // mul-add universal hashing would be cheaper still, but wrapping
+    // Long arithmetic throws under ANSI mode (Spark 4 default).
     val sh = shingles(docs, n, textCol, idCol)
-    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     sh.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))

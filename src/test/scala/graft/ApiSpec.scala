@@ -1,0 +1,81 @@
+package graft
+
+import graft.api.Server
+import graft.engine.TimeSeriesStore
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** End-to-end HTTP lifecycle against a live server — the reference's
+  * README example flow (insert → query → update → delete → truncate)
+  * plus its 400-semantics.
+  */
+class ApiSpec extends SparkSpec {
+  private lazy val server = new Server(spark,
+    new TimeSeriesStore(spark, Files.createTempDirectory("graft-api").toString),
+    0).start()
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def call(method: String, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(base + path))
+      .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("full lifecycle: insert, query shapes, update, delete, truncate") {
+    // S1 insert
+    val rows = """[{"timestamp":1000,"tag":"foo","value":10.0},
+                   {"timestamp":2000,"tag":"foo","value":20.0},
+                   {"timestamp":1000,"tag":"bar","value":5.0}]"""
+    assert(call("POST", "/timeseries", rows) == (200, "\"OK\""))
+    // S1 conflict => 400, nothing applied
+    val (c409, conflictBody) = call("POST", "/timeseries",
+      """[{"timestamp":1000,"tag":"foo","value":1.0}]""")
+    assert(c409 == 400 && conflictBody.contains("1000"))
+    // scalar agg (AggR shape)
+    val (200, sumBody) = call("POST", "/timeseries/query", """{"aggFunc":"sum"}""")
+    assert(sumBody == """{"result":35.0}""")
+    // grouped agg ([GroupAggR] shape, canonical tag order)
+    val (200, grpBody) = call("POST", "/timeseries/query",
+      """{"aggFunc":"sum","groupBy":"tag"}""")
+    assert(grpBody == """[{"group":"bar","result":5.0},{"group":"foo","result":30.0}]""")
+    // collect (CollectR shape) desc with limit
+    val (200, collBody) = call("POST", "/timeseries/query",
+      """{"sort":"desc","limit":1}""")
+    assert(collBody == """[{"timestamp":2000,"tag":"foo","value":20.0}]""")
+    // S2 update
+    assert(call("PUT", "/timeseries",
+      """[{"timestamp":1000,"tag":"foo","value":99.0}]""")._1 == 200)
+    val (200, afterUpd) = call("POST", "/timeseries/query",
+      """{"tsEq":1000,"tagEq":"foo","aggFunc":"max"}""")
+    assert(afterUpd == """{"result":99.0}""")
+    // S2 missing key => 400
+    assert(call("PUT", "/timeseries",
+      """[{"timestamp":7777,"tag":"nope","value":0.0}]""")._1 == 400)
+    // S3 delete
+    assert(call("DELETE", "/timeseries",
+      """[{"timestamp":1000,"tag":"bar"}]""")._1 == 200)
+    val (200, afterDel) = call("POST", "/timeseries/query", """{"aggFunc":"count"}""")
+    assert(afterDel == """{"result":2.0}""")
+    // S4 truncate via empty body
+    assert(call("DELETE", "/timeseries", "[]")._1 == 200)
+    val (200, afterTrunc) = call("POST", "/timeseries/query", """{"aggFunc":"count"}""")
+    assert(afterTrunc == """{"result":0.0}""")
+  }
+
+  test("400 semantics: illegal query, unknown field, no-data, empty avg") {
+    assert(call("POST", "/timeseries/query", """{"groupBy":"tag"}""")._1 == 400)
+    assert(call("POST", "/timeseries/query", """{"gt":1,"ge":2}""")._1 == 400)
+    val (code, msg) = call("POST", "/timeseries/query", """{"bogus":1}""")
+    assert(code == 400 && msg.contains("bogus"))
+    assert(call("POST", "/timeseries", """[{"timestamp":1,"tag":"x","value":1,"extra":2}]""")._1 == 400)
+    // empty store: avg errors (reference "Average failed."), min = +inf ok
+    val (avgCode, avgMsg) = call("POST", "/timeseries/query", """{"aggFunc":"avg"}""")
+    assert(avgCode == 400 && avgMsg.contains("Average failed"))
+    assert(call("POST", "/timeseries/query", """{"tagEq":"ghost"}""")._1 == 400)
+  }
+}
