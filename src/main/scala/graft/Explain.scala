@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints the physical plan of selected queries with table
+  * caching DISABLED, i.e. the plan shape a real cluster would run
+  * against parquet at scale. Checklist per plan:
+  *   - PushedFilters reaches the parquet scan (predicate pushdown)
+  *   - ReadSchema contains only the referenced columns (pruning)
+  *   - aggregates are partial → final HashAggregate
+  *   - top-k plans use TakeOrderedAndProject
+  *   - small join sides are BroadcastHashJoin under AQE
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("graft.cacheTables", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "a1_count_all", "a3_tag_collect", "g6_group_tag_avg",
+      "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
