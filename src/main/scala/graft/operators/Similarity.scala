@@ -94,7 +94,7 @@ object Similarity {
     * bucket with the query in at least one table.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              tables: Int = 8, planes: Int = 12, dim: Int = 64,
+              tables: Int = 32, planes: Int = 6, dim: Int = 64,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = withBuckets(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
@@ -133,7 +133,7 @@ object Similarity {
     * for [[cosineNearDupBrute]].
     */
   def cosineNearDupLsh(corpus: DataFrame, minCosine: Double,
-                       tables: Int = 8, planes: Int = 12, dim: Int = 64,
+                       tables: Int = 32, planes: Int = 6, dim: Int = 64,
                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = withBuckets(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),

@@ -81,6 +81,25 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().count() == 1)
   }
 
+  test("S7 durability: reopening the same path sees committed data") {
+    val dir = Files.createTempDirectory("graft-durable").toString
+    val st = new TimeSeriesStore(spark, dir)
+    st.insert(base.toDS())
+    st.delete(Seq(TSKey(3L, "c")).toDS())
+    val reopened = new TimeSeriesStore(spark, dir)
+    assert(reopened.current().count() == 3)
+  }
+
+  test("S6 export: query result round-trips through JSON files") {
+    val st = freshStore()
+    st.insert(base.toDS())
+    val out = Files.createTempDirectory("graft-export").toString + "/result"
+    QueryEngine.compile(st.current(), QueryModel()).write.json(out)
+    val back = spark.read.json(out)
+    assert(back.count() == 4)
+    assert(back.columns.sorted.toSeq == Seq("tag", "timestamp", "value"))
+  }
+
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
     val st = freshStore()
     st.insert(base.toDS())
