@@ -68,6 +68,10 @@ object SparkEntry {
       ge = Some(T1), lt = Some(T2))),
     // ---- A4/F2: point lookup on timestamp
     "a4_point_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS))),
+    // ---- F4: empty-group elimination — tags with no rows in a narrow
+    // range simply don't appear (no zero-count groups)
+    "f4_empty_group_elim" -> ts(QueryModel(ge = Some(T1), lt = Some(T1 + 600000L),
+      aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag))),
     // ---- G6: group by tag (sort ignored, canonical group order)
     "g6_group_tag_avg" -> tsR(QueryModel(ge = Some(T1), lt = Some(T2),
       aggFunc = Some(Agg.Avg), groupBy = Some(GroupBy.Tag))),
@@ -206,9 +210,12 @@ object SparkEntry {
     "x_neardup_embed_brute" -> ((s, dir) =>
       Similarity.cosineNearDupBrute(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
-    // ---- embedding near-dup: LSH-bucketed (scale path; no oracle)
+    // ---- embedding near-dup: LSH-bucketed, same subset as the brute
+    // query so recall is directly measurable from the dumps (no oracle;
+    // the operator itself is the full-table scale path)
     "x_neardup_embed_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupLsh(Tables.embeddings(s, dir), minCosine = 0.35)),
+      Similarity.cosineNearDupLsh(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
     // ---- similarity search: exact cosine top-5 for 10 query vectors
     "x_ann_topk_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -218,6 +225,24 @@ object SparkEntry {
     "x_ann_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    // ---- as-of join: for each click, the user's most recent prior
+    // error (the canonical time-series join; DuckDB ASOF JOIN oracle)
+    "x_asof_join" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").cast("long").as("t"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t"), col("value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("t"), col("value").as("err_value"))
+      // no-match → sentinel values: keeps the oracle compare free of
+      // engine-specific null/NaN encodings
+      AsOfJoin.asOf(clicks, errors, "t", "t", Seq("user_id"), Seq("err_value"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          coalesce(col("asof_time"), lit(-1L)).as("asof_time"),
+          coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
+        .orderBy(col("event_id"))
     }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
@@ -253,6 +278,8 @@ object SparkEntry {
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
     "a4_point_lookup" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS ORDER BY "timestamp", tag""",
+    "f4_empty_group_elim" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 600000L} GROUP BY tag ORDER BY grp""",
     "g6_group_tag_avg" ->
       s"""SELECT tag AS grp, round(avg(value), 4) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
     "g6_group_tag_count" ->
@@ -329,6 +356,14 @@ object SparkEntry {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t, event_type, value FROM events)
+        |SELECT l.event_id, l.user_id, l.t, coalesce(r.t, -1) AS asof_time,
+        |       coalesce(r.value, -1.0) AS asof_err_value
+        |FROM (SELECT * FROM e WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY l.event_id""".stripMargin,
     "x_ann_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,10 +30,12 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** cosine(a, b) = dot/(|a||b|), computed like DuckDB's
-    * list_cosine_similarity so the oracle can mirror it.
+  /** cosine(a, b) = dot/(|a||b|), one fused codegen'd loop
+    * ([[graft.functions.VectorFunctions.CosineSimilarity]]), accumulated
+    * in element order like DuckDB's list_cosine_similarity so the
+    * oracle can mirror it. Composed fallback: dot/(norm*norm).
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -41,6 +44,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -96,6 +100,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
               tables: Int = 32, planes: Int = 6, dim: Int = 64,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val c = withBuckets(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")
@@ -120,6 +125,7 @@ object Similarity {
     */
   def cosineNearDupBrute(corpus: DataFrame, minCosine: Double,
                          vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -135,6 +141,7 @@ object Similarity {
   def cosineNearDupLsh(corpus: DataFrame, minCosine: Double,
                        tables: Int = 32, planes: Int = 6, dim: Int = 64,
                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val c = withBuckets(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Unit semantics for the training-data extension operators on tiny
@@ -102,6 +102,29 @@ class ExtensionSpec extends SparkSpec {
     assert(feats(0).brightness == feats(1).brightness) // identical payloads
     val again = Multimodal.decodeImages(media, batchSize = 3).collect().sortBy(_.media_id)
     assert(feats.map(_.brightness).toSeq == again.map(_.brightness).toSeq) // batch-size invariant
+  }
+
+  test("as-of join: latest prior match per key, <= ties, tolerance, null on no-match") {
+    val quotes = Seq( // (key, time, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 25L, 9.0)
+    ).toDF("sym", "t", "px")
+    val trades = Seq(("A", 5L), ("A", 20L), ("A", 29L), ("B", 24L), ("B", 100L))
+      .toDF("sym", "t")
+    val j = AsOfJoin.asOf(trades, quotes, "t", "t", Seq("sym"), Seq("px"))
+      .orderBy(col("sym"), col("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(j.toSeq == Seq(
+      ("A", 5L, None, None),              // before any quote
+      ("A", 20L, Some(20L), Some(2.0)),   // equal time matches (<=)
+      ("A", 29L, Some(20L), Some(2.0)),   // latest prior, not next
+      ("B", 24L, None, None),             // other key's quotes invisible
+      ("B", 100L, Some(25L), Some(9.0))))
+    val tol = AsOfJoin.asOf(trades, quotes, "t", "t", Seq("sym"), Seq("px"),
+      tolerance = Some(10L)).orderBy(col("sym"), col("t")).collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(tol.toSeq == Seq(None, Some(2.0), Some(2.0), None, None)) // B@100 > 25+10
   }
 
   test("multimodal: frame sampling plan") {

@@ -32,8 +32,10 @@ for name, sql in sorted(oracle.items()):
     if len(odf) != len(sdf):
         print(f"ROWCOUNT MISMATCH {name}: oracle={len(odf)} spark={len(sdf)}")
         fail += 1; continue
-    o_rows = [tuple(r) for r in odf.itertuples(index=False)]
-    s_rows = [tuple(r) for r in sdf.itertuples(index=False)]
+    def norm(v):  # NaN != NaN would false-flag null-bearing columns
+        return "NaN" if isinstance(v, float) and v != v else v
+    o_rows = [tuple(norm(v) for v in r) for r in odf.itertuples(index=False)]
+    s_rows = [tuple(norm(v) for v in r) for r in sdf.itertuples(index=False)]
     if o_rows != s_rows:
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(o_rows, s_rows)) if a != b]
         print(f"VALUE MISMATCH {name}: {len(bad)} rows differ; first: {bad[:2]}")
