@@ -56,9 +56,31 @@ object QueryEngine {
     case Agg.Max   => coalesce(max(col("value")), lit(Double.NegativeInfinity))
   }
 
+  /** Day-bucket bounds implied by the timestamp predicates, for stores
+    * partitioned on `g_day = timestamp div 86400000`
+    * ([[TimeSeriesStore]]): Catalyst can't invert the div, so the
+    * engine supplies the redundant partition predicate — turning time
+    * ranges into directory-level partition pruning at scale.
+    */
+  private def partitionPredicate(qm: QueryModel): Option[Column] = {
+    val D = 86400000L
+    val day = col("g_day")
+    val conds: Seq[Column] =
+      qm.gt.map(v => day >= v / D).toSeq ++
+        qm.ge.map(v => day >= v / D) ++
+        qm.lt.map(v => day <= v / D) ++
+        qm.le.map(v => day <= v / D) ++
+        qm.tsEq.map(v => day === v / D)
+    conds.reduceOption(_ && _)
+  }
+
   /** Pure plan construction; assumes `qm` already validated. */
   def compile(store: DataFrame, qm: QueryModel): DataFrame = {
-    val filtered = store.filter(predicate(qm))
+    val pruned =
+      if (store.columns.contains("g_day"))
+        partitionPredicate(qm).map(store.filter).getOrElse(store)
+      else store
+    val filtered = pruned.filter(predicate(qm))
     (qm.aggFunc, qm.groupBy) match {
       case (None, _) => // collect (CollectR)
         val ordered = qm.sort match {

@@ -59,17 +59,30 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
     }
 
-  /** Snapshot read of the current table state. */
+  /** Snapshot read of the current table state (carries the `g_day`
+    * partition column; [[QueryEngine]] uses it for pruning and excludes
+    * it from outputs).
+    */
   def current(): DataFrame = {
     val segs = liveSegments().map(s => root.resolve(s).toString)
-    if (segs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(segs: _*)
+    val readSchema = schema.add(StructField("g_day", LongType, nullable = true))
+    if (segs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+    else segs.map(s => spark.read.schema(readSchema).parquet(s))
+      .reduce(_ unionByName _) // filters/pruning push into every child scan
   }
 
+  /** Segments are hive-partitioned by day bucket (`g_day = timestamp
+    * div 86400000`): a time-range query prunes whole directories before
+    * any file is opened — the scale path for the reference's
+    * timestamp-index slicing. [[QueryEngine]] derives `g_day` bounds
+    * from `timestamp` predicates (Catalyst can't invert the div).
+    */
   private def writeSegment(df: DataFrame): String = {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
     df.select(col("timestamp"), col("tag"), col("value"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+      .withColumn("g_day", expr("timestamp div 86400000"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("g_day").parquet(root.resolve(seg).toString)
     seg
   }
 

@@ -76,11 +76,15 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // skew guard: drop degenerate buckets before the self-join
+    // skew guard: drop degenerate buckets before the self-join.
+    // localCheckpoint materializes the signatures once — both self-join
+    // legs (and the est_jaccard) reuse them instead of recomputing the
+    // explode+64-agg pipeline per leg.
     val bucketed = banded.withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash"))))
       .filter(col("bucket_n") <= bucketCap)
+      .localCheckpoint()
 
     val a = bucketed.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))

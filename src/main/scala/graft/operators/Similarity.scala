@@ -145,6 +145,7 @@ object Similarity {
     val c = withBuckets(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")
+      .localCheckpoint() // bucketing computed once, reused by both legs
     val a = c.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = c.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("tbl", "bucket"))

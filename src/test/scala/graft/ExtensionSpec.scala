@@ -127,6 +127,18 @@ class ExtensionSpec extends SparkSpec {
     assert(tol.toSeq == Seq(None, Some(2.0), Some(2.0), None, None)) // B@100 > 25+10
   }
 
+  test("salted join equals plain join on skewed data") {
+    import graft.operators.SkewJoin
+    val facts = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "rare" else "hot"))
+      .toDF("row_id", "k") // 90% of rows share one key
+    val dim = Seq(("hot", 1.0), ("rare", 2.0)).toDF("k", "w")
+    val salted = SkewJoin.saltedJoin(facts, dim, Seq("k"), "row_id", salts = 8)
+      .orderBy(col("row_id")).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val plain = facts.join(dim, "k")
+      .orderBy(col("row_id")).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(salted.length == 500 && salted.toSeq == plain.toSeq)
+  }
+
   test("multimodal: frame sampling plan") {
     val media = Seq((1L, "video")).toDF("media_id", "modality")
     val frames = Multimodal.frameSamplePlan(media, frameCount = 10, everyNth = 3)

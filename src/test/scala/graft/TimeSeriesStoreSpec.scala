@@ -100,6 +100,19 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("tag", "timestamp", "value"))
   }
 
+  test("time-range queries prune day partitions (directory-level skipping)") {
+    val st = freshStore()
+    val twoDays = Seq(TS(1000L, "a", 1.0), TS(86400000L + 1000L, "a", 2.0),
+      TS(3 * 86400000L, "b", 3.0))
+    st.insert(twoDays.toDS())
+    val qm = QueryModel(ge = Some(86400000L), lt = Some(2 * 86400000L))
+    val df = QueryEngine.compile(st.current(), qm)
+    assert(df.collect().map(_.getDouble(2)).toSeq == Seq(2.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("g_day"),
+      s"expected g_day partition filters in plan:\n$plan")
+  }
+
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
     val st = freshStore()
     st.insert(base.toDS())
