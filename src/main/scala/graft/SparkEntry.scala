@@ -244,6 +244,42 @@ object SparkEntry {
           coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
         .orderBy(col("event_id"))
     }),
+    // ---- similarity search: IVF inverted-list approximate top-5
+    // (rows-only; recall measurable against x_ann_topk_brute's dump)
+    "x_ann_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 32, nprobe = 6)
+    }),
+    // ---- relational analytics at scale: star join with broadcast dims
+    // (decimal sums => order-independent, exact cross-engine compare)
+    "x_join_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).cast("double").as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    // ---- window function: per-supplier running revenue in ship order
+    "x_window_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -356,6 +392,23 @@ object SparkEntry {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS DOUBLE) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "x_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "x_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t, event_type, value FROM events)
         |SELECT l.event_id, l.user_id, l.t, coalesce(r.t, -1) AS asof_time,

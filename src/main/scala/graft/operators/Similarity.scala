@@ -120,6 +120,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: centroids are a
+    * deterministic hash-ordered sample of the corpus (no trained model
+    * to store); every vector joins its nearest centroid's inverted
+    * list; a query scores only the lists of its `nprobe` nearest
+    * centroids. At scale the inverted lists are the partitioning —
+    * assignment is one broadcast join (centroids are tiny) and the
+    * probe join touches nprobe/nlist of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nlist: Int = 32, nprobe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val cents = c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .localCheckpoint() // computed once; reused by assignment + probing
+    def nearest(df: DataFrame, idName: String, vName: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("cs").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cs", round(cosine(col(vName), col("cv")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cs", "crn", "cv")
+    }
+    val assigned = nearest(c, "vec_id", "v", 1)
+    val probes = nearest(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
+      "query_id", "qv", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(probes, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("score", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) on a
     * bounded corpus — the oracle-checkable ground truth.
     */

@@ -67,6 +67,13 @@ class ExtensionSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 1L)))
   }
 
+  test("IVF top-k: finds the known nearest on the tiny fixture") {
+    val r = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), k = 2,
+      nlist = 5, nprobe = 5) // probe everything => exact on this fixture
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.head == (1L, 1L)) // rank 1 is the aligned vector
+  }
+
   test("LSH near-dup finds the aligned pair (dim=4 fixture)") {
     val r = Similarity.cosineNearDupLsh(vecs, 0.9, tables = 8, planes = 2, dim = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1)))
