@@ -193,6 +193,9 @@ object SparkEntry {
     }),
     // ---- dedup: exact (hash-groupBy on content)
     "x_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // ---- dedup: exact via content digest (scale path — shuffles
+    // 32-byte sha256 digests, not documents)
+    "x_dedup_exact_digest" -> ((s, dir) => Dedup.exactByDigest(Tables.documents(s, dir))),
     // ---- dedup: exact n-gram Jaccard pairs on a bounded subset
     // (ground truth for the MinHash path)
     "x_dedup_jaccard" -> ((s, dir) =>
@@ -376,6 +379,10 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_dedup_exact_digest" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS DOUBLE) AS dup_count
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
     "x_dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),

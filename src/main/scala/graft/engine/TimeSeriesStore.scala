@@ -127,13 +127,21 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     } finally b.unpersist()
   }
 
-  /** S2 — values-only update; all keys must exist. */
+  /** S2 — values-only update; all keys must exist. A key repeated
+    * within one batch is rejected (the reference applies list-ordered
+    * last-write-wins, which has no deterministic meaning for a
+    * distributed batch — all-or-nothing rejection keeps it exact).
+    */
   def update(batch: Dataset[TS]): Either[MutationErrors, Unit] = {
     val b = batch.toDF().cache()
     try {
+      val withinDup = b.groupBy(col("timestamp"), col("tag"))
+        .count().filter(col("count") > 1)
       val missing = b.join(current(), Seq("timestamp", "tag"), "left_anti")
-      val errs = keyErrors(missing, (t, g) => s"Update failed: key ($t, $g) not found.")
-      if (errs.nonEmpty) Left(MutationErrors(errs))
+      val errs =
+        keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
+          keyErrors(missing, (t, g) => s"Update failed: key ($t, $g) not found.")
+      if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
       else {
         val updated = current().as("s")
           .join(b.withColumnRenamed("value", "new_value").as("u"),
@@ -147,9 +155,11 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     } finally b.unpersist()
   }
 
-  /** S3 — delete by key; all keys must exist. */
+  /** S3 — delete by key; all keys must exist (a key listed twice in
+    * one batch deletes once).
+    */
   def delete(keys: Dataset[TSKey]): Either[MutationErrors, Unit] = {
-    val k = keys.toDF().cache()
+    val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
       val missing = k.join(current(), Seq("timestamp", "tag"), "left_anti")
       val errs = keyErrors(missing, (t, g) => s"Delete failed: key ($t, $g) not found.")

@@ -31,6 +31,20 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** Exact dedup by content digest: like [[exact]] but groups on
+    * sha2-256 of the text — at 100 TB this shuffles 32-byte digests
+    * instead of full documents (the standard exact-dedup shape;
+    * collision probability at 2^-128 scale is below hardware error
+    * rates). SHA-256 is engine-standard, so this stays oracle-checkable.
+    */
+  def exactByDigest(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("digest"), col(idCol))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("double").as("dup_count"))
+      .select(col("digest"), col("keep_id"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, n: Int = 3,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
