@@ -81,6 +81,9 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
     df.select(col("timestamp"), col("tag"), col("value"))
       .withColumn("g_day", expr("timestamp div 86400000"))
+      // time-sorted row groups → tight parquet min/max stats, so
+      // sub-day range predicates skip row groups inside each partition
+      .sortWithinPartitions(col("g_day"), col("timestamp"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("g_day").parquet(root.resolve(seg).toString)
     seg

@@ -70,6 +70,29 @@ object StreamingIngest {
       .select(unix_millis(col("window.start")).as("window_start"), col("tag"),
         col("cnt"), col("sum_val"))
 
+  /** Streaming ingestion into a [[graft.engine.TimeSeriesStore]]:
+    * each micro-batch is deduped against itself and the store, then
+    * appended through the store's all-or-nothing insert — the streaming
+    * generalization of the reference's synchronous batch POST. Rows
+    * whose (timestamp, tag) already exist are dropped, not errored
+    * (at-least-once sources redeliver; idempotent ingest is the
+    * streaming analogue of the reference's uniqueness rejection).
+    * Returns the ready-to-start writer.
+    */
+  def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val fresh = batch.dropDuplicates("timestamp", "tag")
+        .join(store.current(), Seq("timestamp", "tag"), "left_anti")
+        .as[TS]
+      if (!fresh.isEmpty) {
+        store.insert(fresh).left.foreach(e =>
+          throw new IllegalStateException(e.message))
+      }
+    }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

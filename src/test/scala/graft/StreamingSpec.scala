@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest into the store: idempotent under redelivery") {
+    import graft.engine.TimeSeriesStore
+    val store = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-store").toString)
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store).start()
+    try {
+      mem.addData(TS(1L, "a", 1.0), TS(2L, "b", 2.0))
+      q.processAllAvailable()
+      assert(store.current().count() == 2)
+      // redelivery of an old row + one new row: only the new one lands
+      mem.addData(TS(1L, "a", 1.0), TS(3L, "c", 3.0))
+      q.processAllAvailable()
+      assert(store.current().count() == 3)
+      assert(store.current().filter($"timestamp" === 1L).count() == 1)
+    } finally q.stop()
+  }
+
   test("runningStats carries per-tag state across micro-batches") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.runningStats(mem.toDS())
