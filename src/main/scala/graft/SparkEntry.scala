@@ -143,6 +143,28 @@ object SparkEntry {
         .groupBy(col("tag").as("grp"))
         .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
     }),
+    // ---- TS2: same engine over the 6×-larger lineitem TS view
+    // (shipdate × returnflag × extendedprice; multi-row timestamp groups)
+    // decimal sum: order-independent exactness at 1e9 magnitudes where
+    // round(double-sum) could still straddle a boundary
+    "ts2_li_group_tag_sum" -> ((s, dir) =>
+      Tables.tsLineitem(s, dir)
+        .groupBy(col("tag").as("grp"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("result"))
+        .orderBy(asc("grp"))),
+    // (timestamp, tag) is not unique on this view, so the top-k cut
+    // must order on ALL columns before limiting — boundary rows that
+    // tie on the full triple are value-identical, so the cut is stable
+    "ts2_li_range_topk" -> ((s, dir) =>
+      Tables.tsLineitem(s, dir)
+        .filter(col("timestamp") >= 820454400000L && col("timestamp") < 883612800000L)
+        .orderBy(desc("timestamp"), asc("tag"), asc("value"))
+        .limit(1000)),
+    "ts2_li_group_ts_count" -> ((s, dir) =>
+      QueryEngine.compile(Tables.tsLineitem(s, dir),
+        QueryModel(ge = Some(820454400000L), lt = Some(883612800000L),
+          aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Timestamp),
+          limit = Some(500)))),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -349,6 +371,12 @@ object SparkEntry {
       s"""SELECT tag AS grp, round(sum(CASE WHEN tag = 'click' THEN value * 2 ELSE value END), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "s3_delete_apply" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
+    "ts2_li_group_tag_sum" ->
+      s"""SELECT tag AS grp, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS result FROM ${Tables.tsLineitemOracleFrom} t GROUP BY tag ORDER BY grp""",
+    "ts2_li_range_topk" ->
+      s"""SELECT "timestamp", tag, value FROM ${Tables.tsLineitemOracleFrom} t WHERE "timestamp" >= 820454400000 AND "timestamp" < 883612800000 ORDER BY "timestamp" DESC, tag, value LIMIT 1000""",
+    "ts2_li_group_ts_count" ->
+      s"""SELECT "timestamp" AS grp, CAST(count(*) AS DOUBLE) AS result FROM ${Tables.tsLineitemOracleFrom} t WHERE "timestamp" >= 820454400000 AND "timestamp" < 883612800000 GROUP BY 1 ORDER BY grp LIMIT 500""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

@@ -72,6 +72,28 @@ object Tables {
   val tsOracleFrom: String =
     """(SELECT epoch_ms(ts) AS "timestamp", event_type AS tag, value FROM events)"""
 
+  /** Second, larger TS view (FIXTURES.md §4): lineitem as a time series —
+    * shipdate millis × returnflag tag × extendedprice value. ~6× the
+    * events row count at every SF; (timestamp, tag) is NOT unique here,
+    * which exercises multi-row timestamp groups at scale.
+    */
+  def tsLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, "__ts_lineitem__")
+    cache.getOrElseUpdate(key, {
+      // l_shipdate reads as TIMESTAMP_NTZ; the UTC session makes the
+      // cast to (LTZ) timestamp an identity, matching DuckDB epoch_ms
+      val df = lineitem(spark, dir).select(
+        unix_millis(col("l_shipdate").cast("timestamp")).as("timestamp"),
+        col("l_returnflag").as("tag"),
+        col("l_extendedprice").as("value"))
+      if (cachingEnabled(spark)) df.cache() else df
+    })
+  }
+
+  /** DuckDB-side equivalent of [[tsLineitem]]. */
+  val tsLineitemOracleFrom: String =
+    """(SELECT epoch_ms(l_shipdate) AS "timestamp", l_returnflag AS tag, l_extendedprice AS value FROM lineitem)"""
+
   /** Drop all cached entries (test hygiene). */
   def clear(): Unit = { cache.values.foreach(_.unpersist()); cache.clear() }
 }
