@@ -90,14 +90,19 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // skew guard: drop degenerate buckets before the self-join.
+    // skew guard: drop degenerate buckets before the self-join. The
+    // overloaded-bucket list is tiny → hash-agg count + broadcast
+    // anti-join, NOT a window over (band, hash) (a window would
+    // shuffle-sort every banded row just to count its bucket).
     // localCheckpoint materializes the signatures once — both self-join
     // legs (and the est_jaccard) reuse them instead of recomputing the
     // explode+64-agg pipeline per leg.
-    val bucketed = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= bucketCap)
+    val overloaded = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap)
+      .select(col("band"), col("band_hash"))
+    val bucketed = banded
+      .join(broadcast(overloaded), Seq("band", "band_hash"), "left_anti")
       .localCheckpoint()
 
     val a = bucketed.select(col("band"), col("band_hash"),

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *   - [[lshTopK]] / [[cosineNearDupLsh]] — random-hyperplane LSH with
   *     T tables of P planes: candidates come from an equi-join on
   *     (table, bucket), so the O(n·|queries|) / O(n²) score space is
-  *     never materialized. Hyperplane signs are xxhash64-derived, so the
-  *     index is deterministic with no stored model.
+  *     never materialized. Hyperplane signs are splitmix64-derived
+  *     literals, so the index is deterministic with no stored model.
   *
   * All vector math is double-precision higher-order array expressions
   * (zip_with/aggregate) — codegen'd, no UDFs.
