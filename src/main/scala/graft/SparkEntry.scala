@@ -149,6 +149,22 @@ object SparkEntry {
         .groupBy(col("tag").as("grp"))
         .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
     }),
+    // ---- distinct aggregation (absent in the reference; standard here)
+    // exact distinct is the oracle; approx_count_distinct (HLL) is the
+    // scale path, checked rows-only since sketch impls differ by engine
+    "d1_distinct_exact" -> ((s, dir) =>
+      Tables.ts(s, dir).agg(
+        countDistinct(col("tag")).cast("double").as("n_tags"),
+        countDistinct(col("value")).cast("double").as("n_values"))),
+    "d2_distinct_approx" -> ((s, dir) =>
+      Tables.ts(s, dir).agg(
+        approx_count_distinct(col("value")).cast("double").as("approx_values"))),
+    // ---- percentiles: exact interpolated (both engines define the
+    // same linear interpolation)
+    "d3_percentiles" -> ((s, dir) =>
+      Tables.ts(s, dir).agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))),
     // ---- TS2: same engine over the 6×-larger lineitem TS view
     // (shipdate × returnflag × extendedprice; multi-row timestamp groups)
     // decimal sum: order-independent exactness at 1e9 magnitudes where
@@ -381,6 +397,10 @@ object SparkEntry {
       s"""SELECT tag AS grp, round(sum(CASE WHEN tag = 'click' THEN value * 2 ELSE value END), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "s3_delete_apply" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
+    "d1_distinct_exact" ->
+      s"""SELECT CAST(count(DISTINCT tag) AS DOUBLE) AS n_tags, CAST(count(DISTINCT value) AS DOUBLE) AS n_values FROM $FROM t""",
+    "d3_percentiles" ->
+      s"""SELECT round(quantile_cont(value, 0.5), 4) AS p50, round(quantile_cont(value, 0.95), 4) AS p95 FROM $FROM t""",
     "ts2_li_group_tag_sum" ->
       s"""SELECT tag AS grp, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS result FROM ${Tables.tsLineitemOracleFrom} t GROUP BY tag ORDER BY grp""",
     "ts2_li_range_topk" ->
