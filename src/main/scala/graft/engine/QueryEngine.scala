@@ -127,7 +127,7 @@ object QueryEngine {
       for {
         _ <- qm.tagEq match {
           case Some(t) if store.filter(col("tag") === t).isEmpty =>
-            Left(QueryError.NoData(s"No data for tag $t."))
+            Left(QueryError.NoData(s"""No data for tag "$t"."""))
           case _ => Right(())
         }
         _ <- qm.tsEq match {

@@ -120,7 +120,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       val existing = b.join(current(), Seq("timestamp", "tag"), "left_semi")
       val errs =
         keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
-          keyErrors(existing, (t, g) => s"Insert conflict: key ($t, $g) already exists.")
+          keyErrors(existing, (t, g) => s"""Timestamp = $t and tag = "$g" already exists.""")
       if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
       else {
         val seg = writeSegment(b)
@@ -143,7 +143,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       val missing = b.join(current(), Seq("timestamp", "tag"), "left_anti")
       val errs =
         keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
-          keyErrors(missing, (t, g) => s"Update failed: key ($t, $g) not found.")
+          keyErrors(missing, (t, g) => s"""Timestamp = $t and tag = "$g" not found.""")
       if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
       else {
         val updated = current().as("s")
@@ -165,7 +165,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
       val missing = k.join(current(), Seq("timestamp", "tag"), "left_anti")
-      val errs = keyErrors(missing, (t, g) => s"Delete failed: key ($t, $g) not found.")
+      val errs = keyErrors(missing, (t, g) => s"""Timestamp = $t and tag = "$g" not found.""")
       if (errs.nonEmpty) Left(MutationErrors(errs))
       else {
         val remaining = current().join(k, Seq("timestamp", "tag"), "left_anti")

@@ -101,7 +101,7 @@ class QueryEngineSpec extends SparkSpec {
 
   test("execute: tagEq miss errors 'No data for tag' (A4)") {
     val r = QueryEngine.execute(store, QueryModel(tagEq = Some("zzz")))
-    assert(r == Left(QueryError.NoData("No data for tag zzz.")))
+    assert(r == Left(QueryError.NoData("No data for tag \"zzz\".")))
   }
 
   test("execute: tsEq miss errors 'No data for timestamp' (A4)") {

@@ -29,7 +29,7 @@ class TimeSeriesStoreSpec extends SparkSpec {
     st.insert(base.toDS())
     val r = st.insert(Seq(TS(5L, "z", 0.0), TS(1L, "a", 9.9)).toDS())
     assert(r.isLeft)
-    assert(r.left.toOption.get.messages.exists(_.contains("(1, a)")))
+    assert(r.left.toOption.get.messages.contains("Timestamp = 1 and tag = \"a\" already exists."))
     assert(st.current().count() == 4) // nothing applied
   }
 
