@@ -61,8 +61,12 @@ object SparkEntry {
     "a1_max_all" -> ts(QueryModel(aggFunc = Some(Agg.Max))),
     // ---- A2/F1/O1: timestamp-range collect, asc (default sort)
     "a2_range_collect" -> ts(QueryModel(ge = Some(T1), lt = Some(T2))),
-    // ---- F1 exclusive/inclusive bound variants
+    // ---- F1 exclusive/inclusive bound variants (+ single-bound form)
     "f1_gt_le_collect" -> ts(QueryModel(gt = Some(T1), le = Some(T2))),
+    "f1_lt_only_collect" -> ts(QueryModel(lt = Some(1704240000000L))), // first 2 days
+    // ---- A4 variant: point lookup with tagEq
+    "a4_point_tag_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS),
+      tagEq = Some("error"))),
     // ---- A3/F3: tag-index scan (tagEq + range)
     "a3_tag_collect" -> ts(QueryModel(tagEq = Some("click"),
       ge = Some(T1), lt = Some(T2))),
@@ -359,6 +363,10 @@ object SparkEntry {
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" > $T1 AND "timestamp" <= $T2 ORDER BY "timestamp", tag""",
     "a3_tag_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
+    "f1_lt_only_collect" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" < 1704240000000 ORDER BY "timestamp", tag""",
+    "a4_point_tag_lookup" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS AND tag = 'error' ORDER BY "timestamp", tag""",
     "a4_point_lookup" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS ORDER BY "timestamp", tag""",
     "f4_empty_group_elim" ->
