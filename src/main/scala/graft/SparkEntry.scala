@@ -331,6 +331,24 @@ object SparkEntry {
             .cast("double").as("running"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    // ---- composite pipeline: quality-filter → exact-dedup survivors →
+    // per-language stats (the operators composing end-to-end, all
+    // inside one oracle-checked plan)
+    "x_pipeline_quality_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val kept = scored.filter(col("q") >= 0.3)
+      // min() not first(): duplicate texts could carry different lang
+      // labels, and first() is pick-any (q is text-determined, min = id)
+      val deduped = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("q")).as("q"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg(col("q")), 4).as("avg_q"))
+        .orderBy(col("lang"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -445,6 +463,17 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_pipeline_quality_dedup" ->
+      """WITH scored AS (SELECT doc_id, lang, text,
+        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
+        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE q >= 0.3),
+        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept GROUP BY text)
+        |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "x_dedup_exact_digest" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
         |  CAST(count(*) AS DOUBLE) AS dup_count

@@ -178,4 +178,18 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
 
   /** S4 — truncate (reference: DELETE with empty body). */
   def truncate(): Unit = commit(Seq.empty)
+
+  /** Live segment count (grows by 1 per insert until compaction). */
+  def segmentCount: Int = liveSegments().size
+
+  /** Merge all live segments into one — bounds the per-read union fan-in
+    * after many appends (the Delta/Iceberg OPTIMIZE analogue). Readers
+    * holding older manifests are unaffected (segments are immutable).
+    */
+  def compact(): Unit = {
+    if (segmentCount > 1) {
+      val seg = writeSegment(current())
+      commit(Seq(seg))
+    }
+  }
 }

@@ -70,6 +70,21 @@ object StreamingIngest {
       .select(unix_millis(col("window.start")).as("window_start"), col("tag"),
         col("cnt"), col("sum_val"))
 
+  /** Session windows per tag: rows within `gap` of each other merge
+    * into one session (works in batch and, with the watermark, in
+    * streaming). Output: (session_start, session_end millis, tag, cnt,
+    * sum_val).
+    */
+  def sessionAgg(ts: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ts)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("tag"))
+      .agg(count(lit(1)).cast("double").as("cnt"), sum(col("value")).as("sum_val"))
+      .select(unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("tag"), col("cnt"), col("sum_val"))
+
   /** Streaming ingestion into a [[graft.engine.TimeSeriesStore]]:
     * each micro-batch is deduped against itself and the store, then
     * appended through the store's all-or-nothing insert — the streaming

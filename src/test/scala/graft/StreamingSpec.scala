@@ -65,6 +65,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: rows within gap merge, a gap splits sessions") {
+    // batch mode (watermark is a no-op) pins the session semantics
+    val data = Seq(
+      TS(0L, "a", 1.0), TS(60000L, "a", 2.0),      // one session (gap 2 min)
+      TS(10 * 60000L, "a", 3.0),                   // new session (9 min gap)
+      TS(0L, "b", 9.0))
+    val got = StreamingIngest.sessionAgg(data.toDF(), gap = "2 minutes")
+      .orderBy($"tag", $"session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 180000L, "a", 2.0),                 // ends 2 min after last row
+      (600000L, 720000L, "a", 1.0),
+      (0L, 120000L, "b", 1.0)))
+  }
+
   test("streaming ingest into the store: idempotent under redelivery") {
     import graft.engine.TimeSeriesStore
     val store = new TimeSeriesStore(spark,

@@ -113,6 +113,20 @@ class TimeSeriesStoreSpec extends SparkSpec {
       s"expected g_day partition filters in plan:\n$plan")
   }
 
+  test("compaction merges segments without changing data; old readers unaffected") {
+    val st = freshStore()
+    st.insert(Seq(TS(1L, "a", 1.0)).toDS())
+    st.insert(Seq(TS(2L, "a", 2.0)).toDS())
+    st.insert(Seq(TS(3L, "a", 3.0)).toDS())
+    assert(st.segmentCount == 3)
+    val before = st.current()
+    st.compact()
+    assert(st.segmentCount == 1)
+    assert(st.current().select("timestamp").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(before.count() == 3) // pre-compaction snapshot still reads
+  }
+
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
     val st = freshStore()
     st.insert(base.toDS())
