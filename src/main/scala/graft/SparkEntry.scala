@@ -302,6 +302,21 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nlist = 32, nprobe = 6)
     }),
+    // ---- pricing summary (TPC-H Q1 shape): the canonical columnar-agg
+    // workload; exact decimal sums, avg via decimal-sum/count
+    "x_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_discount").cast("decimal(18,4)")).cast("double")
+            / count(lit(1))).as("avg_disc"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
     // ---- relational analytics at scale: star join with broadcast dims
     // (decimal sums => order-independent, exact cross-engine compare)
     "x_join_revenue_by_nation" -> ((s, dir) => {
@@ -494,6 +509,15 @@ object SparkEntry {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  CAST(count(*) AS DOUBLE) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "x_join_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
