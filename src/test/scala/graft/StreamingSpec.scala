@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped (append mode)") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.tumblingAgg(mem.toDF(), "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to ~200s => window [0,60s) closes
+      mem.addData(TS(0L, "a", 1.0), TS(200000L, "a", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("t_late").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(closed == Seq((0L, 1.0))) // emitted once, cnt=1
+      // a row for the already-closed window arrives late => dropped
+      mem.addData(TS(30000L, "a", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("t_late").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(after == Seq((0L, 1.0))) // unchanged: no re-emit, no count bump
+    } finally q.stop()
+  }
+
   test("stream dedupe enforces (timestamp, tag) uniqueness within watermark") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.dedupeStream(mem.toDF(), "1 hour")
