@@ -475,6 +475,14 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y','en','los','se'))) AS es,
         |  len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','et','les','des','un','une'))) AS fr
         |  FROM documents) s ORDER BY doc_id""".stripMargin,
+    // replicates RollingHash's UTF-8-byte fold; valid because the
+    // fixture text is pure ASCII (max codepoint 121 — codepoint == byte)
+    "x_text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
