@@ -47,6 +47,10 @@ class ApiSpec extends SparkSpec {
     val (200, collBody) = call("POST", "/timeseries/query",
       """{"sort":"desc","limit":1}""")
     assert(collBody == """[{"timestamp":2000,"tag":"foo","value":20.0}]""")
+    // group by timestamp: Long group keys in JSON, desc order honored
+    val (200, tsGrpBody) = call("POST", "/timeseries/query",
+      """{"aggFunc":"count","groupBy":"timestamp","sort":"desc"}""")
+    assert(tsGrpBody == """[{"group":2000,"result":1.0},{"group":1000,"result":2.0}]""")
     // S2 update
     assert(call("PUT", "/timeseries",
       """[{"timestamp":1000,"tag":"foo","value":99.0}]""")._1 == 200)

@@ -40,6 +40,25 @@ class ExtensionSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("minhash estimates track exact jaccard on real fixture data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, n = 3, minJaccard = 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = Dedup.minhashPairs(docs, n = 3, k = 64, bands = 16,
+      minEstJaccard = 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // estimator accuracy: shared pairs within k=64 sampling error
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty)
+    common.foreach(p => assert(math.abs(exact(p) - est(p)) <= 0.25,
+      s"pair $p exact=${exact(p)} est=${est(p)}"))
+    // banding recall: pairs with high true similarity are nearly always
+    // caught (P[detect] at j=0.7 with r=4,b=16 is ~0.99)
+    val strong = exact.filter(_._2 >= 0.7).keySet
+    if (strong.nonEmpty)
+      assert(strong.count(est.contains).toDouble / strong.size >= 0.8)
+  }
+
   test("simhash: identical texts => hamming 0; banding finds them") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
