@@ -27,9 +27,11 @@ object QueryJson {
     try Right(mapper.readTree(body))
     catch { case e: Exception => Left(IllegalQuery(s"Malformed JSON: ${e.getMessage}")) }
 
+  // explicit JSON null decodes as absent, like aeson's Maybe fields
   private def longField(n: JsonNode, f: String): Either[QueryError, Option[Long]] =
     Option(n.get(f)) match {
       case None => Right(None)
+      case Some(v) if v.isNull => Right(None)
       case Some(v) if v.isIntegralNumber => Right(Some(v.asLong()))
       case Some(_) => Left(IllegalQuery(s"Field '$f' must be an integer."))
     }
@@ -37,6 +39,7 @@ object QueryJson {
   private def strField(n: JsonNode, f: String): Either[QueryError, Option[String]] =
     Option(n.get(f)) match {
       case None => Right(None)
+      case Some(v) if v.isNull => Right(None)
       case Some(v) if v.isTextual => Right(Some(v.asText()))
       case Some(_) => Left(IllegalQuery(s"Field '$f' must be a string."))
     }
@@ -67,8 +70,10 @@ object QueryJson {
       grp <- enumField(node, "groupBy", GroupBy.parse)
       sort <- enumField(node, "sort", SortDir.parse)
       limit <- longField(node, "limit")
+      // clamp like Haskell's take: negative => nothing, huge => everything
+      clamped = limit.map(v => math.max(0L, math.min(v, Int.MaxValue.toLong)).toInt)
       qm <- Validation.validate(QueryModel(gt, ge, lt, le, tsEq, tagEq,
-        agg, grp, sort.getOrElse(SortDir.Asc), limit.map(_.toInt)))
+        agg, grp, sort.getOrElse(SortDir.Asc), clamped))
     } yield qm
 
   private def tsFields = Set("timestamp", "tag", "value")
@@ -83,8 +88,13 @@ object QueryJson {
             n.fieldNames.asScala.find(!tsFields.contains(_)) match {
               case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
               case None =>
-                if (!n.hasNonNull("timestamp") || !n.hasNonNull("tag") || !n.hasNonNull("value"))
-                  Left(IllegalQuery("Each row needs timestamp, tag, value."))
+                // typed, like aeson: never coerce "abc" to 0
+                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isIntegralNumber)
+                  Left(IllegalQuery("Field 'timestamp' must be an integer."))
+                else if (!n.hasNonNull("tag") || !n.get("tag").isTextual)
+                  Left(IllegalQuery("Field 'tag' must be a string."))
+                else if (!n.hasNonNull("value") || !n.get("value").isNumber)
+                  Left(IllegalQuery("Field 'value' must be a number."))
                 else Right(v :+ TS(n.get("timestamp").asLong(),
                   n.get("tag").asText(), n.get("value").asDouble()))
             }
@@ -104,14 +114,28 @@ object QueryJson {
             n.fieldNames.asScala.find(!keyFields.contains(_)) match {
               case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
               case None =>
-                if (!n.hasNonNull("timestamp") || !n.hasNonNull("tag"))
-                  Left(IllegalQuery("Each key needs timestamp and tag."))
+                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isIntegralNumber)
+                  Left(IllegalQuery("Field 'timestamp' must be an integer."))
+                else if (!n.hasNonNull("tag") || !n.get("tag").isTextual)
+                  Left(IllegalQuery("Field 'tag' must be a string."))
                 else Right(v :+ TSKey(n.get("timestamp").asLong(), n.get("tag").asText()))
             }
           }
         }
       case _ => Left(IllegalQuery("Expected a JSON array."))
     }
+
+  /** JSON-encode an error body: mutation errors as a string array,
+    * everything else as a string — Jackson handles escaping (messages
+    * contain double quotes by construction).
+    */
+  def encodeError(e: QueryError): String = e match {
+    case QueryError.MutationErrors(msgs) =>
+      val arr = mapper.createArrayNode()
+      msgs.foreach(arr.add)
+      mapper.writeValueAsString(arr)
+    case other => mapper.writeValueAsString(other.message)
+  }
 
   /** Encode a query result in the reference's QueryR JSON: rows /
     * [{group, result}] / {result}, chosen by the query shape.

@@ -35,11 +35,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
     try os.write(bytes) finally os.close()
   }
 
-  private def errBody(e: QueryError): String = e match {
-    case QueryError.MutationErrors(msgs) =>
-      msgs.mkString("[\"", "\",\"", "\"]")
-    case other => "\"" + other.message.replace("\"", "\\\"") + "\""
-  }
+  private def errBody(e: QueryError): String = QueryJson.encodeError(e)
 
   private def handle(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -72,7 +68,8 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
         case Left(e) => respond(ex, 400, errBody(e))
       }
     } catch {
-      case e: Throwable => respond(ex, 500, "\"" + e.getMessage + "\"")
+      case e: Throwable => respond(ex, 500, QueryJson.encodeError(
+        QueryError.IllegalQuery(String.valueOf(e.getMessage))))
     }
   }
 

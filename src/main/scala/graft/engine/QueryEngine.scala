@@ -124,6 +124,15 @@ object QueryEngine {
     */
   def execute(store: DataFrame, qm0: QueryModel): Either[QueryError, DataFrame] =
     Validation.validate(qm0).flatMap { qm =>
+      // one filtered frame, its emptiness computed at most once,
+      // shared by the tsEq and avg guards
+      lazy val filteredEmpty = store.filter(predicate(qm)).isEmpty
+      // a tsEq miss only errors on the paths that look it up directly:
+      // tag-path point lookup (tagEq set — Queries/Tag.hs:63-67) or the
+      // timestamp path (no tagEq, no groupBy=tag — Queries/TS.hs:60-65);
+      // groupTag's tsEq branch returns an empty list (Tag.hs:49-53)
+      val tsEqErrors =
+        qm.tagEq.isDefined || !qm.groupBy.contains(GroupBy.Tag)
       for {
         _ <- qm.tagEq match {
           case Some(t) if store.filter(col("tag") === t).isEmpty =>
@@ -131,12 +140,15 @@ object QueryEngine {
           case _ => Right(())
         }
         _ <- qm.tsEq match {
-          case Some(t) if store.filter(predicate(qm)).isEmpty =>
+          case Some(t) if tsEqErrors && filteredEmpty =>
             Left(QueryError.NoData(s"No data for timestamp $t."))
           case _ => Right(())
         }
+        // "Average failed." applies to the SCALAR avg only — grouped avg
+        // over empty input is an empty list (reference handleAvg is
+        // applied on the AggR branch alone, Queries.hs:146-150)
         _ <- qm.aggFunc match {
-          case Some(Agg.Avg) if store.filter(predicate(qm)).isEmpty =>
+          case Some(Agg.Avg) if qm.groupBy.isEmpty && filteredEmpty =>
             Left(QueryError.EmptyAverage)
           case _ => Right(())
         }

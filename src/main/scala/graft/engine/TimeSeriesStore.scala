@@ -103,16 +103,19 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def keyCol = struct(col("timestamp"), col("tag"))
-
   /** ≤10 formatted conflict messages from a key DataFrame. */
   private def keyErrors(keys: DataFrame, fmt: (Long, String) => String): Seq[String] =
     keys.select(col("timestamp"), col("tag"))
       .orderBy(col("timestamp"), col("tag")).limit(10).collect()
       .map(r => fmt(r.getLong(0), r.getString(1))).toSeq
 
-  /** S1 — all-or-nothing append. */
-  def insert(batch: Dataset[TS]): Either[MutationErrors, Unit] = {
+  /** S1 — all-or-nothing append. Mutations are serialized through the
+    * store instance (acid-state's single-writer model): the whole
+    * validate → write-segment → commit sequence holds the lock, so a
+    * concurrent writer can't commit a manifest computed from a stale
+    * segment list (lost-update race). Readers never block.
+    */
+  def insert(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
     try {
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
@@ -135,7 +138,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * last-write-wins, which has no deterministic meaning for a
     * distributed batch — all-or-nothing rejection keeps it exact).
     */
-  def update(batch: Dataset[TS]): Either[MutationErrors, Unit] = {
+  def update(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
     try {
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
@@ -161,7 +164,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   /** S3 — delete by key; all keys must exist (a key listed twice in
     * one batch deletes once).
     */
-  def delete(keys: Dataset[TSKey]): Either[MutationErrors, Unit] = {
+  def delete(keys: Dataset[TSKey]): Either[MutationErrors, Unit] = this.synchronized {
     val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
       val missing = k.join(current(), Seq("timestamp", "tag"), "left_anti")
@@ -177,7 +180,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   }
 
   /** S4 — truncate (reference: DELETE with empty body). */
-  def truncate(): Unit = commit(Seq.empty)
+  def truncate(): Unit = this.synchronized { commit(Seq.empty) }
 
   /** Live segment count (grows by 1 per insert until compaction). */
   def segmentCount: Int = liveSegments().size
@@ -186,7 +189,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * after many appends (the Delta/Iceberg OPTIMIZE analogue). Readers
     * holding older manifests are unaffected (segments are immutable).
     */
-  def compact(): Unit = {
+  def compact(): Unit = this.synchronized {
     if (segmentCount > 1) {
       val seg = writeSegment(current())
       commit(Seq(seg))

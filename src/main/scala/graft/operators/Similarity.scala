@@ -87,6 +87,14 @@ object Similarity {
     */
   private def withBuckets(df: DataFrame, tables: Int, planes: Int, dim: Int,
                           vec: String): DataFrame = {
+    // a dim mismatch would null every projection and funnel ALL rows
+    // into bucket 0 — silently degrading the LSH join to O(n²); fail
+    // loudly instead (assert_true returns null when the check passes)
+    val checked = df.filter(coalesce(
+      assert_true(size(col(vec)) === dim,
+        concat(lit(s"LSH dim mismatch: expected $dim, got "),
+          size(col(vec)).cast("string"))),
+      lit(true)))
     val signs = typedlit(signMatrix(tables, planes, dim))
     val tableSigns = element_at(signs, col("tbl") + 1)
     val bits = (0 until planes).map { p =>
@@ -95,7 +103,7 @@ object Similarity {
         lit(0.0), (acc, y) => acc + y)
       when(proj > 0, 1L << p).otherwise(0L)
     }
-    df.withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+    checked.withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 

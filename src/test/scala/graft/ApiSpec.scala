@@ -71,6 +71,31 @@ class ApiSpec extends SparkSpec {
     assert(afterTrunc == """{"result":0.0}""")
   }
 
+  test("wire protocol: null fields, typed batch fields, JSON-valid error bodies") {
+    // explicit null == absent (aeson Maybe parity)
+    val (nc, _) = call("POST", "/timeseries/query", """{"gt":null,"aggFunc":"count"}""")
+    assert(nc == 200)
+    // wrong-typed batch fields are rejected, never coerced to 0
+    val (tc, tMsg) = call("POST", "/timeseries",
+      """[{"timestamp":"abc","tag":"x","value":1.0}]""")
+    assert(tc == 400 && tMsg.contains("timestamp"))
+    val (vc, _) = call("POST", "/timeseries",
+      """[{"timestamp":1,"tag":"x","value":"oops"}]""")
+    assert(vc == 400)
+    // huge/negative limits clamp like Haskell take
+    assert(call("POST", "/timeseries/query", """{"limit":4294967296}""")._1 == 200)
+    val (lc, lBody) = call("POST", "/timeseries/query", """{"limit":-1}""")
+    assert(lc == 200 && lBody == "[]")
+    // mutation-error bodies parse as JSON despite embedded quotes
+    call("POST", "/timeseries", """[{"timestamp":777,"tag":"q","value":1.0}]""")
+    val (mc, mBody) = call("PUT", "/timeseries",
+      """[{"timestamp":778,"tag":"q","value":2.0}]""")
+    assert(mc == 400)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mBody)
+    assert(parsed.isArray && parsed.get(0).asText().contains("not found"))
+    assert(call("DELETE", "/timeseries", "[]")._1 == 200) // leave store empty
+  }
+
   test("400 semantics: illegal query, unknown field, no-data, empty avg") {
     assert(call("POST", "/timeseries/query", """{"groupBy":"tag"}""")._1 == 400)
     assert(call("POST", "/timeseries/query", """{"gt":1,"ge":2}""")._1 == 400)

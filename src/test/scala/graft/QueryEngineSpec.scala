@@ -114,6 +114,26 @@ class QueryEngineSpec extends SparkSpec {
     assert(r == Left(QueryError.EmptyAverage))
   }
 
+  test("execute: GROUPED avg over empty input is an empty list, not an error") {
+    // reference handleAvg applies only to the scalar AggR branch
+    // (Queries.hs:146-150); grouped empties fall out as []
+    val r = QueryEngine.execute(store, QueryModel(gt = Some(9999L),
+      aggFunc = Some(Agg.Avg), groupBy = Some(GroupBy.Tag)))
+    assert(r.isRight && r.toOption.get.collect().isEmpty)
+  }
+
+  test("execute: tsEq miss with groupBy=tag (no tagEq) is empty, not an error") {
+    // groupTag's tsEq branch returns [] (Tag.hs:49-53); only the direct
+    // lookup paths raise noDataErr
+    val r = QueryEngine.execute(store, QueryModel(tsEq = Some(999L),
+      aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))
+    assert(r.isRight && r.toOption.get.collect().isEmpty)
+    // but with tagEq present the point lookup errors again
+    val r2 = QueryEngine.execute(store, QueryModel(tsEq = Some(999L), tagEq = Some("a"),
+      aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))
+    assert(r2 == Left(QueryError.NoData("No data for timestamp 999.")))
+  }
+
   test("execute: valid query passes through to compile") {
     val r = QueryEngine.execute(store, QueryModel(aggFunc = Some(Agg.Sum)))
     assert(r.toOption.get.collect().head.getDouble(0) == 21.0)
