@@ -32,7 +32,8 @@ object QueryJson {
     Option(n.get(f)) match {
       case None => Right(None)
       case Some(v) if v.isNull => Right(None)
-      case Some(v) if v.isIntegralNumber => Right(Some(v.asLong()))
+      case Some(v) if v.isNumber && v.canConvertToExactIntegral && v.canConvertToLong =>
+        Right(Some(v.asLong())) // aeson parity: 1e3/1000.0 are integers too
       case Some(_) => Left(IllegalQuery(s"Field '$f' must be an integer."))
     }
 
@@ -89,7 +90,9 @@ object QueryJson {
               case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
               case None =>
                 // typed, like aeson: never coerce "abc" to 0
-                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isIntegralNumber)
+                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isNumber ||
+                    !n.get("timestamp").canConvertToExactIntegral ||
+                    !n.get("timestamp").canConvertToLong)
                   Left(IllegalQuery("Field 'timestamp' must be an integer."))
                 else if (!n.hasNonNull("tag") || !n.get("tag").isTextual)
                   Left(IllegalQuery("Field 'tag' must be a string."))
@@ -114,7 +117,9 @@ object QueryJson {
             n.fieldNames.asScala.find(!keyFields.contains(_)) match {
               case Some(f) => Left(IllegalQuery(s"Unknown field: $f"))
               case None =>
-                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isIntegralNumber)
+                if (!n.hasNonNull("timestamp") || !n.get("timestamp").isNumber ||
+                    !n.get("timestamp").canConvertToExactIntegral ||
+                    !n.get("timestamp").canConvertToLong)
                   Left(IllegalQuery("Field 'timestamp' must be an integer."))
                 else if (!n.hasNonNull("tag") || !n.get("tag").isTextual)
                   Left(IllegalQuery("Field 'tag' must be a string."))
@@ -142,8 +147,8 @@ object QueryJson {
     */
   def encodeResult(qm: QueryModel, df: DataFrame): String = {
     val rows = df.collect()
-    (qm.aggFunc, qm.groupBy) match {
-      case (None, _) => // CollectR
+    ResultShape.of(qm) match {
+      case ResultShape.Collect => // CollectR
         val arr = mapper.createArrayNode()
         rows.foreach { r =>
           val o = arr.addObject()
@@ -151,7 +156,7 @@ object QueryJson {
           o.put("value", r.getDouble(2))
         }
         mapper.writeValueAsString(arr)
-      case (Some(_), Some(gb)) => // [GroupAggR]
+      case ResultShape.Grouped(gb) => // [GroupAggR]
         val arr = mapper.createArrayNode()
         rows.foreach { r =>
           val o = arr.addObject()
@@ -162,7 +167,7 @@ object QueryJson {
           o.put("result", r.getDouble(1))
         }
         mapper.writeValueAsString(arr)
-      case (Some(_), None) => // AggR
+      case ResultShape.Scalar => // AggR
         val o: ObjectNode = mapper.createObjectNode()
         o.put("result", rows.head.getDouble(0))
         mapper.writeValueAsString(o)

@@ -35,7 +35,6 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
     try os.write(bytes) finally os.close()
   }
 
-  private def errBody(e: QueryError): String = QueryJson.encodeError(e)
 
   private def handle(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -65,7 +64,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
       }
       result match {
         case Right(json) => respond(ex, 200, json)
-        case Left(e) => respond(ex, 400, errBody(e))
+        case Left(e) => respond(ex, 400, QueryJson.encodeError(e))
       }
     } catch {
       case e: Throwable => respond(ex, 500, QueryJson.encodeError(

@@ -74,6 +74,16 @@ object QueryEngine {
     conds.reduceOption(_ && _)
   }
 
+  /** The mempty-fold value each aggregate yields over an EMPTY group:
+    * what the reference's monoid fold + `fromMaybe 0` (grouped avg,
+    * Queries.hs:151) produce.
+    */
+  private def emptyGroupValue(agg: Agg): Double = agg match {
+    case Agg.Count | Agg.Sum | Agg.Avg => 0.0
+    case Agg.Min => Double.PositiveInfinity
+    case Agg.Max => Double.NegativeInfinity
+  }
+
   /** Pure plan construction; assumes `qm` already validated. */
   def compile(store: DataFrame, qm: QueryModel): DataFrame = {
     val pruned =
@@ -81,8 +91,8 @@ object QueryEngine {
         partitionPredicate(qm).map(store.filter).getOrElse(store)
       else store
     val filtered = pruned.filter(predicate(qm))
-    (qm.aggFunc, qm.groupBy) match {
-      case (None, _) => // collect (CollectR)
+    ResultShape.of(qm) match {
+      case ResultShape.Collect => // CollectR
         val ordered = qm.sort match {
           case SortDir.Asc  => filtered.orderBy(asc("timestamp"), asc("tag"))
           case SortDir.Desc => filtered.orderBy(desc("timestamp"), asc("tag"))
@@ -90,26 +100,40 @@ object QueryEngine {
         val limited = qm.limit.fold(ordered)(ordered.limit)
         limited.select(col("timestamp"), col("tag"), col("value"))
 
-      case (Some(agg), Some(GroupBy.Tag)) => // [GroupAggR] keyed by tag
+      case ResultShape.Grouped(GroupBy.Tag) => // [GroupAggR] keyed by tag
         // Reference iterates a HashMap => order unspecified and `sort`
         // ignored (G6, Queries/Tag.hs:35-53); we canonicalize by group.
+        val agg = qm.aggFunc.get
         val grouped = filtered.groupBy(col("tag").as("grp"))
           .agg(aggExpr(agg).as("result"))
-          .orderBy(asc("grp"))
-        qm.limit.fold(grouped)(grouped.limit)
+        // With tagEq, the reference ALWAYS emits the singleton group,
+        // mempty-folded even over an empty range (queryTag',
+        // Tag.hs:27-29) — empty-group elimination (F4) applies only to
+        // the no-tagEq groupTag path.
+        val withSingleton = qm.tagEq match {
+          case Some(t) =>
+            val fallback = store.sparkSession.range(1)
+              .select(lit(t).as("grp"), lit(emptyGroupValue(agg)).as("result"))
+              .join(grouped, Seq("grp"), "left_anti")
+            grouped.unionAll(fallback)
+          case None => grouped
+        }
+        val ordered = withSingleton.orderBy(asc("grp"))
+        qm.limit.fold(ordered)(ordered.limit)
 
-      case (Some(agg), Some(GroupBy.Timestamp)) => // [GroupAggR] keyed by ts
+      case ResultShape.Grouped(GroupBy.Timestamp) => // [GroupAggR] keyed by ts
         // Honors `sort` for group order (G8, Queries/TS.hs:31-44).
         val grouped = filtered.groupBy(col("timestamp").as("grp"))
-          .agg(aggExpr(agg).as("result"))
+          .agg(aggExpr(qm.aggFunc.get).as("result"))
         val ordered = qm.sort match {
           case SortDir.Asc  => grouped.orderBy(asc("grp"))
           case SortDir.Desc => grouped.orderBy(desc("grp"))
         }
         qm.limit.fold(ordered)(ordered.limit)
 
-      case (Some(agg), None) => // scalar AggR; limit ignored (L3)
-        filtered.agg(aggExpr(agg).as("result"))
+      case ResultShape.Scalar => // AggR; limit ignored (L3); also the
+        // reference's tagEq+tsEq short-circuit (Tag.hs:67)
+        filtered.agg(aggExpr(qm.aggFunc.get).as("result"))
     }
   }
 
@@ -145,10 +169,10 @@ object QueryEngine {
           case _ => Right(())
         }
         // "Average failed." applies to the SCALAR avg only — grouped avg
-        // over empty input is an empty list (reference handleAvg is
-        // applied on the AggR branch alone, Queries.hs:146-150)
+        // over empty input is `fromMaybe 0` (reference handleAvg is
+        // applied on the AggR branch alone, Queries.hs:146-151)
         _ <- qm.aggFunc match {
-          case Some(Agg.Avg) if qm.groupBy.isEmpty && filteredEmpty =>
+          case Some(Agg.Avg) if ResultShape.of(qm) == ResultShape.Scalar && filteredEmpty =>
             Left(QueryError.EmptyAverage)
           case _ => Right(())
         }

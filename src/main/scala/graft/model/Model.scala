@@ -62,6 +62,27 @@ final case class QueryModel(
     limit: Option[Int] = None
 )
 
+/** Which of the three QueryR shapes a query produces — shared by the
+  * plan compiler and the JSON encoder so they can never disagree.
+  *
+  * The surprising rule is the reference's tagEq+tsEq short-circuit
+  * (Queries/Tag.hs:67): a point lookup with an aggregate returns a
+  * SCALAR even when groupBy is set.
+  */
+sealed trait ResultShape
+object ResultShape {
+  case object Collect extends ResultShape
+  final case class Grouped(by: GroupBy) extends ResultShape
+  case object Scalar extends ResultShape
+
+  def of(qm: QueryModel): ResultShape = (qm.aggFunc, qm.groupBy) match {
+    case (None, _) => Collect
+    case (Some(_), Some(_)) if qm.tagEq.isDefined && qm.tsEq.isDefined => Scalar
+    case (Some(_), Some(gb)) => Grouped(gb)
+    case (Some(_), None) => Scalar
+  }
+}
+
 /** Engine-level errors: the reference answers these as HTTP 400 with a
   * message; we model them as values (SURVEY.md §7.4 "error-semantics
   * parity").

@@ -93,7 +93,7 @@ object Similarity {
     val checked = df.filter(coalesce(
       assert_true(size(col(vec)) === dim,
         concat(lit(s"LSH dim mismatch: expected $dim, got "),
-          size(col(vec)).cast("string"))),
+          coalesce(size(col(vec)).cast("string"), lit("null")))),
       lit(true)))
     val signs = typedlit(signMatrix(tables, planes, dim))
     val tableSigns = element_at(signs, col("tbl") + 1)

@@ -82,12 +82,19 @@ class ApiSpec extends SparkSpec {
     val (vc, _) = call("POST", "/timeseries",
       """[{"timestamp":1,"tag":"x","value":"oops"}]""")
     assert(vc == 400)
-    // huge/negative limits clamp like Haskell take
-    assert(call("POST", "/timeseries/query", """{"limit":4294967296}""")._1 == 200)
-    val (lc, lBody) = call("POST", "/timeseries/query", """{"limit":-1}""")
-    assert(lc == 200 && lBody == "[]")
     // mutation-error bodies parse as JSON despite embedded quotes
     call("POST", "/timeseries", """[{"timestamp":777,"tag":"q","value":1.0}]""")
+    // huge/negative limits clamp like Haskell take (store now non-empty,
+    // so "huge => everything" is actually exercised)
+    val (hc, hBody) = call("POST", "/timeseries/query", """{"limit":4294967296}""")
+    assert(hc == 200 && hBody.contains("777"))
+    // out-of-long-range integers are a 400, never a silent wrap
+    assert(call("POST", "/timeseries/query", """{"limit":9223372036854775808}""")._1 == 400)
+    assert(call("POST", "/timeseries/query", """{"gt":9223372036854775808}""")._1 == 400)
+    val (lc, lBody) = call("POST", "/timeseries/query", """{"limit":-1}""")
+    assert(lc == 200 && lBody == "[]")
+    // aeson numeric parity: integral-valued floats are integers
+    assert(call("POST", "/timeseries/query", """{"tsEq":777.0,"aggFunc":"count"}""")._1 == 200)
     val (mc, mBody) = call("PUT", "/timeseries",
       """[{"timestamp":778,"tag":"q","value":2.0}]""")
     assert(mc == 400)

@@ -114,6 +114,32 @@ class QueryEngineSpec extends SparkSpec {
     assert(r == Left(QueryError.EmptyAverage))
   }
 
+  test("tagEq + groupBy=tag over an empty range emits the singleton mempty group") {
+    // reference queryTag' (Tag.hs:27-29) always folds the (possibly
+    // empty) range for the named tag; grouped avg is `fromMaybe 0`
+    def single(agg: Agg) = run(QueryModel(tagEq = Some("a"), gt = Some(9999L),
+      aggFunc = Some(agg), groupBy = Some(GroupBy.Tag)))
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(single(Agg.Sum) == Seq(("a", 0.0)))
+    assert(single(Agg.Count) == Seq(("a", 0.0)))
+    assert(single(Agg.Avg) == Seq(("a", 0.0)))
+    assert(single(Agg.Min).head._2.isPosInfinity)
+    assert(single(Agg.Max).head._2.isNegInfinity)
+    // non-empty range: the real fold, still a singleton
+    val live = run(QueryModel(tagEq = Some("a"),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag)))
+    assert(live.map(r => (r.getString(0), r.getDouble(1))) == Seq(("a", 9.0)))
+  }
+
+  test("tagEq + tsEq + agg short-circuits to a SCALAR even with groupBy (Tag.hs:67)") {
+    assert(ResultShape.of(QueryModel(tagEq = Some("a"), tsEq = Some(1000L),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))) == ResultShape.Scalar)
+    val rows = run(QueryModel(tagEq = Some("a"), tsEq = Some(1000L),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag)))
+    assert(rows.length == 1 && rows.head.schema.fieldNames.toSeq == Seq("result"))
+    assert(rows.head.getDouble(0) == 1.0)
+  }
+
   test("execute: GROUPED avg over empty input is an empty list, not an error") {
     // reference handleAvg applies only to the scalar AggR branch
     // (Queries.hs:146-150); grouped empties fall out as []
