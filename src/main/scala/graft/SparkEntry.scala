@@ -153,6 +153,16 @@ object SparkEntry {
         .groupBy(col("tag").as("grp"))
         .agg(count(lit(1)).cast("double").as("result")).orderBy(asc("grp"))
     }),
+    // ---- semi-structured columns: JSON property extraction inside the
+    // scan stage (events.props is a JSON object)
+    "x_json_extract_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type").as("grp"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("grp"))
+        .agg(sum(col("k")).cast("double").as("sum_k"),
+          count(col("k")).cast("double").as("n_k"))
+        .orderBy(col("grp"))),
     // ---- distinct aggregation (absent in the reference; standard here)
     // exact distinct is the oracle; approx_count_distinct (HLL) is the
     // scale path, checked rows-only since sketch impls differ by engine
@@ -222,6 +232,7 @@ object SparkEntry {
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
         TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
         TextFunctions.punctCount(col("text")).as("punct"),
+        TextFunctions.repetitionRatio(col("text")).as("rep_ratio"),
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
     // ---- text analysis: heuristic language ID vs labeled lang
@@ -438,6 +449,11 @@ object SparkEntry {
       s"""SELECT tag AS grp, round(sum(CASE WHEN tag = 'click' THEN value * 2 ELSE value END), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "s3_delete_apply" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE NOT (tag = 'error' AND $range) GROUP BY tag ORDER BY grp""",
+    "x_json_extract_agg" ->
+      """SELECT event_type AS grp,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) AS sum_k,
+        |  CAST(count(props->>'$.k') AS DOUBLE) AS n_k
+        |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
     "d1_distinct_exact" ->
       s"""SELECT CAST(count(DISTINCT tag) AS DOUBLE) AS n_tags, CAST(count(DISTINCT value) AS DOUBLE) AS n_values FROM $FROM t""",
     "d3_percentiles" ->
@@ -461,6 +477,8 @@ object SparkEntry {
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         |  length(text) - length(translate(text, '.,!?;:', '')) AS punct,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS rep_ratio,
         |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
         |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
         |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)

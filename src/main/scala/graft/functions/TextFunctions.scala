@@ -45,6 +45,13 @@ object TextFunctions {
   val ES_STOP: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "los", "se")
   val FR_STOP: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "un", "une")
 
+  /** Distinct-token / total-token ratio — low values flag repetitive
+    * spam-like documents (standard pretraining-filter signal).
+    */
+  def repetitionRatio(text: Column): Column =
+    round(size(array_distinct(split(text, " "))).cast("double") /
+      size(split(text, " ")).cast("double"), 4)
+
   /** Heuristic quality score in [0,1]:
     * length factor × (1 − punctuation ratio) × stopword-band factor.
     * Deterministic double arithmetic, mirrored verbatim in the oracle.

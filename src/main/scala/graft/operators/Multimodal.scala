@@ -83,6 +83,21 @@ object Multimodal {
     }
   }
 
+  /** Resize plan: target dimensions preserving aspect ratio against a
+    * bounding box — pure integer arithmetic on metadata, decode-free
+    * (the real resample happens in the codec stage).
+    */
+  def resizePlan(features: Dataset[ImageFeatures], maxSide: Int): DataFrame = {
+    val scaleNum = lit(maxSide)
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxSide
+    features.toDF().select(col("media_id"), col("width"), col("height"),
+      when(needs, (col("width") * scaleNum).divide(longest).cast("int"))
+        .otherwise(col("width")).as("target_w"),
+      when(needs, (col("height") * scaleNum).divide(longest).cast("int"))
+        .otherwise(col("height")).as("target_h"))
+  }
+
   /** Frame-sampling plan for video payloads: every `everyNth` frame of
     * `frameCount` (metadata-declared) frames — pure plan, no decode.
     */

@@ -171,4 +171,15 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(_.getInt(1))
     assert(frames.toSeq == Seq(0, 3, 6, 9))
   }
+
+  test("multimodal: resize plan preserves aspect ratio, small images untouched") {
+    val feats = Seq(
+      Multimodal.ImageFeatures(1L, 200, 100, 3, 0.0, Array.empty),
+      Multimodal.ImageFeatures(2L, 50, 60, 3, 0.0, Array.empty)
+    ).toDS()
+    val r = Multimodal.resizePlan(feats, maxSide = 100).collect()
+      .map(x => x.getLong(0) -> (x.getInt(3), x.getInt(4))).toMap
+    assert(r(1L) == (100, 50)) // halved, aspect kept
+    assert(r(2L) == (50, 60))  // under the box: untouched
+  }
 }
