@@ -86,7 +86,7 @@ object SparkEntry {
     "g6_group_tag_max" -> ts(QueryModel(ge = Some(T1),
       aggFunc = Some(Agg.Max), groupBy = Some(GroupBy.Tag))),
     // ---- G7: group by tag at one timestamp
-    "g7_group_tag_tseq" -> ts(QueryModel(tsEq = Some(POINT_TS),
+    "g7_group_tag_tseq" -> tsR(QueryModel(tsEq = Some(POINT_TS),
       aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))),
     // ---- G8 + O1 + L2: group by timestamp, desc, limit
     "g8_group_ts_sum_desc" -> tsR(QueryModel(ge = Some(T1), lt = Some(T2),

@@ -130,17 +130,21 @@ object QueryJson {
       case _ => Left(IllegalQuery("Expected a JSON array."))
     }
 
-  /** JSON-encode an error body: mutation errors as a string array,
-    * everything else as a string — Jackson handles escaping (messages
-    * contain double quotes by construction).
+  /** Error bodies are RAW TEXT like the reference's servant handlers
+    * (errBody = C.pack …, Api.hs:51,79): mutation errors newline-joined
+    * with a trailing newline (Haskell `unlines`), everything else the
+    * bare message.
     */
   def encodeError(e: QueryError): String = e match {
-    case QueryError.MutationErrors(msgs) =>
-      val arr = mapper.createArrayNode()
-      msgs.foreach(arr.add)
-      mapper.writeValueAsString(arr)
-    case other => mapper.writeValueAsString(other.message)
+    case QueryError.MutationErrors(msgs) => msgs.mkString("", "\n", "\n")
+    case other => other.message
   }
+
+  /** aeson parity: non-finite Doubles (±Infinity/NaN) encode as JSON
+    * null — reachable via min/max mempty over empty input.
+    */
+  private def putDouble(o: ObjectNode, name: String, v: Double): Unit =
+    if (java.lang.Double.isFinite(v)) { o.put(name, v); () } else { o.putNull(name); () }
 
   /** Encode a query result in the reference's QueryR JSON: rows /
     * [{group, result}] / {result}, chosen by the query shape.
@@ -153,7 +157,7 @@ object QueryJson {
         rows.foreach { r =>
           val o = arr.addObject()
           o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
-          o.put("value", r.getDouble(2))
+          putDouble(o, "value", r.getDouble(2))
         }
         mapper.writeValueAsString(arr)
       case ResultShape.Grouped(gb) => // [GroupAggR]
@@ -164,12 +168,12 @@ object QueryJson {
             case GroupBy.Tag => o.put("group", r.getString(0))
             case GroupBy.Timestamp => o.put("group", r.getLong(0))
           }
-          o.put("result", r.getDouble(1))
+          putDouble(o, "result", r.getDouble(1))
         }
         mapper.writeValueAsString(arr)
       case ResultShape.Scalar => // AggR
         val o: ObjectNode = mapper.createObjectNode()
-        o.put("result", rows.head.getDouble(0))
+        putDouble(o, "result", rows.head.getDouble(0))
         mapper.writeValueAsString(o)
     }
   }

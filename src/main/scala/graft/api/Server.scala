@@ -27,9 +27,10 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
 
   def boundPort: Int = http.getAddress.getPort
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -46,35 +47,44 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
             qm <- QueryJson.parseQueryModel(body)
             df <- QueryEngine.execute(store.current(), qm)
           } yield QueryJson.encodeResult(qm, df)
+        // mutation success bodies are `[]` — aeson's encoding of the
+        // reference handlers' `return ()` (Api.hs:50,60,70)
         case ("POST", "/timeseries") =>
           QueryJson.parseTsBatch(body)
             .flatMap(b => store.insert(b.toDS()))
-            .map(_ => "\"OK\"")
+            .map(_ => "[]")
         case ("PUT", "/timeseries") =>
           QueryJson.parseTsBatch(body)
             .flatMap(b => store.update(b.toDS()))
-            .map(_ => "\"OK\"")
+            .map(_ => "[]")
+        case ("DELETE", "/timeseries") if body.trim.isEmpty =>
+          // bodyless DELETE = truncate (reference's bare Delete route,
+          // Api.hs:91)
+          store.truncate(); Right("[]")
         case ("DELETE", "/timeseries") =>
           QueryJson.parseKeyBatch(body).flatMap {
-            case keys if keys.isEmpty => store.truncate(); Right("\"OK\"")
-            case keys => store.delete(keys.toDS()).map(_ => "\"OK\"")
+            case keys if keys.isEmpty => store.truncate(); Right("[]")
+            case keys => store.delete(keys.toDS()).map(_ => "[]")
           }
         case _ =>
           Left(QueryError.IllegalQuery(s"No route: ${route._1} ${route._2}"))
       }
       result match {
         case Right(json) => respond(ex, 200, json)
-        case Left(e) => respond(ex, 400, QueryJson.encodeError(e))
+        // error bodies are raw text, like servant's errBody (Api.hs:79)
+        case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
       }
     } catch {
-      case e: Throwable => respond(ex, 500, QueryJson.encodeError(
-        QueryError.IllegalQuery(String.valueOf(e.getMessage))))
+      case e: Throwable =>
+        respond(ex, 500, String.valueOf(e.getMessage), "text/plain")
     }
   }
 
   def start(): Server = {
     http.createContext("/", handle(_))
-    http.setExecutor(null) // serialized writer, parity with acid-state
+    // concurrent reads like warp/acid-state: queries run in parallel,
+    // writes already serialize on the store's own lock
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     http.start()
     this
   }

@@ -148,34 +148,41 @@ object QueryEngine {
     */
   def execute(store: DataFrame, qm0: QueryModel): Either[QueryError, DataFrame] =
     Validation.validate(qm0).flatMap { qm =>
-      // one filtered frame, its emptiness computed at most once,
-      // shared by the tsEq and avg guards
-      lazy val filteredEmpty = store.filter(predicate(qm)).isEmpty
       // a tsEq miss only errors on the paths that look it up directly:
       // tag-path point lookup (tagEq set — Queries/Tag.hs:63-67) or the
       // timestamp path (no tagEq, no groupBy=tag — Queries/TS.hs:60-65);
-      // groupTag's tsEq branch returns an empty list (Tag.hs:49-53)
-      val tsEqErrors =
-        qm.tagEq.isDefined || !qm.groupBy.contains(GroupBy.Tag)
-      for {
-        _ <- qm.tagEq match {
-          case Some(t) if store.filter(col("tag") === t).isEmpty =>
-            Left(QueryError.NoData(s"""No data for tag "$t"."""))
-          case _ => Right(())
-        }
-        _ <- qm.tsEq match {
-          case Some(t) if tsEqErrors && filteredEmpty =>
-            Left(QueryError.NoData(s"No data for timestamp $t."))
-          case _ => Right(())
-        }
-        // "Average failed." applies to the SCALAR avg only — grouped avg
-        // over empty input is `fromMaybe 0` (reference handleAvg is
-        // applied on the AggR branch alone, Queries.hs:146-151)
-        _ <- qm.aggFunc match {
-          case Some(Agg.Avg) if ResultShape.of(qm) == ResultShape.Scalar && filteredEmpty =>
-            Left(QueryError.EmptyAverage)
-          case _ => Right(())
-        }
-      } yield compile(store, qm)
+      // groupTag's tsEq branch returns an empty list (Tag.hs:49-53).
+      // "Average failed." applies to the SCALAR avg only (reference
+      // handleAvg wraps the AggR branch alone, Queries.hs:146-151).
+      val tsEqErrors = qm.tsEq.isDefined &&
+        (qm.tagEq.isDefined || !qm.groupBy.contains(GroupBy.Tag))
+      val avgErrors = qm.aggFunc.contains(Agg.Avg) &&
+        ResultShape.of(qm) == ResultShape.Scalar
+      val needGuards = qm.tagEq.isDefined || tsEqErrors || avgErrors
+      if (!needGuards) Right(compile(store, qm))
+      else {
+        // ONE aggregate job answers every guard (the naive formulation —
+        // an isEmpty per guard — tripled the job count on the HTTP path)
+        val tagCond = qm.tagEq.map(col("tag") === _).getOrElse(lit(false))
+        val counts = store.agg(
+          count(when(tagCond, 1)).as("tag_n"),
+          count(when(predicate(qm), 1)).as("hit_n")).head()
+        val tagN = counts.getLong(0)
+        val hitN = counts.getLong(1)
+        for {
+          _ <- qm.tagEq match {
+            case Some(t) if tagN == 0 =>
+              Left(QueryError.NoData(s"""No data for tag "$t"."""))
+            case _ => Right(())
+          }
+          _ <- qm.tsEq match {
+            case Some(t) if tsEqErrors && hitN == 0 =>
+              Left(QueryError.NoData(s"No data for timestamp $t."))
+            case _ => Right(())
+          }
+          _ <- if (avgErrors && hitN == 0) Left(QueryError.EmptyAverage)
+               else Right(())
+        } yield compile(store, qm)
+      }
     }
 }

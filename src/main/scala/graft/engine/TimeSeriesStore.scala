@@ -118,6 +118,9 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   def insert(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
     try {
+      // an empty batch is a no-op (the reference appends nothing) —
+      // committing a data-less segment would grow the read fan-in
+      if (b.isEmpty) return Right(())
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
         .count().filter(col("count") > 1)
       val existing = b.join(current(), Seq("timestamp", "tag"), "left_semi")

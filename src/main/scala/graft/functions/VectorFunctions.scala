@@ -40,7 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -59,7 +62,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: vector lengths differ (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);

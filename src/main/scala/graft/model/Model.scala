@@ -111,15 +111,16 @@ object QueryError {
 object Validation {
   import QueryError.IllegalQuery
 
+  // message texts byte-match the reference (including its "provie" typo)
   def validate(qm: QueryModel): Either[QueryError, QueryModel] =
     if (qm.groupBy.isDefined && qm.aggFunc.isEmpty)
-      Left(IllegalQuery("Illegal query: 'groupBy' requires 'aggFunc'."))
+      Left(IllegalQuery("You must provie 'aggFunc' with 'groupBy'."))
     else if (qm.gt.isDefined && qm.ge.isDefined)
-      Left(IllegalQuery("Illegal query: can't use 'gt' and 'ge' in the same query."))
+      Left(IllegalQuery("Can't query 'gt' and 'ge' at the same time."))
     else if (qm.lt.isDefined && qm.le.isDefined)
-      Left(IllegalQuery("Illegal query: can't use 'lt' and 'le' in the same query."))
+      Left(IllegalQuery("Can't query 'lt' and 'le' at the same time."))
     else if (qm.tsEq.isDefined &&
       (qm.gt.isDefined || qm.ge.isDefined || qm.lt.isDefined || qm.le.isDefined))
-      Left(IllegalQuery("Illegal query: can't use 'tsEq' with any range bound."))
+      Left(IllegalQuery("Can't query 'tsEq' with any other timestamp condition."))
     else Right(qm)
 }

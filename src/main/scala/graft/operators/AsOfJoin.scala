@@ -39,8 +39,12 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // the value-hash tiebreaker makes the carried row deterministic
+    // when several right rows share one (keys, time); fully identical
+    // duplicates tie harmlessly
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy((Seq(col("__t"), col("__side")) ++
+        valueCols.map(c => xxhash64(col(s"__r_$c")))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w)
     val carried = valueCols.foldLeft(

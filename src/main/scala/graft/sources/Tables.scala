@@ -18,13 +18,13 @@ import scala.collection.concurrent.TrieMap
   * local-bench optimization, disable with `graft.cacheTables=false`.
   */
 object Tables {
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def cachingEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.cacheTables").forall(_.toBoolean)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, name)
+    val key = (spark, dir, name)
     cache.getOrElseUpdate(key, {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
       // (micros) cannot hold; read it as a Long nanos column instead.
@@ -55,7 +55,7 @@ object Tables {
     * matching the reference's primary-key constraint (README.md:63).
     */
   def ts(spark: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, "__ts_view__")
+    val key = (spark, dir, "__ts_view__")
     cache.getOrElseUpdate(key, {
       // `ts` reads as Long nanos (nanosAsLong); integer `div` keeps full
       // precision (a double division would lose bits above 2^53) and
@@ -78,7 +78,7 @@ object Tables {
     * which exercises multi-row timestamp groups at scale.
     */
   def tsLineitem(spark: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, "__ts_lineitem__")
+    val key = (spark, dir, "__ts_lineitem__")
     cache.getOrElseUpdate(key, {
       // l_shipdate reads as TIMESTAMP_NTZ; the UTC session makes the
       // cast to (LTZ) timestamp an identity, matching DuckDB epoch_ms

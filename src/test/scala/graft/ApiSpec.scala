@@ -31,7 +31,7 @@ class ApiSpec extends SparkSpec {
     val rows = """[{"timestamp":1000,"tag":"foo","value":10.0},
                    {"timestamp":2000,"tag":"foo","value":20.0},
                    {"timestamp":1000,"tag":"bar","value":5.0}]"""
-    assert(call("POST", "/timeseries", rows) == (200, "\"OK\""))
+    assert(call("POST", "/timeseries", rows) == (200, "[]")) // aeson ()
     // S1 conflict => 400, nothing applied
     val (c409, conflictBody) = call("POST", "/timeseries",
       """[{"timestamp":1000,"tag":"foo","value":1.0}]""")
@@ -98,8 +98,10 @@ class ApiSpec extends SparkSpec {
     val (mc, mBody) = call("PUT", "/timeseries",
       """[{"timestamp":778,"tag":"q","value":2.0}]""")
     assert(mc == 400)
-    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mBody)
-    assert(parsed.isArray && parsed.get(0).asText().contains("not found"))
+    // raw text, newline-terminated like Haskell unlines (Api.hs:61)
+    assert(mBody == "Timestamp = 778 and tag = \"q\" not found.\n")
+    // bodyless DELETE truncates (reference's bare Delete route)
+    assert(call("DELETE", "/timeseries", "") == (200, "[]"))
     assert(call("DELETE", "/timeseries", "[]")._1 == 200) // leave store empty
   }
 
