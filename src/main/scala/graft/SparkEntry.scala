@@ -265,6 +265,11 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir),
         n = 3, k = 64, bands = 16, minEstJaccard = 0.5)),
+    // ---- dedup: near-dup pairs clustered into components, one
+    // survivor per cluster (no oracle — minhash-derived)
+    "x_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterSurvivors(Dedup.minhashPairs(Tables.documents(s, dir),
+        n = 3, k = 64, bands = 16, minEstJaccard = 0.5))),
     // ---- dedup: SimHash near-dup pairs (no oracle)
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),

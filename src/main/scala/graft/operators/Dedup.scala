@@ -147,6 +147,52 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over a near-duplicate pair list
+    * (id_a, id_b): label propagation to fixpoint — each node adopts the
+    * minimum id reachable so far. The standard way to turn pairwise
+    * similarity into duplicate CLUSTERS (a~b, b~c ⇒ {a,b,c} keep one).
+    *
+    * Iterations are O(diameter); each is one join + one groupBy over
+    * the edge list, checkpointed to cut lineage. Deterministic (min is
+    * order-free). Returns (id, component) with component = min member.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.orderBy(col("id"))
+  }
+
+  /** One surviving id per duplicate cluster: pairs → components → keep
+    * the minimum id of each component (plus cluster size).
+    */
+  def clusterSurvivors(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(min(col("id")).as("keep_id"),
+        count(lit(1)).cast("double").as("cluster_size"))
+      .select(col("keep_id"), col("cluster_size"))
+      .orderBy(col("keep_id"))
+
   /** 64-bit SimHash per document: bit j set iff the sum over distinct
     * tokens of ±1 (sign = bit j of xxhash64(token)) is positive.
     * Pure array expressions — no explode, no shuffle beyond none.

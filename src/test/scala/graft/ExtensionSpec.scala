@@ -59,6 +59,26 @@ class ExtensionSpec extends SparkSpec {
       assert(strong.count(est.contains).toDouble / strong.size >= 0.8)
   }
 
+  test("connected components cluster transitive near-dup pairs deterministically") {
+    // 1-2, 2-3 chain; 7-8 pair; 9 isolated (not in pairs => not emitted)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val survivors = Dedup.clusterSurvivors(pairs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(survivors.toSeq == Seq((1L, 3.0), (7L, 2.0)))
+  }
+
+  test("end-to-end dedup: minhash pairs -> clusters over the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashPairs(docs, n = 3, k = 64, bands = 16,
+      minEstJaccard = 0.5)
+    val survivors = Dedup.clusterSurvivors(pairs).collect()
+    assert(survivors.nonEmpty) // the corpus contains near-dup chains
+    assert(survivors.forall(_.getDouble(1) >= 2.0))
+  }
+
   test("simhash: identical texts => hamming 0; banding finds them") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
