@@ -43,6 +43,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      System.gc() // don't bill one query for its predecessor's garbage
       val t0 = System.nanoTime()
       exec(name)
       (System.nanoTime() - t0) / 1e9
