@@ -105,6 +105,26 @@ class ApiSpec extends SparkSpec {
     assert(call("DELETE", "/timeseries", "[]")._1 == 200) // leave store empty
   }
 
+  test("concurrent inserts lose no batches (single-writer store lock)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 8).map { w =>
+      Future {
+        val rows = (0 until 5).map(i =>
+          s"""{"timestamp":${900000 + w * 100 + i},"tag":"c$w","value":1.0}""")
+          .mkString("[", ",", "]")
+        call("POST", "/timeseries", rows)._1
+      }
+    }
+    val codes = Await.result(Future.sequence(writers), 120.seconds)
+    assert(codes.forall(_ == 200))
+    val (200, cnt) = call("POST", "/timeseries/query",
+      """{"ge":900000,"le":999999,"aggFunc":"count"}""")
+    assert(cnt == """{"result":40.0}""") // 8 writers x 5 rows, none lost
+    assert(call("DELETE", "/timeseries", "")._1 == 200)
+  }
+
   test("400 semantics: illegal query, unknown field, no-data, empty avg") {
     assert(call("POST", "/timeseries/query", """{"groupBy":"tag"}""")._1 == 400)
     assert(call("POST", "/timeseries/query", """{"gt":1,"ge":2}""")._1 == 400)
