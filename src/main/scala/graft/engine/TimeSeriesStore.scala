@@ -20,24 +20,29 @@ import scala.jdk.CollectionConverters._
   *     authoritative row set
   *   - truncate: empty-body delete resets the table (Handlers.hs:72-73)
   *
-  * Storage: append-friendly versioned manifests over parquet segments.
+  * Storage: append-friendly versioned manifests over parquet segments,
+  * tracked at PARTITION granularity.
   *
   * ```
   * path/
-  *   seg-<uuid>/part-*.parquet   immutable data segments
-  *   v<N>.manifest               newline list of live segment dirs
-  *   CURRENT                     name of the live manifest (atomic swap)
+  *   seg-<uuid>/g_day=<d>/part-*.parquet   immutable partition data
+  *   v<N>.manifest          newline list of live "seg/g_day=<d>" entries
+  *   CURRENT                name of the live manifest (atomic swap)
   * ```
   *
   * Scale notes (100 TB): insert writes ONLY the new batch as a segment
-  * and commits a manifest that appends it — O(batch), never O(store),
-  * exactly how Delta/Iceberg append works. update/delete here rewrite
-  * into a single compacted segment — correct but O(store); on a real
-  * cluster those two become `MERGE WHEN MATCHED THEN UPDATE/DELETE`
-  * over a partitioned Delta table (the validation anti-joins below are
-  * unchanged). Readers always see a consistent manifest: the CURRENT
-  * pointer is swapped with an atomic rename, which is the same
-  * all-or-nothing visibility the reference gets from acid-state.
+  * and commits a manifest that appends its partitions — O(batch), never
+  * O(store), exactly how Delta/Iceberg append works. update/delete are
+  * PARTITION-SCOPED: a (timestamp, tag) key can only live in the
+  * `g_day = timestamp div 86400000` partition, so both validation
+  * (anti/semi joins) and the rewrite read only the touched days'
+  * partitions; every untouched partition is carried forward in the new
+  * manifest by pointer, its files byte-identical. A 1-row update against
+  * 100 TB rewrites one day, not the store — the `MERGE WHEN MATCHED`
+  * shape Delta executes, done manifest-side. Readers always see a
+  * consistent manifest: the CURRENT pointer is swapped with an atomic
+  * rename, which is the same all-or-nothing visibility the reference
+  * gets from acid-state.
   */
 final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   import QueryError.MutationErrors
@@ -50,35 +55,72 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     StructField("tag", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  private val readSchema = schema.add(StructField("g_day", LongType, nullable = true))
+
   private def currentPtr: Path = root.resolve("CURRENT")
 
-  private def liveSegments(): Seq[String] =
+  /** One live partition: `seg/g_day=<day>`. */
+  private final case class Entry(seg: String, day: Long) {
+    def rel: String = s"$seg/g_day=$day"
+  }
+
+  private def parseEntry(line: String): Entry = {
+    val i = line.indexOf("/g_day=")
+    require(i > 0, s"malformed manifest entry: $line")
+    Entry(line.substring(0, i), line.substring(i + 7).toLong)
+  }
+
+  private def liveEntries(): Seq[Entry] =
     if (!Files.exists(currentPtr)) Seq.empty
     else {
       val manifest = root.resolve(Files.readString(currentPtr).trim)
-      Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+      Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).map(parseEntry)
     }
+
+  /** One scan per segment over just that segment's LIVE days: the
+    * `isin` on the partition column prunes dropped/rewritten days at
+    * directory level before any file is opened.
+    */
+  private def read(entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+    else entries.groupBy(_.seg).toSeq.sortBy(_._1).map { case (seg, es) =>
+      spark.read.schema(readSchema).parquet(root.resolve(seg).toString)
+        .filter(col("g_day").isin(es.map(_.day): _*))
+    }.reduce(_ unionByName _) // filters/pruning push into every child scan
 
   /** Snapshot read of the current table state (carries the `g_day`
     * partition column; [[QueryEngine]] uses it for pruning and excludes
     * it from outputs).
     */
-  def current(): DataFrame = {
-    val segs = liveSegments().map(s => root.resolve(s).toString)
-    val readSchema = schema.add(StructField("g_day", LongType, nullable = true))
-    if (segs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-    else segs.map(s => spark.read.schema(readSchema).parquet(s))
-      .reduce(_ unionByName _) // filters/pruning push into every child scan
-  }
+  def current(): DataFrame = read(liveEntries())
+
+  /** Snapshot restricted to the given day buckets — the partition-scoped
+    * working set for a mutation batch. Reads (and later rewrites) ONLY
+    * the manifest entries for those days.
+    */
+  private def subset(entries: Seq[Entry], days: Set[Long]): DataFrame =
+    read(entries.filter(e => days.contains(e.day)))
+
+  /** Day buckets touched by a batch. Collected to the driver: a batch's
+    * distinct-day count is bounded by the batch (and in practice by the
+    * ingest window), never by the store.
+    */
+  private def touchedDays(b: DataFrame): Set[Long] =
+    b.select(expr("timestamp div 86400000").as("d")).distinct()
+      .collect().map(_.getLong(0)).toSet
 
   /** Segments are hive-partitioned by day bucket (`g_day = timestamp
     * div 86400000`): a time-range query prunes whole directories before
     * any file is opened — the scale path for the reference's
     * timestamp-index slicing. [[QueryEngine]] derives `g_day` bounds
     * from `timestamp` predicates (Catalyst can't invert the div).
+    *
+    * Returns one manifest [[Entry]] per day partition actually written
+    * (an empty input writes no partitions and yields no entries).
     */
-  private def writeSegment(df: DataFrame): String = {
-    val seg = s"seg-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def writeSegment(df: DataFrame): Seq[Entry] = {
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
     df.select(col("timestamp"), col("tag"), col("value"))
       .withColumn("g_day", expr("timestamp div 86400000"))
       // time-sorted row groups → tight parquet min/max stats, so
@@ -86,17 +128,26 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       .sortWithinPartitions(col("g_day"), col("timestamp"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("g_day").parquet(root.resolve(seg).toString)
-    seg
+    Files.list(root.resolve(seg)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("g_day="))
+      .map(d => Entry(seg, d.stripPrefix("g_day=").toLong)).toSeq.sortBy(_.day)
   }
 
-  /** Atomically publish a new manifest listing `segs`. */
-  private def commit(segs: Seq[String]): Unit = synchronized {
+  /** Atomically publish a new manifest listing `entries`.
+    * REPLACE_EXISTING on the manifest move: a crash between the manifest
+    * move and the CURRENT swap leaves an orphan v<N> that no reader can
+    * reach (CURRENT still names v<N-1>), so the next commit may safely
+    * overwrite it — without this, that crash would brick every
+    * subsequent commit on FileAlreadyExistsException.
+    */
+  private def commit(entries: Seq[Entry]): Unit = synchronized {
     val version = if (!Files.exists(currentPtr)) 0L
       else Files.readString(currentPtr).trim.stripPrefix("v").stripSuffix(".manifest").toLong + 1
     val name = s"v$version.manifest"
     val tmp = Files.createTempFile(root, ".tmp-manifest", "")
-    Files.writeString(tmp, segs.mkString("\n"))
-    Files.move(tmp, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
+    Files.move(tmp, root.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
     Files.writeString(tmpPtr, name)
     Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
@@ -114,6 +165,9 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * validate → write-segment → commit sequence holds the lock, so a
     * concurrent writer can't commit a manifest computed from a stale
     * segment list (lost-update race). Readers never block.
+    *
+    * The conflict check joins the batch against ONLY the partitions for
+    * the batch's own days — a key (t, g) can exist nowhere else.
     */
   def insert(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
@@ -121,16 +175,17 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       // an empty batch is a no-op (the reference appends nothing) —
       // committing a data-less segment would grow the read fan-in
       if (b.isEmpty) return Right(())
+      val entries = liveEntries()
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
         .count().filter(col("count") > 1)
-      val existing = b.join(current(), Seq("timestamp", "tag"), "left_semi")
+      val existing = b.join(subset(entries, touchedDays(b)),
+        Seq("timestamp", "tag"), "left_semi")
       val errs =
         keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
           keyErrors(existing, (t, g) => s"""Timestamp = $t and tag = "$g" already exists.""")
       if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
       else {
-        val seg = writeSegment(b)
-        commit(liveSegments() :+ seg)
+        commit(entries ++ writeSegment(b))
         Right(())
       }
     } finally b.unpersist()
@@ -140,43 +195,56 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * within one batch is rejected (the reference applies list-ordered
     * last-write-wins, which has no deterministic meaning for a
     * distributed batch — all-or-nothing rejection keeps it exact).
+    *
+    * Partition-scoped: validates against and rewrites ONLY the day
+    * partitions containing batch keys; all other partitions are carried
+    * forward by manifest pointer, files untouched.
     */
   def update(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
     try {
+      val entries = liveEntries()
+      val days = touchedDays(b)
+      val touched = subset(entries, days)
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
         .count().filter(col("count") > 1)
-      val missing = b.join(current(), Seq("timestamp", "tag"), "left_anti")
+      // a key's row can only live in its own day's partition, so the
+      // touched subset decides existence exactly as the full store would
+      val missing = b.join(touched, Seq("timestamp", "tag"), "left_anti")
       val errs =
         keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
           keyErrors(missing, (t, g) => s"""Timestamp = $t and tag = "$g" not found.""")
       if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
       else {
-        val updated = current().as("s")
+        val updated = touched.as("s")
           .join(b.withColumnRenamed("value", "new_value").as("u"),
             Seq("timestamp", "tag"), "left")
           .select(col("timestamp"), col("tag"),
             coalesce(col("new_value"), col("value")).as("value"))
-        val seg = writeSegment(updated)
-        commit(Seq(seg)) // compaction: new segment replaces all
+        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(updated))
         Right(())
       }
     } finally b.unpersist()
   }
 
   /** S3 — delete by key; all keys must exist (a key listed twice in
-    * one batch deletes once).
+    * one batch deletes once). Partition-scoped like [[update]]: only the
+    * days containing batch keys are read and rewritten. A day whose rows
+    * are all deleted simply yields no partition in the replacement
+    * segment, so it drops out of the manifest.
     */
   def delete(keys: Dataset[TSKey]): Either[MutationErrors, Unit] = this.synchronized {
     val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
-      val missing = k.join(current(), Seq("timestamp", "tag"), "left_anti")
+      val entries = liveEntries()
+      val days = touchedDays(k)
+      val touched = subset(entries, days)
+      val missing = k.join(touched, Seq("timestamp", "tag"), "left_anti")
       val errs = keyErrors(missing, (t, g) => s"""Timestamp = $t and tag = "$g" not found.""")
       if (errs.nonEmpty) Left(MutationErrors(errs))
       else {
-        val remaining = current().join(k, Seq("timestamp", "tag"), "left_anti")
-        val seg = writeSegment(remaining)
-        commit(Seq(seg))
+        val remaining = touched.join(k, Seq("timestamp", "tag"), "left_anti")
+        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(remaining))
         Right(())
       }
     } finally k.unpersist()
@@ -186,16 +254,13 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   def truncate(): Unit = this.synchronized { commit(Seq.empty) }
 
   /** Live segment count (grows by 1 per insert until compaction). */
-  def segmentCount: Int = liveSegments().size
+  def segmentCount: Int = liveEntries().map(_.seg).distinct.size
 
   /** Merge all live segments into one — bounds the per-read union fan-in
     * after many appends (the Delta/Iceberg OPTIMIZE analogue). Readers
     * holding older manifests are unaffected (segments are immutable).
     */
   def compact(): Unit = this.synchronized {
-    if (segmentCount > 1) {
-      val seg = writeSegment(current())
-      commit(Seq(seg))
-    }
+    if (segmentCount > 1) commit(writeSegment(current()))
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import graft.engine.{QueryEngine, TimeSeriesStore}
 import graft.model._
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Mutation-surface semantics (SURVEY.md §2.1 S1-S4): all-or-nothing
   * batches, ≤10 error messages, query-after-mutation correctness.
@@ -125,6 +126,45 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().select("timestamp").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
     assert(before.count() == 3) // pre-compaction snapshot still reads
+  }
+
+  test("partition-scoped mutation: update touching one day leaves other days' files byte-identical") {
+    val dir = Files.createTempDirectory("graft-partscope")
+    val st = new TimeSeriesStore(spark, dir.toString)
+    val D = 86400000L
+    // three days across two insert batches (two segments)
+    st.insert(Seq(TS(10L, "a", 1.0), TS(D + 10L, "a", 2.0)).toDS())
+    st.insert(Seq(TS(2 * D + 10L, "b", 3.0)).toDS())
+
+    def dayFiles(day: Long): Map[String, (Long, Array[Byte])] = {
+      val glob = Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.contains(s"g_day=$day") && p.toString.endsWith(".parquet"))
+        .toSeq
+      glob.map(p => p.toString -> ((Files.getLastModifiedTime(p).toMillis, Files.readAllBytes(p)))).toMap
+    }
+    val day0Before = dayFiles(0L)
+    val day2Before = dayFiles(2L)
+    assert(day0Before.nonEmpty && day2Before.nonEmpty)
+
+    // update a key in day 1 only
+    assert(st.update(Seq(TS(D + 10L, "a", 99.0)).toDS()).isRight)
+
+    // days 0 and 2: same files, same mtimes, same bytes — not rewritten
+    assert(dayFiles(0L).keySet == day0Before.keySet)
+    assert(dayFiles(2L).keySet == day2Before.keySet)
+    for ((p, (mt, bytes)) <- day0Before ++ day2Before) {
+      assert(Files.getLastModifiedTime(Paths.get(p)).toMillis == mt, s"$p was rewritten")
+      assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(p)), bytes))
+    }
+    // and the data is correct: updated row changed, others intact
+    val rows = st.current().orderBy($"timestamp").collect()
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 99.0, 3.0))
+
+    // delete in day 0 leaves days 1 and 2 untouched, day 0 entry gone
+    val day1After = dayFiles(1L)
+    assert(st.delete(Seq(TSKey(10L, "a")).toDS()).isRight)
+    assert(dayFiles(1L).keySet == day1After.keySet)
+    assert(st.current().count() == 2)
   }
 
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
