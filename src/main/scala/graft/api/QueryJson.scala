@@ -146,6 +146,49 @@ object QueryJson {
   private def putDouble(o: ObjectNode, name: String, v: Double): Unit =
     if (java.lang.Double.isFinite(v)) { o.put(name, v); () } else { o.putNull(name); () }
 
+  /** Stream a query result to `out` in exactly the bytes
+    * [[encodeResult]] would produce, but row-by-row via
+    * `toLocalIterator` — driver memory is bounded by one partition, not
+    * the result, which is what the export download needs for large
+    * collects.
+    */
+  def streamResult(qm: QueryModel, df: DataFrame, out: java.io.OutputStream): Unit = {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+    def writeRows(encode: (ObjectNode, Row) => Unit): Unit = {
+      w.write("[")
+      var first = true
+      df.toLocalIterator().asScala.foreach { r =>
+        if (!first) w.write(",")
+        first = false
+        val o = mapper.createObjectNode()
+        encode(o, r)
+        w.write(mapper.writeValueAsString(o))
+      }
+      w.write("]")
+    }
+    ResultShape.of(qm) match {
+      case ResultShape.Collect =>
+        writeRows { (o, r) =>
+          o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
+          putDouble(o, "value", r.getDouble(2))
+        }
+      case ResultShape.Grouped(gb) =>
+        writeRows { (o, r) =>
+          gb match {
+            case GroupBy.Tag => o.put("group", r.getString(0))
+            case GroupBy.Timestamp => o.put("group", r.getLong(0))
+          }
+          putDouble(o, "result", r.getDouble(1))
+        }
+      case ResultShape.Scalar =>
+        val o: ObjectNode = mapper.createObjectNode()
+        putDouble(o, "result", df.collect().head.getDouble(0))
+        w.write(mapper.writeValueAsString(o))
+    }
+    w.flush()
+  }
+
   /** Encode a query result in the reference's QueryR JSON: rows /
     * [{group, result}] / {result}, chosen by the query shape.
     */

@@ -27,20 +27,70 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
 
   def boundPort: Int = http.getAddress.getPort
 
+  /** The reference's CORS policy (Api.hs:95-103, wai-cors
+    * simpleCorsResourcePolicy): any origin, methods GET/POST/PUT/DELETE,
+    * allowed request header Content-Type — it serves a browser client.
+    */
+  private def corsHeaders(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+    ()
+  }
+
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", contentType)
+    corsHeaders(ex)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
 
+  /** CORS preflight: 200 with the allow headers, empty body. */
+  private def preflight(ex: HttpExchange): Unit = {
+    corsHeaders(ex)
+    ex.getResponseHeaders.add("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE")
+    ex.getResponseHeaders.add("Access-Control-Allow-Headers", "Content-Type")
+    ex.sendResponseHeaders(200, -1)
+    ex.getResponseBody.close()
+  }
+
+  /** S6 — query-and-export: same query semantics, but the result
+    * streams to the client as a JSON file download
+    * (`POST /timeseries/query?export=true`), chunked so driver memory
+    * stays bounded for large collects. The reference client's
+    * "Query and Export" button does this download client-side
+    * (client/src/Api.elm:281-311); serving it here closes the surface
+    * without a browser.
+    */
+  private def handleExport(ex: HttpExchange, body: String): Unit = {
+    val parsed = for {
+      qm <- QueryJson.parseQueryModel(body)
+      df <- QueryEngine.execute(store.current(), qm)
+    } yield (qm, df)
+    parsed match {
+      case Right((qm, df)) =>
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.getResponseHeaders.add("Content-Disposition",
+          """attachment; filename="timeseries-export.json"""")
+        corsHeaders(ex)
+        ex.sendResponseHeaders(200, 0) // length 0 => chunked streaming
+        val os = ex.getResponseBody
+        try QueryJson.streamResult(qm, df, os) finally os.close()
+      case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val route = (ex.getRequestMethod, ex.getRequestURI.getPath)
+    val isExport = Option(ex.getRequestURI.getQuery)
+      .exists(_.split("&").contains("export=true"))
     try {
+      if (route._1 == "OPTIONS") { preflight(ex); return }
+      if (route == ("POST", "/timeseries/query") && isExport) {
+        handleExport(ex, body); return
+      }
       val result: Either[QueryError, String] = route match {
         case ("POST", "/timeseries/query") =>
           for {

@@ -100,9 +100,20 @@ object Dedup {
     val overloaded = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > bucketCap)
-      .select(col("band"), col("band_hash"))
+    // the overloaded list is tiny by construction — collect it so the
+    // drop is LOGGED (silent truncation reads as full coverage) and the
+    // anti-join side is a literal broadcast, not a recomputed subplan
+    val overRows = overloaded.collect()
+    if (overRows.nonEmpty)
+      System.err.println(s"[graft] minhashPairs: dropping ${overRows.length} LSH " +
+        s"bucket(s) over bucketCap=$bucketCap " +
+        s"(${overRows.map(_.getLong(2)).sum} banded rows) — pairs inside them are not compared")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val overDf = overRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("band", "band_hash")
     val bucketed = banded
-      .join(broadcast(overloaded), Seq("band", "band_hash"), "left_anti")
+      .join(broadcast(overDf), Seq("band", "band_hash"), "left_anti")
       .localCheckpoint()
 
     val a = bucketed.select(col("band"), col("band_hash"),
@@ -157,8 +168,11 @@ object Dedup {
     * order-free). Returns (id, component) with component = min member.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // checkpoint the (possibly expensive) pair pipeline ONCE, before it
+    // is read twice to build both edge directions
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
@@ -169,16 +183,25 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
+      // carry a `changed` flag through the update so convergence is one
+      // scan-only aggregate over the checkpointed result — NOT an extra
+      // join+filter pass re-shuffling the labels every round
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("n_comp"), col("component")) < col("component"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels = next
+      converged = !next.agg(coalesce(max(col("changed")), lit(false))).head().getBoolean(0)
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
+    if (!converged)
+      // min-label propagation needs up to graph-diameter rounds: a
+      // longer duplicate chain than maxIter would silently split
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter iterations; components may be split")
     labels.orderBy(col("id"))
   }
 
@@ -198,27 +221,52 @@ object Dedup {
     * Pure array expressions — no explode, no shuffle beyond none.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // SWAR bit-count: fold token hashes into 8 longs, each packing 8
-    // byte-counters (counter j lives in accumulator j%8, byte j/8).
-    // One narrow per-row fold — no explode, no shuffle, and only 8
+    // SWAR bit-count: fold token hashes into 16 longs, each packing 4
+    // 16-bit counters (counter j lives in accumulator j%16, lane j/16).
+    // One narrow per-row fold — no explode, no shuffle, and only 16
     // branches in the fold so it stays inside whole-stage codegen.
-    // Safe for up to 255 distinct tokens per doc (fixture max: 31);
-    // docs beyond that would need the explode+aggregate formulation.
+    // 16-bit lanes count up to 32767 distinct tokens (top lane touches
+    // the sign bit past that, which ANSI addExact would reject); the
+    // assert below makes the limit LOUD — beyond it, callers should use
+    // [[simhashViaExplode]] (identical result, one shuffle).
     val toks = array_distinct(split(col(textCol), " "))
     val hashes = transform(toks, t => xxhash64(t))
-    val mask = lit(0x0101010101010101L)
-    val zero = struct((0 until 8).map(k => lit(0L).as(s"a$k")): _*)
+    val mask = lit(0x0001000100010001L)
+    val zero = struct((0 until 16).map(k => lit(0L).as(s"a$k")): _*)
     val folded = aggregate(hashes, zero, (a, h) =>
-      struct((0 until 8).map(k =>
+      struct((0 until 16).map(k =>
         (a.getField(s"a$k") + shiftright(h, k).bitwiseAND(mask)).as(s"a$k")): _*))
     val staged = docs.select(col(idCol).as("id"), size(toks).as("n"),
       folded.as("acc")) // materialize: 64 extractions below share one fold
+      .filter(coalesce(assert_true(col("n") <= 32767,
+        lit("simhash: document exceeds 32767 distinct tokens; use simhashViaExplode")),
+        lit(true)))
     val sim = (0 until 64).map { j =>
-      val cnt = shiftright(col("acc").getField(s"a${j % 8}"), 8 * (j / 8))
-        .bitwiseAND(0xff)
+      val cnt = shiftright(col("acc").getField(s"a${j % 16}"), 16 * (j / 16))
+        .bitwiseAND(0xffff)
       when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     staged.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Ground-truth SimHash via explode + 64 codegen'd aggregates: exactly
+    * the same bits as [[simhash]], at the cost of one shuffle. Use for
+    * degenerate corpora beyond the SWAR fold's 32767-distinct-token
+    * counter width, and to cross-check the fold (SimHash widening spec).
+    */
+  def simhashViaExplode(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = array_distinct(split(col(textCol), " "))
+    val ex = docs.select(col(idCol).as("id"), explode(toks).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val cnts = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"c$j"))
+    val agg = ex.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), cnts: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"c$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sim.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found via

@@ -107,20 +107,35 @@ object Similarity {
       .withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
-  /** Approximate top-k: score only corpus vectors that share an LSH
-    * bucket with the query in at least one table.
+  /** Build the LSH index over a corpus ONCE: (tbl, bucket, vec_id, v),
+    * materialized via localCheckpoint. The build — T tables × P
+    * hyperplane folds over every vector — is the expensive stage of LSH
+    * search; building per query was the round-1 scale bug (17× the
+    * brute-force cost). At cluster scale this DataFrame is a written,
+    * bucketed-by-(tbl, bucket) table; queries only probe it.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              tables: Int = 32, planes: Int = 6, dim: Int = 64,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
-    val c = withBuckets(
+  def buildLshIndex(corpus: DataFrame,
+                    tables: Int = 32, planes: Int = 6, dim: Int = 64,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    withBuckets(
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("v"))
+      .localCheckpoint()
+
+  /** Probe a [[buildLshIndex]] index: score only corpus vectors that
+    * share a bucket with the query in at least one table. The query side
+    * is tiny — its bucketing plus a broadcast join is the entire
+    * per-query cost; the corpus is never re-hashed.
+    */
+  def probeLshTopK(index: DataFrame, queries: DataFrame, k: Int = 5,
+                   tables: Int = 32, planes: Int = 6, dim: Int = 64,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     val q = withBuckets(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
       tables, planes, dim, "qv")
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cand = index.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
@@ -133,38 +148,87 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: centroids are a
-    * deterministic hash-ordered sample of the corpus (no trained model
-    * to store); every vector joins its nearest centroid's inverted
-    * list; a query scores only the lists of its `nprobe` nearest
-    * centroids. At scale the inverted lists are the partitioning —
-    * assignment is one broadcast join (centroids are tiny) and the
-    * probe join touches nprobe/nlist of the corpus.
+  /** Approximate top-k in one shot: build the index, then probe. Callers
+    * issuing more than one query batch should [[buildLshIndex]] once and
+    * [[probeLshTopK]] per batch instead.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              nlist: Int = 32, nprobe: Int = 4,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              tables: Int = 32, planes: Int = 6, dim: Int = 64,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    probeLshTopK(buildLshIndex(corpus, tables, planes, dim, vecCol, idCol),
+      queries, k, tables, planes, dim, vecCol, idCol)
+
+  /** One IVF index: the refined centroids (tiny — broadcast at probe
+    * time) and the corpus assigned to inverted lists (cent_id, vec_id,
+    * v), both materialized.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** `keep` nearest centroids for each row of `df` (broadcast the
+    * centroid table, window for the cut).
+    */
+  private def nearestCentroids(df: DataFrame, cents: DataFrame,
+                               idName: String, vName: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idName))
+      .orderBy(col("cs").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cs", round(cosine(col(vName), col("cv")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("cs", "crn", "cv")
+  }
+
+  /** Build the IVF index ONCE: hash-sampled seed centroids, `refineIters`
+    * Lloyd steps (hash seeds land in dense regions proportionally, but a
+    * k-means step pulls each centroid to its list's mean — measurably
+    * better recall at the same nprobe; per-dimension avg = `dim`
+    * codegen'd aggregates in ONE groupBy, no explode), then the corpus
+    * assignment to inverted lists. Deterministic — no stored model. At
+    * cluster scale `assigned` is a table bucketed by cent_id; queries
+    * only probe nprobe lists of it.
+    */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int = 32, refineIters: Int = 1,
+                    dim: Int = 64,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
     VectorFunctions.register(corpus.sparkSession)
+    // loud dim check (matches the LSH guard): the refinement's per-dim
+    // averages would otherwise throw an opaque element_at error
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val cents = c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
+      .filter(coalesce(assert_true(size(col("v")) === dim,
+        concat(lit(s"IVF dim mismatch: expected $dim, got "),
+          coalesce(size(col("v")).cast("string"), lit("null")))), lit(true)))
+    val seed = c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       .localCheckpoint() // computed once; reused by assignment + probing
-    def nearest(df: DataFrame, idName: String, vName: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idName))
+    val cents = (0 until refineIters).foldLeft(seed) { (cs, _) =>
+      val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cs").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cs", round(cosine(col(vName), col("cv")), 6))
+      c.crossJoin(broadcast(cs))
+        .withColumn("cs", round(cosine(col("v"), col("cv")), 6))
         .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cs", "crn", "cv")
+        .filter(col("crn") === 1)
+        .groupBy(col("cent_id"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("v"), i + 1))): _*).as("cv"))
+        .localCheckpoint()
     }
-    val assigned = nearest(c, "vec_id", "v", 1)
-    val probes = nearest(
+    IvfIndex(cents, nearestCentroids(c, cents, "vec_id", "v", 1).localCheckpoint())
+  }
+
+  /** Probe a [[buildIvfIndex]] index: score only the `nprobe` inverted
+    * lists nearest each query. Per-query cost is the (tiny) query
+    * bucketing plus one join that touches ~nprobe/nlist of the corpus.
+    */
+  def probeIvfTopK(index: IvfIndex, queries: DataFrame, k: Int = 5,
+                   nprobe: Int = 4,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
-      "query_id", "qv", nprobe)
+      index.centroids, "query_id", "qv", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    assigned.join(probes, Seq("cent_id"))
+    index.assigned.join(probes, Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
       .withColumn("score", round(cosine(col("v"), col("qv")), 4))
@@ -174,6 +238,17 @@ object Similarity {
         col("vec_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k in one shot: build the index,
+    * then probe. Callers issuing more than one query batch should
+    * [[buildIvfIndex]] once and [[probeIvfTopK]] per batch instead.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nlist: Int = 32, nprobe: Int = 4, refineIters: Int = 1,
+              dim: Int = 64,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    probeIvfTopK(buildIvfIndex(corpus, nlist, refineIters, dim, vecCol, idCol),
+      queries, k, nprobe, vecCol, idCol)
 
   /** Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ) on a
     * bounded corpus — the oracle-checkable ground truth.

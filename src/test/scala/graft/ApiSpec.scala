@@ -125,6 +125,57 @@ class ApiSpec extends SparkSpec {
     assert(call("DELETE", "/timeseries", "")._1 == 200)
   }
 
+  test("CORS: cross-origin responses carry allow-origin; preflight advertises methods") {
+    // simple cross-origin request: every response carries allow-origin *
+    val req = HttpRequest.newBuilder(URI.create(base + "/timeseries/query"))
+      .header("Origin", "http://localhost:8080")
+      .method("POST", HttpRequest.BodyPublishers.ofString("""{"limit":1}"""))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    // preflight (reference policy Api.hs:95-103: GET/POST/PUT/DELETE,
+    // Content-Type)
+    val pre = HttpRequest.newBuilder(URI.create(base + "/timeseries"))
+      .header("Origin", "http://localhost:8080")
+      .header("Access-Control-Request-Method", "PUT")
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build()
+    val preResp = client.send(pre, HttpResponse.BodyHandlers.ofString())
+    assert(preResp.statusCode() == 200)
+    assert(preResp.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    assert(preResp.headers().firstValue("Access-Control-Allow-Methods").orElse("")
+      == "GET, POST, PUT, DELETE")
+    assert(preResp.headers().firstValue("Access-Control-Allow-Headers").orElse("")
+      == "Content-Type")
+  }
+
+  test("S6 export: query?export=true streams the same JSON as the query, as a download") {
+    assert(call("POST", "/timeseries",
+      """[{"timestamp":100,"tag":"ex","value":1.5},
+         {"timestamp":200,"tag":"ex","value":2.5}]""")._1 == 200)
+    val (qc, queryBody) = call("POST", "/timeseries/query", """{"tagEq":"ex"}""")
+    assert(qc == 200)
+    val req = HttpRequest.newBuilder(URI.create(base + "/timeseries/query?export=true"))
+      .method("POST", HttpRequest.BodyPublishers.ofString("""{"tagEq":"ex"}""")).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Disposition").orElse("")
+      .startsWith("attachment"))
+    assert(resp.body() == queryBody) // byte-identical to the query response
+    // grouped + scalar shapes stream identically too
+    for (q <- Seq("""{"aggFunc":"sum","groupBy":"tag"}""", """{"aggFunc":"sum"}""")) {
+      val exp = call("POST", "/timeseries/query", q)._2
+      val r = HttpRequest.newBuilder(URI.create(base + "/timeseries/query?export=true"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(q)).build()
+      assert(client.send(r, HttpResponse.BodyHandlers.ofString()).body() == exp)
+    }
+    // export of an invalid query is still a 400 with the raw-text body
+    val bad = HttpRequest.newBuilder(URI.create(base + "/timeseries/query?export=true"))
+      .method("POST", HttpRequest.BodyPublishers.ofString("""{"groupBy":"tag"}""")).build()
+    assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+    assert(call("DELETE", "/timeseries", "")._1 == 200) // leave store empty
+  }
+
   test("400 semantics: illegal query, unknown field, no-data, empty avg") {
     assert(call("POST", "/timeseries/query", """{"groupBy":"tag"}""")._1 == 400)
     assert(call("POST", "/timeseries/query", """{"gt":1,"ge":2}""")._1 == 400)

@@ -85,6 +85,20 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs((0L, 1L)) == 0L)
   }
 
+  test("simhash SWAR fold matches explode formulation past 255 distinct tokens") {
+    // the former byte-lane counters silently overflowed at 256 distinct
+    // tokens; 16-bit lanes must agree with the shuffle-based ground
+    // truth well past that
+    val big = Seq(
+      (0L, (1 to 300).map(i => s"tok$i").mkString(" ")),
+      (1L, (1 to 2000).map(i => s"w$i").mkString(" ")),
+      (2L, "small doc few tokens")
+    ).toDF("doc_id", "text")
+    val swar = Dedup.simhash(big).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Dedup.simhashViaExplode(big).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swar == truth)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(0.9f, 0.1f, 0f, 0f)), // closest to 0
@@ -108,7 +122,7 @@ class ExtensionSpec extends SparkSpec {
 
   test("IVF top-k: finds the known nearest on the tiny fixture") {
     val r = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), k = 2,
-      nlist = 5, nprobe = 5) // probe everything => exact on this fixture
+      nlist = 5, nprobe = 5, dim = 4) // probe everything => exact on this fixture
       .collect().map(x => (x.getLong(1), x.getLong(2)))
     assert(r.head == (1L, 1L)) // rank 1 is the aligned vector
   }
@@ -117,6 +131,38 @@ class ExtensionSpec extends SparkSpec {
     val r = Similarity.cosineNearDupLsh(vecs, 0.9, tables = 8, planes = 2, dim = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(r.contains((0L, 1L)))
+  }
+
+  test("recall gates: approximate ANN/near-dup paths vs brute ground truth") {
+    // the approximate paths have no DuckDB oracle (engine-specific
+    // hashes), so recall vs the exact dumps is the regression gate —
+    // an LSH/IVF degradation fails HERE instead of hiding as rows-only
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val index = Similarity.buildLshIndex(emb)
+    val lsh = pairs(Similarity.probeLshTopK(index, queries, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, k = 5, nlist = 32,
+      nprobe = 8, refineIters = 2)) // same operating point as x_ann_topk_ivf
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    // deterministic pipelines: measured lsh=0.740, ivf=0.640 — the
+    // gates sit just below so a real regression fails, not noise
+    info(f"ann top-5 recall: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f (n=${brute.size})")
+    assert(lshRecall >= 0.70, f"LSH ANN recall regressed: $lshRecall%.3f")
+    assert(ivfRecall >= 0.60, f"IVF ANN recall regressed: $ivfRecall%.3f")
+
+    val sub = emb.filter($"vec_id" < 200)
+    def dupPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteDup = dupPairs(Similarity.cosineNearDupBrute(sub, minCosine = 0.35))
+    val lshDup = dupPairs(Similarity.cosineNearDupLsh(sub, minCosine = 0.35))
+    assert(lshDup.subsetOf(bruteDup)) // exact verify => no false positives
+    val dupRecall = lshDup.intersect(bruteDup).size.toDouble / bruteDup.size
+    info(f"near-dup recall: lsh=$dupRecall%.3f (n=${bruteDup.size})")
+    assert(dupRecall >= 0.60, f"LSH near-dup recall regressed: $dupRecall%.3f")
   }
 
   test("text functions: counts, quality bounds, langid, fingerprint") {

@@ -128,6 +128,30 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(before.count() == 3) // pre-compaction snapshot still reads
   }
 
+  test("append pressure: 50 batches, compact() bounds the segment fan-in, data intact") {
+    val st = freshStore()
+    (1 to 50).foreach { i =>
+      assert(st.insert(Seq(TS(i * 1000L, "p", i.toDouble)).toDS()).isRight)
+    }
+    assert(st.segmentCount == 50)
+    def timedCount(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = st.current().count()
+      (n, (System.nanoTime() - t0) / 1e6)
+    }
+    val (nBefore, msBefore) = timedCount()
+    st.compact()
+    assert(st.segmentCount == 1) // fan-in bound restored
+    val (nAfter, msAfter) = timedCount()
+    assert(nBefore == 50 && nAfter == 50)
+    assert(st.current().agg(org.apache.spark.sql.functions.sum($"value"))
+      .head().getDouble(0) == (1 to 50).sum.toDouble)
+    info(f"read latency over 50 segments: $msBefore%.0f ms; after compact: $msAfter%.0f ms")
+    // further mutation on the compacted store still works
+    assert(st.update(Seq(TS(1000L, "p", 0.0)).toDS()).isRight)
+    assert(st.segmentCount == 1)
+  }
+
   test("partition-scoped mutation: update touching one day leaves other days' files byte-identical") {
     val dir = Files.createTempDirectory("graft-partscope")
     val st = new TimeSeriesStore(spark, dir.toString)
