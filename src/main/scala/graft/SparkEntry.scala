@@ -37,15 +37,51 @@ object SparkEntry {
     */
   private val lshIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def lshIndex(s: SparkSession, dir: String): DataFrame =
-    lshIndexCache.getOrElseUpdate((s, dir),
-      Similarity.buildLshIndex(Tables.embeddings(s, dir)))
-
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
-  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
+
+  /** Drop index entries for stopped sessions so a create-and-stop-
+    * sessions caller can't pin dead checkpoint data for the JVM's life.
+    */
+  private def evictStopped(): Unit = {
+    lshIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ivfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+  }
+
+  private def lshIndex(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    lshIndexCache.getOrElseUpdate((s, dir),
+      Similarity.buildLshIndex(Tables.embeddings(s, dir)))
+  }
+
+  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    evictStopped()
     ivfIndexCache.getOrElseUpdate((s, dir),
       Similarity.buildIvfIndex(Tables.embeddings(s, dir), nlist = 32, refineIters = 2))
+  }
+
+  /** The shared as-of fixture: clicks (left) and the users' error events
+    * (right) on epoch-millis time — used by both asof queries so the
+    * projection can't diverge between them.
+    */
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts div 1000000").cast("long").as("t"), col("event_type"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"), col("value"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("t"), col("value").as("err_value"))
+    (clicks, errors)
+  }
+
+  /** Shared shaping of an as-of result for the oracle compare (sentinel
+    * values instead of engine-specific null encodings).
+    */
+  private def asofShaped(joined: DataFrame): DataFrame =
+    joined.select(col("event_id"), col("user_id"), col("t"),
+      coalesce(col("asof_time"), lit(-1L)).as("asof_time"),
+      coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
+      .orderBy(col("event_id"))
 
   private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
     (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
@@ -314,37 +350,18 @@ object SparkEntry {
     // error (the canonical time-series join; DuckDB ASOF JOIN oracle)
     "x_asof_join" -> ((s, dir) => {
       import graft.operators.AsOfJoin
-      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").cast("long").as("t"), col("event_type"), col("value"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("t"), col("value"))
-      val errors = e.filter(col("event_type") === "error")
-        .select(col("user_id"), col("t"), col("value").as("err_value"))
-      // no-match → sentinel values: keeps the oracle compare free of
-      // engine-specific null/NaN encodings
-      AsOfJoin.asOf(clicks, errors, "t", "t", Seq("user_id"), Seq("err_value"))
-        .select(col("event_id"), col("user_id"), col("t"),
-          coalesce(col("asof_time"), lit(-1L)).as("asof_time"),
-          coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
-        .orderBy(col("event_id"))
+      val (clicks, errors) = asofSides(s, dir)
+      asofShaped(AsOfJoin.asOf(clicks, errors, "t", "t",
+        Seq("user_id"), Seq("err_value")))
     }),
     // ---- as-of join with tolerance: same shape, but a match older than
     // 1 hour is discarded (sentinel) — exercises the tolerance branch
     // the plain x_asof_join can't
     "x_asof_join_tol" -> ((s, dir) => {
       import graft.operators.AsOfJoin
-      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").cast("long").as("t"), col("event_type"), col("value"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("t"), col("value"))
-      val errors = e.filter(col("event_type") === "error")
-        .select(col("user_id"), col("t"), col("value").as("err_value"))
-      AsOfJoin.asOf(clicks, errors, "t", "t", Seq("user_id"), Seq("err_value"),
-        tolerance = Some(3600000L))
-        .select(col("event_id"), col("user_id"), col("t"),
-          coalesce(col("asof_time"), lit(-1L)).as("asof_time"),
-          coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
-        .orderBy(col("event_id"))
+      val (clicks, errors) = asofSides(s, dir)
+      asofShaped(AsOfJoin.asOf(clicks, errors, "t", "t",
+        Seq("user_id"), Seq("err_value"), tolerance = Some(3600000L)))
     }),
     // ---- similarity search: IVF inverted-list approximate top-5
     // (rows-only; recall measurable against x_ann_topk_brute's dump)
@@ -617,7 +634,8 @@ object SparkEntry {
         |l AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
         |r AS (SELECT user_id, t, value FROM e WHERE event_type = 'error'),
         |m AS (SELECT l.event_id, r.t AS rt, r.value AS rv,
-        |        row_number() OVER (PARTITION BY l.event_id ORDER BY r.t DESC) AS rn
+        |        row_number() OVER (PARTITION BY l.event_id
+        |                           ORDER BY r.t DESC, r.value DESC) AS rn
         |      FROM l JOIN r ON l.user_id = r.user_id
         |        AND l.t >= r.t AND l.t - r.t <= 3600000)
         |SELECT l.event_id, l.user_id, l.t,

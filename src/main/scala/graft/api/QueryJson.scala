@@ -146,6 +146,24 @@ object QueryJson {
   private def putDouble(o: ObjectNode, name: String, v: Double): Unit =
     if (java.lang.Double.isFinite(v)) { o.put(name, v); () } else { o.putNull(name); () }
 
+  /** The ONE row encoder per result shape — shared by [[encodeResult]]
+    * and [[streamResult]] so the wire format cannot diverge between the
+    * query response and the export download.
+    */
+  private def rowEncoder(shape: ResultShape): (ObjectNode, Row) => Unit = shape match {
+    case ResultShape.Collect => (o, r) => {
+      o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
+      putDouble(o, "value", r.getDouble(2))
+    }
+    case ResultShape.Grouped(GroupBy.Tag) => (o, r) => {
+      o.put("group", r.getString(0)); putDouble(o, "result", r.getDouble(1))
+    }
+    case ResultShape.Grouped(GroupBy.Timestamp) => (o, r) => {
+      o.put("group", r.getLong(0)); putDouble(o, "result", r.getDouble(1))
+    }
+    case ResultShape.Scalar => (o, r) => putDouble(o, "result", r.getDouble(0))
+  }
+
   /** Stream a query result to `out` in exactly the bytes
     * [[encodeResult]] would produce, but row-by-row via
     * `toLocalIterator` — driver memory is bounded by one partition, not
@@ -155,36 +173,24 @@ object QueryJson {
   def streamResult(qm: QueryModel, df: DataFrame, out: java.io.OutputStream): Unit = {
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
-    def writeRows(encode: (ObjectNode, Row) => Unit): Unit = {
-      w.write("[")
-      var first = true
-      df.toLocalIterator().asScala.foreach { r =>
-        if (!first) w.write(",")
-        first = false
-        val o = mapper.createObjectNode()
-        encode(o, r)
-        w.write(mapper.writeValueAsString(o))
-      }
-      w.write("]")
+    val shape = ResultShape.of(qm)
+    val encode = rowEncoder(shape)
+    def obj(r: Row): String = {
+      val o = mapper.createObjectNode()
+      encode(o, r)
+      mapper.writeValueAsString(o)
     }
-    ResultShape.of(qm) match {
-      case ResultShape.Collect =>
-        writeRows { (o, r) =>
-          o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
-          putDouble(o, "value", r.getDouble(2))
+    shape match {
+      case ResultShape.Scalar => w.write(obj(df.collect().head))
+      case _ =>
+        w.write("[")
+        var first = true
+        df.toLocalIterator().asScala.foreach { r =>
+          if (!first) w.write(",")
+          first = false
+          w.write(obj(r))
         }
-      case ResultShape.Grouped(gb) =>
-        writeRows { (o, r) =>
-          gb match {
-            case GroupBy.Tag => o.put("group", r.getString(0))
-            case GroupBy.Timestamp => o.put("group", r.getLong(0))
-          }
-          putDouble(o, "result", r.getDouble(1))
-        }
-      case ResultShape.Scalar =>
-        val o: ObjectNode = mapper.createObjectNode()
-        putDouble(o, "result", df.collect().head.getDouble(0))
-        w.write(mapper.writeValueAsString(o))
+        w.write("]")
     }
     w.flush()
   }
@@ -194,30 +200,17 @@ object QueryJson {
     */
   def encodeResult(qm: QueryModel, df: DataFrame): String = {
     val rows = df.collect()
-    ResultShape.of(qm) match {
-      case ResultShape.Collect => // CollectR
-        val arr = mapper.createArrayNode()
-        rows.foreach { r =>
-          val o = arr.addObject()
-          o.put("timestamp", r.getLong(0)); o.put("tag", r.getString(1))
-          putDouble(o, "value", r.getDouble(2))
-        }
-        mapper.writeValueAsString(arr)
-      case ResultShape.Grouped(gb) => // [GroupAggR]
-        val arr = mapper.createArrayNode()
-        rows.foreach { r =>
-          val o = arr.addObject()
-          gb match {
-            case GroupBy.Tag => o.put("group", r.getString(0))
-            case GroupBy.Timestamp => o.put("group", r.getLong(0))
-          }
-          putDouble(o, "result", r.getDouble(1))
-        }
-        mapper.writeValueAsString(arr)
+    val shape = ResultShape.of(qm)
+    val encode = rowEncoder(shape)
+    shape match {
       case ResultShape.Scalar => // AggR
         val o: ObjectNode = mapper.createObjectNode()
-        putDouble(o, "result", rows.head.getDouble(0))
+        encode(o, rows.head)
         mapper.writeValueAsString(o)
+      case _ => // CollectR / [GroupAggR]
+        val arr = mapper.createArrayNode()
+        rows.foreach(r => encode(arr.addObject(), r))
+        mapper.writeValueAsString(arr)
     }
   }
 }

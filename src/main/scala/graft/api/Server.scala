@@ -76,7 +76,16 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
         corsHeaders(ex)
         ex.sendResponseHeaders(200, 0) // length 0 => chunked streaming
         val os = ex.getResponseBody
-        try QueryJson.streamResult(qm, df, os) finally os.close()
+        // a failure mid-stream cannot un-send the 200: log the root
+        // cause and stop writing — the truncated body is NEVER valid
+        // JSON (the closing bracket is written last), so clients detect
+        // it. Rethrowing would reach handle()'s respond(500) on a
+        // committed exchange, masking this error with IllegalStateException.
+        try QueryJson.streamResult(qm, df, os)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] export failed mid-stream (body truncated): $e")
+        } finally os.close()
       case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
     }
   }
@@ -126,7 +135,11 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
       }
     } catch {
       case e: Throwable =>
-        respond(ex, 500, String.valueOf(e.getMessage), "text/plain")
+        // respond() throws if the response is already committed (e.g. a
+        // failure after a streaming route sent headers) — never let that
+        // IllegalStateException replace the original error
+        try respond(ex, 500, String.valueOf(e.getMessage), "text/plain")
+        catch { case _: Throwable => () }
     }
   }
 

@@ -64,17 +64,30 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     def rel: String = s"$seg/g_day=$day"
   }
 
-  private def parseEntry(line: String): Entry = {
+  /** List a directory's immediate children (Files.list must be closed —
+    * it holds a directory fd).
+    */
+  private def listDir(p: Path): Seq[String] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+  }
+
+  /** A `seg/g_day=<d>` line is one partition entry; a bare `seg` line
+    * (manifest written by the pre-partition-entry format) expands to all
+    * of that segment's day partitions — old stores keep reading.
+    */
+  private def parseLine(line: String): Seq[Entry] = {
     val i = line.indexOf("/g_day=")
-    require(i > 0, s"malformed manifest entry: $line")
-    Entry(line.substring(0, i), line.substring(i + 7).toLong)
+    if (i > 0) Seq(Entry(line.substring(0, i), line.substring(i + 7).toLong))
+    else listDir(root.resolve(line)).filter(_.startsWith("g_day="))
+      .map(d => Entry(line, d.stripPrefix("g_day=").toLong))
   }
 
   private def liveEntries(): Seq[Entry] =
     if (!Files.exists(currentPtr)) Seq.empty
     else {
       val manifest = root.resolve(Files.readString(currentPtr).trim)
-      Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).map(parseEntry)
+      Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine)
     }
 
   /** One scan per segment over just that segment's LIVE days: the
@@ -128,26 +141,34 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       .sortWithinPartitions(col("g_day"), col("timestamp"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("g_day").parquet(root.resolve(seg).toString)
-    Files.list(root.resolve(seg)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("g_day="))
-      .map(d => Entry(seg, d.stripPrefix("g_day=").toLong)).toSeq.sortBy(_.day)
+    listDir(root.resolve(seg)).filter(_.startsWith("g_day="))
+      .map(d => Entry(seg, d.stripPrefix("g_day=").toLong)).sortBy(_.day)
   }
 
   /** Atomically publish a new manifest listing `entries`.
-    * REPLACE_EXISTING on the manifest move: a crash between the manifest
-    * move and the CURRENT swap leaves an orphan v<N> that no reader can
-    * reach (CURRENT still names v<N-1>), so the next commit may safely
-    * overwrite it — without this, that crash would brick every
-    * subsequent commit on FileAlreadyExistsException.
+    *
+    * The manifest move stays put-if-absent (no REPLACE_EXISTING): a
+    * second store instance racing on the same path hits
+    * FileAlreadyExistsException instead of silently overwriting a
+    * committed manifest (the CURRENT swap is inherently last-wins, so
+    * put-if-absent is the only loud signal a cross-process race gets).
+    * A crash between the manifest move and the CURRENT swap leaves an
+    * orphan v<N> no reader can reach — detected here by CURRENT not
+    * naming it — which is deleted and retried rather than bricking
+    * every later commit.
     */
   private def commit(entries: Seq[Entry]): Unit = synchronized {
-    val version = if (!Files.exists(currentPtr)) 0L
-      else Files.readString(currentPtr).trim.stripPrefix("v").stripSuffix(".manifest").toLong + 1
+    val current =
+      if (!Files.exists(currentPtr)) None
+      else Some(Files.readString(currentPtr).trim)
+    val version = current.fold(0L)(_.stripPrefix("v").stripSuffix(".manifest").toLong + 1L)
     val name = s"v$version.manifest"
+    val target = root.resolve(name)
+    if (Files.exists(target) && !current.contains(name))
+      Files.delete(target) // crash orphan: unreachable by construction
     val tmp = Files.createTempFile(root, ".tmp-manifest", "")
     Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
-    Files.move(tmp, root.resolve(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
     Files.writeString(tmpPtr, name)
     Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
@@ -203,6 +224,9 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   def update(batch: Dataset[TS]): Either[MutationErrors, Unit] = this.synchronized {
     val b = batch.toDF().cache()
     try {
+      // no keys => no-op (like insert): don't write an orphan empty
+      // segment and churn a byte-identical manifest version
+      if (b.isEmpty) return Right(())
       val entries = liveEntries()
       val days = touchedDays(b)
       val touched = subset(entries, days)
@@ -236,6 +260,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   def delete(keys: Dataset[TSKey]): Either[MutationErrors, Unit] = this.synchronized {
     val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
+      if (k.isEmpty) return Right(()) // no keys => no-op, like insert
       val entries = liveEntries()
       val days = touchedDays(k)
       val touched = subset(entries, days)

@@ -39,12 +39,14 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
-    // the value-hash tiebreaker makes the carried row deterministic
-    // when several right rows share one (keys, time); fully identical
-    // duplicates tie harmlessly
+    // the value-column tiebreaker makes the carried row deterministic
+    // when several right rows share one (keys, time) — the MAX value
+    // tuple wins (last in ascending order). Ordering by the values
+    // themselves (not a hash of them) keeps the rule mirrorable in
+    // plain SQL: `ORDER BY r.t DESC, r.<value> DESC ... rn = 1`.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((Seq(col("__t"), col("__side")) ++
-        valueCols.map(c => xxhash64(col(s"__r_$c")))): _*)
+        valueCols.map(c => col(s"__r_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedTime = last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w)
     val carried = valueCols.foldLeft(
