@@ -432,6 +432,22 @@ object SparkEntry {
           round(avg(col("q")), 4).as("avg_q"))
         .orderBy(col("lang"))
     }),
+    // ---- decontamination: flag corpus docs sharing 3-gram shingles
+    // with the "evaluation set" (doc_id < 20) — the eval side broadcasts
+    "x_decontaminate" -> ((s, dir) => {
+      import graft.operators.Contamination
+      val docs = Tables.documents(s, dir)
+      Contamination.flag(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), n = 3)
+    }),
+    // ---- deterministic mixture sampling: 50 docs per language in
+    // engine-mirrorable pseudo-random order
+    "x_sample_quota" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.quotaPerGroup(Tables.documents(s, dir), "lang", "doc_id", quota = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -626,6 +642,25 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    "x_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
+        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM corpus),
+        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM cs
+        |         WHERE shingle IN (SELECT shingle FROM es) GROUP BY 1)
+        |SELECT h.doc_id, h.n_overlap, s.n_shingles,
+        |       round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS overlap_frac
+        |FROM hits h JOIN sizes s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x_sample_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     // tolerance mirror: latest-prior is also latest-within-tolerance
     // (older rows are farther), so rn=1 over the tolerance-bounded join
     // matches the engine's "match, then null if out of tolerance"

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share word
+  * n-gram shingles with an evaluation set, the standard "remove eval
+  * overlap from the training corpus" pipeline step (beyond-reference,
+  * builder brief; n is the usual 8-13-gram knob, smaller here so the
+  * fixture exercises it).
+  *
+  * Scale shape: the eval set is tiny next to the corpus, so its
+  * distinct shingles BROADCAST and the semi-join runs inside the corpus
+  * scan stage — the 100 TB corpus is read once, never shuffled on
+  * shingles; only the (small) contaminated subset reaches the final
+  * aggregation.
+  */
+object Contamination {
+
+  /** One row per contaminated corpus doc: distinct overlapping-shingle
+    * count, the doc's distinct-shingle count, and the overlap fraction.
+    * Clean docs are absent — at scale the output is the (small)
+    * contaminated set, not the corpus.
+    */
+  def flag(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // ONE pass over the corpus shingles: a broadcast left join marks
+    // eval hits in the scan stage, and a single groupBy counts totals
+    // and overlaps together — no second shingle evaluation, no extra
+    // shuffle for a separate sizes aggregate
+    val c = Dedup.shingles(corpus, n, textCol, idCol)
+    val e = Dedup.shingles(evalSet, n, textCol, idCol)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+    c.join(broadcast(e), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("__hit")).as("n_overlap"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_overlap") > 0)
+      .select(col("id").as("doc_id"), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The corpus with contaminated docs removed (overlap fraction above
+    * `maxOverlap`): the apply-side of [[flag]].
+    */
+  def scrub(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+            maxOverlap: Double = 0.0,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bad = flag(corpus, evalSet, n, textCol, idCol)
+      .filter(col("overlap_frac") > maxOverlap)
+      .select(col("doc_id"))
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing (beyond-reference,
+  * builder brief): per-group quotas ("N docs per language/source") and
+  * hash-mod fractions, both reproducible across runs, partitionings and
+  * engines — no RNG state, no seed drift.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-random order key: `(id * 2654435761) % 1e9+7`
+    * (Knuth's multiplicative constant, prime modulus). Plain integer
+    * arithmetic so an external SQL engine can replay the exact sample;
+    * overflow-safe in a Long for ids below ~3.4e9 (ANSI mode would
+    * reject the rest loudly, not wrap).
+    */
+  def pseudoOrder(id: Column): Column = (id * lit(2654435761L)) % lit(1000000007L)
+
+  /** Keep (up to) `quota` rows per group, chosen in [[pseudoOrder]] —
+    * the mixture-weighting primitive. One shuffle (the window on the
+    * group key); groups smaller than the quota pass through whole.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                    quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pseudoOrder(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota).drop("__rn")
+  }
+
+  /** Deterministic ~`pct`-percent sample: keep rows whose pseudo-order
+    * key falls below the cut. Shuffle-free — evaluated inside the scan
+    * stage.
+    */
+  def fraction(df: DataFrame, idCol: String, pct: Double): DataFrame = {
+    require(pct >= 0.0 && pct <= 100.0, s"pct=$pct out of [0,100]")
+    df.filter(pseudoOrder(col(idCol)) < lit((1000000007L * pct / 100.0).toLong))
+  }
+}

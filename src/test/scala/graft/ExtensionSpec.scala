@@ -165,6 +165,47 @@ class ExtensionSpec extends SparkSpec {
     assert(dupRecall >= 0.60, f"LSH near-dup recall regressed: $dupRecall%.3f")
   }
 
+  test("decontamination: overlap flagged and scrubbed; clean docs pass") {
+    import graft.operators.Contamination
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // verbatim eval copy
+      (1L, "intro words alpha beta gamma closing"), // partial overlap
+      (2L, "totally unrelated content sits here")   // clean
+    ).toDF("doc_id", "text")
+    val flagged = Contamination.flag(corpus, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(flagged(0L) == 1.0)                  // full containment
+    assert(flagged(1L) > 0.0 && flagged(1L) < 1.0)
+    assert(!flagged.contains(2L))               // clean => absent
+    val kept = Contamination.scrub(corpus, eval, n = 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // scrub with a tolerance keeps the partial-overlap doc
+    val tolerant = Contamination.scrub(corpus, eval, n = 3, maxOverlap = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tolerant == Set(1L, 2L))
+  }
+
+  test("quota sampling: per-group caps, determinism, subset of input") {
+    import graft.operators.Sampling
+    val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val s1 = Sampling.quotaPerGroup(df, "lang", "doc_id", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = Sampling.quotaPerGroup(df, "lang", "doc_id", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq) // deterministic
+    assert(s1.count(_._2 == "a") == 10 && s1.count(_._2 == "b") == 10)
+    // small groups pass through whole
+    val tiny = Sampling.quotaPerGroup(df.filter($"doc_id" < 5), "lang", "doc_id", 10)
+    assert(tiny.count() == 5)
+    // fraction: deterministic, inside the scan stage (no shuffle)
+    val f = Sampling.fraction(df, "doc_id", 20.0)
+    assert(f.count() > 5 && f.count() < 40) // ~20 of 100, hash-spread
+    assert(f.collect().map(_.getLong(0)).toSet.subsetOf((0L until 100L).toSet))
+  }
+
   test("text functions: counts, quality bounds, langid, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws"),
