@@ -85,6 +85,39 @@ object StreamingIngest {
         unix_millis(col("session_window.end")).as("session_end"),
         col("tag"), col("cnt"), col("sum_val"))
 
+  /** Watermarked stream-stream interval join: pairs each left row with
+    * every right row of the same `keys` whose event time lies in
+    * `[left_time - lookbackMs, left_time]` — the streaming analogue of
+    * the tolerance as-of join ([[graft.operators.AsOfJoin]]). Streaming
+    * emits ALL in-interval matches rather than only the latest prior:
+    * picking one would mean holding every left row until its watermark
+    * expires; downstream can reduce if it wants the max.
+    *
+    * Both sides carry watermarks AND the join has a time-range
+    * condition, which is exactly what lets Spark bound and expire the
+    * join state as watermarks advance — without the range, state grows
+    * forever. Input frames are TS-shaped (`timestamp` epoch millis);
+    * right value columns come back `r_`-prefixed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   lookbackMs: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = withEventTime(left)
+      .withColumnRenamed("event_time", "l_time")
+      .withWatermark("l_time", watermark)
+    // right keys renamed so the join condition is unambiguous; value
+    // columns come back r_-prefixed
+    val r0 = withEventTime(right).withColumnRenamed("event_time", "r_time")
+    val r = r0.select(keys.map(k => col(k).as(s"__rk_$k")) ++ Seq(col("r_time")) ++
+        r0.columns.filterNot(c => keys.contains(c) || c == "r_time")
+          .map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("r_time", watermark)
+    l.join(r,
+      keys.map(k => col(k) === col(s"__rk_$k")).reduce(_ && _) &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $lookbackMs MILLISECOND") &&
+        col("r_time") <= col("l_time"))
+      .drop(keys.map(k => s"__rk_$k"): _*)
+  }
+
   /** Streaming ingestion into a [[graft.engine.TimeSeriesStore]]:
     * each micro-batch is deduped against itself and the store, then
     * appended through the store's all-or-nothing insert — the streaming

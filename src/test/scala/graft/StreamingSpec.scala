@@ -119,6 +119,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch join; out-of-interval rows excluded") {
+    val clicks = Seq(TS(100000L, "u1", 1.0), TS(200000L, "u1", 2.0), TS(100000L, "u2", 3.0))
+    val errors = Seq(
+      TS(95000L, "u1", -1.0),   // within 10s of u1's click @100s
+      TS(150000L, "u1", -2.0),  // within 60s lookback of u1's click @200s
+      TS(300000L, "u1", -3.0),  // AFTER every click => never joins
+      TS(99000L, "u2", -4.0))   // within 10s of u2's click @100s
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"timestamp", $"tag", $"r_timestamp", $"r_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+
+    // batch form (watermark no-op) pins the semantics
+    val batch = shape(StreamingIngest.intervalJoin(
+      clicks.toDF(), errors.toDF(), Seq("tag"), lookbackMs = 60000L))
+    assert(batch == Seq(
+      (100000L, "u1", 95000L, -1.0),
+      (100000L, "u2", 99000L, -4.0),
+      (200000L, "u1", 150000L, -2.0)))
+
+    // the same join on-stream matches batch
+    val ml = MemoryStream[TS]; val mr = MemoryStream[TS]
+    val q = StreamingIngest.intervalJoin(ml.toDF(), mr.toDF(), Seq("tag"),
+      lookbackMs = 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("t_interval")
+      .outputMode("append").start()
+    try {
+      ml.addData(clicks: _*)
+      mr.addData(errors: _*)
+      q.processAllAvailable()
+      assert(shape(spark.table("t_interval")) == batch)
+    } finally q.stop()
+  }
+
   test("runningStats carries per-tag state across micro-batches") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.runningStats(mem.toDS())
