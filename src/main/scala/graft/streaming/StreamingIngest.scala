@@ -100,21 +100,34 @@ object StreamingIngest {
     * right value columns come back `r_`-prefixed.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   lookbackMs: Long, watermark: String = "10 minutes"): DataFrame = {
+                   lookbackMs: Long, watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    // keyless stream-stream range joins need a different state layout
+    // (range partitioning); fail with intent, not empty.reduceLeft
+    require(keys.nonEmpty, "intervalJoin requires at least one join key " +
+      "(for keyless as-of semantics see AsOfJoin's range-partition note)")
     val l = withEventTime(left)
       .withColumnRenamed("event_time", "l_time")
       .withWatermark("l_time", watermark)
     // right keys renamed so the join condition is unambiguous; value
     // columns come back r_-prefixed
     val r0 = withEventTime(right).withColumnRenamed("event_time", "r_time")
+    val valueCols = r0.columns.filterNot(c => keys.contains(c) || c == "r_time").toSeq
+    val prefixed = valueCols.map("r_" + _)
+    require((prefixed :+ "r_time").distinct.size == prefixed.size + 1,
+      s"intervalJoin: right columns collide after r_ prefixing: " +
+        prefixed.diff(prefixed.distinct).mkString(", "))
     val r = r0.select(keys.map(k => col(k).as(s"__rk_$k")) ++ Seq(col("r_time")) ++
-        r0.columns.filterNot(c => keys.contains(c) || c == "r_time")
-          .map(c => col(c).as(s"r_$c")): _*)
+        valueCols.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_time", watermark)
+    // leftOuter emits unmatched left rows (null right columns) once the
+    // watermark passes them — the lossless as-of analogue; inner is the
+    // classic enrichment join
     l.join(r,
       keys.map(k => col(k) === col(s"__rk_$k")).reduce(_ && _) &&
         col("r_time") >= col("l_time") - expr(s"INTERVAL $lookbackMs MILLISECOND") &&
-        col("r_time") <= col("l_time"))
+        col("r_time") <= col("l_time"),
+      joinType)
       .drop(keys.map(k => s"__rk_$k"): _*)
   }
 

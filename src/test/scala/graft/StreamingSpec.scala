@@ -151,6 +151,20 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(shape(spark.table("t_interval")) == batch)
     } finally q.stop()
+
+    // leftOuter keeps unmatched left rows (null right cols) — the
+    // lossless variant; u3 has no error in its lookback
+    val outer = StreamingIngest.intervalJoin(
+      (clicks :+ TS(500000L, "u3", 9.0)).toDF(), errors.toDF(), Seq("tag"),
+      lookbackMs = 60000L, joinType = "leftOuter")
+    assert(outer.filter($"tag" === "u3" && $"r_value".isNull).count() == 1)
+    assert(outer.count() == batch.size + 1)
+
+    // keyless is a loud error, not an opaque reduce crash
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.intervalJoin(clicks.toDF(), errors.toDF(), Seq.empty, 1L)
+    }
+    assert(err.getMessage.contains("at least one join key"))
   }
 
   test("runningStats carries per-tag state across micro-batches") {
