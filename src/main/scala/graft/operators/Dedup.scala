@@ -45,29 +45,55 @@ object Dedup {
       .select(col("digest"), col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * The token array is BOUND as a column before the windowing lambda —
+    * a lambda referencing the unbound split(...) expression re-splits
+    * the text per window (O(len²) per doc).
+    */
   def shingles(docs: DataFrame, n: Int = 3,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val tokenized = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
     val sh = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+    tokenized.select(col("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Distinct n-gram shingle HASHES per document: (id, h). The shingle
+    * identity is xxhash64 over the n token hashes — no shingle string
+    * is ever materialized and the explode emits 8-byte longs, not
+    * reassembled text. Collisions at 64 bits are negligible next to
+    * MinHash's own sampling error. For oracle-checkable string shingles
+    * (exact Jaccard, decontamination) use [[shingles]].
+    */
+  def shingleHashes(docs: DataFrame, n: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // BIND the token-hash array as a column before windowing: a lambda
+    // referencing the unbound transform(...) expression re-evaluates it
+    // per element (O(len²) per doc — measured 2.5× slower end-to-end)
+    val toks = split(col(textCol), " ")
+    val hashed = docs.select(col(idCol).as("id"),
+      transform(toks, t => xxhash64(t)).as("hs"))
+    val sh = transform(
+      sequence(lit(0), greatest(size(col("hs")) - n, lit(0))),
+      i => xxhash64((0 until n).map(j => get(col("hs"), i + j)): _*))
+    hashed.select(col("id"), explode(array_distinct(sh)).as("h"))
   }
 
   /** MinHash signature per document: sig[j] = min over shingles of
-    * xxhash64(j, shingle), j < k. One explode + one groupBy; the k
+    * xxhash64(j, shingle hash), j < k. One explode + one groupBy; the k
     * hashes are k codegen'd agg expressions, not k passes.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 64,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // hash each shingle string ONCE; the k "permutations" re-hash the
-    // fixed-width base hash (cheap) rather than re-hashing the string
-    // k times (dominated the signature stage, ~4x slower). Plain
-    // mul-add universal hashing would be cheaper still, but wrapping
-    // Long arithmetic throws under ANSI mode (Spark 4 default).
-    val sh = shingles(docs, n, textCol, idCol)
-      .withColumn("h", xxhash64(col("shingle")))
+    // hash each shingle ONCE ([[shingleHashes]] — composite of token
+    // hashes, no string assembly); the k "permutations" re-hash the
+    // fixed-width base hash (cheap) rather than re-hashing text k
+    // times (dominated the signature stage, ~4x slower). Plain mul-add
+    // universal hashing would be cheaper still, but wrapping Long
+    // arithmetic throws under ANSI mode (Spark 4 default).
+    val sh = shingleHashes(docs, n, textCol, idCol)
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j"))
     sh.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
