@@ -206,6 +206,24 @@ class ExtensionSpec extends SparkSpec {
     assert(f.collect().map(_.getLong(0)).toSet.subsetOf((0L until 100L).toSet))
   }
 
+  test("partitioning invariance: dedup/sampling outputs identical after repartition") {
+    // the determinism claims (SCALE.md) say results are stable across
+    // partitionings — re-run key pipelines on a repartitioned input and
+    // demand byte-equal results
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shuffled = docs.repartition(13)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Dedup.minhashPairs(docs, minEstJaccard = 0.5)) ==
+      rows(Dedup.minhashPairs(shuffled, minEstJaccard = 0.5)))
+    assert(rows(Dedup.simhashPairs(docs)) == rows(Dedup.simhashPairs(shuffled)))
+    assert(rows(Sampling.quotaPerGroup(docs, "lang", "doc_id", 20)
+        .select($"doc_id").orderBy($"doc_id")) ==
+      rows(Sampling.quotaPerGroup(shuffled, "lang", "doc_id", 20)
+        .select($"doc_id").orderBy($"doc_id")))
+  }
+
   test("text functions: counts, quality bounds, langid, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws"),
