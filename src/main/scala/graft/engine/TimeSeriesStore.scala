@@ -288,4 +288,42 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   def compact(): Unit = this.synchronized {
     if (segmentCount > 1) commit(writeSegment(current()))
   }
+
+  /** Delete segment directories with no partition reachable from the
+    * CURRENT manifest, plus superseded manifest files — the Delta
+    * VACUUM analogue, bounding disk growth after mutations/compaction.
+    * Readers still holding pre-vacuum snapshots lose their files (the
+    * same trade as VACUUM with zero retention — run it when no long
+    * snapshot readers exist). Returns the number of paths removed.
+    */
+  def vacuum(): Int = this.synchronized {
+    val liveBySeg = liveEntries().groupBy(_.seg).map { case (s, es) =>
+      s -> es.map(d => s"g_day=${d.day}").toSet
+    }
+    val currentName =
+      if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim) else None
+    var removed = 0
+    def rmTree(p: Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+      finally walk.close()
+      removed += 1
+    }
+    listDir(root).foreach { name =>
+      if (name.startsWith("seg-")) liveBySeg.get(name) match {
+        case None => rmTree(root.resolve(name)) // no live partition at all
+        case Some(liveDays) => // partition-scoped mutations orphan single
+          // day dirs inside otherwise-live segments — reap those too
+          listDir(root.resolve(name))
+            .filter(d => d.startsWith("g_day=") && !liveDays.contains(d))
+            .foreach(d => rmTree(root.resolve(name).resolve(d)))
+      }
+      else if (name.endsWith(".manifest") && !currentName.contains(name)) {
+        Files.delete(root.resolve(name))
+        removed += 1
+      }
+    }
+    removed
+  }
 }

@@ -191,6 +191,32 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().count() == 2)
   }
 
+  test("vacuum reaps unreachable segments, orphan day dirs and old manifests") {
+    val dir = Files.createTempDirectory("graft-vacuum")
+    val st = new TimeSeriesStore(spark, dir.toString)
+    val D = 86400000L
+    st.insert(Seq(TS(10L, "a", 1.0), TS(D + 10L, "a", 2.0)).toDS())
+    st.insert(Seq(TS(20L, "b", 3.0)).toDS())
+    // update day 1 => old seg keeps day 0 live, its day 1 dir is orphaned
+    assert(st.update(Seq(TS(D + 10L, "a", 99.0)).toDS()).isRight)
+    st.compact() // both pre-compaction segments now fully unreachable
+    def segDirs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
+    def manifests = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".manifest")).toSeq
+    assert(segDirs.size == 4 && manifests.size == 4) // garbage accumulated
+    val removed = st.vacuum()
+    assert(removed > 0)
+    assert(segDirs.size == 1 && manifests.size == 1) // only live state left
+    // data unharmed, store still mutable
+    assert(st.current().orderBy($"timestamp").collect().map(_.getDouble(2)).toSeq
+      == Seq(1.0, 3.0, 99.0))
+    assert(st.insert(Seq(TS(5L, "z", 7.0)).toDS()).isRight)
+    assert(st.current().count() == 4)
+    assert(st.vacuum() == 1) // just the manifest the insert superseded
+    assert(st.vacuum() == 0) // nothing unreachable => no-op
+  }
+
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
     val st = freshStore()
     st.insert(base.toDS())
