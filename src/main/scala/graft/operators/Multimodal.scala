@@ -105,4 +105,56 @@ object Multimodal {
     media.select(col("media_id"),
         explode(sequence(lit(0), lit(frameCount - 1), lit(everyNth))).as("frame_idx"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_samples: Long, duration_s: Double,
+                                 rms: Double)
+
+  /** STUB — stands in for a real audio codec (same contract as
+    * [[decodeOneStub]]): a production build swaps ONLY this function for
+    * e.g. a javax.sound/FFmpeg call with the same `AudioFeatures` shape.
+    * Deterministic in the payload: "sample rate" from the header byte,
+    * samples = payload length, RMS over the byte values.
+    */
+  private[operators] def decodeAudioStub(m: MediaFile): AudioFeatures = {
+    val p = m.payload
+    val rate = if (p.nonEmpty && (p(0) & 1) == 1) 44100 else 16000
+    val n = p.length.toLong
+    val rms = if (p.isEmpty) 0.0
+      else math.sqrt(p.map(b => { val v = (b & 0xff) - 128.0; v * v }).sum / p.length)
+    AudioFeatures(m.media_id, rate, n, n.toDouble / rate, rms)
+  }
+
+  /** Batched audio decode — identical partitioned-batch shape to
+    * [[decodeImages]].
+    */
+  def decodeAudio(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(decodeAudioStub)
+      }
+    }
+  }
+
+  /** Segmentation plan for audio: fixed `windowS`-second chunks with
+    * `overlapS` seconds of overlap (the ASR/embedding pre-chunking
+    * shape) — pure metadata arithmetic, decode-free. Emits
+    * (media_id, chunk_idx, start_s, end_s).
+    */
+  def audioChunkPlan(features: Dataset[AudioFeatures], windowS: Double,
+                     overlapS: Double = 0.0): DataFrame = {
+    require(windowS > overlapS,
+      s"window ($windowS s) must exceed overlap ($overlapS s)")
+    val stride = windowS - overlapS
+    val nChunks = greatest(lit(1),
+      ceil((col("duration_s") - lit(overlapS)) / stride).cast("int"))
+    features.toDF().select(col("media_id"), col("duration_s"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(col("media_id"), col("pos").as("chunk_idx"),
+        round(col("col") * stride, 6).as("start_s"),
+        round(least(col("col") * stride + windowS, col("duration_s")), 6)
+          .as("end_s"))
+      .orderBy(col("media_id"), col("chunk_idx"))
+  }
 }

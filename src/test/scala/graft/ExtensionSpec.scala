@@ -290,6 +290,33 @@ class ExtensionSpec extends SparkSpec {
     assert(salted.length == 500 && salted.toSeq == plain.toSeq)
   }
 
+  test("multimodal: audio decode + chunk plan (stubbed codec, real plumbing)") {
+    val media = Multimodal.syntheticMedia(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))
+    val feats = Multimodal.decodeAudio(media)
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(f => f.duration_s > 0 && f.rms >= 0 &&
+      (f.sample_rate == 44100 || f.sample_rate == 16000)))
+    // deterministic: same payload => same features
+    assert(Multimodal.decodeAudio(media).collect().sortBy(_.media_id).toSeq ==
+      rows.sortBy(_.media_id).toSeq)
+    // chunk plan covers [0, duration] with the configured stride/overlap
+    val chunks = Multimodal.audioChunkPlan(feats, windowS = 0.002, overlapS = 0.0005)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val byMedia = chunks.groupBy(_._1)
+    val durations = rows.map(f => f.media_id -> f.duration_s).toMap
+    byMedia.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0.0)                        // starts at 0
+      assert(sorted.last._4 >= durations(id) - 1e-5)       // reaches the end (6-dp rounding)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 < a._4)            // overlap holds
+        case _ => ()
+      }
+    }
+  }
+
   test("multimodal: frame sampling plan") {
     val media = Seq((1L, "video")).toDF("media_id", "modality")
     val frames = Multimodal.frameSamplePlan(media, frameCount = 10, everyNth = 3)
