@@ -295,6 +295,14 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * Readers still holding pre-vacuum snapshots lose their files (the
     * same trade as VACUUM with zero retention — run it when no long
     * snapshot readers exist). Returns the number of paths removed.
+    *
+    * Cross-process safety (single-writer discipline still required,
+    * as for mutations): only manifests with a version BELOW the
+    * current one are deleted, and only segment dirs strictly older
+    * than the published manifest — an in-flight commit's fresh
+    * segment/manifest (always a new uuid dir / higher version) is
+    * never touched, so a racing writer loses its commit loudly in
+    * commit(), never silently here.
     */
   def vacuum(): Int = this.synchronized {
     val liveBySeg = liveEntries().groupBy(_.seg).map { case (s, es) =>
@@ -302,6 +310,10 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     }
     val currentName =
       if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim) else None
+    val curVersion = currentName
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).getOrElse(-1L)
+    val curMtime = currentName.map(n =>
+      Files.getLastModifiedTime(root.resolve(n)).toMillis).getOrElse(Long.MaxValue)
     var removed = 0
     def rmTree(p: Path): Unit = {
       val walk = Files.walk(p)
@@ -312,14 +324,18 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     }
     listDir(root).foreach { name =>
       if (name.startsWith("seg-")) liveBySeg.get(name) match {
-        case None => rmTree(root.resolve(name)) // no live partition at all
+        case None => // no live partition — but keep dirs at least as new
+          // as the published manifest (possible in-flight commit)
+          if (Files.getLastModifiedTime(root.resolve(name)).toMillis < curMtime)
+            rmTree(root.resolve(name))
         case Some(liveDays) => // partition-scoped mutations orphan single
           // day dirs inside otherwise-live segments — reap those too
           listDir(root.resolve(name))
             .filter(d => d.startsWith("g_day=") && !liveDays.contains(d))
             .foreach(d => rmTree(root.resolve(name).resolve(d)))
       }
-      else if (name.endsWith(".manifest") && !currentName.contains(name)) {
+      else if (name.endsWith(".manifest") &&
+        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion) {
         Files.delete(root.resolve(name))
         removed += 1
       }

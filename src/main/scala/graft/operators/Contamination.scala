@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * fixture exercises it).
   *
   * Scale shape: the eval set is tiny next to the corpus, so its
-  * distinct shingles BROADCAST and the semi-join runs inside the corpus
-  * scan stage — the 100 TB corpus is read once, never shuffled on
-  * shingles; only the (small) contaminated subset reaches the final
-  * aggregation.
+  * distinct shingles BROADCAST and hit-marking runs inside the corpus
+  * scan stage — the 100 TB corpus is read once and never shuffled on
+  * shingles. The per-doc aggregation does shuffle one partial row per
+  * document (overlap and total counted together in a single pass); the
+  * contaminated-only filter then shrinks the OUTPUT to the small
+  * flagged set.
   */
 object Contamination {
 
@@ -36,10 +38,10 @@ object Contamination {
       .agg(count(col("__hit")).as("n_overlap"),
         count(lit(1)).as("n_shingles"))
       .filter(col("n_overlap") > 0)
-      .select(col("id").as("doc_id"), col("n_overlap"), col("n_shingles"),
+      .select(col("id").as(idCol), col("n_overlap"), col("n_shingles"),
         round(col("n_overlap").cast("double") / col("n_shingles"), 4)
           .as("overlap_frac"))
-      .orderBy(col("doc_id"))
+      .orderBy(col(idCol))
   }
 
   /** The corpus with contaminated docs removed (overlap fraction above
@@ -50,7 +52,7 @@ object Contamination {
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bad = flag(corpus, evalSet, n, textCol, idCol)
       .filter(col("overlap_frac") > maxOverlap)
-      .select(col("doc_id"))
+      .select(col(idCol))
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 }

@@ -71,16 +71,20 @@ object Multimodal {
   }
 
   /** Batched decode over partitions — bounded-memory batches, the
-    * `mapInPandas` call shape in Scala.
+    * `mapInPandas` call shape in Scala; ONE batching shell serves every
+    * modality (a real codec would decode each `batch` in one vectorized
+    * call).
     */
+  private def batchedDecode[O: org.apache.spark.sql.Encoder](
+      media: Dataset[MediaFile], batchSize: Int)(decode: MediaFile => O): Dataset[O] =
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => batch.iterator.map(decode))
+    }
+
+  /** Batched image decode (see [[batchedDecode]]). */
   def decodeImages(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // a real codec would decode `batch` in one vectorized call here
-        batch.iterator.map(decodeOneStub)
-      }
-    }
+    batchedDecode(media, batchSize)(decodeOneStub)
   }
 
   /** Resize plan: target dimensions preserving aspect ratio against a
@@ -125,16 +129,10 @@ object Multimodal {
     AudioFeatures(m.media_id, rate, n, n.toDouble / rate, rms)
   }
 
-  /** Batched audio decode — identical partitioned-batch shape to
-    * [[decodeImages]].
-    */
+  /** Batched audio decode (see [[batchedDecode]]). */
   def decodeAudio(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map(decodeAudioStub)
-      }
-    }
+    batchedDecode(media, batchSize)(decodeAudioStub)
   }
 
   /** Segmentation plan for audio: fixed `windowS`-second chunks with

@@ -106,6 +106,9 @@ object StreamingIngest {
     // (range partitioning); fail with intent, not empty.reduceLeft
     require(keys.nonEmpty, "intervalJoin requires at least one join key " +
       "(for keyless as-of semantics see AsOfJoin's range-partition note)")
+    // a negative lookback is an unsatisfiable interval — every row
+    // would silently vanish
+    require(lookbackMs >= 0, s"intervalJoin: lookbackMs=$lookbackMs must be >= 0")
     val l = withEventTime(left)
       .withColumnRenamed("event_time", "l_time")
       .withWatermark("l_time", watermark)
@@ -114,9 +117,13 @@ object StreamingIngest {
     val r0 = withEventTime(right).withColumnRenamed("event_time", "r_time")
     val valueCols = r0.columns.filterNot(c => keys.contains(c) || c == "r_time").toSeq
     val prefixed = valueCols.map("r_" + _)
-    require((prefixed :+ "r_time").distinct.size == prefixed.size + 1,
-      s"intervalJoin: right columns collide after r_ prefixing: " +
-        prefixed.diff(prefixed.distinct).mkString(", "))
+    // name every collision: within the prefixed set, against the
+    // renamed event-time columns, and against the left side's columns
+    val outCols = prefixed :+ "r_time"
+    val clash = (outCols.diff(outCols.distinct) ++
+      outCols.intersect(l.columns.toSeq)).distinct
+    require(clash.isEmpty,
+      s"intervalJoin: output column collision: ${clash.mkString(", ")}")
     val r = r0.select(keys.map(k => col(k).as(s"__rk_$k")) ++ Seq(col("r_time")) ++
         valueCols.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_time", watermark)

@@ -200,10 +200,9 @@ class TimeSeriesStoreSpec extends SparkSpec {
     // update day 1 => old seg keeps day 0 live, its day 1 dir is orphaned
     assert(st.update(Seq(TS(D + 10L, "a", 99.0)).toDS()).isRight)
     st.compact() // both pre-compaction segments now fully unreachable
-    def segDirs = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq
-    def manifests = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".manifest")).toSeq
+    // File#list, not Files.list: no stream to close, no leaked dir fd
+    def segDirs = dir.toFile.list().toSeq.filter(_.startsWith("seg-"))
+    def manifests = dir.toFile.list().toSeq.filter(_.endsWith(".manifest"))
     assert(segDirs.size == 4 && manifests.size == 4) // garbage accumulated
     val removed = st.vacuum()
     assert(removed > 0)
