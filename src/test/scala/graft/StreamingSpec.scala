@@ -167,6 +167,30 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("at least one join key"))
   }
 
+  test("interval join leftOuter ON-STREAM emits null-matched rows after watermark passes") {
+    val ml = MemoryStream[TS]; val mr = MemoryStream[TS]
+    val q = StreamingIngest.intervalJoin(ml.toDF(), mr.toDF(), Seq("tag"),
+      lookbackMs = 10000L, watermark = "0 seconds", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("t_interval_outer")
+      .outputMode("append").start()
+    try {
+      ml.addData(TS(100000L, "u1", 1.0)) // no matching right event ever
+      mr.addData(TS(99000L, "u2", -1.0)) // different key
+      q.processAllAvailable()
+      // advance both watermarks far beyond the u1 click so the engine
+      // can prove no in-interval match will arrive and emit the null row
+      ml.addData(TS(500000L, "u9", 0.0))
+      mr.addData(TS(500000L, "u9", 0.0))
+      q.processAllAvailable()
+      ml.addData(TS(900000L, "u9", 0.0))
+      mr.addData(TS(900000L, "u9", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("t_interval_outer")
+        .filter($"tag" === "u1").collect()
+      assert(u1.length == 1 && u1.head.isNullAt(u1.head.fieldIndex("r_value")))
+    } finally q.stop()
+  }
+
   test("runningStats carries per-tag state across micro-batches") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.runningStats(mem.toDS())
