@@ -432,6 +432,28 @@ object SparkEntry {
           round(avg(col("q")), 4).as("avg_q"))
         .orderBy(col("lang"))
     }),
+    // ---- gap-fill: per-tag minute-bucket counts over one day, EVERY
+    // bucket present (zeros where no events landed) — the classic TS
+    // densification the reference lacks
+    "x_gapfill_minutes" -> ((s, dir) => {
+      import graft.operators.GapFill
+      GapFill.bucketCounts(
+        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
+          .filter(col("tag") === "click" || col("tag") === "error"),
+        bucketMs = 60000L)
+    }),
+    // ---- rollup: hierarchical subtotal grid over the pricing keys
+    // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
+    // of the compare)
+    "x_rollup_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf"), col("ls"))),
     // ---- decontamination: flag corpus docs sharing 3-gram shingles
     // with the "evaluation set" (doc_id < 20) — the eval side broadcasts
     "x_decontaminate" -> ((s, dir) => {
@@ -642,6 +664,26 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    "x_gapfill_minutes" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
+        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
+        |             AND tag IN ('click', 'error')),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2)
+        |SELECT g.tag, g.bucket * 60000 AS bucket_start,
+        |       CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        |FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket
+        |ORDER BY g.tag, bucket_start""".stripMargin,
+    "x_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS DOUBLE) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "x_decontaminate" ->
       """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id >= 20),
         |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),

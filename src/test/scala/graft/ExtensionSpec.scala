@@ -224,6 +224,18 @@ class ExtensionSpec extends SparkSpec {
         .select($"doc_id").orderBy($"doc_id")))
   }
 
+  test("gap fill: every bucket inside global bounds present, zeros in gaps") {
+    import graft.operators.GapFill
+    val ts = Seq((0L, "a", 1.0), (60000L, "a", 1.0), (185000L, "a", 1.0),
+      (125000L, "b", 1.0)).toDF("timestamp", "tag", "value")
+    val r = GapFill.bucketCounts(ts, 60000L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.length == 8) // 2 tags x 4 buckets (global bounds 0..3)
+    assert(r.filter(_._1 == "a").map(_._3).toSeq == Seq(1.0, 1.0, 0.0, 1.0))
+    assert(r.filter(_._1 == "b").map(_._3).toSeq == Seq(0.0, 0.0, 1.0, 0.0))
+    assert(r.map(_._2).distinct.sorted.toSeq == Seq(0L, 60000L, 120000L, 180000L))
+  }
+
   test("text functions: counts, quality bounds, langid, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws"),
