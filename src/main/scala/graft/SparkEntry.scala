@@ -442,6 +442,22 @@ object SparkEntry {
           .filter(col("tag") === "click" || col("tag") === "error"),
         bucketMs = 60000L)
     }),
+    // ---- moving average + delta over the dense grid: gap filling is
+    // what makes "last 7 buckets" mean "last 7 minutes"
+    "x_moving_avg" -> ((s, dir) => {
+      import graft.operators.GapFill
+      GapFill.movingAvg(GapFill.bucketCounts(
+        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
+          .filter(col("tag") === "click" || col("tag") === "error"),
+        bucketMs = 60000L), window = 7)
+    }),
+    "x_bucket_delta" -> ((s, dir) => {
+      import graft.operators.GapFill
+      GapFill.delta(GapFill.bucketCounts(
+        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
+          .filter(col("tag") === "click" || col("tag") === "error"),
+        bucketMs = 60000L))
+    }),
     // ---- rollup: hierarchical subtotal grid over the pricing keys
     // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
     // of the compare)
@@ -676,6 +692,35 @@ object SparkEntry {
         |       CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
         |FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket
         |ORDER BY g.tag, bucket_start""".stripMargin,
+    "x_moving_avg" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
+        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
+        |             AND tag IN ('click', 'error')),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
+        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)
+        |SELECT tag, bucket_start, cnt,
+        |       round(avg(cnt) OVER (PARTITION BY tag ORDER BY bucket_start
+        |                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM dense ORDER BY tag, bucket_start""".stripMargin,
+    "x_bucket_delta" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
+        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
+        |             AND tag IN ('click', 'error')),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
+        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)
+        |SELECT tag, bucket_start, cnt,
+        |       cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY tag ORDER BY bucket_start), 0) AS delta
+        |FROM dense ORDER BY tag, bucket_start""".stripMargin,
     "x_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

@@ -34,4 +34,27 @@ object GapFill {
         coalesce(col("cnt"), lit(0L)).cast("double").as("cnt"))
       .orderBy(col("tag"), col("bucket_start"))
   }
+
+  /** Trailing `window`-bucket moving average per tag over a DENSE grid
+    * (gap filling first is what makes "last N buckets" mean "last N
+    * time units"). One window shuffle on the tag key.
+    */
+  def movingAvg(dense: DataFrame, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag")).orderBy(col("bucket_start"))
+      .rowsBetween(-(window - 1), 0)
+    dense.withColumn("mavg", round(avg(col("cnt")).over(w), 4))
+      .orderBy(col("tag"), col("bucket_start"))
+  }
+
+  /** Per-bucket change vs the previous bucket (first bucket: vs 0) —
+    * the rate/increase shape monitoring stacks compute over counters.
+    */
+  def delta(dense: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag")).orderBy(col("bucket_start"))
+    dense.withColumn("delta",
+        col("cnt") - coalesce(lag(col("cnt"), 1).over(w), lit(0.0)))
+      .orderBy(col("tag"), col("bucket_start"))
+  }
 }
