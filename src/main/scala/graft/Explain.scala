@@ -26,7 +26,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "a1_count_all", "a3_tag_collect", "g6_group_tag_avg",
-      "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute")
+      "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute",
+      "x_decontaminate", "x_gapfill_minutes", "x_sample_quota",
+      "x_rollup_pricing")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
