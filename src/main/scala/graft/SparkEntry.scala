@@ -432,6 +432,23 @@ object SparkEntry {
           round(avg(col("q")), 4).as("avg_q"))
         .orderBy(col("lang"))
     }),
+    // ---- sessionization (batch form of StreamingIngest.sessionAgg):
+    // per-user sessions with a 1h inactivity gap over the events table;
+    // session end = last event + gap (Spark session_window semantics,
+    // mirrored in SQL by a lag-based session id)
+    "x_sessions" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          timestamp_millis(expr("ts div 1000000").cast("long")).as("event_time"),
+          col("value"))
+        .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          round(sum(col("value")), 4).as("sum_val"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start"),
+          unix_millis(col("session_window.end")).as("session_end"),
+          col("cnt"), col("sum_val"))
+        .orderBy(col("user_id"), col("session_start"))),
     // ---- gap-fill: per-tag minute-bucket counts over one day, EVERY
     // bucket present (zeros where no events landed) — the classic TS
     // densification the reference lacks
@@ -680,6 +697,21 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    // new session when the inactivity gap REACHES 1h (Spark's session
+    // range is [start, last+gap), end-exclusive)
+    "x_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, t, value,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w >= 3600000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS session_start, max(t) + 3600000 AS session_end,
+        |       CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "x_gapfill_minutes" ->
       s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
         |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
