@@ -487,6 +487,28 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n_rows"))
         .orderBy(col("rf"), col("ls"))),
+    // ---- vocabulary: global top-100 tokens by frequency (the vocab-
+    // building sweep; deterministic tie order by token)
+    "x_token_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)),
+    // ---- per-group percentiles: the grouped form of d3
+    "x_group_percentiles" -> ((s, dir) =>
+      Tables.ts(s, dir)
+        .groupBy(col("tag").as("grp"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy(col("grp"))),
+    // ---- fixed-width value histogram (bin = floor(value/5))
+    "x_value_histogram" -> ((s, dir) =>
+      Tables.ts(s, dir)
+        .groupBy(floor(col("value") / 5).cast("long").as("bin"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .orderBy(col("bin"))),
     // ---- decontamination: flag corpus docs sharing 3-gram shingles
     // with the "evaluation set" (doc_id < 20) — the eval side broadcasts
     "x_decontaminate" -> ((s, dir) => {
@@ -697,6 +719,18 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    "x_token_vocab" ->
+      """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "x_group_percentiles" ->
+      s"""SELECT tag AS grp, round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM $FROM t GROUP BY tag ORDER BY grp""".stripMargin,
+    "x_value_histogram" ->
+      s"""SELECT CAST(floor(value / 5) AS BIGINT) AS bin,
+        |       CAST(count(*) AS DOUBLE) AS cnt
+        |FROM $FROM t GROUP BY 1 ORDER BY bin""".stripMargin,
     // new session when the inactivity gap REACHES 1h (Spark's session
     // range is [start, last+gap), end-exclusive)
     "x_sessions" ->
