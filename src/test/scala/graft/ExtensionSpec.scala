@@ -206,6 +206,29 @@ class ExtensionSpec extends SparkSpec {
     assert(f.collect().map(_.getLong(0)).toSet.subsetOf((0L until 100L).toSet))
   }
 
+  test("minhash bucketCap: degenerate bucket dropped LOUDLY, normal pairs kept") {
+    // 300 identical docs overflow every band bucket (the skew
+    // pathology); a small unrelated near-dup pair must still be found,
+    // and the drop must be logged, not silent
+    val skewText = "identical content repeated across the whole degenerate cluster " +
+      "to overflow the lsh band buckets in one place"
+    val docs = ((0 until 300).map(i => (i.toLong, skewText)) ++ Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta iota"))).toDF("doc_id", "text")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val pairs = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Dedup.minhashPairs(docs, bucketCap = 100, minEstJaccard = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally System.setErr(prevErr)
+    assert(pairs.contains((1000L, 1001L))) // normal near-dup found
+    assert(!pairs.exists(p => p._1 < 300L && p._2 < 300L)) // capped bucket dropped
+    val log = errBuf.toString
+    assert(log.contains("bucketCap") && log.contains("dropping"),
+      s"expected a counted drop log, got: $log")
+  }
+
   test("partitioning invariance: dedup/sampling outputs identical after repartition") {
     // the determinism claims (SCALE.md) say results are stable across
     // partitionings — re-run key pipelines on a repartitioned input and
