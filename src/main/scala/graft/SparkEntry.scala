@@ -525,6 +525,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ---- full curation pipeline: decontaminate → quality-filter →
+    // exact-dedup → per-language quota sample → stats, all ONE
+    // oracle-checked plan (the end-to-end story the operators exist for)
+    "x_pipeline_curation" -> ((s, dir) => {
+      import graft.operators.{Contamination, Sampling}
+      val docs = Tables.documents(s, dir)
+      val clean = Contamination.scrub(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), n = 3)
+      val kept = clean.select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("q") >= 0.3)
+      val deduped = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("q")).as("q"))
+      Sampling.quotaPerGroup(deduped, "lang", "doc_id", quota = 30)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg(col("q")), 4).as("avg_q"))
+        .orderBy(col("lang"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -719,6 +739,30 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    "x_pipeline_curation" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
+        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ctoks),
+        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
+        |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
+        |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |scored AS (SELECT doc_id, lang, text,
+        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
+        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  FROM clean),
+        |kept AS (SELECT * FROM scored WHERE q >= 0.3),
+        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept GROUP BY text),
+        |sampled AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM deduped) t WHERE rn <= 30)
+        |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
     "x_token_vocab" ->
       """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
