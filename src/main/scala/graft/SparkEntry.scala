@@ -475,6 +475,16 @@ object SparkEntry {
           .filter(col("tag") === "click" || col("tag") === "error"),
         bucketMs = 60000L))
     }),
+    // ---- anomaly detection: buckets deviating >= 2 trailing-window
+    // standard deviations (stats rounded before the division so the
+    // score is cross-engine exact)
+    "x_anomaly_zscore" -> ((s, dir) => {
+      import graft.operators.GapFill
+      GapFill.anomalies(GapFill.bucketCounts(
+        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
+          .filter(col("tag") === "click" || col("tag") === "error"),
+        bucketMs = 60000L), window = 30, threshold = 2.0)
+    }),
     // ---- rollup: hierarchical subtotal grid over the pricing keys
     // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
     // of the compare)
@@ -831,6 +841,28 @@ object SparkEntry {
         |SELECT tag, bucket_start, cnt,
         |       cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY tag ORDER BY bucket_start), 0) AS delta
         |FROM dense ORDER BY tag, bucket_start""".stripMargin,
+    "x_anomaly_zscore" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
+        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
+        |             AND tag IN ('click', 'error')),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
+        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket),
+        |stats AS (SELECT tag, bucket_start, cnt,
+        |            round(avg(cnt) OVER w, 4) AS mavg,
+        |            round(stddev_samp(cnt) OVER w, 4) AS sd
+        |          FROM dense
+        |          WINDOW w AS (PARTITION BY tag ORDER BY bucket_start
+        |                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT tag, bucket_start, cnt, mavg, sd,
+        |       round((cnt - mavg) / sd, 4) AS z
+        |FROM stats
+        |WHERE sd IS NOT NULL AND sd > 0 AND abs(round((cnt - mavg) / sd, 4)) >= 2.0
+        |ORDER BY tag, bucket_start""".stripMargin,
     "x_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

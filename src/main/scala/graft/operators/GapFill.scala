@@ -57,4 +57,26 @@ object GapFill {
         col("cnt") - coalesce(lag(col("cnt"), 1).over(w), lit(0.0)))
       .orderBy(col("tag"), col("bucket_start"))
   }
+
+  /** Trailing-window z-score anomalies over the dense grid: buckets
+    * whose count deviates ≥ `threshold` sample standard deviations from
+    * the trailing `window`-bucket mean. The mean and stddev are ROUNDED
+    * before the division so the score is arithmetic over identical
+    * doubles on any engine — no last-ulp threshold flips. Buckets whose
+    * trailing window has no spread (sd = 0 or too few rows) never flag.
+    */
+  def anomalies(dense: DataFrame, window: Int, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag")).orderBy(col("bucket_start"))
+      .rowsBetween(-(window - 1), 0)
+    dense
+      .withColumn("mavg", round(avg(col("cnt")).over(w), 4))
+      .withColumn("sd", round(stddev_samp(col("cnt")).over(w), 4))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+      .withColumn("z", round((col("cnt") - col("mavg")) / col("sd"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("tag"), col("bucket_start"), col("cnt"), col("mavg"),
+        col("sd"), col("z"))
+      .orderBy(col("tag"), col("bucket_start"))
+  }
 }
