@@ -259,6 +259,21 @@ class ExtensionSpec extends SparkSpec {
     assert(r.map(_._2).distinct.sorted.toSeq == Seq(0L, 60000L, 120000L, 180000L))
   }
 
+  test("anomaly z-score: spike flagged, flat series never flags") {
+    import graft.operators.GapFill
+    // tag a: 9 calm buckets then a spike; tag b: perfectly flat
+    val rows = ((0 until 9).map(i => (i * 60000L, "a", 1.0)) :+ (9 * 60000L, "a", 1.0)) ++
+      (0 until 10).map(i => (i * 60000L, "b", 1.0))
+    // counts per bucket: a gets 1 except bucket 9 where we add 30 extras
+    val spiked = rows ++ (0 until 30).map(j => (9 * 60000L + j, "a", 1.0))
+    val dense = GapFill.bucketCounts(spiked.toDF("timestamp", "tag", "value"), 60000L)
+    val flagged = GapFill.anomalies(dense, window = 10, threshold = 2.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(flagged.contains(("a", 9 * 60000L))) // the spike
+    assert(!flagged.exists(_._1 == "b")) // zero spread => never flags
+    assert(flagged.length == 1)
+  }
+
   test("text functions: counts, quality bounds, langid, fingerprint") {
     val r = docs.select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws"),
