@@ -74,6 +74,17 @@ object SparkEntry {
     (clicks, errors)
   }
 
+  /** The shared dense-grid input for the gap-filled TS analytics
+    * queries: minute buckets over one day of click/error events, every
+    * bucket present ([[graft.operators.GapFill.bucketCounts]]).
+    */
+  private def denseGrid(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GapFill.bucketCounts(
+      Tables.ts(s, dir)
+        .filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
+        .filter(col("tag") === "click" || col("tag") === "error"),
+      bucketMs = 60000L)
+
   /** Shared shaping of an as-of result for the oracle compare (sentinel
     * values instead of engine-specific null encodings).
     */
@@ -452,39 +463,18 @@ object SparkEntry {
     // ---- gap-fill: per-tag minute-bucket counts over one day, EVERY
     // bucket present (zeros where no events landed) — the classic TS
     // densification the reference lacks
-    "x_gapfill_minutes" -> ((s, dir) => {
-      import graft.operators.GapFill
-      GapFill.bucketCounts(
-        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
-          .filter(col("tag") === "click" || col("tag") === "error"),
-        bucketMs = 60000L)
-    }),
+    "x_gapfill_minutes" -> ((s, dir) => denseGrid(s, dir)),
     // ---- moving average + delta over the dense grid: gap filling is
     // what makes "last 7 buckets" mean "last 7 minutes"
-    "x_moving_avg" -> ((s, dir) => {
-      import graft.operators.GapFill
-      GapFill.movingAvg(GapFill.bucketCounts(
-        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
-          .filter(col("tag") === "click" || col("tag") === "error"),
-        bucketMs = 60000L), window = 7)
-    }),
-    "x_bucket_delta" -> ((s, dir) => {
-      import graft.operators.GapFill
-      GapFill.delta(GapFill.bucketCounts(
-        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
-          .filter(col("tag") === "click" || col("tag") === "error"),
-        bucketMs = 60000L))
-    }),
+    "x_moving_avg" -> ((s, dir) =>
+      graft.operators.GapFill.movingAvg(denseGrid(s, dir), window = 7)),
+    "x_bucket_delta" -> ((s, dir) =>
+      graft.operators.GapFill.delta(denseGrid(s, dir))),
     // ---- anomaly detection: buckets deviating >= 2 trailing-window
     // standard deviations (stats rounded before the division so the
     // score is cross-engine exact)
-    "x_anomaly_zscore" -> ((s, dir) => {
-      import graft.operators.GapFill
-      GapFill.anomalies(GapFill.bucketCounts(
-        Tables.ts(s, dir).filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
-          .filter(col("tag") === "click" || col("tag") === "error"),
-        bucketMs = 60000L), window = 30, threshold = 2.0)
-    }),
+    "x_anomaly_zscore" -> ((s, dir) =>
+      graft.operators.GapFill.anomalies(denseGrid(s, dir), window = 30, threshold = 2.0)),
     // ---- rollup: hierarchical subtotal grid over the pricing keys
     // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
     // of the compare)
@@ -566,6 +556,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
   )
+
+  /** Shared dense-grid CTE chain (DuckDB) mirroring [[denseGrid]] — the
+    * four TS-analytics oracles extend it so the grid definition lives
+    * in ONE place on each side.
+    */
+  private def denseGridSql: String =
+    s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
+      |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
+      |             AND tag IN ('click', 'error')),
+      |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+      |tags AS (SELECT DISTINCT tag FROM t),
+      |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+      |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
+      |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+      |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -800,58 +806,23 @@ object SparkEntry {
         |SELECT user_id, min(t) AS session_start, max(t) + 3600000 AS session_end,
         |       CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-    "x_gapfill_minutes" ->
-      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
-        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
-        |             AND tag IN ('click', 'error')),
-        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
-        |tags AS (SELECT DISTINCT tag FROM t),
-        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
-        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2)
-        |SELECT g.tag, g.bucket * 60000 AS bucket_start,
-        |       CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
-        |FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket
-        |ORDER BY g.tag, bucket_start""".stripMargin,
-    "x_moving_avg" ->
-      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
-        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
-        |             AND tag IN ('click', 'error')),
-        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
-        |tags AS (SELECT DISTINCT tag FROM t),
-        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
-        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
-        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
-        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
-        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)
+    "x_gapfill_minutes" -> (
+      denseGridSql + """
+        |SELECT tag, bucket_start, cnt FROM dense
+        |ORDER BY tag, bucket_start""".stripMargin),
+    "x_moving_avg" -> (
+      denseGridSql + """
         |SELECT tag, bucket_start, cnt,
         |       round(avg(cnt) OVER (PARTITION BY tag ORDER BY bucket_start
         |                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
-        |FROM dense ORDER BY tag, bucket_start""".stripMargin,
-    "x_bucket_delta" ->
-      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
-        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
-        |             AND tag IN ('click', 'error')),
-        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
-        |tags AS (SELECT DISTINCT tag FROM t),
-        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
-        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
-        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
-        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
-        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)
+        |FROM dense ORDER BY tag, bucket_start""".stripMargin),
+    "x_bucket_delta" -> (
+      denseGridSql + """
         |SELECT tag, bucket_start, cnt,
         |       cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY tag ORDER BY bucket_start), 0) AS delta
-        |FROM dense ORDER BY tag, bucket_start""".stripMargin,
-    "x_anomaly_zscore" ->
-      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket FROM $FROM f
-        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}
-        |             AND tag IN ('click', 'error')),
-        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
-        |tags AS (SELECT DISTINCT tag FROM t),
-        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
-        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
-        |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
-        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
-        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket),
+        |FROM dense ORDER BY tag, bucket_start""".stripMargin),
+    "x_anomaly_zscore" -> (
+      denseGridSql + """,
         |stats AS (SELECT tag, bucket_start, cnt,
         |            round(avg(cnt) OVER w, 4) AS mavg,
         |            round(stddev_samp(cnt) OVER w, 4) AS sd
@@ -862,7 +833,7 @@ object SparkEntry {
         |       round((cnt - mavg) / sd, 4) AS z
         |FROM stats
         |WHERE sd IS NOT NULL AND sd > 0 AND abs(round((cnt - mavg) / sd, 4)) >= 2.0
-        |ORDER BY tag, bucket_start""".stripMargin,
+        |ORDER BY tag, bucket_start""".stripMargin),
     "x_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
