@@ -108,6 +108,23 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     */
   def current(): DataFrame = read(liveEntries())
 
+  /** Time travel: snapshot read of a specific committed version
+    * (Delta's `VERSION AS OF` analogue). Works because manifests and
+    * segments are immutable — superseded versions stay readable until
+    * [[vacuum]] reaps them; a vacuumed version fails loudly here.
+    */
+  def versionAsOf(version: Long): DataFrame = {
+    val m = root.resolve(s"v$version.manifest")
+    require(Files.exists(m),
+      s"version $version not found (never committed, or removed by vacuum)")
+    read(Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine))
+  }
+
+  /** Committed versions still present on disk, ascending. */
+  def versions: Seq[Long] =
+    listDir(root).filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+
   /** Snapshot restricted to the given day buckets — the partition-scoped
     * working set for a mutation batch. Reads (and later rewrites) ONLY
     * the manifest entries for those days.

@@ -191,6 +191,22 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().count() == 2)
   }
 
+  test("time travel: versionAsOf reads historical snapshots until vacuumed") {
+    val st = freshStore()
+    st.insert(Seq(TS(1L, "a", 1.0)).toDS())                      // v0
+    st.insert(Seq(TS(2L, "b", 2.0)).toDS())                      // v1
+    assert(st.update(Seq(TS(1L, "a", 9.0)).toDS()).isRight)      // v2
+    assert(st.versions == Seq(0L, 1L, 2L))
+    assert(st.versionAsOf(0).collect().map(_.getDouble(2)).toSeq == Seq(1.0))
+    assert(st.versionAsOf(1).count() == 2)
+    assert(st.versionAsOf(1).filter($"timestamp" === 1L).head().getDouble(2) == 1.0)
+    assert(st.current().filter($"timestamp" === 1L).head().getDouble(2) == 9.0)
+    st.vacuum()
+    assert(st.versions == Seq(2L)) // history reaped
+    val err = intercept[IllegalArgumentException](st.versionAsOf(0))
+    assert(err.getMessage.contains("vacuum"))
+  }
+
   test("vacuum reaps unreachable segments, orphan day dirs and old manifests") {
     val dir = Files.createTempDirectory("graft-vacuum")
     val st = new TimeSeriesStore(spark, dir.toString)
