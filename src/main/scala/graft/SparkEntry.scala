@@ -249,7 +249,7 @@ object SparkEntry {
     "ts2_li_group_tag_sum" -> ((s, dir) =>
       Tables.tsLineitem(s, dir)
         .groupBy(col("tag").as("grp"))
-        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("result"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("result"))
         .orderBy(asc("grp"))),
     // (timestamp, tag) is not unique on this view, so the top-k cut
     // must order on ALL columns before limiting — boundary rows that
@@ -382,17 +382,20 @@ object SparkEntry {
         k = 5, nprobe = 8)
     }),
     // ---- pricing summary (TPC-H Q1 shape): the canonical columnar-agg
-    // workload; exact decimal sums, avg via decimal-sum/count
+    // workload. Exact sums via SCALED LONGS: the monetary columns carry
+    // fixed 2/4-decimal precision, so round(x*scale) is the exact
+    // integer and long addition beats Spark's >18-precision decimal
+    // (BigDecimal-backed) 2x — the int64-backed layout fast engines use
     "x_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-          (sum(col("l_discount").cast("decimal(18,4)")).cast("double")
+          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base"),
+          (sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
+            .cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(round(col("l_discount") * 10000).cast("long")) / 10000.0
             / count(lit(1))).as("avg_disc"),
           count(lit(1)).cast("double").as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -407,8 +410,8 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        .agg((sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
+          .cast("long")) / 10000.0).as("revenue"),
           count(lit(1)).cast("double").as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -421,8 +424,8 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .filter(col("l_suppkey") <= 3)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).over(w)
-            .cast("double").as("running"))
+          (sum(round(col("l_extendedprice") * 100).cast("long")).over(w)
+            / 100.0).as("running"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
     // ---- composite pipeline: quality-filter → exact-dedup survivors →
@@ -481,7 +484,7 @@ object SparkEntry {
     "x_rollup_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
           count(lit(1)).cast("double").as("n_rows"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
