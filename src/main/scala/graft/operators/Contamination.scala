@@ -44,6 +44,29 @@ object Contamination {
       .orderBy(col(idCol))
   }
 
+  /** Scale variant of [[flag]]: shingle identity is the 64-bit
+    * composite hash ([[Dedup.shingleHashes]]) — no shingle strings are
+    * materialized or broadcast, the eval side ships 8-byte longs. Same
+    * output modulo negligible 64-bit collisions (spec asserts equality
+    * with [[flag]] on the fixture). Use this at corpus scale; [[flag]]
+    * stays for the string-level oracle.
+    */
+  def flagHashed(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val c = Dedup.shingleHashes(corpus, n, textCol, idCol)
+    val e = Dedup.shingleHashes(evalSet, n, textCol, idCol)
+      .select(col("h")).distinct().withColumn("__hit", lit(1))
+    c.join(broadcast(e), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("__hit")).as("n_overlap"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_overlap") > 0)
+      .select(col("id").as(idCol), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"))
+      .orderBy(col(idCol))
+  }
+
   /** The corpus with contaminated docs removed (overlap fraction above
     * `maxOverlap`): the apply-side of [[flag]].
     */

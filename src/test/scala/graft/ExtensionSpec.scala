@@ -185,6 +185,17 @@ class ExtensionSpec extends SparkSpec {
     val tolerant = Contamination.scrub(corpus, eval, n = 3, maxOverlap = 0.9)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(tolerant == Set(1L, 2L))
+
+    // the hash-shingle scale variant produces the same flags as the
+    // string formulation (here and on real fixture data)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(Contamination.flagHashed(corpus, eval, n = 3)) ==
+      rows(Contamination.flag(corpus, eval, n = 3)))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(rows(Contamination.flagHashed(docs.filter($"doc_id" >= 20),
+        docs.filter($"doc_id" < 20), n = 3)) ==
+      rows(Contamination.flag(docs.filter($"doc_id" >= 20),
+        docs.filter($"doc_id" < 20), n = 3)))
   }
 
   test("quota sampling: per-group caps, determinism, subset of input") {
