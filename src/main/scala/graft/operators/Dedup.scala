@@ -201,9 +201,15 @@ object Dedup {
     // checkpoint the (possibly expensive) pair pipeline ONCE, before it
     // is read twice to build both edge directions
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    // small graphs: the iteration cost is per-task scheduling, not data —
+    // run them single-partition (at scale the count keeps full
+    // parallelism; AQE handles the in-between)
+    val edges =
+      if (edges0.count() < 100000) edges0.coalesce(1).localCheckpoint()
+      else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var converged = false
