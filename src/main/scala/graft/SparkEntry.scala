@@ -94,6 +94,28 @@ object SparkEntry {
       coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
       .orderBy(col("event_id"))
 
+  /** Exact monetary sum via scaled integers, accumulated in
+    * decimal(38,0): `round(x*scale)` is the exact integer for fixed
+    * 2/4-decimal columns, and summing it as 38-digit decimal keeps the
+    * integer fast path with NO overflow ceiling — a LongType sum hits
+    * ANSI ARITHMETIC_OVERFLOW past ~9.2e18 (≈9e9 rows of 1e9-magnitude
+    * scaled values in one group, reachable in a true 100 TB single-group
+    * sum). The decimal division (scale 6 ≥ the 2/4 digits carried) is
+    * exact, so the final cast to double rounds ONCE — same semantics as
+    * the DuckDB oracle's `CAST(decimal_sum AS DOUBLE)` at any magnitude,
+    * where the old `double(long_sum)/scale` could differ in the last ulp
+    * past 2^53.
+    */
+  private[graft] def scaledSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    (sum(round(c * scale).cast("long").cast("decimal(38,0)")) / lit(scale)).cast("double")
+
+  /** The decimal(38,0) scaled accumulator itself (undivided) — for the
+    * avg-of-scaled shape where the oracle divides the decimal sum before
+    * other arithmetic.
+    */
+  private def scaledSumRaw(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(round(c * scale).cast("long").cast("decimal(38,0)"))
+
   private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
     (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
 
@@ -249,7 +271,7 @@ object SparkEntry {
     "ts2_li_group_tag_sum" -> ((s, dir) =>
       Tables.tsLineitem(s, dir)
         .groupBy(col("tag").as("grp"))
-        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("result"))
+        .agg(scaledSum(col("value"), 100).as("result"))
         .orderBy(asc("grp"))),
     // (timestamp, tag) is not unique on this view, so the top-k cut
     // must order on ALL columns before limiting — boundary rows that
@@ -382,20 +404,22 @@ object SparkEntry {
         k = 5, nprobe = 8)
     }),
     // ---- pricing summary (TPC-H Q1 shape): the canonical columnar-agg
-    // workload. Exact sums via SCALED LONGS: the monetary columns carry
-    // fixed 2/4-decimal precision, so round(x*scale) is the exact
-    // integer and long addition beats Spark's >18-precision decimal
-    // (BigDecimal-backed) 2x — the int64-backed layout fast engines use
+    // workload. Exact sums via SCALED INTEGERS ([[scaledSum]]): the
+    // monetary columns carry fixed 2/4-decimal precision, so
+    // round(x*scale) is the exact integer; accumulating it in
+    // decimal(38,0) keeps integer exactness (no BigDecimal
+    // multiplication — the expensive part of decimal aggregation) with
+    // no overflow ceiling
     "x_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base"),
-          (sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
-            .cast("long")) / 10000.0).as("sum_disc_price"),
-          (sum(round(col("l_discount") * 10000).cast("long")) / 10000.0
+          scaledSum(col("l_quantity"), 100).as("sum_qty"),
+          scaledSum(col("l_extendedprice"), 100).as("sum_base"),
+          scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+            .as("sum_disc_price"),
+          ((scaledSumRaw(col("l_discount"), 10000) / lit(10000)).cast("double")
             / count(lit(1))).as("avg_disc"),
           count(lit(1)).cast("double").as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -410,8 +434,8 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg((sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
-          .cast("long")) / 10000.0).as("revenue"),
+        .agg(scaledSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("revenue"),
           count(lit(1)).cast("double").as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -424,8 +448,8 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .filter(col("l_suppkey") <= 3)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")).over(w)
-            / 100.0).as("running"))
+          ((sum(round(col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)"))
+            .over(w) / lit(100)).cast("double")).as("running"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
     // ---- composite pipeline: quality-filter → exact-dedup survivors →
@@ -484,7 +508,7 @@ object SparkEntry {
     "x_rollup_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+        .agg(scaledSum(col("l_quantity"), 100).as("sum_qty"),
           count(lit(1)).cast("double").as("n_rows"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
