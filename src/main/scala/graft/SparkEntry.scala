@@ -94,27 +94,30 @@ object SparkEntry {
       coalesce(col("asof_err_value"), lit(-1.0)).as("asof_err_value"))
       .orderBy(col("event_id"))
 
-  /** Exact monetary sum via scaled integers, accumulated in
-    * decimal(38,0): `round(x*scale)` is the exact integer for fixed
-    * 2/4-decimal columns, and summing it as 38-digit decimal keeps the
-    * integer fast path with NO overflow ceiling — a LongType sum hits
-    * ANSI ARITHMETIC_OVERFLOW past ~9.2e18 (≈9e9 rows of 1e9-magnitude
-    * scaled values in one group, reachable in a true 100 TB single-group
-    * sum). The decimal division (scale 6 ≥ the 2/4 digits carried) is
-    * exact, so the final cast to double rounds ONCE — same semantics as
-    * the DuckDB oracle's `CAST(decimal_sum AS DOUBLE)` at any magnitude,
-    * where the old `double(long_sum)/scale` could differ in the last ulp
-    * past 2^53.
+  /** Exact monetary sum via scaled integers, accumulated in a 128-bit
+    * integer ([[graft.functions.Sum128]]): `round(x*scale)` is the exact
+    * integer for fixed 2/4-decimal columns, and the int128 accumulator
+    * keeps long-speed primitive aggregation with NO overflow ceiling —
+    * a LongType sum hits ANSI ARITHMETIC_OVERFLOW past ~9.2e18 (≈9e9
+    * rows of 1e9-magnitude scaled values in one group, reachable in a
+    * true 100 TB single-group sum), and a decimal(38,0) accumulator is
+    * exact but ~2× slower (per-update BigDecimal allocation). The
+    * decimal division of the final sum (scale 6 ≥ the 2/4 digits
+    * carried) is exact, so the cast to double rounds ONCE — same
+    * semantics as the DuckDB oracle's `CAST(decimal_sum AS DOUBLE)` at
+    * any magnitude, where `double(long_sum)/scale` could differ in the
+    * last ulp past 2^53. Callers must `NumericFunctions.register(s)`.
     */
   private[graft] def scaledSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    (sum(round(c * scale).cast("long").cast("decimal(38,0)")) / lit(scale)).cast("double")
+    (graft.functions.NumericFunctions.sum128(round(c * scale).cast("long")) / lit(scale))
+      .cast("double")
 
-  /** The decimal(38,0) scaled accumulator itself (undivided) — for the
-    * avg-of-scaled shape where the oracle divides the decimal sum before
-    * other arithmetic.
+  /** The int128 scaled accumulator itself (undivided decimal(38,0)) —
+    * for the avg-of-scaled shape where the oracle divides the decimal
+    * sum before other arithmetic.
     */
   private def scaledSumRaw(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    sum(round(c * scale).cast("long").cast("decimal(38,0)"))
+    graft.functions.NumericFunctions.sum128(round(c * scale).cast("long"))
 
   private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
     (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
@@ -268,11 +271,13 @@ object SparkEntry {
     // (shipdate × returnflag × extendedprice; multi-row timestamp groups)
     // decimal sum: order-independent exactness at 1e9 magnitudes where
     // round(double-sum) could still straddle a boundary
-    "ts2_li_group_tag_sum" -> ((s, dir) =>
+    "ts2_li_group_tag_sum" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
       Tables.tsLineitem(s, dir)
         .groupBy(col("tag").as("grp"))
         .agg(scaledSum(col("value"), 100).as("result"))
-        .orderBy(asc("grp"))),
+        .orderBy(asc("grp"))
+    }),
     // (timestamp, tag) is not unique on this view, so the top-k cut
     // must order on ALL columns before limiting — boundary rows that
     // tie on the full triple are value-identical, so the cut is stable
@@ -410,7 +415,8 @@ object SparkEntry {
     // decimal(38,0) keeps integer exactness (no BigDecimal
     // multiplication — the expensive part of decimal aggregation) with
     // no overflow ceiling
-    "x_pricing_summary" -> ((s, dir) =>
+    "x_pricing_summary" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -422,10 +428,12 @@ object SparkEntry {
           ((scaledSumRaw(col("l_discount"), 10000) / lit(10000)).cast("double")
             / count(lit(1))).as("avg_disc"),
           count(lit(1)).cast("double").as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     // ---- relational analytics at scale: star join with broadcast dims
-    // (decimal sums => order-independent, exact cross-engine compare)
+    // (int128 scaled sums => order-independent, exact cross-engine compare)
     "x_join_revenue_by_nation" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -442,13 +450,15 @@ object SparkEntry {
     // ---- window function: per-supplier running revenue in ship order
     "x_window_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      graft.functions.NumericFunctions.register(s)
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .filter(col("l_suppkey") <= 3)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          ((sum(round(col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)"))
+          ((graft.functions.NumericFunctions.sum128(
+            round(col("l_extendedprice") * 100).cast("long"))
             .over(w) / lit(100)).cast("double")).as("running"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
@@ -505,7 +515,8 @@ object SparkEntry {
     // ---- rollup: hierarchical subtotal grid over the pricing keys
     // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
     // of the compare)
-    "x_rollup_pricing" -> ((s, dir) =>
+    "x_rollup_pricing" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(scaledSum(col("l_quantity"), 100).as("sum_qty"),
@@ -513,7 +524,8 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n_rows"))
-        .orderBy(col("rf"), col("ls"))),
+        .orderBy(col("rf"), col("ls"))
+    }),
     // ---- vocabulary: global top-100 tokens by frequency (the vocab-
     // building sweep; deterministic tie order by token)
     "x_token_vocab" -> ((s, dir) =>

@@ -397,8 +397,21 @@ class ExtensionSpec extends SparkSpec {
     assert(err.getMessage.contains("ARITHMETIC_OVERFLOW")
       || Option(err.getCause).exists(_.getMessage.contains("ARITHMETIC_OVERFLOW")),
       s"expected the long accumulator to overflow loudly, got: ${err.getMessage}")
+    graft.functions.NumericFunctions.register(spark)
     val r = big.agg(SparkEntry.scaledSum(col("v"), 100).as("s")).head().getDouble(0)
-    assert(math.abs(r - 1.8e17) < 1e3, s"decimal accumulator wrong: $r")
+    assert(math.abs(r - 1.8e17) < 1e3, s"int128 accumulator wrong: $r")
+    // the raw aggregate agrees with a decimal(38,0) accumulation on
+    // values of both signs (carry/sign-extension paths), incl. repartition
+    val mixed = Seq(9.0e16, -4.5e16, 9.0e16, -1.0, 0.5).toDF("v").repartition(3)
+    val viaInt128 = mixed.agg(graft.functions.NumericFunctions
+      .sum128(round(col("v") * 100).cast("long"))).head().getDecimal(0)
+    val viaDecimal = mixed.agg(sum(round(col("v") * 100).cast("long")
+      .cast("decimal(38,0)"))).head().getDecimal(0)
+    assert(viaInt128.compareTo(viaDecimal) == 0, s"$viaInt128 != $viaDecimal")
+    // empty input => null, like sum
+    assert(big.filter(col("v") < 0)
+      .agg(graft.functions.NumericFunctions.sum128(col("v").cast("long")))
+      .head().isNullAt(0))
   }
 
   test("multimodal: resize plan preserves aspect ratio, small images untouched") {
