@@ -188,25 +188,127 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Connected components over a near-duplicate pair list
-    * (id_a, id_b): label propagation to fixpoint — each node adopts the
-    * minimum id reachable so far. The standard way to turn pairwise
-    * similarity into duplicate CLUSTERS (a~b, b~c ⇒ {a,b,c} keep one).
+  /** Connected components over a near-duplicate pair list (id_a, id_b)
+    * by alternating large-star / small-star contraction — the standard
+    * way to turn pairwise similarity into duplicate CLUSTERS (a~b, b~c
+    * ⇒ {a,b,c} keep one).
     *
-    * Iterations are O(diameter); each is one join + one groupBy over
-    * the edge list, checkpointed to cut lineage. Deterministic (min is
-    * order-free). Returns (id, component) with component = min member.
+    * Rounds are O(log n) regardless of graph shape (vs label
+    * propagation's O(diameter), which a pathological duplicate CHAIN in
+    * a 100 TB corpus can stretch arbitrarily): each round hangs every
+    * node's larger neighbors off its local minimum (large-star), then
+    * contracts the remaining smaller neighbors onto it (small-star),
+    * roughly halving every component's height. Each phase is one
+    * groupBy + one join over the edge list; at the fixpoint the edges
+    * ARE the star (member → min-id root) assignment. Deterministic (min
+    * is order-free). Returns (id, component) with component = min
+    * member.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // checkpoint the (possibly expensive) pair pipeline ONCE, before it
-    // is read twice to build both edge directions
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponents(pairs, maxIter, smallCutoff = 100000)
+
+  /** [[connectedComponents]] with an explicit small-graph cutoff —
+    * below it the (deduped, narrow) edge list is collected and solved
+    * by driver-side union-find. A sub-100k-edge graph is kilobytes; the
+    * distributed contraction's per-round shuffles are pure scheduling
+    * overhead at that size, while DSU is O(E α(E)) in microseconds.
+    * This is a bounded fast path, not the algorithm: the star
+    * contraction below is the 100 TB path, and the spec pins both to
+    * identical outputs.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
+                                         smallCutoff: Long): DataFrame = {
+    // checkpoint the (possibly expensive) pair pipeline ONCE
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // canonical directed edges (big > small); self-pairs dropped
+    var edges = p.select(greatest(col("id_a"), col("id_b")).as("big"),
+        least(col("id_a"), col("id_b")).as("small"))
+      .filter(col("big") =!= col("small")).distinct().localCheckpoint()
+
+    if (edges.count() < smallCutoff) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by min id => the surviving root IS the component label
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = parent.keySet ++ parent.values
+      return nodes.toSeq.map(n => (n, find(n))).sorted
+        .toDF("id", "component")
+    }
+
+    // convergence = identical edge set two rounds running, checked by
+    // (count, hash-xor) — one scan-only aggregate, no except() join
+    // (xor, not sum: summing 64-bit hashes overflows under ANSI; xor is
+    // closed, and the edge sets are distinct so cancellation needs a
+    // hash collision)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("big"), col("small"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prevSig = sig(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: around each center u, point every LARGER neighbor v
+      // at m = min(Γ(u) ∪ {u}) — each undirected edge is processed at
+      // its smaller endpoint's neighborhood
+      val sym = edges.select(col("big").as("u"), col("small").as("v"))
+        .unionAll(edges.select(col("small").as("u"), col("big").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("big"), least(col("mn"), col("u")).as("small"))
+        .filter(col("big") =!= col("small"))
+        .distinct()
+      // small-star: around each center (the big endpoint), contract its
+      // smaller neighbors and itself onto m = min of them
+      val smins = ls.groupBy(col("big")).agg(min(col("small")).as("mn"))
+      val joined = ls.join(smins, "big")
+      val ss = joined.select(col("big"), col("mn").as("small"))
+        .unionAll(joined.filter(col("small") =!= col("mn"))
+          .select(col("small").as("big"), col("mn").as("small")))
+        .distinct().localCheckpoint()
+      val s = sig(ss)
+      converged = s == prevSig
+      prevSig = s
+      edges = ss
+      i += 1
+    }
+    if (!converged)
+      // star contraction converges in O(log n) rounds; not converging
+      // inside maxIter means something is deeply wrong with the input
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter iterations; components may be split")
+    // fixpoint edges are (member, root) stars; roots label themselves
+    edges.select(col("big").as("id"), col("small").as("component"))
+      .unionAll(edges.select(col("small").as("id"), col("small").as("component")))
+      .distinct()
+      .orderBy(col("id"))
+  }
+
+  /** Min-label propagation to fixpoint — the O(diameter)-round ground
+    * truth [[connectedComponents]]'s star contraction is spec-checked
+    * against. Each node adopts the minimum id reachable so far; one
+    * join + one groupBy per round with a fused convergence flag.
+    */
+  private[graft] def connectedComponentsLabelProp(pairs: DataFrame,
+                                                  maxIter: Int = 20): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val edges0 = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    // small graphs: the iteration cost is per-task scheduling, not data —
-    // run them single-partition (at scale the count keeps full
-    // parallelism; AQE handles the in-between)
     val edges =
       if (edges0.count() < 100000) edges0.coalesce(1).localCheckpoint()
       else edges0
@@ -234,10 +336,8 @@ object Dedup {
       i += 1
     }
     if (!converged)
-      // min-label propagation needs up to graph-diameter rounds: a
-      // longer duplicate chain than maxIter would silently split
       System.err.println(
-        s"[graft] connectedComponents: NOT converged after $maxIter iterations; components may be split")
+        s"[graft] connectedComponentsLabelProp: NOT converged after $maxIter iterations")
     labels.orderBy(col("id"))
   }
 
@@ -254,17 +354,41 @@ object Dedup {
 
   /** 64-bit SimHash per document: bit j set iff the sum over distinct
     * tokens of ±1 (sign = bit j of xxhash64(token)) is positive.
-    * Pure array expressions — no explode, no shuffle beyond none.
+    *
+    * Auto-dispatches per row: documents within the SWAR fold's
+    * 32767-distinct-token counter width take the shuffle-free
+    * [[simhashSwar]] path; wider documents are routed through
+    * [[simhashViaExplode]] (identical bits, one shuffle) instead of
+    * failing — a degenerate 100 TB corpus row can't abort the job.
     */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // SWAR bit-count: fold token hashes into 16 longs, each packing 4
-    // 16-bit counters (counter j lives in accumulator j%16, lane j/16).
-    // One narrow per-row fold — no explode, no shuffle, and only 16
-    // branches in the fold so it stays inside whole-stage codegen.
-    // 16-bit lanes count up to 32767 distinct tokens (top lane touches
-    // the sign bit past that, which ANSI addExact would reject); the
-    // assert below makes the limit LOUD — beyond it, callers should use
-    // [[simhashViaExplode]] (identical result, one shuffle).
+    // ONE scan computes every signature, emitting null where the
+    // document exceeds the fold's counter width; the result is
+    // materialized (narrow: 16 bytes/doc), so detecting whether any
+    // wide row exists is a metadata-cheap driver check, NOT a second
+    // pass over the corpus text. Only when wide rows actually exist —
+    // degenerate at any realistic corpus — are exactly those documents
+    // re-read (semi-joined by id) through the explode ground truth.
+    val swarAll = simhashSwarOrNull(docs, textCol, idCol).localCheckpoint()
+    val wideIds = swarAll.filter(col("simhash").isNull).select(col("id"))
+    if (wideIds.isEmpty) swarAll
+    else {
+      val wide = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(broadcast(wideIds), "id")
+      swarAll.filter(col("simhash").isNotNull)
+        .unionByName(simhashViaExplode(wide, "__text", "id"))
+    }
+  }
+
+  /** SWAR SimHash — the shuffle-free fast path. Bit-counts fold token
+    * hashes into 16 longs, each packing 4 16-bit counters (counter j
+    * lives in accumulator j%16, lane j/16). One narrow per-row fold —
+    * no explode, no shuffle, and only 16 branches in the fold so it
+    * stays inside whole-stage codegen. Past 32767 distinct tokens a
+    * lane would carry into its neighbor, so such rows yield NULL (never
+    * a silently-corrupt signature) and [[simhash]] reroutes them.
+    */
+  private def simhashSwarOrNull(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = array_distinct(split(col(textCol), " "))
     val hashes = transform(toks, t => xxhash64(t))
     val mask = lit(0x0001000100010001L)
@@ -274,15 +398,12 @@ object Dedup {
         (a.getField(s"a$k") + shiftright(h, k).bitwiseAND(mask)).as(s"a$k")): _*))
     val staged = docs.select(col(idCol).as("id"), size(toks).as("n"),
       folded.as("acc")) // materialize: 64 extractions below share one fold
-      .filter(coalesce(assert_true(col("n") <= 32767,
-        lit("simhash: document exceeds 32767 distinct tokens; use simhashViaExplode")),
-        lit(true)))
     val sim = (0 until 64).map { j =>
       val cnt = shiftright(col("acc").getField(s"a${j % 16}"), 16 * (j / 16))
         .bitwiseAND(0xffff)
       when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    staged.select(col("id"), sim.as("simhash"))
+    staged.select(col("id"), when(col("n") <= 32767, sim).as("simhash"))
   }
 
   /** Ground-truth SimHash via explode + 64 codegen'd aggregates: exactly
@@ -311,10 +432,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // materialize signatures once — BOTH self-join legs read them, and
-    // (id, simhash) is 16 bytes/doc, far cheaper than re-running the
-    // token fold per leg
-    val sh = simhash(docs, textCol, idCol).localCheckpoint()
+    // signatures are materialized once inside simhash (16 bytes/doc);
+    // BOTH self-join legs read that checkpoint, never the token fold
+    val sh = simhash(docs, textCol, idCol)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffff)): _*)))

@@ -70,6 +70,35 @@ class ExtensionSpec extends SparkSpec {
     assert(survivors.toSeq == Seq((1L, 3.0), (7L, 2.0)))
   }
 
+  test("star-contraction CC: 50-hop chain converges in O(log n) rounds, no warning") {
+    // a duplicate CHAIN is the label-propagation killer (O(diameter)
+    // rounds); star contraction (smallCutoff = 0 forces the distributed
+    // path) must close it well inside maxIter and stay silent
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val star = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Dedup.connectedComponents(chain, maxIter = 30, smallCutoff = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally System.setErr(prevErr)
+    assert(star == (0L to 50L).map(_ -> 0L).toMap)
+    assert(!errBuf.toString.contains("NOT converged"),
+      s"star contraction did not converge: ${errBuf.toString}")
+    // the driver-side union-find fast path agrees exactly
+    val dsu = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dsu == star)
+    // all three formulations agree on branchy graphs (cycles + ring)
+    val branchy = (Seq((10L, 20L), (20L, 30L), (30L, 10L), (40L, 50L)) ++
+      (0L until 8L).map(i => (100L + i, 100L + (i + 1) % 8))).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = m(Dedup.connectedComponents(branchy, maxIter = 30, smallCutoff = 0))
+    assert(viaStar == m(Dedup.connectedComponentsLabelProp(branchy)))
+    assert(viaStar == m(Dedup.connectedComponents(branchy)))
+  }
+
   test("end-to-end dedup: minhash pairs -> clusters over the fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashPairs(docs, n = 3, k = 64, bands = 16,
@@ -97,6 +126,21 @@ class ExtensionSpec extends SparkSpec {
     val swar = Dedup.simhash(big).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val truth = Dedup.simhashViaExplode(big).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(swar == truth)
+  }
+
+  test("simhash auto-dispatch: >32767-distinct-token doc flows through, bits exact") {
+    // past the 16-bit SWAR lane width the fold would corrupt silently;
+    // simhash() must route such rows through the explode path with no
+    // caller changes and no assert failure
+    val wide = Seq(
+      (0L, (1 to 33000).map(i => s"tok$i").mkString(" ")), // > 32767 distinct
+      (1L, "small doc few tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhash(wide).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Dedup.simhashViaExplode(wide).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got == truth)
   }
 
   private lazy val vecs = Seq(
