@@ -76,14 +76,17 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
         corsHeaders(ex)
         ex.sendResponseHeaders(200, 0) // length 0 => chunked streaming
         val os = ex.getResponseBody
-        // a failure mid-stream cannot un-send the 200: log the root
-        // cause and stop writing — the truncated body is NEVER valid
-        // JSON (the closing bracket is written last), so clients detect
-        // it. Rethrowing would reach handle()'s respond(500) on a
-        // committed exchange, masking this error with IllegalStateException.
+        // a NON-FATAL failure mid-stream cannot un-send the 200: log the
+        // root cause and stop writing — the truncated body is NEVER
+        // valid JSON (the closing bracket is written last), so clients
+        // detect it. Rethrowing would reach handle()'s respond(500) on a
+        // committed exchange, masking this error with
+        // IllegalStateException. Fatal JVM errors (OOM, VM errors,
+        // interrupts) propagate — swallowing those would hide a dying
+        // server behind a quiet truncated download.
         try QueryJson.streamResult(qm, df, os)
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft] export failed mid-stream (body truncated): $e")
         } finally os.close()
       case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")

@@ -74,13 +74,20 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
 
   /** A `seg/g_day=<d>` line is one partition entry; a bare `seg` line
     * (manifest written by the pre-partition-entry format) expands to all
-    * of that segment's day partitions — old stores keep reading.
+    * of that segment's day partitions — old stores keep reading. A
+    * missing segment directory fails with the same documented
+    * "removed by vacuum" message as a missing manifest, not an opaque
+    * NoSuchFileException from the directory walk.
     */
   private def parseLine(line: String): Seq[Entry] = {
     val i = line.indexOf("/g_day=")
     if (i > 0) Seq(Entry(line.substring(0, i), line.substring(i + 7).toLong))
-    else listDir(root.resolve(line)).filter(_.startsWith("g_day="))
-      .map(d => Entry(line, d.stripPrefix("g_day=").toLong))
+    else {
+      require(Files.exists(root.resolve(line)),
+        s"segment $line not found (removed by vacuum?)")
+      listDir(root.resolve(line)).filter(_.startsWith("g_day="))
+        .map(d => Entry(line, d.stripPrefix("g_day=").toLong))
+    }
   }
 
   private def liveEntries(): Seq[Entry] =
@@ -98,6 +105,12 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     else entries.groupBy(_.seg).toSeq.sortBy(_._1).map { case (seg, es) =>
+      // a reaped segment should fail with the documented vacuum message,
+      // not Spark's PATH_NOT_FOUND, so every vacuumed-history read path
+      // (manifest gone, bare-seg dir gone, partition files gone) reports
+      // the same cause
+      require(Files.exists(root.resolve(seg)),
+        s"segment $seg not found (removed by vacuum?)")
       spark.read.schema(readSchema).parquet(root.resolve(seg).toString)
         .filter(col("g_day").isin(es.map(_.day): _*))
     }.reduce(_ unionByName _) // filters/pruning push into every child scan
@@ -165,24 +178,27 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   /** Atomically publish a new manifest listing `entries`.
     *
     * The manifest move stays put-if-absent (no REPLACE_EXISTING): a
-    * second store instance racing on the same path hits
+    * second store instance racing on the same version number hits
     * FileAlreadyExistsException instead of silently overwriting a
     * committed manifest (the CURRENT swap is inherently last-wins, so
-    * put-if-absent is the only loud signal a cross-process race gets).
-    * A crash between the manifest move and the CURRENT swap leaves an
-    * orphan v<N> no reader can reach — detected here by CURRENT not
-    * naming it — which is deleted and retried rather than bricking
-    * every later commit.
+    * put-if-absent is the only loud signal a cross-process race gets;
+    * single-writer discipline remains the operating requirement, as for
+    * mutations). A crash between the manifest move and the CURRENT swap
+    * leaves an orphan v<N> no reader can reach — it is SKIPPED, never
+    * deleted: the next commit targets one past the highest manifest on
+    * disk, so a racing writer's just-moved manifest (indistinguishable
+    * from a crash orphan in that window) is never destroyed, and true
+    * orphans are reaped by [[vacuum]] once superseded.
     */
   private def commit(entries: Seq[Entry]): Unit = synchronized {
     val current =
       if (!Files.exists(currentPtr)) None
       else Some(Files.readString(currentPtr).trim)
-    val version = current.fold(0L)(_.stripPrefix("v").stripSuffix(".manifest").toLong + 1L)
+    val curVersion = current
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).getOrElse(-1L)
+    val version = math.max(curVersion, versions.lastOption.getOrElse(-1L)) + 1L
     val name = s"v$version.manifest"
     val target = root.resolve(name)
-    if (Files.exists(target) && !current.contains(name))
-      Files.delete(target) // crash orphan: unreachable by construction
     val tmp = Files.createTempFile(root, ".tmp-manifest", "")
     Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)

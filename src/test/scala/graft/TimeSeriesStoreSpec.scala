@@ -232,6 +232,29 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.vacuum() == 0) // nothing unreachable => no-op
   }
 
+  test("commit skips a foreign/orphan manifest (never deletes it); vacuum reaps it later") {
+    val dir = Files.createTempDirectory("graft-orphan")
+    val st = new TimeSeriesStore(spark, dir.toString)
+    st.insert(Seq(TS(1L, "a", 1.0)).toDS()) // v0, CURRENT=v0
+    // simulate the cross-process race window: another writer (or a
+    // crashed commit) moved v1.manifest into place but never swapped
+    // CURRENT — the next commit must step past it, not destroy it
+    val foreign = dir.resolve("v1.manifest")
+    Files.writeString(foreign, "seg-foreign/g_day=0")
+    assert(st.insert(Seq(TS(2L, "b", 2.0)).toDS()).isRight)
+    assert(Files.readString(foreign) == "seg-foreign/g_day=0") // untouched
+    assert(Files.readString(dir.resolve("CURRENT")).trim == "v2.manifest")
+    assert(st.current().count() == 2)
+    // a manifest whose segment is gone fails with the documented
+    // message, not an opaque path error
+    val err = intercept[IllegalArgumentException](st.versionAsOf(1))
+    assert(err.getMessage.contains("vacuum"))
+    // once superseded, the unreachable orphan is vacuum's to reap
+    st.vacuum()
+    assert(!Files.exists(foreign))
+    assert(st.current().count() == 2)
+  }
+
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
     val st = freshStore()
     st.insert(base.toDS())
