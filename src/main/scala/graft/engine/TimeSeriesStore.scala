@@ -322,22 +322,30 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     if (segmentCount > 1) commit(writeSegment(current()))
   }
 
-  /** Delete segment directories with no partition reachable from the
-    * CURRENT manifest, plus superseded manifest files — the Delta
-    * VACUUM analogue, bounding disk growth after mutations/compaction.
-    * Readers still holding pre-vacuum snapshots lose their files (the
-    * same trade as VACUUM with zero retention — run it when no long
-    * snapshot readers exist). Returns the number of paths removed.
+  /** Delete paths unreferenced by the CURRENT manifest — unreachable
+    * segment directories, orphaned day partitions inside live segments,
+    * superseded manifests — the Delta VACUUM analogue, bounding disk
+    * growth after mutations/compaction. Returns the number of paths
+    * removed.
     *
-    * Cross-process safety (single-writer discipline still required,
-    * as for mutations): only manifests with a version BELOW the
-    * current one are deleted, and only segment dirs strictly older
-    * than the published manifest — an in-flight commit's fresh
-    * segment/manifest (always a new uuid dir / higher version) is
-    * never touched, so a racing writer loses its commit loudly in
-    * commit(), never silently here.
+    * `retentionMs` is the Delta-style grace period: only paths whose
+    * last modification is older than now − retentionMs are reaped. That
+    * protects (a) an IN-FLIGHT commit — its freshly-written segment /
+    * just-moved manifest is seconds old, regardless of how object
+    * stores report directory times (the previous guard compared against
+    * the published manifest's mtime, which object stores don't preserve
+    * faithfully), and (b) readers still holding recent pre-vacuum
+    * snapshots. The default keeps an hour of history; pass 0 for the
+    * reap-everything maintenance mode (the zero-retention trade: any
+    * concurrent reader/writer loses its files). Version numbers stay
+    * monotonic because [[commit]] steps past every manifest on disk,
+    * reaped or not.
     */
-  def vacuum(): Int = this.synchronized {
+  def vacuum(retentionMs: Long = 3600000L): Int = this.synchronized {
+    require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < cutoff
     val liveBySeg = liveEntries().groupBy(_.seg).map { case (s, es) =>
       s -> es.map(d => s"g_day=${d.day}").toSet
     }
@@ -345,8 +353,6 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim) else None
     val curVersion = currentName
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).getOrElse(-1L)
-    val curMtime = currentName.map(n =>
-      Files.getLastModifiedTime(root.resolve(n)).toMillis).getOrElse(Long.MaxValue)
     var removed = 0
     def rmTree(p: Path): Unit = {
       val walk = Files.walk(p)
@@ -357,18 +363,21 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     }
     listDir(root).foreach { name =>
       if (name.startsWith("seg-")) liveBySeg.get(name) match {
-        case None => // no live partition — but keep dirs at least as new
-          // as the published manifest (possible in-flight commit)
-          if (Files.getLastModifiedTime(root.resolve(name)).toMillis < curMtime)
+        case None => // whole segment unreachable (possibly an in-flight
+          // commit's fresh segment — the age guard is what protects it)
+          if (oldEnough(root.resolve(name)))
             rmTree(root.resolve(name))
         case Some(liveDays) => // partition-scoped mutations orphan single
           // day dirs inside otherwise-live segments — reap those too
           listDir(root.resolve(name))
             .filter(d => d.startsWith("g_day=") && !liveDays.contains(d))
-            .foreach(d => rmTree(root.resolve(name).resolve(d)))
+            .map(d => root.resolve(name).resolve(d))
+            .filter(oldEnough)
+            .foreach(rmTree)
       }
       else if (name.endsWith(".manifest") &&
-        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion) {
+        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion &&
+        oldEnough(root.resolve(name))) {
         Files.delete(root.resolve(name))
         removed += 1
       }

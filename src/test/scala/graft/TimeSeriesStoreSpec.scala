@@ -201,7 +201,7 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.versionAsOf(1).count() == 2)
     assert(st.versionAsOf(1).filter($"timestamp" === 1L).head().getDouble(2) == 1.0)
     assert(st.current().filter($"timestamp" === 1L).head().getDouble(2) == 9.0)
-    st.vacuum()
+    st.vacuum(0)
     assert(st.versions == Seq(2L)) // history reaped
     val err = intercept[IllegalArgumentException](st.versionAsOf(0))
     assert(err.getMessage.contains("vacuum"))
@@ -220,7 +220,7 @@ class TimeSeriesStoreSpec extends SparkSpec {
     def segDirs = dir.toFile.list().toSeq.filter(_.startsWith("seg-"))
     def manifests = dir.toFile.list().toSeq.filter(_.endsWith(".manifest"))
     assert(segDirs.size == 4 && manifests.size == 4) // garbage accumulated
-    val removed = st.vacuum()
+    val removed = st.vacuum(0)
     assert(removed > 0)
     assert(segDirs.size == 1 && manifests.size == 1) // only live state left
     // data unharmed, store still mutable
@@ -228,8 +228,8 @@ class TimeSeriesStoreSpec extends SparkSpec {
       == Seq(1.0, 3.0, 99.0))
     assert(st.insert(Seq(TS(5L, "z", 7.0)).toDS()).isRight)
     assert(st.current().count() == 4)
-    assert(st.vacuum() == 1) // just the manifest the insert superseded
-    assert(st.vacuum() == 0) // nothing unreachable => no-op
+    assert(st.vacuum(0) == 1) // just the manifest the insert superseded
+    assert(st.vacuum(0) == 0) // nothing unreachable => no-op
   }
 
   test("commit skips a foreign/orphan manifest (never deletes it); vacuum reaps it later") {
@@ -250,9 +250,42 @@ class TimeSeriesStoreSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](st.versionAsOf(1))
     assert(err.getMessage.contains("vacuum"))
     // once superseded, the unreachable orphan is vacuum's to reap
-    st.vacuum()
+    st.vacuum(0)
     assert(!Files.exists(foreign))
     assert(st.current().count() == 2)
+  }
+
+  test("vacuum retention: a fresh in-flight commit survives, aged garbage is reaped") {
+    val dir = Files.createTempDirectory("graft-retention")
+    val st = new TimeSeriesStore(spark, dir.toString)
+    st.insert(Seq(TS(1L, "a", 1.0)).toDS())
+    st.insert(Seq(TS(2L, "b", 2.0)).toDS())
+    st.compact() // leaves two unreferenced segments + superseded manifests
+    // simulate a concurrent writer mid-commit: segment written, manifest
+    // moved, CURRENT not yet swapped — everything seconds old
+    val inflightSeg = dir.resolve("seg-inflight")
+    Files.createDirectories(inflightSeg.resolve("g_day=0"))
+    Files.writeString(inflightSeg.resolve("g_day=0").resolve("part-0.parquet"), "x")
+    val inflightManifest = dir.resolve("v99.manifest")
+    Files.writeString(inflightManifest, "seg-inflight/g_day=0")
+    // age only the legitimate garbage past the retention window
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    dir.toFile.list().filter(_ != "CURRENT").foreach { n =>
+      if (n != "seg-inflight" && n != "v99.manifest")
+        Files.setLastModifiedTime(dir.resolve(n), old)
+    }
+    val removed = st.vacuum(3600000L)
+    assert(removed > 0) // aged unreferenced segments + manifests reaped
+    assert(Files.exists(inflightSeg.resolve("g_day=0").resolve("part-0.parquet")),
+      "in-flight segment was reaped inside the retention window")
+    assert(Files.exists(inflightManifest),
+      "in-flight manifest was reaped inside the retention window")
+    assert(st.current().count() == 2) // live data untouched
+    // the in-flight writer could still swap CURRENT and be fully intact;
+    // and a later zero-retention pass is what reaps abandoned leftovers
+    assert(st.vacuum(0) > 0)
+    assert(!Files.exists(inflightSeg))
   }
 
   test("snapshot isolation: a pre-mutation DataFrame keeps its manifest") {
