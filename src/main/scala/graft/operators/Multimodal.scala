@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * per-partition passes.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape,
-  * typed output — is real and tested. The codec step is a clearly
-  * marked STUB (this container has no image/audio libraries): it
-  * deterministically fakes a decode from the payload bytes, preserving
-  * exactly the call shape a real codec (JNI/JavaCV/ImageIO) would have.
+  * typed output — is real and tested. IMAGE decode is REAL
+  * (`javax.imageio`, the JDK-shipped PNG/JPEG/BMP/GIF codecs — zero
+  * external dependencies), with a clearly marked deterministic STUB
+  * fallback for payloads no reader recognizes. AUDIO decode remains a
+  * stub (the container ships no audio codec): it deterministically
+  * fakes a decode from the payload bytes, preserving exactly the call
+  * shape a real codec (javax.sound/FFmpeg) would have.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end;
   * [[decodeImages]] is a narrow mapPartitions (no shuffle) that
@@ -50,25 +53,86 @@ object Multimodal {
     media.repartition(parts, col("media_id"))
   }
 
-  /** STUB — stands in for a real image codec.
-    *
-    * A production build replaces ONLY this function with e.g. an
-    * ImageIO/JavaCV call returning the same `ImageFeatures` shape.
-    * The fake is deterministic in the payload bytes: "dimensions" come
-    * from the first bytes, "brightness" is the mean byte value, the
-    * "embedding" is a seeded byte-histogram projection.
+  /** REAL image decode via `javax.imageio` (JDK-shipped PNG/JPEG/BMP/GIF
+    * codecs — no external dependency): true width/height, mean-luminance
+    * brightness, and a 16-bin luminance histogram as the embedding.
+    * Returns None for payloads no installed reader recognizes, so the
+    * caller can fall back ([[decodeOneStub]]) instead of poisoning the
+    * whole partition batch on one corrupt file.
     */
-  private[operators] def decodeOneStub(m: MediaFile): ImageFeatures = {
+  private[graft] def decodeOneImageIO(m: MediaFile): Option[ImageFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val hist = new Array[Float](16)
+      var lumSum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          // ITU-R BT.601 luma from the packed sRGB int
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          lumSum += lum
+          hist(math.min(15, (lum / 16.0).toInt)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h)
+      ImageFeatures(m.media_id, w, h, im.getColorModel.getNumComponents,
+        lumSum / n, hist.map(_ / n))
+    }
+  }
+
+  /** STUB fallback for payloads that are not decodable images (the
+    * synthetic fixture's UTF-8 text payloads, truncated files) — keeps
+    * the pipeline total and deterministic where a real codec would
+    * dead-letter the row. The fake is deterministic in the payload
+    * bytes: "dimensions" come from the first bytes, "brightness" is the
+    * mean byte value, the "embedding" is a byte-histogram projection.
+    */
+  private[graft] def decodeOneStub(m: MediaFile): ImageFeatures = {
     val p = m.payload
     val w = 64 + (if (p.length > 0) (p(0) & 0x7f) else 0)
     val h = 64 + (if (p.length > 1) (p(1) & 0x7f) else 0)
-    val brightness =
-      if (p.isEmpty) 0.0 else p.map(b => (b & 0xff).toDouble).sum / p.length
+    var i = 0
+    var sum = 0.0
     val hist = new Array[Float](16)
-    p.foreach(b => hist((b & 0xff) % 16) += 1f)
+    while (i < p.length) { // while-loop: the batched-decode hot path,
+      val v = p(i) & 0xff  // no boxed map/sum allocation per row
+      sum += v
+      hist(v % 16) += 1f
+      i += 1
+    }
+    val brightness = if (p.isEmpty) 0.0 else sum / p.length
     val n = math.max(1, p.length).toFloat
     ImageFeatures(m.media_id, w, h, 3, brightness, hist.map(_ / n))
   }
+
+  /** Magic-byte sniff for the formats the JDK readers handle — PNG,
+    * JPEG, GIF, BMP. Payloads without a known signature skip the
+    * ImageIO reader probe entirely (scanning the reader registry per
+    * row costs ~100µs even to FAIL; at corpus scale that dominated the
+    * decode stage for non-image payloads).
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) ||            // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||  // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                  // BMP
+
+  /** Image decode: real `ImageIO` when the payload carries a known
+    * image signature and decodes, deterministic stub otherwise (see
+    * [[decodeOneImageIO]] / [[decodeOneStub]]).
+    */
+  private[graft] def decodeOne(m: MediaFile): ImageFeatures =
+    (if (looksLikeImage(m.payload)) decodeOneImageIO(m) else None)
+      .getOrElse(decodeOneStub(m))
 
   /** Batched decode over partitions — bounded-memory batches, the
     * `mapInPandas` call shape in Scala; ONE batching shell serves every
@@ -81,10 +145,12 @@ object Multimodal {
       it.grouped(batchSize).flatMap(batch => batch.iterator.map(decode))
     }
 
-  /** Batched image decode (see [[batchedDecode]]). */
+  /** Batched image decode (see [[batchedDecode]]): real `javax.imageio`
+    * for decodable payloads, deterministic stub fallback otherwise.
+    */
   def decodeImages(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
-    batchedDecode(media, batchSize)(decodeOneStub)
+    batchedDecode(media, batchSize)(decodeOne)
   }
 
   /** Resize plan: target dimensions preserving aspect ratio against a
@@ -120,12 +186,18 @@ object Multimodal {
     * Deterministic in the payload: "sample rate" from the header byte,
     * samples = payload length, RMS over the byte values.
     */
-  private[operators] def decodeAudioStub(m: MediaFile): AudioFeatures = {
+  private[graft] def decodeAudioStub(m: MediaFile): AudioFeatures = {
     val p = m.payload
     val rate = if (p.nonEmpty && (p(0) & 1) == 1) 44100 else 16000
     val n = p.length.toLong
-    val rms = if (p.isEmpty) 0.0
-      else math.sqrt(p.map(b => { val v = (b & 0xff) - 128.0; v * v }).sum / p.length)
+    var i = 0
+    var sq = 0.0
+    while (i < p.length) { // while-loop, matching the batched-decode
+      val v = (p(i) & 0xff) - 128.0 // perf story (no boxed map/sum)
+      sq += v * v
+      i += 1
+    }
+    val rms = if (p.isEmpty) 0.0 else math.sqrt(sq / p.length)
     AudioFeatures(m.media_id, rate, n, n.toDouble / rate, rms)
   }
 

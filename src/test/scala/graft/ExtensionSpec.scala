@@ -395,6 +395,37 @@ class ExtensionSpec extends SparkSpec {
     assert(salted.length == 500 && salted.toSeq == plain.toSeq)
   }
 
+  test("multimodal: real PNG payloads decode via ImageIO; non-images fall back to stub") {
+    // JDK-shipped codec, no external dependency: a generated 8x4 PNG
+    // (left half black, right half white) must come back with TRUE
+    // dimensions, mean luminance 127.5, and a half/half histogram
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val textPayload = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", bos.toByteArray, "gen"),
+      Multimodal.MediaFile(2L, "image", textPayload, "gen")).toDS()
+    val feats = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val real = feats(0)
+    assert(real.width == 8 && real.height == 4 && real.channels == 3)
+    assert(math.abs(real.brightness - 127.5) < 1e-9) // (0 + 255)/2 exact
+    assert(math.abs(real.embedding(0) - 0.5f) < 1e-6)  // black bin
+    assert(math.abs(real.embedding(15) - 0.5f) < 1e-6) // white bin
+    assert(real.embedding.sum > 0.999f && real.embedding.sum < 1.001f)
+    // deterministic across runs (the x_multimodal_decode guarantee)
+    val again = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(again(0).brightness == real.brightness)
+    // a non-image payload takes the stub path, bit-for-bit
+    val stub = Multimodal.decodeOneStub(Multimodal.MediaFile(2L, "image", textPayload, "gen"))
+    assert(feats(1).width == stub.width && feats(1).height == stub.height &&
+      feats(1).brightness == stub.brightness &&
+      feats(1).embedding.toSeq == stub.embedding.toSeq)
+  }
+
   test("multimodal: audio decode + chunk plan (stubbed codec, real plumbing)") {
     val media = Multimodal.syntheticMedia(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))
