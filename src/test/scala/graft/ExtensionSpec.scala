@@ -59,6 +59,28 @@ class ExtensionSpec extends SparkSpec {
       assert(strong.count(est.contains).toDouble / strong.size >= 0.8)
   }
 
+  test("minhash LSH recall gate vs exact jaccard at the x_dedup operating point") {
+    // the production query (x_dedup_minhash_lsh) has no DuckDB oracle
+    // (xxhash64 signatures are engine-specific); THIS is its regression
+    // gate — recall against the exact-jaccard ground truth on the same
+    // doc_id<200 subset x_dedup_jaccard checks, at the same n/k/bands/
+    // threshold the bench query runs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.jaccardPairs(docs, n = 3, minJaccard = 0.5))
+    val est = pairSet(Dedup.minhashPairs(docs, n = 3, k = 64, bands = 16,
+      minEstJaccard = 0.5))
+    assert(exact.nonEmpty)
+    val recall = est.intersect(exact).size.toDouble / exact.size
+    info(f"minhash recall at j>=0.5: $recall%.3f (n=${exact.size})")
+    // deterministic pipeline: measured 1.000 on this fixture; the gate
+    // sits below so a real banding/signature regression fails here
+    // while an intentional k/bands retune has headroom
+    assert(recall >= 0.8, f"minhash LSH recall regressed: $recall%.3f")
+  }
+
   test("connected components cluster transitive near-dup pairs deterministically") {
     // 1-2, 2-3 chain; 7-8 pair; 9 isolated (not in pairs => not emitted)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
