@@ -31,33 +31,24 @@ object SparkEntry {
   // 90 days in millis — shifts a batch's keys past the data's range.
   private val SHIFT = 7776000000L
 
-  /** LSH ANN index per (session, sf dir): built + materialized once,
-    * probed by every query batch — mirroring how a deployment persists
-    * the bucketed index table instead of re-hashing the corpus per query.
+  /** On-disk ANN index per sf dir ([[graft.operators.AnnIndexStore]]):
+    * built and COMMITTED once per JVM (to a temp path here; in a
+    * deployment it lives beside the table store), then every probe —
+    * from any session, surviving session restarts — reads the
+    * versioned parquet index. The corpus is never re-hashed per query.
     */
-  private val lshIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
+  private val annIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Drop index entries for stopped sessions so a create-and-stop-
-    * sessions caller can't pin dead checkpoint data for the JVM's life.
-    */
-  private def evictStopped(): Unit = {
-    lshIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    ivfIndexCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-  }
-
-  private def lshIndex(s: SparkSession, dir: String): DataFrame = {
-    evictStopped()
-    lshIndexCache.getOrElseUpdate((s, dir),
-      Similarity.buildLshIndex(Tables.embeddings(s, dir)))
-  }
-
-  private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
-    evictStopped()
-    ivfIndexCache.getOrElseUpdate((s, dir),
-      Similarity.buildIvfIndex(Tables.embeddings(s, dir), nlist = 32, refineIters = 2))
+  private def annStore(s: SparkSession, dir: String): graft.operators.AnnIndexStore = {
+    import graft.operators.AnnIndexStore.{IvfParams, LshParams}
+    val path = annIndexPaths.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      new graft.operators.AnnIndexStore(s, p).write(Tables.embeddings(s, dir),
+        LshParams(32, 6, 64), IvfParams(nlist = 32, refineIters = 2, dim = 64))
+      p
+    })
+    new graft.operators.AnnIndexStore(s, path)
   }
 
   /** The shared as-of fixture: clicks (left) and the users' error events
@@ -379,10 +370,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     // ---- similarity search: LSH-bucketed approximate top-5 against the
-    // persisted index (no oracle); only the 10-query probe is per-call
+    // PERSISTED on-disk index (no oracle); only the 10-query probe is
+    // per-call — bucket pruning + row-group skipping on the postings
     "x_ann_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.probeLshTopK(lshIndex(s, dir), emb.filter(col("vec_id") < 10), k = 5)
+      annStore(s, dir).probeLsh(emb.filter(col("vec_id") < 10), k = 5)
     }),
     // ---- as-of join: for each click, the user's most recent prior
     // error (the canonical time-series join; DuckDB ASOF JOIN oracle)
@@ -401,12 +393,12 @@ object SparkEntry {
       asofShaped(AsOfJoin.asOf(clicks, errors, "t", "t",
         Seq("user_id"), Seq("err_value"), tolerance = Some(3600000L)))
     }),
-    // ---- similarity search: IVF inverted-list approximate top-5
-    // (rows-only; recall measurable against x_ann_topk_brute's dump)
+    // ---- similarity search: IVF inverted-list approximate top-5 from
+    // the persisted index (rows-only; recall measurable against
+    // x_ann_topk_brute's dump)
     "x_ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.probeIvfTopK(ivfIndex(s, dir), emb.filter(col("vec_id") < 10),
-        k = 5, nprobe = 8)
+      annStore(s, dir).probeIvf(emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
     }),
     // ---- pricing summary (TPC-H Q1 shape): the canonical columnar-agg
     // workload. Exact sums via SCALED INTEGERS ([[scaledSum]]): the

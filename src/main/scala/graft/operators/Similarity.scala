@@ -37,7 +37,21 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[operators] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Shared probe tail: score candidate (query_id, qv, vec_id, v) rows,
+    * round BEFORE ranking (cross-engine-stable order), cut at k.
+    */
+  private[operators] def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand.withColumn("score", round(cosine(col("v"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Exact top-k by cosine for each query vector. Queries must be small
     * (they are broadcast).
@@ -85,8 +99,8 @@ object Similarity {
     * method too large for whole-stage codegen and falls back to
     * interpretation (measured ~4× slower end-to-end).
     */
-  private def withBuckets(df: DataFrame, tables: Int, planes: Int, dim: Int,
-                          vec: String): DataFrame = {
+  private[operators] def withBuckets(df: DataFrame, tables: Int, planes: Int, dim: Int,
+                                     vec: String): DataFrame = {
     // a dim mismatch would null every projection and funnel ALL rows
     // into bucket 0 — silently degrading the LSH join to O(n²); fail
     // loudly instead (assert_true returns null when the check passes)
@@ -138,14 +152,7 @@ object Similarity {
     val cand = index.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    cand.withColumn("score", round(cosine(col("v"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(cand, k)
   }
 
   /** Approximate top-k in one shot: build the index, then probe. Callers
@@ -167,8 +174,8 @@ object Similarity {
   /** `keep` nearest centroids for each row of `df` (broadcast the
     * centroid table, window for the cut).
     */
-  private def nearestCentroids(df: DataFrame, cents: DataFrame,
-                               idName: String, vName: String, keep: Int): DataFrame = {
+  private[operators] def nearestCentroids(df: DataFrame, cents: DataFrame,
+                                          idName: String, vName: String, keep: Int): DataFrame = {
     val w = Window.partitionBy(col(idName))
       .orderBy(col("cs").desc, col("cent_id"))
     df.crossJoin(broadcast(cents))
@@ -226,17 +233,10 @@ object Similarity {
     val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
       index.centroids, "query_id", "qv", nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    index.assigned.join(probes, Seq("cent_id"))
+    val cand = index.assigned.join(probes, Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("score", round(cosine(col("v"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(cand, k)
   }
 
   /** IVF (inverted-file) approximate top-k in one shot: build the index,
