@@ -40,14 +40,30 @@ object SparkEntry {
   private val annIndexPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // the demo indexes live in temp dirs — reap them when the JVM exits
+  // (a deployment points AnnIndexStore at a durable path instead)
+  sys.addShutdownHook {
+    annIndexPaths.values.foreach { p =>
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      catch { case scala.util.control.NonFatal(_) => () }
+      finally walk.close()
+    }
+  }
+
   private def annStore(s: SparkSession, dir: String): graft.operators.AnnIndexStore = {
     import graft.operators.AnnIndexStore.{IvfParams, LshParams}
-    val path = annIndexPaths.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
-      new graft.operators.AnnIndexStore(s, p).write(Tables.embeddings(s, dir),
-        LshParams(32, 6, 64), IvfParams(nlist = 32, refineIters = 2, dim = 64))
-      p
-    })
+    // synchronized: TrieMap.getOrElseUpdate may run a racing thunk
+    // twice, which would build (and orphan) a second full index
+    val path = annIndexPaths.synchronized {
+      annIndexPaths.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+        new graft.operators.AnnIndexStore(s, p).write(Tables.embeddings(s, dir),
+          LshParams(32, 6, 64), IvfParams(nlist = 32, refineIters = 2, dim = 64))
+        p
+      })
+    }
     new graft.operators.AnnIndexStore(s, path)
   }
 
@@ -88,16 +104,22 @@ object SparkEntry {
   /** Exact monetary sum via scaled integers, accumulated in a 128-bit
     * integer ([[graft.functions.Sum128]]): `round(x*scale)` is the exact
     * integer for fixed 2/4-decimal columns, and the int128 accumulator
-    * keeps long-speed primitive aggregation with NO overflow ceiling —
-    * a LongType sum hits ANSI ARITHMETIC_OVERFLOW past ~9.2e18 (≈9e9
-    * rows of 1e9-magnitude scaled values in one group, reachable in a
-    * true 100 TB single-group sum), and a decimal(38,0) accumulator is
-    * exact but ~2× slower (per-update BigDecimal allocation). The
-    * decimal division of the final sum (scale 6 ≥ the 2/4 digits
-    * carried) is exact, so the cast to double rounds ONCE — same
-    * semantics as the DuckDB oracle's `CAST(decimal_sum AS DOUBLE)` at
-    * any magnitude, where `double(long_sum)/scale` could differ in the
-    * last ulp past 2^53. Callers must `NumericFunctions.register(s)`.
+    * keeps long-speed primitive aggregation where a LongType sum hits
+    * ANSI ARITHMETIC_OVERFLOW past ~9.2e18 (≈9e9 rows of 1e9-magnitude
+    * scaled values in one group, reachable in a true 100 TB
+    * single-group sum) and a decimal(38,0) accumulator is exact but ~2×
+    * slower (per-update BigDecimal allocation). The decimal division of
+    * the final sum (scale 6 ≥ the 2/4 digits carried) is exact, so the
+    * cast to double rounds ONCE — same semantics as the DuckDB oracle's
+    * `CAST(decimal_sum AS DOUBLE)` at any magnitude, where
+    * `double(long_sum)/scale` could differ in the last ulp past 2^53.
+    *
+    * Effective ceiling: the DIVISION's decimal(38,6) result caps the
+    * un-divided sum at ~1e32 scaled units per group (the accumulator
+    * itself holds 2^127) — ANSI-loud, and ~1e13× past the long ceiling;
+    * a group would need more scaled units than 1e18 exabytes of
+    * max-value rows to reach it. Callers must
+    * `NumericFunctions.register(s)`.
     */
   private[graft] def scaledSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
     (graft.functions.NumericFunctions.sum128(round(c * scale).cast("long")) / lit(scale))

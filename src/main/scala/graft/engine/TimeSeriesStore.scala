@@ -101,15 +101,24 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * `isin` on the partition column prunes dropped/rewritten days at
     * directory level before any file is opened.
     */
-  private def read(entries: Seq[Entry]): DataFrame =
+  private def read(entries: Seq[Entry], verifyExists: Boolean = false): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     else entries.groupBy(_.seg).toSeq.sortBy(_._1).map { case (seg, es) =>
-      // a reaped segment should fail with the documented vacuum message,
-      // not Spark's PATH_NOT_FOUND, so every vacuumed-history read path
-      // (manifest gone, bare-seg dir gone, partition files gone) reports
-      // the same cause
-      require(Files.exists(root.resolve(seg)),
+      // historical reads: a reaped path must fail with the documented
+      // vacuum message, not Spark's PATH_NOT_FOUND or a SILENTLY
+      // missing partition. Checked per DAY ENTRY, not just per segment
+      // dir — vacuum reaps single orphaned day dirs inside live
+      // segments, so an old manifest can reference a day whose
+      // directory is gone while the segment itself survives; without
+      // this check that read would quietly return partial data. Only
+      // versionAsOf pays the per-entry stat: CURRENT entries are live
+      // by the commit/vacuum invariants.
+      if (verifyExists) es.foreach { e =>
+        require(Files.exists(root.resolve(e.rel)),
+          s"partition ${e.rel} not found (removed by vacuum?)")
+      }
+      else require(Files.exists(root.resolve(seg)),
         s"segment $seg not found (removed by vacuum?)")
       spark.read.schema(readSchema).parquet(root.resolve(seg).toString)
         .filter(col("g_day").isin(es.map(_.day): _*))
@@ -130,7 +139,8 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val m = root.resolve(s"v$version.manifest")
     require(Files.exists(m),
       s"version $version not found (never committed, or removed by vacuum)")
-    read(Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine))
+    read(Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine),
+      verifyExists = true)
   }
 
   /** Committed versions still present on disk, ascending. */

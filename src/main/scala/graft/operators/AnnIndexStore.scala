@@ -55,7 +55,12 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     if (!Files.exists(currentPtr)) None
     else Some(Files.readString(currentPtr).trim.stripPrefix("v").toLong)
 
-  private def verDir: Path = {
+  /** Resolve CURRENT exactly once per probe and thread the pinned
+    * version directory through every read — re-reading the pointer
+    * mid-probe could mix one version's hyperplane params with another
+    * version's postings if a concurrent [[write]] swaps it.
+    */
+  private def pinVersion(): Path = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no ANN index committed at $root"))
     root.resolve(s"v$v")
@@ -112,7 +117,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     * reading them from the committed version makes a mismatch
     * impossible).
     */
-  private def params(): (LshParams, IvfParams) = {
+  private def params(verDir: Path): (LshParams, IvfParams) = {
     val txt = Files.readString(verDir.resolve("params.json"))
     def num(key: String): Int =
       s""""$key":(\\d+)""".r.findFirstMatchIn(txt)
@@ -122,7 +127,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       IvfParams(num("nlist"), num("refine_iters"), num("ivf_dim")))
   }
 
-  private def vectors(): DataFrame =
+  private def vectors(verDir: Path): DataFrame =
     spark.read.parquet(verDir.resolve("vectors").toString)
 
   /** Approximate top-k by LSH against the persisted index. Only the
@@ -132,7 +137,8 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def probeLsh(queries: DataFrame, k: Int = 5,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val (lsh, _) = params()
+    val verDir = pinVersion()
+    val (lsh, _) = params(verDir)
     val q = Similarity.withBuckets(
       queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
       lsh.tables, lsh.planes, lsh.dim, "qv")
@@ -152,7 +158,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       .select(col("query_id"), col("qv"), col("vec_id"))
     // candidates are small (bucket-bounded) => broadcast them against
     // the vectors table; the scan streams, nothing shuffles
-    val withVec = vectors().join(broadcast(cand), Seq("vec_id"))
+    val withVec = vectors(verDir).join(broadcast(cand), Seq("vec_id"))
     Similarity.rankTopK(withVec, k)
   }
 
@@ -163,6 +169,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def probeIvf(queries: DataFrame, k: Int = 5, nprobe: Int = 4,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val verDir = pinVersion()
     val cents = spark.read.parquet(verDir.resolve("ivf_centroids").toString)
     val probes = Similarity.nearestCentroids(
       queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
@@ -176,7 +183,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("qv"), col("vec_id"))
-    val withVec = vectors().join(broadcast(cand), Seq("vec_id"))
+    val withVec = vectors(verDir).join(broadcast(cand), Seq("vec_id"))
     Similarity.rankTopK(withVec, k)
   }
 

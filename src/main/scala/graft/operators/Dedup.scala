@@ -218,8 +218,11 @@ object Dedup {
     */
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
                                          smallCutoff: Long): DataFrame = {
-    // checkpoint the (possibly expensive) pair pipeline ONCE
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // checkpoint the (possibly expensive) pair pipeline ONCE. Ids are
+    // normalized to long so the driver fast path and the distributed
+    // path emit the SAME schema regardless of the input's integer width
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).localCheckpoint()
     // canonical directed edges (big > small); self-pairs dropped
     var edges = p.select(greatest(col("id_a"), col("id_b")).as("big"),
         least(col("id_a"), col("id_b")).as("small"))
@@ -305,7 +308,8 @@ object Dedup {
     */
   private[graft] def connectedComponentsLabelProp(pairs: DataFrame,
                                                   maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).localCheckpoint()
     val edges0 = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
@@ -375,8 +379,11 @@ object Dedup {
     else {
       val wide = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
         .join(broadcast(wideIds), "id")
+      // checkpoint the union too: simhashPairs' self-join legs read the
+      // signatures twice, and the explode recompute must not run per leg
       swarAll.filter(col("simhash").isNotNull)
         .unionByName(simhashViaExplode(wide, "__text", "id"))
+        .localCheckpoint()
     }
   }
 
@@ -389,15 +396,24 @@ object Dedup {
     * a silently-corrupt signature) and [[simhash]] reroutes them.
     */
   private def simhashSwarOrNull(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = array_distinct(split(col(textCol), " "))
-    val hashes = transform(toks, t => xxhash64(t))
+    // bind the token array FIRST so the width guard below doesn't
+    // re-tokenize, and so the fold is skipped (CaseWhen short-circuit),
+    // not just masked: past the lane width a top-lane (bits 48-63)
+    // counter crossing 32767 flips the accumulator's sign bit, which
+    // ANSI Add rejects — the fold must never EXECUTE for wide rows, or
+    // a ~66k-distinct-token doc aborts the job instead of dispatching
+    val tokenized = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val hashes = transform(col("toks"), t => xxhash64(t))
     val mask = lit(0x0001000100010001L)
     val zero = struct((0 until 16).map(k => lit(0L).as(s"a$k")): _*)
     val folded = aggregate(hashes, zero, (a, h) =>
       struct((0 until 16).map(k =>
         (a.getField(s"a$k") + shiftright(h, k).bitwiseAND(mask)).as(s"a$k")): _*))
-    val staged = docs.select(col(idCol).as("id"), size(toks).as("n"),
-      folded.as("acc")) // materialize: 64 extractions below share one fold
+    val staged = tokenized.select(col("id"), size(col("toks")).as("n"),
+      when(size(col("toks")) <= 32767, folded).as("acc"))
+    // a null acc nulls every lane extraction; the outer width guard
+    // turns the resulting all-zero fold into the NULL dispatch marker
     val sim = (0 until 64).map { j =>
       val cnt = shiftright(col("acc").getField(s"a${j % 16}"), 16 * (j / 16))
         .bitwiseAND(0xffff)

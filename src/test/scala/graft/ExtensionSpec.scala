@@ -154,8 +154,12 @@ class ExtensionSpec extends SparkSpec {
     // past the 16-bit SWAR lane width the fold would corrupt silently;
     // simhash() must route such rows through the explode path with no
     // caller changes and no assert failure
+    // 70k distinct tokens: average per-bit counters (~35k) exceed the
+    // 16-bit lane range, so this doc would ANSI-overflow the fold if it
+    // EXECUTED for wide rows (the guard must short-circuit the fold,
+    // not just null its output)
     val wide = Seq(
-      (0L, (1 to 33000).map(i => s"tok$i").mkString(" ")), // > 32767 distinct
+      (0L, (1 to 70000).map(i => s"tok$i").mkString(" ")),
       (1L, "small doc few tokens")
     ).toDF("doc_id", "text")
     val got = Dedup.simhash(wide).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

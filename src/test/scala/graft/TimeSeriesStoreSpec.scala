@@ -255,6 +255,29 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().count() == 2)
   }
 
+  test("versionAsOf fails loudly when a referenced DAY partition was reaped") {
+    // vacuum reaps single orphaned day dirs inside live segments; a
+    // historical manifest that references such a day must error with
+    // the documented message, never silently return partial data
+    val dir = Files.createTempDirectory("graft-partial-history")
+    val st = new TimeSeriesStore(spark, dir.toString)
+    val D = 86400000L
+    st.insert(Seq(TS(10L, "a", 1.0), TS(D + 10L, "a", 2.0)).toDS()) // v0: days 0,1
+    assert(st.update(Seq(TS(D + 10L, "a", 9.0)).toDS()).isRight)    // v1 rewrites day 1
+    // reap ONLY the now-orphaned day-1 dir of the original segment
+    // (simulating a vacuum whose retention spared the v0 manifest)
+    val orphan = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString == "g_day=1")
+      .toSeq.minBy(p => Files.getLastModifiedTime(p).toMillis)
+    val walk = Files.walk(orphan)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { Files.delete(f); () })
+    finally walk.close()
+    val err = intercept[IllegalArgumentException](st.versionAsOf(0))
+    assert(err.getMessage.contains("vacuum"))
+    assert(st.current().count() == 2) // the live snapshot is unaffected
+  }
+
   test("vacuum retention: a fresh in-flight commit survives, aged garbage is reaped") {
     val dir = Files.createTempDirectory("graft-retention")
     val st = new TimeSeriesStore(spark, dir.toString)
