@@ -132,6 +132,19 @@ object SparkEntry {
   private def scaledSumRaw(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
     graft.functions.NumericFunctions.sum128(round(c * scale).cast("long"))
 
+  /** Documents with deterministic synthetic PII appended (the fixture
+    * text is clean word salad) — shared by both PII queries; the oracle
+    * mirrors the same injection.
+    */
+  private def piiInjected(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" from 192.168.1.77")).otherwise(lit("")))
+      .as("text"))
+
   private def ts(qm: QueryModel): (SparkSession, String) => DataFrame =
     (s, dir) => QueryEngine.compile(Tables.ts(s, dir), qm)
 
@@ -598,6 +611,40 @@ object SparkEntry {
           round(avg(col("q")), 4).as("avg_q"))
         .orderBy(col("lang"))
     }),
+    // ---- PII: the fixture text is clean word salad, so both sides
+    // inject the same deterministic emails/phones/IPs first; detection
+    // counts + the redacted text's md5 are then exact cross-engine
+    "x_pii_detect" -> ((s, dir) => {
+      import graft.operators.Pii
+      Pii.detect(piiInjected(s, dir))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("has_pii"))
+        .orderBy(col("doc_id"))
+    }),
+    "x_pii_redact" -> ((s, dir) => {
+      import graft.operators.Pii
+      Pii.redact(piiInjected(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- canonical text normalization (dedup-key prep): md5 of the
+    // normalized text is the compact cross-engine witness
+    "x_text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(TextFunctions.normalize(col("text"))).as("h"))
+        .orderBy(col("doc_id"))),
+    // ---- deterministic stratified train/val/test split: hash-bucket
+    // assignment, leakage-stable across reruns; per-(lang, split) counts
+    "x_split_stratified" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -832,6 +879,44 @@ object SparkEntry {
         |  FROM deduped) t WHERE rn <= 30)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_pii_detect" ->
+      """WITH inj AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |   + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "x_pii_redact" ->
+      """WITH inj AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS h
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "x_text_normalize" ->
+      """SELECT doc_id, md5(trim(regexp_replace(
+        |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_split_stratified" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS DOUBLE) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "x_token_vocab" ->
       """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -77,6 +77,16 @@ object TextFunctions {
     when(en >= es && en >= fr, "en").when(es >= fr, "es").otherwise("fr")
   }
 
+  /** Canonical text normalization for dedup/fingerprint keys:
+    * lowercase, strip the sentence punctuation set, collapse runs of
+    * spaces, trim. Scan-stage expressions only (codegen'd regexp) with
+    * Java/RE2-shared syntax so the oracle replays it exactly — two
+    * texts that differ only in case/punct/spacing normalize equal.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:]", ""), " +", " "))
+
   /** 64-bit polynomial rolling hash of the UTF-8 bytes,
     * h = (h*31 + byte) mod 1e9+7 — a custom codegen'd Catalyst
     * [[Expression]] (no UDF): the fold runs inside whole-stage codegen.

@@ -39,4 +39,24 @@ object Sampling {
     require(pct >= 0.0 && pct <= 100.0, s"pct=$pct out of [0,100]")
     df.filter(pseudoOrder(col(idCol)) < lit((1000000007L * pct / 100.0).toLong))
   }
+
+  /** Deterministic train/val/test assignment: a `split` column from the
+    * row's [[pseudoOrder]] bucket mod 100 — `cuts` are cumulative
+    * percentage upper bounds, e.g. `Seq(("train", 80), ("val", 90),
+    * ("test", 100))`. Shuffle-free (scan-stage expression), stable
+    * across runs/partitionings/engines, and per-id: re-running the
+    * pipeline or adding rows never reassigns an existing id (the
+    * leakage guarantee random splits can't give).
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String,
+                      cuts: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending cumulative percentages ending at 100: $cuts")
+    val bucket = pseudoOrder(col(idCol)) % 100
+    val assign = cuts.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

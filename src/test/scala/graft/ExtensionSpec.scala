@@ -268,6 +268,57 @@ class ExtensionSpec extends SparkSpec {
         docs.filter($"doc_id" < 20), n = 3)))
   }
 
+  test("PII: detection counts, redaction placeholders, scrub keeps only clean docs") {
+    import graft.operators.Pii
+    val docs = Seq(
+      (0L, "reach me at bob.smith+x@corp.example.org thanks"),
+      (1L, "call 555-123-4567 or 555-999-0000 now"),
+      (2L, "server at 10.0.0.1 responded fine"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val d = Pii.detect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(d(0L) == ((1, 0, 0, true)))
+    assert(d(1L) == ((0, 2, 0, true)))
+    assert(d(2L) == ((0, 0, 1, true)))
+    assert(d(3L) == ((0, 0, 0, false)))
+    val red = Pii.redact(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L) == "reach me at <EMAIL> thanks")
+    assert(red(1L) == "call <PHONE> or <PHONE> now")
+    assert(red(2L) == "server at <IP> responded fine")
+    assert(red(3L) == docs.filter($"doc_id" === 3L).head().getString(1))
+    assert(Pii.scrub(docs).select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("stratified split: deterministic per-id assignment, sane cut fractions") {
+    import graft.operators.Sampling
+    val df = (0L until 1000L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val assigned = Sampling.stratifiedSplit(df, "doc_id")
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900) // hash-mod ~80%
+    assert(counts.keySet == Set("train", "val", "test"))
+    // per-id stability: filtering the input never reassigns a surviving id
+    val full = assigned.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Sampling.stratifiedSplit(df.filter($"doc_id" % 2 === 0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    // bad cuts fail loudly
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit(df, "doc_id", Seq(("a", 50))))
+  }
+
+  test("text normalization: case/punct/spacing-insensitive canonical form") {
+    val r = Seq((0L, "  Hello,  WORLD!  How are; you:  "),
+      (1L, "hello world how are you")).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.normalize($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "hello world how are you")
+    assert(r(0L) == r(1L)) // normalization-equal => dedup-key-equal
+  }
+
   test("quota sampling: per-group caps, determinism, subset of input") {
     import graft.operators.Sampling
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
