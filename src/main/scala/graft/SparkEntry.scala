@@ -645,6 +645,10 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("n_docs"))
         .orderBy(col("lang"), col("split"))
     }),
+    // ---- unigram LM scoring: mean -ln p(token) under the corpus's own
+    // unigram distribution — the perplexity-style quality signal
+    "x_lm_unigram_nll" -> ((s, dir) =>
+      graft.operators.LangModel.unigramNll(Tables.documents(s, dir))),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -879,6 +883,14 @@ object SparkEntry {
         |  FROM deduped) t WHERE rn <= 30)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_lm_unigram_nll" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM t)
+        |SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS nll
+        |FROM t JOIN v USING (tok), tot
+        |GROUP BY t.doc_id ORDER BY id""".stripMargin,
     "x_pii_detect" ->
       """WITH inj AS (SELECT doc_id, text
         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END

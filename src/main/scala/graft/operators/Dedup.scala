@@ -228,6 +228,11 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("small"))
       .filter(col("big") =!= col("small")).distinct().localCheckpoint()
 
+    // every id mentioned in pairs is a node — a SELF-pair contributes a
+    // singleton component (it carries no edge, but the node exists)
+    val nodes = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id"))).distinct().localCheckpoint()
+
     if (edges.count() < smallCutoff) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -239,13 +244,15 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
+      val known = scala.collection.mutable.Set.empty[Long]
       edges.collect().foreach { row =>
+        known += row.getLong(0); known += row.getLong(1)
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min id => the surviving root IS the component label
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
-      val nodes = parent.keySet ++ parent.values
-      return nodes.toSeq.map(n => (n, find(n))).sorted
+      known ++= nodes.collect().map(_.getLong(0)) // self-pair singletons
+      return known.toSeq.map(n => (n, find(n))).sorted
         .toDF("id", "component")
     }
 
@@ -294,10 +301,15 @@ object Dedup {
       // inside maxIter means something is deeply wrong with the input
       System.err.println(
         s"[graft] connectedComponents: NOT converged after $maxIter iterations; components may be split")
-    // fixpoint edges are (member, root) stars; roots label themselves
-    edges.select(col("big").as("id"), col("small").as("component"))
-      .unionAll(edges.select(col("small").as("id"), col("small").as("component")))
-      .distinct()
+    // fixpoint edges are (member, root) stars; roots label themselves;
+    // nodes that only appeared in self-pairs are their own singletons
+    val edgeLabels =
+      edges.select(col("big").as("id"), col("small").as("component"))
+        .unionAll(edges.select(col("small").as("id"), col("small").as("component")))
+        .distinct()
+    edgeLabels
+      .unionAll(nodes.join(edgeLabels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
       .orderBy(col("id"))
   }
 

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language-model scoring (beyond-reference, builder
+  * brief): the classic perplexity-style quality signal — documents
+  * whose tokens are improbable under the corpus's own unigram
+  * distribution score high (gibberish, boilerplate, wrong-language
+  * contamination), and a percentile cut drops them.
+  *
+  * Plan shape: ONE token explode feeds both the frequency table (hash
+  * aggregate) and the scoring join; the per-document score is a second
+  * hash aggregate keyed on doc id. The frequency join is a plain
+  * shuffle equi-join on the token — at 100 TB the vocabulary is
+  * millions of rows (too big to assume broadcastable, fine to shuffle);
+  * both sides partition by token, and AQE broadcasts it when it does
+  * fit. No driver-side model state: the "model" is a DataFrame.
+  */
+object LangModel {
+
+  /** Per-document mean negative log-likelihood under the corpus unigram
+    * distribution: (id, n_tokens, nll). Lower = more typical of the
+    * corpus. Every token exists in the vocabulary by construction (the
+    * corpus scores itself), so p > 0 without smoothing; score a FOREIGN
+    * document set against this corpus by unioning it in or adding
+    * add-one smoothing at the join.
+    */
+  def unigramNll(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total")) // 1 row — broadcast
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("n_total"))), 4).as("nll"))
+      .orderBy(col("id"))
+  }
+
+  /** Keep documents below the `pct` percentile of [[unigramNll]] — the
+    * "drop the most improbable tail" curation cut. The threshold is an
+    * exact interpolated percentile computed distributed (one extra
+    * aggregate), then applied as a broadcast scalar filter.
+    */
+  def filterByNll(docs: DataFrame, pct: Double = 95.0,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct=$pct out of (0,100]")
+    val scored = unigramNll(docs, textCol, idCol)
+    val cut = scored.agg(expr(s"percentile(nll, ${pct / 100.0})").as("cut"))
+    docs.join(
+      scored.crossJoin(broadcast(cut)).filter(col("nll") <= col("cut"))
+        .select(col("id").as(idCol)),
+      idCol, "left_semi")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.NumericFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck laws for the round-3 operators: three independent
+  * connected-components formulations must agree on arbitrary graphs,
+  * and the int128 aggregate must equal BigInt arithmetic on arbitrary
+  * signed longs under arbitrary partitionings.
+  */
+object OperatorPropertiesSpec extends Properties("Operators") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // Spark-job-per-trial: keep trial counts small but meaningful
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val genEdges: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+  } yield edges
+
+  property("CC: star contraction == driver DSU == label propagation") =
+    forAll(genEdges) { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = m(Dedup.connectedComponents(pairs, maxIter = 30, smallCutoff = 0))
+      val dsu = m(Dedup.connectedComponents(pairs))
+      val prop = m(Dedup.connectedComponentsLabelProp(pairs))
+      star == dsu && dsu == prop
+    }
+
+  private val genLongs: Gen[Seq[Long]] = for {
+    n <- Gen.choose(1, 60)
+    // magnitudes up to ~9e17 so a 60-element sum can cross the Long
+    // range in either direction — the regime the 128-bit buffer exists for
+    vals <- Gen.listOfN(n, Gen.choose(-900000000000000000L, 900000000000000000L))
+  } yield vals
+
+  property("Sum128 == BigInt sum over arbitrary signed longs + partitionings") =
+    forAll(genLongs, Gen.choose(1, 7)) { (vals, parts) =>
+      NumericFunctions.register(spark)
+      val got = vals.toDF("v").repartition(parts)
+        .agg(NumericFunctions.sum128(col("v"))).head().getDecimal(0)
+      BigDecimal(got) == BigDecimal(vals.map(BigInt(_)).sum)
+    }
+}
