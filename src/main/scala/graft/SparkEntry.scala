@@ -645,6 +645,29 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("n_docs"))
         .orderBy(col("lang"), col("split"))
     }),
+    // ---- the FULL pretraining prep pipeline in ONE oracle-checked
+    // plan: decontaminate → PII-redact → quality-filter → dedup on the
+    // NORMALIZED text → stratified split → per-(lang, split) stats.
+    // This is the end-to-end story all the round-3 operators exist for.
+    "x_pipeline_pretrain" -> ((s, dir) => {
+      import graft.operators.{Contamination, Pii, Sampling}
+      val docs = Tables.documents(s, dir)
+      val clean = Contamination.scrub(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), n = 3)
+      val redacted = Pii.redact(clean)
+      val kept = redacted.select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+        .filter(col("q") >= 0.3)
+      val deduped = kept
+        .groupBy(TextFunctions.normalize(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("q")).as("q"))
+      Sampling.stratifiedSplit(deduped, "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg(col("q")), 4).as("avg_q"))
+        .orderBy(col("lang"), col("split"))
+    }),
     // ---- unigram LM scoring: mean -ln p(token) under the corpus's own
     // unigram distribution — the perplexity-style quality signal
     "x_lm_unigram_nll" -> ((s, dir) =>
@@ -883,6 +906,39 @@ object SparkEntry {
         |  FROM deduped) t WHERE rn <= 30)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_pipeline_pretrain" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
+        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ctoks),
+        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
+        |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
+        |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |red AS (SELECT doc_id, lang,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM clean),
+        |scored AS (SELECT doc_id, lang, text,
+        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
+        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  FROM red),
+        |kept AS (SELECT * FROM scored WHERE q >= 0.3),
+        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept
+        |            GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))),
+        |assigned AS (SELECT lang, q,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM deduped)
+        |SELECT lang, split, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
+        |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "x_lm_unigram_nll" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
