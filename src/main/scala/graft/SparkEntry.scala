@@ -497,11 +497,13 @@ object SparkEntry {
       val scored = docs.select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.qualityScore(col("text")).as("q"))
       val kept = scored.filter(col("q") >= 0.3)
-      // min() not first(): duplicate texts could carry different lang
-      // labels, and first() is pick-any (q is text-determined, min = id)
+      // min_by, not first()/independent min()s: first() is pick-any and
+      // independent mins would stitch the survivor's lang from a
+      // DIFFERENT duplicate than its id (q is text-determined here)
       val deduped = kept.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
-          min(col("q")).as("q"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("q"), col("doc_id")).as("q"))
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
           round(avg(col("q")), 4).as("avg_q"))
@@ -603,8 +605,9 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("q"))
         .filter(col("q") >= 0.3)
       val deduped = kept.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
-          min(col("q")).as("q"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("q"), col("doc_id")).as("q"))
       Sampling.quotaPerGroup(deduped, "lang", "doc_id", quota = 30)
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -636,11 +639,12 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(TextFunctions.normalize(col("text"))).as("h"))
         .orderBy(col("doc_id"))),
-    // ---- deterministic stratified train/val/test split: hash-bucket
-    // assignment, leakage-stable across reruns; per-(lang, split) counts
+    // ---- deterministic TRUE stratified train/val/test split: exact
+    // per-language proportions via rank-percentile cut (the hash-bucket
+    // per-id-stable variant is exercised inside x_pipeline_pretrain)
     "x_split_stratified" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.stratifiedSplit(Tables.documents(s, dir), "doc_id")
+      Sampling.stratifiedSplit(Tables.documents(s, dir), "lang", "doc_id")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).cast("double").as("n_docs"))
         .orderBy(col("lang"), col("split"))
@@ -658,11 +662,14 @@ object SparkEntry {
       val kept = redacted.select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.qualityScore(col("text")).as("q"))
         .filter(col("q") >= 0.3)
+      // min_by, not independent min()s: the survivor keeps ITS OWN
+      // lang/q, not fields stitched from different duplicates
       val deduped = kept
         .groupBy(TextFunctions.normalize(col("text")).as("norm"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
-          min(col("q")).as("q"))
-      Sampling.stratifiedSplit(deduped, "doc_id")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("q"), col("doc_id")).as("q"))
+      Sampling.hashSplit(deduped, "doc_id")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
           round(avg(col("q")), 4).as("avg_q"))
@@ -699,6 +706,35 @@ object SparkEntry {
       |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
       |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
       |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)""".stripMargin
+
+  /** Shared oracle fragments for the PII/normalization queries — ONE
+    * definition each (mirroring the factored Scala side), and the regex
+    * patterns interpolate straight from [[graft.operators.Pii]] so the
+    * two engines can never drift.
+    */
+  // NOTE: no line may BEGIN with "||" — this fragment is interpolated
+  // into stripMargin'd strings, which would eat the first pipe
+  private def piiInjSqlCte: String =
+    """WITH inj AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  private def piiCountSql(c: String, re: String): String =
+    s"len(regexp_extract_all($c, '$re'))"
+
+  private def redactSqlExpr(c: String): String = {
+    import graft.operators.Pii
+    s"""regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace($c, '${Pii.emailRe}', '<EMAIL>', 'g'),
+       |      '${Pii.phoneRe}', '<PHONE>', 'g'),
+       |    '${Pii.ipv4Re}', '<IP>', 'g')""".stripMargin
+  }
+
+  private def normalizeSqlExpr(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -825,7 +861,7 @@ object SparkEntry {
         |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
         |  FROM documents),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
-        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept GROUP BY text)
+        |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "x_dedup_exact_digest" ->
@@ -899,7 +935,7 @@ object SparkEntry {
         |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
         |  FROM clean),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
-        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept GROUP BY text),
+        |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text),
         |sampled AS (SELECT * FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
@@ -907,7 +943,7 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
     "x_pipeline_pretrain" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
         |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
@@ -916,12 +952,7 @@ object SparkEntry {
         |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
         |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
         |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |red AS (SELECT doc_id, lang,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |red AS (SELECT doc_id, lang, ${redactSqlExpr("text")} AS text
         |  FROM clean),
         |scored AS (SELECT doc_id, lang, text,
         |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
@@ -930,8 +961,8 @@ object SparkEntry {
         |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
         |  FROM red),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
-        |deduped AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(q) AS q FROM kept
-        |            GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))),
+        |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept
+        |            GROUP BY ${normalizeSqlExpr("text")}),
         |assigned AS (SELECT lang, q,
         |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
         |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
@@ -947,44 +978,36 @@ object SparkEntry {
         |       round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS nll
         |FROM t JOIN v USING (tok), tot
         |GROUP BY t.doc_id ORDER BY id""".stripMargin,
-    "x_pii_detect" ->
-      """WITH inj AS (SELECT doc_id, text
-        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
-        |  FROM documents)
+    "x_pii_detect" -> {
+      import graft.operators.Pii
+      s"""$piiInjSqlCte
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-        |   + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
-        |   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
-        |FROM inj ORDER BY doc_id""".stripMargin,
+        |  CAST(${piiCountSql("text", Pii.emailRe)} AS BIGINT) AS n_emails,
+        |  CAST(${piiCountSql("text", Pii.phoneRe)} AS BIGINT) AS n_phones,
+        |  CAST(${piiCountSql("text", Pii.ipv4Re)} AS BIGINT) AS n_ips,
+        |  (${piiCountSql("text", Pii.emailRe)}
+        |   + ${piiCountSql("text", Pii.phoneRe)}
+        |   + ${piiCountSql("text", Pii.ipv4Re)}) > 0 AS has_pii
+        |FROM inj ORDER BY doc_id""".stripMargin
+    },
     "x_pii_redact" ->
-      """WITH inj AS (SELECT doc_id, text
-        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
-        |  FROM documents)
-        |SELECT doc_id, md5(
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS h
+      s"""$piiInjSqlCte
+        |SELECT doc_id, md5(${redactSqlExpr("text")}) AS h
         |FROM inj ORDER BY doc_id""".stripMargin,
     "x_text_normalize" ->
-      """SELECT doc_id, md5(trim(regexp_replace(
-        |  regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS h
+      s"""SELECT doc_id, md5(${normalizeSqlExpr("text")}) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_split_stratified" ->
-      """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split,
+      """WITH ranked AS (SELECT lang,
+        |  ((row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1) * 100)
+        |    // count(*) OVER (PARTITION BY lang) AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  CAST(count(*) AS DOUBLE) AS n_docs
-        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+        |FROM ranked GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "x_token_vocab" ->
       """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -68,13 +68,16 @@ object Contamination {
   }
 
   /** The corpus with contaminated docs removed (overlap fraction above
-    * `maxOverlap`): the apply-side of [[flag]].
+    * `maxOverlap`): the apply-side of [[flag]]. The cut uses the EXACT
+    * ratio, not [[flag]]'s display-rounded `overlap_frac` — with the
+    * rounded value a >20000-shingle doc with one eval hit rounds to
+    * 0.0000 and would silently survive a zero-tolerance scrub.
     */
   def scrub(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
             maxOverlap: Double = 0.0,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bad = flag(corpus, evalSet, n, textCol, idCol)
-      .filter(col("overlap_frac") > maxOverlap)
+      .filter(col("n_overlap").cast("double") / col("n_shingles") > maxOverlap)
       .select(col(idCol))
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }

@@ -244,15 +244,14 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val known = scala.collection.mutable.Set.empty[Long]
       edges.collect().foreach { row =>
-        known += row.getLong(0); known += row.getLong(1)
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min id => the surviving root IS the component label
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
-      known ++= nodes.collect().map(_.getLong(0)) // self-pair singletons
-      return known.toSeq.map(n => (n, find(n))).sorted
+      // `nodes` covers every edge endpoint AND self-pair singletons
+      return nodes.collect().map(_.getLong(0)).toSeq
+        .map(n => (n, find(n))).sorted
         .toDF("id", "component")
     }
 

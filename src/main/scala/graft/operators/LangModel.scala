@@ -28,10 +28,16 @@ object LangModel {
     */
   def unigramNll(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
+    // the explode is the expensive stage — materialize it ONCE (narrow
+    // (id, tok) rows) so the vocabulary aggregate and the scoring join
+    // read the checkpoint, not two more corpus scans; the grand total
+    // folds out of the vocabulary (sum of cnt), costing no extra pass
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
+      .localCheckpoint()
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total")) // 1 row — broadcast
+      .localCheckpoint() // read twice: total + scoring join
+    val total = vocab.agg(sum(col("cnt")).as("n_total")) // 1 row — broadcast
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
@@ -48,7 +54,9 @@ object LangModel {
   def filterByNll(docs: DataFrame, pct: Double = 95.0,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(pct > 0 && pct <= 100, s"pct=$pct out of (0,100]")
-    val scored = unigramNll(docs, textCol, idCol)
+    // scores materialized once (narrow): the percentile aggregate and
+    // the keep-filter both read the checkpoint, not the scoring plan
+    val scored = unigramNll(docs, textCol, idCol).localCheckpoint()
     val cut = scored.agg(expr(s"percentile(nll, ${pct / 100.0})").as("cut"))
     docs.join(
       scored.crossJoin(broadcast(cut)).filter(col("nll") <= col("cut"))

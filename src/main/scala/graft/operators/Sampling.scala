@@ -40,23 +40,48 @@ object Sampling {
     df.filter(pseudoOrder(col(idCol)) < lit((1000000007L * pct / 100.0).toLong))
   }
 
-  /** Deterministic train/val/test assignment: a `split` column from the
-    * row's [[pseudoOrder]] bucket mod 100 — `cuts` are cumulative
-    * percentage upper bounds, e.g. `Seq(("train", 80), ("val", 90),
-    * ("test", 100))`. Shuffle-free (scan-stage expression), stable
-    * across runs/partitionings/engines, and per-id: re-running the
-    * pipeline or adding rows never reassigns an existing id (the
-    * leakage guarantee random splits can't give).
-    */
-  def stratifiedSplit(df: DataFrame, idCol: String,
-                      cuts: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100))): DataFrame = {
+  private def assignByCuts(bucket: Column, cuts: Seq[(String, Int)]): Column = {
     require(cuts.nonEmpty && cuts.last._2 == 100 &&
       cuts.map(_._2) == cuts.map(_._2).sorted,
       s"cuts must be ascending cumulative percentages ending at 100: $cuts")
-    val bucket = pseudoOrder(col(idCol)) % 100
-    val assign = cuts.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
+    cuts.foldRight(lit(cuts.last._1): Column) { case ((name, hi), rest) =>
       when(bucket < hi, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", assign)
+  }
+
+  /** Deterministic train/val/test assignment by hash bucket: a `split`
+    * column from the row's [[pseudoOrder]] bucket mod 100 — `cuts` are
+    * cumulative percentage upper bounds, e.g. `Seq(("train", 80),
+    * ("val", 90), ("test", 100))`. Shuffle-free (scan-stage
+    * expression), stable across runs/partitionings/engines, and PER-ID:
+    * re-running the pipeline or adding rows never reassigns an existing
+    * id (the leakage guarantee random splits can't give). Proportions
+    * are approximate — a small stratum can land lopsided; use
+    * [[stratifiedSplit]] when per-group proportions must be exact.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                cuts: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100))): DataFrame =
+    df.withColumn("split", assignByCuts(pseudoOrder(col(idCol)) % 100, cuts))
+
+  /** Deterministic TRUE stratified split: within each `strataCol`
+    * group, rows are ranked in [[pseudoOrder]] and cut by exact rank
+    * percentile, so every stratum lands within one row of the target
+    * proportions (a 12-doc language still gets ~80/10/10). One shuffle
+    * (the per-stratum window). Trade-off vs [[hashSplit]]: exact
+    * proportions, but adding rows to a stratum can reassign its
+    * existing ids — pick per the leakage/balance need.
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                      cuts: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100))): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(pseudoOrder(col(idCol)), col(idCol))
+    val cw = Window.partitionBy(col(strataCol))
+    // cast before the *100: row_number is IntegerType and a >21M-row
+    // stratum would overflow int under ANSI
+    val bucket = expr("((cast(__rn AS bigint) - 1) * 100) div __cnt")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .withColumn("split", assignByCuts(bucket, cuts))
+      .drop("__rn", "__cnt")
   }
 }

@@ -290,11 +290,11 @@ class ExtensionSpec extends SparkSpec {
     assert(Pii.scrub(docs).select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
-  test("stratified split: deterministic per-id assignment, sane cut fractions") {
+  test("hash split: deterministic per-id assignment, sane cut fractions") {
     import graft.operators.Sampling
     val df = (0L until 1000L).map(i => (i, if (i % 4 == 0) "a" else "b"))
       .toDF("doc_id", "lang")
-    val assigned = Sampling.stratifiedSplit(df, "doc_id")
+    val assigned = Sampling.hashSplit(df, "doc_id")
     val counts = assigned.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.values.sum == 1000)
@@ -302,12 +302,34 @@ class ExtensionSpec extends SparkSpec {
     assert(counts.keySet == Set("train", "val", "test"))
     // per-id stability: filtering the input never reassigns a surviving id
     val full = assigned.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    val subset = Sampling.stratifiedSplit(df.filter($"doc_id" % 2 === 0), "doc_id")
+    val subset = Sampling.hashSplit(df.filter($"doc_id" % 2 === 0), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     subset.foreach { case (id, s) => assert(full(id) == s) }
     // bad cuts fail loudly
     intercept[IllegalArgumentException](
-      Sampling.stratifiedSplit(df, "doc_id", Seq(("a", 50))))
+      Sampling.hashSplit(df, "doc_id", Seq(("a", 50))))
+  }
+
+  test("stratified split: EXACT per-stratum proportions, small strata included") {
+    import graft.operators.Sampling
+    // a 1000-row majority stratum and a 10-row minority one: the
+    // rank-percentile cut must land both within one row of 80/10/10 —
+    // the guarantee the hash split can't give a small group
+    val df = ((0L until 1000L).map(i => (i, "big")) ++
+      (2000L until 2010L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    val got = Sampling.stratifiedSplit(df, "lang", "doc_id")
+      .groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("big", "train")) == 800 && got(("big", "val")) == 100 &&
+      got(("big", "test")) == 100)
+    assert(got(("tiny", "train")) == 8 && got(("tiny", "val")) == 1 &&
+      got(("tiny", "test")) == 1)
+    // deterministic across reruns and repartitionings
+    val again = Sampling.stratifiedSplit(df.repartition(7), "lang", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val first = Sampling.stratifiedSplit(df, "lang", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == first)
   }
 
   test("text normalization: case/punct/spacing-insensitive canonical form") {
@@ -317,6 +339,19 @@ class ExtensionSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r(0L) == "hello world how are you")
     assert(r(0L) == r(1L)) // normalization-equal => dedup-key-equal
+  }
+
+  test("LM scoring: gibberish scores worst; percentile cut drops exactly it") {
+    import graft.operators.LangModel
+    val docs = ((0L until 20L).map(i => (i, s"the cat sat on the mat ${i % 3}")) :+
+      (99L, "zxq qwv jjk plm vbn wrt")).toDF("doc_id", "text")
+    val scored = LangModel.unigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.length == 21)
+    assert(scored.maxBy(_._3)._1 == 99L) // all-rare-token doc is least probable
+    val kept = LangModel.filterByNll(docs, pct = 95.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L) && kept.size == 20)
   }
 
   test("quota sampling: per-group caps, determinism, subset of input") {
