@@ -675,6 +675,26 @@ object SparkEntry {
           round(avg(col("q")), 4).as("avg_q"))
         .orderBy(col("lang"), col("split"))
     }),
+    // ---- tf-idf: top-5 characteristic terms per language — the
+    // corpus-mixing diagnostic (scores rounded before the rank cut)
+    "x_tfidf_top_terms" -> ((s, dir) =>
+      graft.operators.LangModel.tfIdfTopTerms(Tables.documents(s, dir), "lang", k = 5)),
+    // ---- embeddings ⋈ documents: per-language L2-norm stats — the
+    // vector column flowing through a relational join + aggregate
+    "x_embed_norm_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val emb = Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      docs.join(emb, "doc_id")
+        .select(col("lang"), round(sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)), 4).as("nrm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy(col("lang"))
+    }),
     // ---- unigram LM scoring: mean -ln p(token) under the corpus's own
     // unigram distribution — the perplexity-style quality signal
     "x_lm_unigram_nll" -> ((s, dir) =>
@@ -970,6 +990,26 @@ object SparkEntry {
         |  FROM deduped)
         |SELECT lang, split, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "x_tfidf_top_terms" ->
+      """WITH t AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT grp, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |ng AS (SELECT count(DISTINCT grp) AS n_groups FROM tf),
+        |scored AS (SELECT grp, term,
+        |             round(tf * ln(CAST(n_groups AS DOUBLE) / df), 4) AS score
+        |           FROM tf JOIN dfq USING (term), ng),
+        |ranked AS (SELECT grp, term, score,
+        |             row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS rank
+        |           FROM scored)
+        |SELECT grp, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM ranked WHERE rank <= 5 ORDER BY grp, rank""".stripMargin,
+    "x_embed_norm_stats" ->
+      """WITH j AS (SELECT d.lang,
+        |  round(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 4) AS nrm
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT lang, CAST(count(*) AS DOUBLE) AS n, round(avg(nrm), 4) AS avg_norm,
+        |       min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "x_lm_unigram_nll" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),

@@ -46,6 +46,38 @@ object LangModel {
       .orderBy(col("id"))
   }
 
+  /** Top-k terms per group by tf-idf: tf = the term's count within the
+    * group, idf = ln(n_groups / n_groups containing the term). The
+    * corpus-mixing diagnostic ("what characterizes each language /
+    * source slice"). One explode feeds both frequency tables; the
+    * tf↔df join shuffles on the term (the vocabulary — fine to
+    * shuffle at 100 TB, AQE broadcasts when it fits); scores are
+    * rounded BEFORE ranking so the k-cut is reproducible cross-engine.
+    */
+  def tfIdfTopTerms(docs: DataFrame, groupCol: String = "lang", k: Int = 5,
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("term"))
+      .localCheckpoint() // feeds tf, df and n_groups — one corpus scan
+    val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by df + the scoring join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nGroups = tf.select(col("grp")).distinct()
+      .agg(count(lit(1)).as("n_groups")) // 1 row — broadcast
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score",
+        round(col("tf") * log(col("n_groups").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+      .orderBy(col("grp"), col("rank"))
+  }
+
   /** Keep documents below the `pct` percentile of [[unigramNll]] — the
     * "drop the most improbable tail" curation cut. The threshold is an
     * exact interpolated percentile computed distributed (one extra

@@ -354,6 +354,21 @@ class ExtensionSpec extends SparkSpec {
     assert(!kept.contains(99L) && kept.size == 20)
   }
 
+  test("tf-idf: group-exclusive terms outrank shared ones; ranking deterministic") {
+    import graft.operators.LangModel
+    val docs = Seq(
+      (0L, "en", "shared shared shared apple apple banana"),
+      (1L, "en", "shared apple"),
+      (2L, "fr", "shared shared pomme pomme pomme"),
+      (3L, "fr", "shared baguette")).toDF("doc_id", "lang", "text")
+    val top = LangModel.tfIdfTopTerms(docs, "lang", k = 2, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // 'shared' is in both groups => idf 0; exclusive terms win by tf
+    assert(top.toSeq == Seq(
+      ("en", 1L, "apple"), ("en", 2L, "banana"),
+      ("fr", 1L, "pomme"), ("fr", 2L, "baguette")))
+  }
+
   test("quota sampling: per-group caps, determinism, subset of input") {
     import graft.operators.Sampling
     val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
