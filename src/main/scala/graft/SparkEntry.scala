@@ -686,8 +686,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       docs.join(emb, "doc_id")
-        .select(col("lang"), round(sqrt(aggregate(
-          transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)), 4).as("nrm"))
+        // empty-list parity with the oracle: DuckDB's list_sum([]) is
+        // NULL (skipped by avg/min/max); Spark's aggregate seed would
+        // yield 0.0 and skew min_norm if an empty vector ever appears
+        .select(col("lang"), when(size(col("v")) > 0,
+          round(sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)), 4)).as("nrm"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("double").as("n"),
           round(avg(col("nrm")), 4).as("avg_norm"),
@@ -755,6 +759,32 @@ object SparkEntry {
 
   private def normalizeSqlExpr(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** The quality-score formula, ONE definition (no line starts with
+    * "|" or "||" — safe to interpolate into stripMargin'd strings).
+    */
+  private def qualitySqlExpr(c: String): String =
+    s"round(least(1.0, (length($c) - length(replace($c, ' ', '')) + 1) / 100.0) " +
+      s"* (1.0 - (length($c) - length(translate($c, '.,!?;:', ''))) / CAST(length($c) AS DOUBLE)) " +
+      s"* (CASE WHEN (CAST(len(list_filter(string_split($c, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) " +
+      s"/ (length($c) - length(replace($c, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4)"
+
+  /** The decontamination CTE chain (corpus/eval shingles → clean set),
+    * shared by both pipeline oracles.
+    */
+  private def decontamSqlCtes: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+      |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ctoks),
+      |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+      |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
+      |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
+      |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
+  /** [[graft.operators.Sampling.pseudoOrder]]'s SQL form. */
+  private def pseudoOrderSql(c: String): String = s"($c * 2654435761) % 1000000007"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -842,16 +872,13 @@ object SparkEntry {
          |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 - 43200000 AS window_start FROM $FROM t2
          |) u GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
     "x_text_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         |  length(text) - length(translate(text, '.,!?;:', '')) AS punct,
         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS rep_ratio,
-        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
-        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
-        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS quality
+        |  ${qualitySqlExpr("text")} AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_text_langid" ->
       """SELECT doc_id,
@@ -874,11 +901,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "x_pipeline_quality_dedup" ->
-      """WITH scored AS (SELECT doc_id, lang, text,
-        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
-        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
-        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+      s"""WITH scored AS (SELECT doc_id, lang, text,
+        |  ${qualitySqlExpr("text")} AS q
         |  FROM documents),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
         |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text)
@@ -939,53 +963,31 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
     "x_pipeline_curation" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
-        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
-        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
-        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ctoks),
-        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
-        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
-        |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
-        |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s"""$decontamSqlCtes,
         |scored AS (SELECT doc_id, lang, text,
-        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
-        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
-        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  ${qualitySqlExpr("text")} AS q
         |  FROM clean),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
         |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text),
         |sampled AS (SELECT * FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |    ORDER BY ${pseudoOrderSql("doc_id")}, doc_id) AS rn
         |  FROM deduped) t WHERE rn <= 30)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin,
     "x_pipeline_pretrain" ->
-      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
-        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
-        |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
-        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ctoks),
-        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
-        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
-        |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
-        |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      s"""$decontamSqlCtes,
         |red AS (SELECT doc_id, lang, ${redactSqlExpr("text")} AS text
         |  FROM clean),
         |scored AS (SELECT doc_id, lang, text,
-        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
-        |    * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / CAST(length(text) AS DOUBLE))
-        |    * (CASE WHEN (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-        |            / (length(text) - length(replace(text, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4) AS q
+        |  ${qualitySqlExpr("text")} AS q
         |  FROM red),
         |kept AS (SELECT * FROM scored WHERE q >= 0.3),
         |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept
         |            GROUP BY ${normalizeSqlExpr("text")}),
         |assigned AS (SELECT lang, q,
-        |  CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+        |  CASE WHEN ${pseudoOrderSql("doc_id")} % 100 < 80 THEN 'train'
+        |       WHEN ${pseudoOrderSql("doc_id")} % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |  FROM deduped)
         |SELECT lang, split, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
@@ -1038,9 +1040,9 @@ object SparkEntry {
       s"""SELECT doc_id, md5(${normalizeSqlExpr("text")}) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_split_stratified" ->
-      """WITH ranked AS (SELECT lang,
+      s"""WITH ranked AS (SELECT lang,
         |  ((row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1) * 100)
+        |      ORDER BY ${pseudoOrderSql("doc_id")}, doc_id) - 1) * 100)
         |    // count(*) OVER (PARTITION BY lang) AS bucket
         |  FROM documents)
         |SELECT lang,
@@ -1125,9 +1127,9 @@ object SparkEntry {
         |       round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS overlap_frac
         |FROM hits h JOIN sizes s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x_sample_quota" ->
-      """SELECT doc_id, lang FROM (
+      s"""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |    ORDER BY ${pseudoOrderSql("doc_id")}, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     // tolerance mirror: latest-prior is also latest-within-tolerance

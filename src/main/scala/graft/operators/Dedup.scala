@@ -228,10 +228,11 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("small"))
       .filter(col("big") =!= col("small")).distinct().localCheckpoint()
 
-    // every id mentioned in pairs is a node — a SELF-pair contributes a
-    // singleton component (it carries no edge, but the node exists)
-    val nodes = p.select(col("id_a").as("id"))
-      .unionAll(p.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    // a SELF-pair contributes a singleton component (it carries no
+    // edge, but the node exists); real-edge endpoints are already
+    // covered by the edge structures, so only these need adding
+    val selfIds = p.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
 
     if (edges.count() < smallCutoff) {
       val spark = pairs.sparkSession
@@ -244,14 +245,15 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
+      val known = scala.collection.mutable.Set.empty[Long]
       edges.collect().foreach { row =>
+        known += row.getLong(0); known += row.getLong(1)
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by min id => the surviving root IS the component label
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
-      // `nodes` covers every edge endpoint AND self-pair singletons
-      return nodes.collect().map(_.getLong(0)).toSeq
-        .map(n => (n, find(n))).sorted
+      known ++= selfIds.collect().map(_.getLong(0)) // singleton nodes
+      return known.toSeq.map(n => (n, find(n))).sorted
         .toDF("id", "component")
     }
 
@@ -307,7 +309,7 @@ object Dedup {
         .unionAll(edges.select(col("small").as("id"), col("small").as("component")))
         .distinct()
     edgeLabels
-      .unionAll(nodes.join(edgeLabels, Seq("id"), "left_anti")
+      .unionAll(selfIds.join(edgeLabels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
       .orderBy(col("id"))
   }

@@ -25,8 +25,11 @@ object Pii {
   val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  // NULL text counts as zero findings: detect/scrub must agree with
+  // redact (which passes NULL through) instead of silently dropping
+  // NULL-text rows via a NULL filter condition
   private def count(c: Column, re: String): Column =
-    size(regexp_extract_all(c, lit(re), lit(0)))
+    coalesce(size(regexp_extract_all(c, lit(re), lit(0))), lit(0))
 
   /** Per-document PII counts + flag: (.., n_emails, n_phones, n_ips,
     * has_pii). Detection only — no text rewrite.

@@ -61,7 +61,10 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, idCol: String,
                 cuts: Seq[(String, Int)] = Seq(("train", 80), ("val", 90), ("test", 100))): DataFrame =
-    df.withColumn("split", assignByCuts(pseudoOrder(col(idCol)) % 100, cuts))
+    // pmod, not %: Spark's % follows the dividend's sign, so a negative
+    // id (snowflake-style signed hashes) would bucket negative and land
+    // 100% in the first cut — silently voiding the split proportions
+    df.withColumn("split", assignByCuts(pmod(pseudoOrder(col(idCol)), lit(100)), cuts))
 
   /** Deterministic TRUE stratified split: within each `strataCol`
     * group, rows are ranked in [[pseudoOrder]] and cut by exact rank

@@ -31,7 +31,9 @@ object OperatorPropertiesSpec extends Properties("Operators") {
         df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val star = m(Dedup.connectedComponents(pairs, maxIter = 30, smallCutoff = 0))
       val dsu = m(Dedup.connectedComponents(pairs))
-      val prop = m(Dedup.connectedComponentsLabelProp(pairs))
+      // maxIter >= 26: ids span 0..25, so a generated near-path graph
+      // can need diameter(25) label-propagation rounds to converge
+      val prop = m(Dedup.connectedComponentsLabelProp(pairs, maxIter = 30))
       star == dsu && dsu == prop
     }
 
