@@ -28,7 +28,8 @@ object Explain {
       "a1_count_all", "a3_tag_collect", "g6_group_tag_avg",
       "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute",
       "x_decontaminate", "x_gapfill_minutes", "x_sample_quota",
-      "x_rollup_pricing")
+      "x_rollup_pricing", "x_pricing_summary", "x_pii_detect",
+      "x_split_stratified", "x_lm_unigram_nll", "x_pipeline_pretrain")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
