@@ -35,26 +35,42 @@ object Bench {
     def exec(name: String): Unit = SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
 
-    def runOnce(name: String): Double = {
-      // steady-state: one untimed pass absorbs codegen/JIT compilation
-      // (the reference is a long-running warmed server; per-query
-      // compile cost is a fixed overhead that vanishes at scale)
+    /** Median of 3 timed passes (after one untimed pass that absorbs
+      * codegen/JIT compilation — the reference is a long-running warmed
+      * server, so steady-state is the comparable number). A single pass
+      * shipped 7.5×/24× phantom regressions on byte-identical code when
+      * ambient machine load landed on it (round-3 verdict); the median
+      * is immune to one contaminated pass, and the (min, max) spread is
+      * reported so a noisy run is visible in the JSON itself.
+      */
+    def runMedian(name: String): (Double, Double, Double) = {
       try exec(name) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1.0, -1.0)
       }
-      System.gc() // don't bill one query for its predecessor's garbage
-      val t0 = System.nanoTime()
-      exec(name)
-      (System.nanoTime() - t0) / 1e9
+      val times = (0 until 3).map { _ =>
+        System.gc() // don't bill one pass for its predecessor's garbage
+        val t0 = System.nanoTime()
+        exec(name)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (times(1), times(0), times(2))
     }
 
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (the driver
+    // doesn't set it, so driver runs always cover every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> runMedian(n))
+    val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, (_, lo, hi)) =>
+      s"\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,19 +52,27 @@ object SparkEntry {
     }
   }
 
+  // one store HANDLE per (session, sf dir): the handle caches the
+  // pinned version's probe state (params, centroids, DataFrame
+  // handles), so repeated probes skip the per-call params/footer
+  // re-reads — a fresh handle per query would pay them every time
+  private val annStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.AnnIndexStore]
+
   private def annStore(s: SparkSession, dir: String): graft.operators.AnnIndexStore = {
     import graft.operators.AnnIndexStore.{IvfParams, LshParams}
     // synchronized: TrieMap.getOrElseUpdate may run a racing thunk
     // twice, which would build (and orphan) a second full index
-    val path = annIndexPaths.synchronized {
-      annIndexPaths.getOrElseUpdate(dir, {
+    annIndexPaths.synchronized {
+      val path = annIndexPaths.getOrElseUpdate(dir, {
         val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
         new graft.operators.AnnIndexStore(s, p).write(Tables.embeddings(s, dir),
           LshParams(32, 6, 64), IvfParams(nlist = 32, refineIters = 2, dim = 64))
         p
       })
+      annStores.getOrElseUpdate((s, dir),
+        new graft.operators.AnnIndexStore(s, path))
     }
-    new graft.operators.AnnIndexStore(s, path)
   }
 
   /** The shared as-of fixture: clicks (left) and the users' error events

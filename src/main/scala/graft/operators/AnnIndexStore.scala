@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** Durable, versioned ANN index store: the on-disk form of
@@ -20,8 +21,17 @@ import scala.jdk.CollectionConverters._
   *   v<N>/ivf_centroids/  (cent_id, cv)         tiny (nlist rows)
   *   v<N>/ivf/            (cent_id, vec_id)     sorted by cent_id
   *   v<N>/params.json     LSH/IVF parameters the index was built with
+  *   v<N>/manifest.json   root-relative data dirs composing the version
   *   CURRENT              live version name (atomic swap)
   * ```
+  *
+  * A version's data is the UNION of the directories its manifest lists —
+  * [[write]] lists only its own dirs (full build), [[append]] lists the
+  * previous version's dirs PLUS its own delta dirs. That makes ingest
+  * incremental: appending a batch hashes/assigns ONLY the batch (the
+  * manifest-reuse move of the table store's partition-scoped mutations),
+  * never the corpus — at 100 TB with daily ingest, the append costs
+  * batch-scale, not corpus-scale.
   *
   * Scale notes (100 TB): postings are NARROW — the LSH table stores
   * (bucket, vec_id) under hive partitions `tbl=<t>`, NOT the vectors
@@ -31,8 +41,12 @@ import scala.jdk.CollectionConverters._
   * postings scan — directory pruning on `tbl`, row-group min/max
   * skipping on the sorted `bucket` — and (c) joins the surviving
   * candidates (broadcast) against the vectors table. Per-probe cost is
-  * proportional to the buckets touched, never the corpus. Rebuilding
-  * the index is [[write]] — a new version, readers undisturbed.
+  * proportional to the buckets touched, never the corpus. Probe state
+  * that is fixed per committed version — parsed params, the (tiny)
+  * centroid table, the vectors/postings DataFrame handles — is cached
+  * in the store instance keyed by version, so repeated probes skip the
+  * per-call params/footer re-reads; a [[write]]/[[append]] commits a
+  * NEW version and therefore a new cache key, readers undisturbed.
   */
 final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   import AnnIndexStore._
@@ -42,7 +56,11 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
 
   private def currentPtr: Path = root.resolve("CURRENT")
 
-  /** Committed versions present on disk, ascending. */
+  /** Version directories present on disk, ascending. After a [[vacuum]]
+    * this can include superseded versions retained only because a later
+    * append still references their data files (their manifest is gone —
+    * they are no longer probeable, just data holders).
+    */
   def versions: Seq[Long] = {
     val s = Files.list(root)
     try s.iterator().asScala.map(_.getFileName.toString).toSeq
@@ -56,15 +74,13 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     else Some(Files.readString(currentPtr).trim.stripPrefix("v").toLong)
 
   /** Resolve CURRENT exactly once per probe and thread the pinned
-    * version directory through every read — re-reading the pointer
+    * version's cached state through every read — re-reading the pointer
     * mid-probe could mix one version's hyperplane params with another
     * version's postings if a concurrent [[write]] swaps it.
     */
-  private def pinVersion(): Path = {
-    val v = currentVersion.getOrElse(
+  private def pinVersion(): Long =
+    currentVersion.getOrElse(
       throw new IllegalStateException(s"no ANN index committed at $root"))
-    root.resolve(s"v$v")
-  }
 
   /** Build BOTH index structures over `corpus` and commit them as one
     * new version. Returns the committed version number.
@@ -84,6 +100,77 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
 
     // LSH postings: narrow (bucket, vec_id) under tbl=<t> partitions,
     // bucket-sorted within files for min/max skipping
+    writeLshPostings(vectors, lsh, dir)
+
+    // IVF: tiny refined centroids + inverted lists. Unlike the LSH
+    // postings (tables× duplication), each vector sits in exactly ONE
+    // list, so storing v alongside (cent_id, vec_id) costs one extra
+    // copy of the corpus and lets a probe score candidates straight off
+    // the pruned list scan — no second join against the vectors table
+    val built = Similarity.buildIvfIndex(corpus, ivf.nlist, ivf.refineIters,
+      ivf.dim, vecCol, idCol)
+    built.centroids.coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
+    built.assigned.select(col("cent_id"), col("vec_id"), col("v"))
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
+
+    writeParams(dir, lsh, ivf)
+    val own = Manifest(Seq(s"v$version/vectors"), Seq(s"v$version/lsh"),
+      Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
+    Files.writeString(dir.resolve("manifest.json"), own.toJson)
+    commitCurrent(version)
+    version
+  }
+
+  /** Incrementally index `delta` against the CURRENT version: hash and
+    * assign ONLY the delta rows (same hyperplane params; assignment to
+    * the EXISTING centroids — the lists grow, the centroids don't move),
+    * then commit a new version whose manifest = the previous version's
+    * directories + the delta directories. Cost is proportional to the
+    * batch, never the corpus. LSH probes against `write(a); append(b)`
+    * are identical to `write(a ∪ b)` because the hyperplanes are
+    * deterministic literals of the pinned params; IVF probes agree
+    * wherever the centroid choice doesn't (and exactly at
+    * nprobe ≥ nlist). Returns the committed version number.
+    */
+  def append(delta: DataFrame,
+             vecCol: String = "embedding", idCol: String = "vec_id"): Long = synchronized {
+    graft.functions.VectorFunctions.register(spark)
+    val base = pinVersion()
+    val st = state(base)
+    val version = versions.lastOption.getOrElse(-1L) + 1L
+    val dir = root.resolve(s"v$version")
+    Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
+    val vectors = delta.select(col(idCol).as("vec_id"),
+      Similarity.asDouble(col(vecCol)).as("v"))
+
+    vectors.sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("vectors").toString)
+
+    writeLshPostings(vectors, st.lsh, dir)
+
+    // assign the delta to the PINNED centroids (cached, broadcast) —
+    // one pass over the batch, zero passes over the corpus
+    Similarity.nearestCentroids(vectors, st.centroids, "vec_id", "v", keep = 1)
+      .select(col("cent_id"), col("vec_id"), col("v"))
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
+
+    writeParams(dir, st.lsh, st.ivf)
+    val m = Manifest(
+      st.manifest.vectors :+ s"v$version/vectors",
+      st.manifest.lsh :+ s"v$version/lsh",
+      st.manifest.ivf :+ s"v$version/ivf",
+      st.manifest.centroids) // reused verbatim — no new centroid files
+    Files.writeString(dir.resolve("manifest.json"), m.toJson)
+    commitCurrent(version)
+    version
+  }
+
+  private def writeLshPostings(vectors: DataFrame, lsh: LshParams, dir: Path): Unit =
     Similarity.withBuckets(vectors, lsh.tables, lsh.planes, lsh.dim, "v")
       .select(col("tbl"), col("bucket"), col("vec_id"))
       .repartition(col("tbl"))
@@ -91,44 +178,65 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       .write.mode(SaveMode.ErrorIfExists).partitionBy("tbl")
       .parquet(dir.resolve("lsh").toString)
 
-    // IVF: tiny refined centroids + narrow inverted lists
-    val built = Similarity.buildIvfIndex(corpus, ivf.nlist, ivf.refineIters,
-      ivf.dim, vecCol, idCol)
-    built.centroids.coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
-    built.assigned.select(col("cent_id"), col("vec_id"))
-      .repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
-
+  private def writeParams(dir: Path, lsh: LshParams, ivf: IvfParams): Unit =
     Files.writeString(dir.resolve("params.json"),
       s"""{"tables":${lsh.tables},"planes":${lsh.planes},"lsh_dim":${lsh.dim},""" +
         s""""nlist":${ivf.nlist},"refine_iters":${ivf.refineIters},"ivf_dim":${ivf.dim}}""")
 
+  private def commitCurrent(version: Long): Unit = {
     val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
     Files.writeString(tmpPtr, s"v$version")
     Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    version
   }
 
-  /** Parameters the CURRENT version was built with (probes must bucket
-    * queries with the SAME hyperplanes/centroid count as the build —
-    * reading them from the committed version makes a mismatch
-    * impossible).
+  /** Probe state that is immutable once a version commits: parsed
+    * params, the manifest, the DataFrame handles over its (possibly
+    * multi-directory) components, and the persisted centroid table.
+    * Cached per version in [[stateCache]] so repeated probes skip the
+    * params.json read, parquet footer listing, and centroid scan that
+    * were previously paid per call.
     */
-  private def params(verDir: Path): (LshParams, IvfParams) = {
+  private final case class VersionState(lsh: LshParams, ivf: IvfParams,
+                                        manifest: Manifest, vectors: DataFrame,
+                                        lshPostings: DataFrame, ivfLists: DataFrame,
+                                        centroids: DataFrame)
+
+  private val stateCache = TrieMap.empty[Long, VersionState]
+
+  private def state(version: Long): VersionState =
+    stateCache.getOrElseUpdate(version, loadState(version))
+
+  private def loadState(version: Long): VersionState = {
+    val verDir = root.resolve(s"v$version")
     val txt = Files.readString(verDir.resolve("params.json"))
     def num(key: String): Int =
       s""""$key":(\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(s"params.json missing $key"))
         .group(1).toInt
-    (LshParams(num("tables"), num("planes"), num("lsh_dim")),
-      IvfParams(num("nlist"), num("refine_iters"), num("ivf_dim")))
+    val m = Manifest.read(verDir, version)
+    def abs(rel: Seq[String]): Seq[String] = rel.map(root.resolve(_).toString)
+    // the partitioned LSH dirs are read per-directory and unioned:
+    // multi-root partition discovery trips over the intermediate v<N>
+    // segments, and per-branch reads push filters down identically
+    val lshDf = abs(m.lsh).map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // centroids are tiny (nlist rows) and broadcast on every probe —
+    // collect them ONCE into a LocalRelation so later probes build the
+    // broadcast from driver memory with zero scan jobs
+    val centsDisk = spark.read.parquet(abs(m.centroids): _*)
+    val cents = localDf(centsDisk.collect(), centsDisk.schema)
+    VersionState(LshParams(num("tables"), num("planes"), num("lsh_dim")),
+      IvfParams(num("nlist"), num("refine_iters"), num("ivf_dim")),
+      m, spark.read.parquet(abs(m.vectors): _*), lshDf,
+      spark.read.parquet(abs(m.ivf): _*), cents)
   }
 
-  private def vectors(verDir: Path): DataFrame =
-    spark.read.parquet(verDir.resolve("vectors").toString)
+  /** A driver-local DataFrame (LocalRelation): joins that broadcast it
+    * need no Spark job to build the broadcast side.
+    */
+  private def localDf(rows: Array[org.apache.spark.sql.Row],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   /** Approximate top-k by LSH against the persisted index. Only the
     * query batch is hashed; the postings scan is pruned to the buckets
@@ -137,76 +245,117 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def probeLsh(queries: DataFrame, k: Int = 5,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val verDir = pinVersion()
-    val (lsh, _) = params(verDir)
-    val q = Similarity.withBuckets(
+    val st = state(pinVersion())
+    // hash the (small, broadcastable-by-contract) query batch in ONE
+    // job and keep the rows driver-side: they seed both the pruning
+    // lists and the LocalRelation join side below — no checkpoint, no
+    // second pass
+    val qDisk = Similarity.withBuckets(
       queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
-      lsh.tables, lsh.planes, lsh.dim, "qv")
-      .localCheckpoint() // tiny; read 3× below (pair collect + join)
-    // the query batch's bucket footprint, collected and pushed into the
-    // scan: tbl => hive-partition pruning, bucket => row-group skipping.
+      st.lsh.tables, st.lsh.planes, st.lsh.dim, "qv")
+    val qRows = qDisk.collect()
+    val q = localDf(qRows, qDisk.schema)
+    // one (query_id, qv) row per query, deduped driver-side (qRows has
+    // one row per table per query)
+    val qVec = localDf(
+      qRows.groupBy(_.getAs[Long]("query_id")).map(_._2.head).toArray, qDisk.schema)
+      .select(col("query_id"), col("qv"))
+    // the query batch's bucket footprint, pushed into the scan:
+    // tbl => hive-partition pruning, bucket => row-group skipping.
     // (tbl IN ..) AND (bucket IN ..) is a superset of the exact pair
     // set — the join below keeps it exact.
-    val pairs = q.select(col("tbl"), col("bucket")).distinct().collect()
-    val tbls = pairs.map(_.getInt(0)).distinct.toSeq
-    val buckets = pairs.map(_.getLong(1)).distinct.toSeq
-    val postings = spark.read.parquet(verDir.resolve("lsh").toString)
+    val tbls = qRows.map(_.getAs[Int]("tbl")).distinct.toSeq
+    val buckets = qRows.map(_.getAs[Long]("bucket")).distinct.toSeq
+    val postings = st.lshPostings
       .filter(col("tbl").isin(tbls: _*) && col("bucket").isin(buckets: _*))
-    val cand = postings.join(broadcast(q), Seq("tbl", "bucket"))
+    // dedup on the NARROW (query_id, vec_id) pair — qv (dim doubles per
+    // row) is re-attached from the local query relation after the
+    // shuffle, so the dedup exchange ships 16-byte pairs, not vectors
+    val cand = postings.join(broadcast(q.select(col("tbl"), col("bucket"), col("query_id"))),
+        Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("qv"), col("vec_id"))
+      .join(broadcast(qVec), Seq("query_id"))
     // candidates are small (bucket-bounded) => broadcast them against
     // the vectors table; the scan streams, nothing shuffles
-    val withVec = vectors(verDir).join(broadcast(cand), Seq("vec_id"))
+    val withVec = st.vectors.join(broadcast(cand), Seq("vec_id"))
     Similarity.rankTopK(withVec, k)
   }
 
-  /** Approximate top-k by IVF against the persisted index: read the
-    * (tiny) centroids, pick nprobe lists per query, scan only those
-    * inverted lists.
+  /** Approximate top-k by IVF against the persisted index: rank the
+    * (cached, tiny) centroids, pick nprobe lists per query, scan only
+    * those inverted lists.
     */
   def probeIvf(queries: DataFrame, k: Int = 5, nprobe: Int = 4,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val verDir = pinVersion()
-    val cents = spark.read.parquet(verDir.resolve("ivf_centroids").toString)
-    val probes = Similarity.nearestCentroids(
+    val st = state(pinVersion())
+    // rank the local centroid table against the query batch in ONE job;
+    // the collected rows seed both the pruning list and the
+    // LocalRelation join side — no checkpoint, no second pass
+    val probesDisk = Similarity.nearestCentroids(
       queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
-      cents, "query_id", "qv", nprobe)
-      .localCheckpoint() // tiny; collected for pruning + joined below
-    val centIds = probes.select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val lists = spark.read.parquet(verDir.resolve("ivf").toString)
+      st.centroids, "query_id", "qv", nprobe)
+    val pRows = probesDisk.collect()
+    val probes = localDf(pRows, probesDisk.schema)
+    val centIds = pRows.map(_.getAs[Long]("cent_id")).distinct.toSeq
+    val lists = st.ivfLists
       .filter(col("cent_id").isin(centIds: _*)) // row-group skipping
+    // no dedup shuffle: keep=1 assignment puts each vec_id in exactly
+    // one inverted list (ids are unique across appends by contract), so
+    // a (query_id, vec_id) pair can't repeat; and the lists carry v, so
+    // scoring happens straight off the pruned scan — no vectors join
     val cand = lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("qv"), col("vec_id"))
-    val withVec = vectors(verDir).join(broadcast(cand), Seq("vec_id"))
-    Similarity.rankTopK(withVec, k)
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+    Similarity.rankTopK(cand, k)
   }
 
-  /** Delete index versions superseded for longer than `retentionMs`
-    * (same grace-period contract as the table store's vacuum).
+  /** Delete index data superseded for longer than `retentionMs` (same
+    * grace-period contract as the table store's vacuum) — but never a
+    * directory the CURRENT version's manifest still references: an
+    * append chain shares its base version's postings, so only the
+    * UNREFERENCED data dirs and the superseded version's
+    * manifest/params (its probeability) are reclaimed. Returns how many
+    * versions were made unprobeable.
     */
   def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
     require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
     val cutoff = System.currentTimeMillis() - retentionMs
     val cur = currentVersion.getOrElse(-1L)
+    val live: Set[String] =
+      if (cur < 0) Set.empty
+      else Manifest.read(root.resolve(s"v$cur"), cur).allDirs.toSet
     var removed = 0
     versions.filter(_ < cur).foreach { v =>
       val dir = root.resolve(s"v$v")
-      if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { Files.delete(f); () })
-        finally walk.close()
+      val probeable = Files.exists(dir.resolve("manifest.json")) ||
+        Files.exists(dir.resolve("params.json"))
+      if (probeable && Files.getLastModifiedTime(dir).toMillis < cutoff) {
+        Seq("vectors", "lsh", "ivf", "ivf_centroids")
+          .filterNot(c => live.contains(s"v$v/$c"))
+          .foreach(c => deleteRecursively(dir.resolve(c)))
+        Files.deleteIfExists(dir.resolve("manifest.json"))
+        Files.deleteIfExists(dir.resolve("params.json"))
+        // fully unreferenced => the whole version dir goes; otherwise it
+        // stays as a data holder for the live append chain
+        val children = Files.list(dir)
+        val empty = try !children.iterator().hasNext finally children.close()
+        if (empty) Files.delete(dir)
+        stateCache.remove(v)
         removed += 1
       }
     }
     removed
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+      finally walk.close()
+    }
 }
 
 object AnnIndexStore {
@@ -214,4 +363,36 @@ object AnnIndexStore {
   final case class LshParams(tables: Int = 32, planes: Int = 6, dim: Int = 64)
   /** IVF build parameters (see [[Similarity.buildIvfIndex]]). */
   final case class IvfParams(nlist: Int = 32, refineIters: Int = 1, dim: Int = 64)
+
+  /** The root-relative data directories composing one committed
+    * version. Written at commit time; versions older than the manifest
+    * format (none in practice) default to their own four dirs.
+    */
+  private[operators] final case class Manifest(vectors: Seq[String], lsh: Seq[String],
+                                               ivf: Seq[String], centroids: Seq[String]) {
+    def allDirs: Seq[String] = vectors ++ lsh ++ ivf ++ centroids
+    def toJson: String = {
+      def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+      s"""{"vectors":${arr(vectors)},"lsh":${arr(lsh)},""" +
+        s""""ivf":${arr(ivf)},"ivf_centroids":${arr(centroids)}}"""
+    }
+  }
+
+  private[operators] object Manifest {
+    def read(verDir: java.nio.file.Path, version: Long): Manifest = {
+      val mf = verDir.resolve("manifest.json")
+      if (!Files.exists(mf))
+        Manifest(Seq(s"v$version/vectors"), Seq(s"v$version/lsh"),
+          Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
+      else {
+        val txt = Files.readString(mf)
+        def dirs(key: String): Seq[String] =
+          s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
+            .getOrElse(throw new IllegalStateException(s"manifest.json missing $key"))
+            .group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)
+        Manifest(dirs("vectors"), dirs("lsh"), dirs("ivf"), dirs("ivf_centroids"))
+      }
+    }
+  }
 }

@@ -50,7 +50,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+      // ≤ k rows per query and the query batch is small by contract — a
+      // single-partition local sort yields the same total order as a
+      // global orderBy without the range exchange + its sampling pass
+      .coalesce(1)
+      .sortWithinPartitions(col("query_id"), col("rank"))
   }
 
   /** Exact top-k by cosine for each query vector. Queries must be small
