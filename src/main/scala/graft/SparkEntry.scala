@@ -711,6 +711,28 @@ object SparkEntry {
     // unigram distribution — the perplexity-style quality signal
     "x_lm_unigram_nll" -> ((s, dir) =>
       graft.operators.LangModel.unigramNll(Tables.documents(s, dir))),
+    // ---- LM percentile cut: drop the most-improbable tail (keep docs
+    // at or below the 90th-percentile nll) — the curation filter form
+    "x_lm_filter_nll" -> ((s, dir) =>
+      graft.operators.LangModel.filterByNll(Tables.documents(s, dir), pct = 90.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    // ---- skew-salted join: events' 5-value event_type is the
+    // pathological join key (a plain shuffle join lands ~20% of the
+    // fact table on each of 5 reducers); the salted path spreads each
+    // hot key over 16 (key, salt) buckets. Salting must not change
+    // results, so the oracle is the PLAIN join
+    "x_skew_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq(("click", 0.1), ("view", 0.05), ("purchase", 1.0),
+        ("signup", 0.5), ("error", 0.0)).toDF("event_type", "rate")
+      graft.operators.SkewJoin.saltedJoin(
+          Tables.events(s, dir), rates, Seq("event_type"), saltOn = "event_id", salts = 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("rate")), 4).as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
     "x_multimodal_decode" -> ((s, dir) => {
@@ -791,8 +813,23 @@ object SparkEntry {
       |contaminated AS (SELECT DISTINCT doc_id FROM cs WHERE shingle IN (SELECT shingle FROM es)),
       |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
 
-  /** [[graft.operators.Sampling.pseudoOrder]]'s SQL form. */
-  private def pseudoOrderSql(c: String): String = s"($c * 2654435761) % 1000000007"
+  /** The unigram-nll scoring CTEs ([[graft.operators.LangModel
+    * .unigramNll]]'s SQL form), shared by both LM oracles so the score
+    * definition can't drift between them.
+    */
+  private val lmNllSqlCtes: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM t),
+      |nll AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |               round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS nll
+      |        FROM t JOIN v USING (tok), tot GROUP BY t.doc_id)""".stripMargin
+
+  /** [[graft.operators.Sampling.pseudoOrder]]'s SQL form (same
+    * reduce-before-multiply shape: overflow-free for every bigint id).
+    */
+  private def pseudoOrderSql(c: String): String =
+    s"(($c % 1000000007) * 2654435761) % 1000000007"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1021,13 +1058,22 @@ object SparkEntry {
         |       min(nrm) AS min_norm, max(nrm) AS max_norm
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "x_lm_unigram_nll" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_total FROM t)
-        |SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |       round(avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS nll
-        |FROM t JOIN v USING (tok), tot
-        |GROUP BY t.doc_id ORDER BY id""".stripMargin,
+      s"""$lmNllSqlCtes
+        |SELECT doc_id AS id, n_tokens, nll FROM nll ORDER BY id""".stripMargin,
+    "x_lm_filter_nll" ->
+      s"""$lmNllSqlCtes,
+        |cut AS (SELECT round(quantile_cont(nll, 0.90), 4) AS cut FROM nll)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN nll USING (doc_id), cut
+        |WHERE nll.nll <= cut.cut ORDER BY d.doc_id""".stripMargin,
+    "x_skew_join_salted" ->
+      """WITH rates(event_type, rate) AS (VALUES
+        |  ('click', 0.1), ('view', 0.05), ('purchase', 1.0),
+        |  ('signup', 0.5), ('error', 0.0))
+        |SELECT e.event_type, count(*) AS n,
+        |       round(sum(e.value * r.rate), 4) AS weighted_value
+        |FROM events e JOIN rates r USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "x_pii_detect" -> {
       import graft.operators.Pii
       s"""$piiInjSqlCte

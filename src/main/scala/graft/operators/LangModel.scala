@@ -81,7 +81,10 @@ object LangModel {
   /** Keep documents below the `pct` percentile of [[unigramNll]] — the
     * "drop the most improbable tail" curation cut. The threshold is an
     * exact interpolated percentile computed distributed (one extra
-    * aggregate), then applied as a broadcast scalar filter.
+    * aggregate), then applied as a broadcast scalar filter. The cut is
+    * rounded to 4 decimals — the same precision the nll scores carry —
+    * so the keep/drop boundary is replayable in an external engine
+    * whose interpolation may differ in the last ulp.
     */
   def filterByNll(docs: DataFrame, pct: Double = 95.0,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -89,7 +92,7 @@ object LangModel {
     // scores materialized once (narrow): the percentile aggregate and
     // the keep-filter both read the checkpoint, not the scoring plan
     val scored = unigramNll(docs, textCol, idCol).localCheckpoint()
-    val cut = scored.agg(expr(s"percentile(nll, ${pct / 100.0})").as("cut"))
+    val cut = scored.agg(expr(s"round(percentile(nll, ${pct / 100.0}), 4)").as("cut"))
     docs.join(
       scored.crossJoin(broadcast(cut)).filter(col("nll") <= col("cut"))
         .select(col("id").as(idCol)),

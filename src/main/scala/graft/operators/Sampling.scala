@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic pseudo-random order key: `(id * 2654435761) % 1e9+7`
-    * (Knuth's multiplicative constant, prime modulus). Plain integer
-    * arithmetic so an external SQL engine can replay the exact sample;
-    * overflow-safe in a Long for ids below ~3.4e9 (ANSI mode would
-    * reject the rest loudly, not wrap).
+  /** Deterministic pseudo-random order key:
+    * `((id % 1e9+7) * 2654435761) % 1e9+7` (Knuth's multiplicative
+    * constant, prime modulus). Plain integer arithmetic so an external
+    * SQL engine can replay the exact sample. Reducing `id` mod M BEFORE
+    * the multiply keeps the product under `(M-1) * 2654435761 ≈ 2.7e18
+    * < 2^63` for EVERY long id — no ANSI overflow ceiling — and by
+    * modular congruence yields bit-identical keys to the historical
+    * unreduced form wherever that one didn't overflow (ids ≤ ~3.4e9),
+    * so existing samples/splits are unchanged.
     */
-  def pseudoOrder(id: Column): Column = (id * lit(2654435761L)) % lit(1000000007L)
+  def pseudoOrder(id: Column): Column =
+    ((id % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
   /** Keep (up to) `quota` rows per group, chosen in [[pseudoOrder]] —
     * the mixture-weighting primitive. One shuffle (the window on the

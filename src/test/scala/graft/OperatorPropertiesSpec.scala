@@ -44,6 +44,27 @@ object OperatorPropertiesSpec extends Properties("Operators") {
     vals <- Gen.listOfN(n, Gen.choose(-900000000000000000L, 900000000000000000L))
   } yield vals
 
+  // spans the full long range — including 2^62 and negatives, far past
+  // the old unreduced formula's ~3.4e9 ANSI overflow ceiling
+  private val genIds: Gen[Seq[Long]] = for {
+    n <- Gen.choose(1, 30)
+    ids <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue), Gen.const(1L << 62),
+      Gen.const(Long.MaxValue), Gen.const(Long.MinValue + 1)))
+  } yield ids
+
+  property("pseudoOrder == BigInt reference on full-range longs (no overflow)") =
+    forAll(genIds) { ids =>
+      val got = ids.toDF("id")
+        .select(col("id"), graft.operators.Sampling.pseudoOrder(col("id")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Spark's % follows the dividend's sign; BigInt's mod operator %
+      // does too, so the unreduced BigInt form is the exact reference
+      ids.forall { id =>
+        got(id) == ((BigInt(id) * BigInt(2654435761L)) % BigInt(1000000007L)).toLong
+      }
+    }
+
   property("Sum128 == BigInt sum over arbitrary signed longs + partitionings") =
     forAll(genLongs, Gen.choose(1, 7)) { (vals, parts) =>
       NumericFunctions.register(spark)
