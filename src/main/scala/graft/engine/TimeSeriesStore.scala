@@ -190,32 +190,83 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * The manifest move stays put-if-absent (no REPLACE_EXISTING): a
     * second store instance racing on the same version number hits
     * FileAlreadyExistsException instead of silently overwriting a
-    * committed manifest (the CURRENT swap is inherently last-wins, so
-    * put-if-absent is the only loud signal a cross-process race gets;
-    * single-writer discipline remains the operating requirement, as for
-    * mutations). A crash between the manifest move and the CURRENT swap
-    * leaves an orphan v<N> no reader can reach — it is SKIPPED, never
-    * deleted: the next commit targets one past the highest manifest on
-    * disk, so a racing writer's just-moved manifest (indistinguishable
-    * from a crash orphan in that window) is never destroyed, and true
-    * orphans are reaped by [[vacuum]] once superseded.
+    * committed manifest. [[insert]] treats that signal as a CAS
+    * failure and retries on the winner's published state; the
+    * rewriting mutations surface it loudly (their work is computed
+    * from the lost base). A crash between the manifest move and the
+    * CURRENT swap leaves an orphan v<N> no reader can reach — it is
+    * SKIPPED, never deleted: the next commit targets one past the
+    * highest manifest on disk, so a racing writer's just-moved
+    * manifest (indistinguishable from a crash orphan in that window)
+    * is never destroyed, and true orphans are reaped by [[vacuum]]
+    * once superseded.
     */
-  private def commit(entries: Seq[Entry]): Unit = synchronized {
-    val current =
-      if (!Files.exists(currentPtr)) None
-      else Some(Files.readString(currentPtr).trim)
-    val curVersion = current
-      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).getOrElse(-1L)
-    val version = math.max(curVersion, versions.lastOption.getOrElse(-1L)) + 1L
+  private def commit(entries: Seq[Entry]): Unit =
+    synchronized { publish(entries, baseVersion()) }
+
+  private def currentVersionNum: Long =
+    if (!Files.exists(currentPtr)) -1L
+    else Files.readString(currentPtr).trim
+      .stripPrefix("v").stripSuffix(".manifest").toLong
+
+  /** The version a commit must build on: the highest of CURRENT and any
+    * manifest on disk (stepping past crash orphans, which are skipped,
+    * never adopted or deleted).
+    */
+  private def baseVersion(): Long =
+    math.max(currentVersionNum, versions.lastOption.getOrElse(-1L))
+
+  /** Publish `entries` as version `base + 1` — EXACTLY one past the
+    * state the caller computed `entries` from, so the put-if-absent
+    * move is a true compare-and-swap: if any other writer has taken
+    * that slot since the caller read its base, the move throws
+    * `FileAlreadyExistsException` ([[insert]]'s CAS failure signal;
+    * the single-writer paths surface it loudly). Targeting a RECOMPUTED
+    * max instead would let a lost race publish a fresh version number
+    * on a stale base and silently drop the rival's batch.
+    */
+  private def publish(entries: Seq[Entry], base: Long): Unit = {
+    val version = base + 1L
     val name = s"v$version.manifest"
     val target = root.resolve(name)
     val tmp = Files.createTempFile(root, ".tmp-manifest", "")
-    Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
+      // the CAS itself is a hard-link creation, NOT a rename:
+      // Files.move(ATOMIC_MOVE) maps to POSIX rename(2), which silently
+      // REPLACES an existing target — it can never be put-if-absent.
+      // createLink fails atomically with FileAlreadyExistsException
+      // when the slot is taken, and the target appears fully written
+      // (it IS the completed temp file's inode)
+      Files.createLink(target, tmp)
+    } finally Files.deleteIfExists(tmp)
     val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
     Files.writeString(tmpPtr, name)
+    // last-wins by design: version numbers are totally ordered and the
+    // loser of this swap has already durably linked its manifest
     Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** After losing the manifest CAS: wait (bounded) until CURRENT names
+    * a version ≥ the rival manifest, so the retry rebases on the
+    * winner's PUBLISHED state. Rebasing on CURRENT immediately would
+    * race the winner's pointer swap and silently drop its batch from
+    * the retried manifest; a rival manifest whose CURRENT swap never
+    * lands (a writer crashed inside its commit window) fails loudly
+    * here rather than being adopted or destroyed.
+    */
+  private def awaitRivalVisible(timeoutMs: Long = 5000L): Unit = {
+    val rival = versions.lastOption.getOrElse(-1L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (currentVersionNum < rival) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"manifest v$rival exists but CURRENT never advanced " +
+            "(writer crashed mid-commit?); cannot safely rebase — " +
+            "vacuum the orphan and retry")
+      Thread.sleep(50)
+    }
   }
 
   /** ≤10 formatted conflict messages from a key DataFrame. */
@@ -224,11 +275,16 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       .orderBy(col("timestamp"), col("tag")).limit(10).collect()
       .map(r => fmt(r.getLong(0), r.getString(1))).toSeq
 
-  /** S1 — all-or-nothing append. Mutations are serialized through the
-    * store instance (acid-state's single-writer model): the whole
-    * validate → write-segment → commit sequence holds the lock, so a
-    * concurrent writer can't commit a manifest computed from a stale
-    * segment list (lost-update race). Readers never block.
+  /** S1 — all-or-nothing append. In-process mutations serialize on the
+    * store instance (acid-state's single-writer model); ACROSS
+    * processes, insert is a bounded CAS retry loop: appends compose, so
+    * after losing the manifest put-if-absent race it re-reads the
+    * winner's published state, RE-VALIDATES the batch against it (the
+    * winner may have claimed a key), and re-commits the already-written
+    * segment on the new base — both racing writers land. Readers never
+    * block. Rewriting mutations (update/delete/compact) stay
+    * single-writer: their segments are computed FROM the base state, so
+    * a lost race invalidates the work and fails loudly instead.
     *
     * The conflict check joins the batch against ONLY the partitions for
     * the batch's own days — a key (t, g) can exist nowhere else.
@@ -239,19 +295,53 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       // an empty batch is a no-op (the reference appends nothing) —
       // committing a data-less segment would grow the read fan-in
       if (b.isEmpty) return Right(())
-      val entries = liveEntries()
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
         .count().filter(col("count") > 1)
-      val existing = b.join(subset(entries, touchedDays(b)),
-        Seq("timestamp", "tag"), "left_semi")
-      val errs =
-        keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).") ++
-          keyErrors(existing, (t, g) => s"""Timestamp = $t and tag = "$g" already exists.""")
-      if (errs.nonEmpty) Left(MutationErrors(errs.take(10)))
-      else {
-        commit(entries ++ writeSegment(b))
-        Right(())
+      val dupErrs = keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).")
+      // the batch's segment is written once and reused across retries
+      // (segments are content-immutable); if a retry's re-validation
+      // rejects the batch it stays behind as an age-guarded orphan for
+      // [[vacuum]], same as a crashed commit's
+      var seg: Seq[Entry] = null
+      val maxAttempts = 5
+      var attempt = 0
+      while (true) {
+        // a manifest ahead of CURRENT is either a racing writer about
+        // to swap (wait for it — validating against its pre-swap view
+        // would drop its batch) or a crash orphan (the wait times out;
+        // proceed and let baseVersion() step past it)
+        if (versions.lastOption.getOrElse(-1L) > currentVersionNum)
+          try awaitRivalVisible()
+          catch { case _: IllegalStateException => () }
+        // base is read BEFORE and re-checked AFTER the entries read: a
+        // rival committing in between would leave us holding version
+        // base+1's slot-claim with version base's entries — the
+        // re-check turns that torn snapshot into a retry instead of a
+        // silently dropped rival batch
+        val base = baseVersion()
+        val entries = liveEntries()
+        if (baseVersion() != base) {
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"insert: store at $root kept advancing under $maxAttempts retries")
+        } else {
+          val existing = b.join(subset(entries, touchedDays(b)),
+            Seq("timestamp", "tag"), "left_semi")
+          val errs = dupErrs ++
+            keyErrors(existing, (t, g) => s"""Timestamp = $t and tag = "$g" already exists.""")
+          if (errs.nonEmpty) return Left(MutationErrors(errs.take(10)))
+          if (seg == null) seg = writeSegment(b)
+          try { publish(entries ++ seg, base); return Right(()) }
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              attempt += 1
+              if (attempt >= maxAttempts) throw e
+              awaitRivalVisible()
+          }
+        }
       }
+      Right(()) // unreachable — the loop exits via return
     } finally b.unpersist()
   }
 

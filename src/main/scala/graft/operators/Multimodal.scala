@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch shape,
   * typed output — is real and tested. IMAGE decode is REAL
-  * (`javax.imageio`, the JDK-shipped PNG/JPEG/BMP/GIF codecs — zero
-  * external dependencies), with a clearly marked deterministic STUB
-  * fallback for payloads no reader recognizes. AUDIO decode remains a
-  * stub (the container ships no audio codec): it deterministically
-  * fakes a decode from the payload bytes, preserving exactly the call
-  * shape a real codec (javax.sound/FFmpeg) would have.
+  * (`javax.imageio`, the JDK-shipped PNG/JPEG/BMP/GIF codecs) and
+  * AUDIO decode is REAL for WAV/AIFF (`javax.sound.sampled`, also
+  * JDK-shipped — zero external dependencies); both keep a clearly
+  * marked deterministic STUB fallback for payloads outside the JDK
+  * codec set (e.g. MP3/OGG), preserving exactly the call shape a
+  * production codec swap (FFmpeg) would have.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end;
   * [[decodeImages]] is a narrow mapPartitions (no shuffle) that
@@ -180,11 +180,73 @@ object Multimodal {
                                  n_samples: Long, duration_s: Double,
                                  rms: Double)
 
-  /** STUB — stands in for a real audio codec (same contract as
-    * [[decodeOneStub]]): a production build swaps ONLY this function for
-    * e.g. a javax.sound/FFmpeg call with the same `AudioFeatures` shape.
-    * Deterministic in the payload: "sample rate" from the header byte,
-    * samples = payload length, RMS over the byte values.
+  /** Magic-byte sniff for the containers the JDK readers handle — WAV
+    * (`RIFF….WAVE`) and AIFF (`FORM….AIFF`). Same rationale as
+    * [[looksLikeImage]]: unrecognized payloads skip the reader-registry
+    * probe entirely.
+    */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F' && p(11) == 'F'))
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-shipped WAV/AIFF
+    * readers — no external dependency): true sample rate, per-channel
+    * sample count, duration from the frame count, and RMS computed over
+    * the actual PCM samples normalized to [-1, 1] (all channels
+    * pooled). Handles 8- and 16-bit PCM, signed/unsigned, either
+    * endianness. Returns None for payloads no reader accepts or sample
+    * layouts outside that set, so the caller falls back to the stub
+    * instead of poisoning the batch.
+    */
+  private[graft] def decodeOneAudioJdk(m: MediaFile): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val nAll = bytes.length / bytesPerSample // samples across channels
+          var i = 0
+          var sq = 0.0
+          while (i < nAll) { // while-loop, matching the decode hot-path
+            val off = i * bytesPerSample // perf story (no boxed map/sum)
+            val raw =
+              if (bits == 8) { if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128 }
+              else {
+                val (b0, b1) = if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                  else (bytes(off + 1), bytes(off))
+                val s = ((b0 & 0xff) << 8) | (b1 & 0xff)
+                if (signed) s.toShort.toInt else s - 32768
+              }
+            val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+            sq += x * x
+            i += 1
+          }
+          val frames = if (fmt.getChannels > 0) nAll / fmt.getChannels else nAll
+          val rate = fmt.getSampleRate.toDouble
+          Some(AudioFeatures(m.media_id, rate.toInt, frames,
+            if (rate > 0) frames / rate else 0.0,
+            if (nAll == 0) 0.0 else math.sqrt(sq / nAll)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB fallback — stands in for codecs beyond the JDK's WAV/AIFF
+    * (same contract as [[decodeOneStub]]): a production build swaps ONLY
+    * this function for e.g. an FFmpeg call with the same
+    * `AudioFeatures` shape. Deterministic in the payload: "sample rate"
+    * from the header byte, samples = payload length, RMS over the byte
+    * values.
     */
   private[graft] def decodeAudioStub(m: MediaFile): AudioFeatures = {
     val p = m.payload
@@ -201,10 +263,21 @@ object Multimodal {
     AudioFeatures(m.media_id, rate, n, n.toDouble / rate, rms)
   }
 
-  /** Batched audio decode (see [[batchedDecode]]). */
+  /** Audio decode: real `javax.sound.sampled` when the payload carries
+    * a WAV/AIFF signature and decodes, deterministic stub otherwise
+    * (see [[decodeOneAudioJdk]] / [[decodeAudioStub]]).
+    */
+  private[graft] def decodeAudioOne(m: MediaFile): AudioFeatures =
+    (if (looksLikeAudio(m.payload)) decodeOneAudioJdk(m) else None)
+      .getOrElse(decodeAudioStub(m))
+
+  /** Batched audio decode (see [[batchedDecode]]): real JDK WAV/AIFF
+    * codecs for decodable payloads, deterministic stub fallback
+    * otherwise.
+    */
   def decodeAudio(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
-    batchedDecode(media, batchSize)(decodeAudioStub)
+    batchedDecode(media, batchSize)(decodeAudioOne)
   }
 
   /** Segmentation plan for audio: fixed `windowS`-second chunks with

@@ -553,6 +553,41 @@ class ExtensionSpec extends SparkSpec {
       feats(1).embedding.toSeq == stub.embedding.toSeq)
   }
 
+  test("multimodal: real WAV payloads decode via javax.sound; others fall back to stub") {
+    // JDK-shipped codec, no external dependency: a generated 8000 Hz
+    // mono 16-bit PCM square wave at half amplitude must come back with
+    // the TRUE sample rate, frame count, duration and RMS (|x| = 0.5
+    // everywhere => RMS 0.5 exactly, up to 16-bit quantization)
+    val rate = 8000
+    val frames = 4000 // 0.5 s
+    val amp = 16384   // 0.5 in 16-bit full scale
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v = if ((i / 8) % 2 == 0) amp else -amp // 500 Hz square wave
+      pcm(2 * i) = (v & 0xff).toByte              // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      Multimodal.MediaFile(1L, "audio", bos.toByteArray, "gen"),
+      Multimodal.MediaFile(2L, "audio", "not audio at all".getBytes("UTF-8"), "gen")).toDS()
+    val feats = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    val wav = feats(0)
+    assert(wav.sample_rate == rate)
+    assert(wav.n_samples == frames)
+    assert(math.abs(wav.duration_s - 0.5) < 1e-9)
+    assert(math.abs(wav.rms - 0.5) < 1e-4) // 16-bit quantization slack
+    // the text payload takes the deterministic stub path
+    val stub = feats(1)
+    assert(stub == Multimodal.decodeAudioStub(
+      Multimodal.MediaFile(2L, "audio", "not audio at all".getBytes("UTF-8"), "gen")))
+  }
+
   test("multimodal: audio decode + chunk plan (stubbed codec, real plumbing)") {
     val media = Multimodal.syntheticMedia(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20))

@@ -48,6 +48,36 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(r.isLeft && r.left.toOption.get.messages.size == 10)
   }
 
+  test("S1 insert: two racing writer processes both land (CAS retry)") {
+    // two INSTANCES on one path = the cross-process shape (per-instance
+    // locks don't serialize them); the loser of the manifest
+    // put-if-absent must rebase on the winner's published state and
+    // re-commit, so BOTH batches are visible afterwards
+    val path = Files.createTempDirectory("graft-store-race").toString
+    val a = new TimeSeriesStore(spark, path)
+    val b = new TimeSeriesStore(spark, path)
+    a.insert(base.toDS())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a.insert(Seq(TS(100L, "ra", 1.0), TS(101L, "ra", 2.0)).toDS()))
+    val fb = Future(b.insert(Seq(TS(200L, "rb", 3.0), TS(201L, "rb", 4.0)).toDS()))
+    assert(Await.result(fa, 120.seconds).isRight)
+    assert(Await.result(fb, 120.seconds).isRight)
+    // a FRESH reader sees base + both racing batches
+    val seen = new TimeSeriesStore(spark, path).current()
+      .select("timestamp").as[Long].collect().toSet
+    assert(seen == Set(1L, 2L, 3L, 100L, 101L, 200L, 201L))
+
+    // and a racing insert that conflicts with the winner's keys is
+    // REJECTED on retry, not blindly committed
+    val c = new TimeSeriesStore(spark, path)
+    val r = c.insert(Seq(TS(100L, "ra", 9.9)).toDS())
+    assert(r.isLeft)
+    assert(r.left.toOption.get.messages
+      .contains("Timestamp = 100 and tag = \"ra\" already exists."))
+  }
+
   test("S2 update: values change, keys unchanged; missing key rejects batch") {
     val st = freshStore()
     st.insert(base.toDS())
