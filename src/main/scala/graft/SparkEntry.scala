@@ -43,21 +43,18 @@ object SparkEntry {
   // the demo indexes live in temp dirs — reap them when the JVM exits
   // (a deployment points AnnIndexStore at a durable path instead)
   sys.addShutdownHook {
-    annIndexPaths.values.foreach { p =>
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      catch { case scala.util.control.NonFatal(_) => () }
-      finally walk.close()
-    }
+    annIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
   }
 
   // one store HANDLE per (session, sf dir): the handle caches the
   // pinned version's probe state (params, centroids, DataFrame
   // handles), so repeated probes skip the per-call params/footer
-  // re-reads — a fresh handle per query would pay them every time
-  private val annStores = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), graft.operators.AnnIndexStore]
+  // re-reads — a fresh handle per query would pay them every time.
+  // WEAK session keys: a strong (session, dir) key would pin every
+  // short-lived session (and its cached plans) for the JVM's life
+  private val annStores = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, graft.operators.AnnIndexStore]]()
 
   private def annStore(s: SparkSession, dir: String): graft.operators.AnnIndexStore = {
     import graft.operators.AnnIndexStore.{IvfParams, LshParams}
@@ -70,8 +67,9 @@ object SparkEntry {
           LshParams(32, 6, 64), IvfParams(nlist = 32, refineIters = 2, dim = 64))
         p
       })
-      annStores.getOrElseUpdate((s, dir),
-        new graft.operators.AnnIndexStore(s, path))
+      val bySession = annStores.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      bySession.getOrElseUpdate(dir, new graft.operators.AnnIndexStore(s, path))
     }
   }
 

@@ -201,8 +201,19 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * is never destroyed, and true orphans are reaped by [[vacuum]]
     * once superseded.
     */
-  private def commit(entries: Seq[Entry]): Unit =
-    synchronized { publish(entries, baseVersion()) }
+  /** Single-writer commit for the REWRITING mutations: `base` must be
+    * the [[baseVersion]] observed BEFORE the caller read the state its
+    * `entries` were computed from. Recomputing the base here would let
+    * a rewrite racing a cross-process [[insert]] publish on a fresh
+    * version number over the insert's batch — the silent drop
+    * [[publish]]'s CAS exists to prevent. With the base pinned, that
+    * race collides on the version slot and fails loudly
+    * (`FileAlreadyExistsException`), which is the rewrite contract:
+    * their segments are computed FROM the base state, so a lost race
+    * invalidates the work.
+    */
+  private def commit(entries: Seq[Entry], base: Long): Unit =
+    synchronized { publish(entries, base) }
 
   private def currentVersionNum: Long =
     if (!Files.exists(currentPtr)) -1L
@@ -308,11 +319,21 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       while (true) {
         // a manifest ahead of CURRENT is either a racing writer about
         // to swap (wait for it — validating against its pre-swap view
-        // would drop its batch) or a crash orphan (the wait times out;
-        // proceed and let baseVersion() step past it)
+        // would drop its batch) or a crash orphan. Only a STALE one
+        // (past the grace window) may be stepped past after the wait
+        // times out: a fresh one could be a live-but-stalled writer
+        // whose batch a rebase would silently drop, so that stays the
+        // loud failure
         if (versions.lastOption.getOrElse(-1L) > currentVersionNum)
           try awaitRivalVisible()
-          catch { case _: IllegalStateException => () }
+          catch {
+            case e: IllegalStateException =>
+              val rival = root.resolve(s"v${versions.lastOption.getOrElse(-1L)}.manifest")
+              val graceMs = 60000L
+              if (Files.exists(rival) && System.currentTimeMillis() -
+                  Files.getLastModifiedTime(rival).toMillis < graceMs)
+                throw e
+          }
         // base is read BEFORE and re-checked AFTER the entries read: a
         // rival committing in between would leave us holding version
         // base+1's slot-claim with version base's entries — the
@@ -360,6 +381,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       // no keys => no-op (like insert): don't write an orphan empty
       // segment and churn a byte-identical manifest version
       if (b.isEmpty) return Right(())
+      val base = baseVersion() // pinned BEFORE the state read (see commit)
       val entries = liveEntries()
       val days = touchedDays(b)
       val touched = subset(entries, days)
@@ -378,7 +400,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
             Seq("timestamp", "tag"), "left")
           .select(col("timestamp"), col("tag"),
             coalesce(col("new_value"), col("value")).as("value"))
-        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(updated))
+        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(updated), base)
         Right(())
       }
     } finally b.unpersist()
@@ -394,6 +416,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val k = keys.toDF().dropDuplicates("timestamp", "tag").cache()
     try {
       if (k.isEmpty) return Right(()) // no keys => no-op, like insert
+      val base = baseVersion() // pinned BEFORE the state read (see commit)
       val entries = liveEntries()
       val days = touchedDays(k)
       val touched = subset(entries, days)
@@ -402,14 +425,14 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       if (errs.nonEmpty) Left(MutationErrors(errs))
       else {
         val remaining = touched.join(k, Seq("timestamp", "tag"), "left_anti")
-        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(remaining))
+        commit(entries.filterNot(e => days.contains(e.day)) ++ writeSegment(remaining), base)
         Right(())
       }
     } finally k.unpersist()
   }
 
   /** S4 — truncate (reference: DELETE with empty body). */
-  def truncate(): Unit = this.synchronized { commit(Seq.empty) }
+  def truncate(): Unit = this.synchronized { commit(Seq.empty, baseVersion()) }
 
   /** Live segment count (grows by 1 per insert until compaction). */
   def segmentCount: Int = liveEntries().map(_.seg).distinct.size
@@ -419,7 +442,10 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * holding older manifests are unaffected (segments are immutable).
     */
   def compact(): Unit = this.synchronized {
-    if (segmentCount > 1) commit(writeSegment(current()))
+    if (segmentCount > 1) {
+      val base = baseVersion() // pinned BEFORE the state read (see commit)
+      commit(writeSegment(current()), base)
+    }
   }
 
   /** Delete paths unreferenced by the CURRENT manifest — unreachable
@@ -454,13 +480,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val curVersion = currentName
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).getOrElse(-1L)
     var removed = 0
-    def rmTree(p: Path): Unit = {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.delete(f); () })
-      finally walk.close()
-      removed += 1
-    }
+    def rmTree(p: Path): Unit = { graft.Fs.deleteTree(p); removed += 1 }
     listDir(root).foreach { name =>
       if (name.startsWith("seg-")) liveBySeg.get(name) match {
         case None => // whole segment unreachable (possibly an in-flight

@@ -91,7 +91,10 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     val version = versions.lastOption.getOrElse(-1L) + 1L
     val dir = root.resolve(s"v$version")
     Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
-    val vectors = corpus.select(col(idCol).as("vec_id"),
+    // ids are canonically LONG on disk (callers may pass int ids; the
+    // probes extract them driver-side as longs)
+    val canon = corpus.withColumn(idCol, col(idCol).cast("long"))
+    val vectors = canon.select(col(idCol).as("vec_id"),
       Similarity.asDouble(col(vecCol)).as("v"))
 
     // vectors once, sorted by vec_id => row-group skipping on id joins
@@ -107,7 +110,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     // list, so storing v alongside (cent_id, vec_id) costs one extra
     // copy of the corpus and lets a probe score candidates straight off
     // the pruned list scan — no second join against the vectors table
-    val built = Similarity.buildIvfIndex(corpus, ivf.nlist, ivf.refineIters,
+    val built = Similarity.buildIvfIndex(canon, ivf.nlist, ivf.refineIters,
       ivf.dim, vecCol, idCol)
     built.centroids.coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
@@ -143,7 +146,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     val version = versions.lastOption.getOrElse(-1L) + 1L
     val dir = root.resolve(s"v$version")
     Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
-    val vectors = delta.select(col(idCol).as("vec_id"),
+    val vectors = delta.select(col(idCol).cast("long").as("vec_id"),
       Similarity.asDouble(col(vecCol)).as("v"))
 
     vectors.sortWithinPartitions(col("vec_id"))
@@ -251,7 +254,8 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     // lists and the LocalRelation join side below — no checkpoint, no
     // second pass
     val qDisk = Similarity.withBuckets(
-      queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv")),
       st.lsh.tables, st.lsh.planes, st.lsh.dim, "qv")
     val qRows = qDisk.collect()
     val q = localDf(qRows, qDisk.schema)
@@ -294,7 +298,8 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     // the collected rows seed both the pruning list and the
     // LocalRelation join side — no checkpoint, no second pass
     val probesDisk = Similarity.nearestCentroids(
-      queries.select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv")),
       st.centroids, "query_id", "qv", nprobe)
     val pRows = probesDisk.collect()
     val probes = localDf(pRows, probesDisk.schema)
@@ -329,12 +334,16 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     var removed = 0
     versions.filter(_ < cur).foreach { v =>
       val dir = root.resolve(s"v$v")
-      val probeable = Files.exists(dir.resolve("manifest.json")) ||
-        Files.exists(dir.resolve("params.json"))
-      if (probeable && Files.getLastModifiedTime(dir).toMillis < cutoff) {
+      if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
+        // data-holder versions (manifest already stripped by an earlier
+        // vacuum) are re-examined too: once a later full rebuild stops
+        // referencing their dirs, this pass reclaims them — gating on
+        // probeability would leak a corpus-scale copy forever
+        val probeable = Files.exists(dir.resolve("manifest.json")) ||
+          Files.exists(dir.resolve("params.json"))
         Seq("vectors", "lsh", "ivf", "ivf_centroids")
           .filterNot(c => live.contains(s"v$v/$c"))
-          .foreach(c => deleteRecursively(dir.resolve(c)))
+          .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
         Files.deleteIfExists(dir.resolve("manifest.json"))
         Files.deleteIfExists(dir.resolve("params.json"))
         // fully unreferenced => the whole version dir goes; otherwise it
@@ -343,19 +352,11 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         val empty = try !children.iterator().hasNext finally children.close()
         if (empty) Files.delete(dir)
         stateCache.remove(v)
-        removed += 1
+        if (probeable) removed += 1
       }
     }
     removed
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.delete(f); () })
-      finally walk.close()
-    }
 }
 
 object AnnIndexStore {

@@ -50,10 +50,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
-      // ≤ k rows per query and the query batch is small by contract — a
-      // single-partition local sort yields the same total order as a
-      // global orderBy without the range exchange + its sampling pass
-      .coalesce(1)
+      // ≤ k rows per query and the query batch is small by contract — an
+      // explicit single-partition exchange of the FILTERED rows + local
+      // sort yields the same total order as a global orderBy without
+      // the range exchange's sampling pass. (Not coalesce(1): that is a
+      // narrow dependency, so it would drag the whole window stage into
+      // one task and serialize candidate ranking over the corpus-scale
+      // candidate set.)
+      .repartition(1)
       .sortWithinPartitions(col("query_id"), col("rank"))
   }
 

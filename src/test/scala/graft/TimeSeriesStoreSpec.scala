@@ -271,6 +271,14 @@ class TimeSeriesStoreSpec extends SparkSpec {
     // CURRENT — the next commit must step past it, not destroy it
     val foreign = dir.resolve("v1.manifest")
     Files.writeString(foreign, "seg-foreign/g_day=0")
+    // FRESH orphan: indistinguishable from a live writer mid-swap, so
+    // insert refuses to rebase over it (loud, not a silent drop)
+    val stuck = intercept[IllegalStateException](
+      st.insert(Seq(TS(2L, "b", 2.0)).toDS()))
+    assert(stuck.getMessage.contains("CURRENT never advanced"))
+    // STALE orphan (past the grace window): a crashed commit — skipped
+    Files.setLastModifiedTime(foreign,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 600000L))
     assert(st.insert(Seq(TS(2L, "b", 2.0)).toDS()).isRight)
     assert(Files.readString(foreign) == "seg-foreign/g_day=0") // untouched
     assert(Files.readString(dir.resolve("CURRENT")).trim == "v2.manifest")
