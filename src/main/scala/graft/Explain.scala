@@ -29,7 +29,9 @@ object Explain {
       "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute",
       "x_decontaminate", "x_gapfill_minutes", "x_sample_quota",
       "x_rollup_pricing", "x_pricing_summary", "x_pii_detect",
-      "x_split_stratified", "x_lm_unigram_nll", "x_pipeline_pretrain")
+      "x_split_stratified", "x_lm_unigram_nll", "x_pipeline_pretrain",
+      "x_lm_filter_nll", "x_skew_join_salted", "x_range_join",
+      "x_text_repetition")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -715,6 +715,25 @@ object SparkEntry {
       graft.operators.LangModel.filterByNll(Tables.documents(s, dir), pct = 90.0)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- intra-doc repetition: duplicate 3-gram fraction per document
+    // (the Gopher-style "keeps repeating itself" curation signal)
+    "x_text_repetition" -> ((s, dir) =>
+      graft.operators.Quality.dupNgramStats(Tables.documents(s, dir))),
+    // ---- range join: events inside each user's first-2h window —
+    // point-in-interval via chunk-bucketed equi-join (a naive theta
+    // join would be broadcast-nested-loop)
+    "x_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").cast("long").as("t"), col("value"))
+      val intervals = ev.groupBy(col("user_id"))
+        .agg(min(col("t")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(7200000L))
+      graft.operators.RangeJoin.pointInInterval(ev, "t", intervals,
+          "w_start", "w_end", Seq("user_id"), bucketMs = 3600000L)
+        .groupBy(col("user_id"), col("w_start"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
     // ---- skew-salted join: events' 5-value event_type is the
     // pathological join key (a plain shuffle join lands ~20% of the
     // fact table on each of 5 reducers); the salted path spreads each
@@ -1064,6 +1083,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN nll USING (doc_id), cut
         |WHERE nll.nll <= cut.cut ORDER BY d.doc_id""".stripMargin,
+    "x_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+        |         i -> array_to_string(t[i+1:i+3], ' ')) AS grams FROM toks)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+        |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "x_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t, value FROM events),
+        |iv AS (SELECT user_id, min(t) AS w_start, min(t) + 7200000 AS w_end
+        |       FROM e GROUP BY user_id)
+        |SELECT e.user_id, iv.w_start, count(*) AS n_events,
+        |       round(sum(e.value), 4) AS sum_value
+        |FROM e JOIN iv ON e.user_id = iv.user_id
+        |               AND e.t >= iv.w_start AND e.t < iv.w_end
+        |GROUP BY e.user_id, iv.w_start ORDER BY e.user_id""".stripMargin,
     "x_skew_join_salted" ->
       """WITH rates(event_type, rate) AS (VALUES
         |  ('click', 0.1), ('view', 0.05), ('purchase', 1.0),

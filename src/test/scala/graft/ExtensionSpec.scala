@@ -510,6 +510,47 @@ class ExtensionSpec extends SparkSpec {
     assert(tol.toSeq == Seq(None, Some(2.0), Some(2.0), None, None)) // B@100 > 25+10
   }
 
+  test("range join: chunk-bucketed point-in-interval equals the plain theta join") {
+    import graft.operators.RangeJoin
+    // intervals spanning 1, 2 and 4 chunks (bucketMs = 100); boundary
+    // points: start inclusive, end exclusive; key mismatches excluded
+    val points = Seq(
+      (1L, "u1", 100L), (2L, "u1", 199L), (3L, "u1", 200L), // iv [100,200)
+      (4L, "u2", 150L), (5L, "u2", 420L),                   // iv [90,430)
+      (6L, "u3", 150L)                                      // u3 has no interval
+    ).toDF("point_id", "k", "t")
+    val intervals = Seq(("u1", 100L, 200L), ("u2", 90L, 430L))
+      .toDF("k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "s", "e",
+        Seq("k"), bucketMs = 100L)
+      .select("point_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L)) // 3 excluded (t == end), 6 unmatched
+    val plain = points.join(intervals, Seq("k"))
+      .filter($"t" >= $"s" && $"t" < $"e")
+      .select("point_id").as[Long].collect().sorted.toSeq
+    assert(got == plain)
+    // no duplicate rows from multi-chunk intervals
+    assert(RangeJoin.pointInInterval(points, "t", intervals, "s", "e",
+      Seq("k"), bucketMs = 10L).count() == 4)
+  }
+
+  test("dup-ngram stats: repeated phrases push dup_ratio toward 1, unique text to 0") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight completely different words appear exactly once here"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val m = Quality.dupNgramStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 6 trigrams, all "spam spam spam" => 1 distinct
+    assert(m(1L) == ((6L, 1L, 0.8333)))
+    // doc 2: 6 trigrams, all distinct => ratio 0
+    assert(m(2L) == ((6L, 6L, 0.0)))
+    // doc 3: shorter than n => the single (short) window, ratio 0
+    assert(m(3L) == ((1L, 1L, 0.0)))
+  }
+
   test("salted join equals plain join on skewed data") {
     import graft.operators.SkewJoin
     val facts = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "rare" else "hot"))
