@@ -382,6 +382,11 @@ object SparkEntry {
     "x_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 200),
         n = 3, minJaccard = 0.5)),
+    // ---- dedup: per-doc CROSS-doc duplicated 5-gram occurrence
+    // fraction (exact-substring-dedup signal; md5 digests shuffle, not
+    // gram text, which is also what makes it oracle-checkable)
+    "x_dedup_ngram_frac" -> ((s, dir) =>
+      Dedup.dupNgramFraction(Tables.documents(s, dir), n = 5)),
     // ---- dedup: MinHash + LSH banding over the full table (scale path;
     // no oracle — xxhash64 signatures are engine-specific)
     "x_dedup_minhash_lsh" -> ((s, dir) =>
@@ -715,6 +720,11 @@ object SparkEntry {
       graft.operators.LangModel.filterByNll(Tables.documents(s, dir), pct = 90.0)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- interpolated bigram LM: word-order-aware fluency signal
+    // (separates shuffled token soup from fluent text — same unigram
+    // score, different bigram score)
+    "x_lm_bigram_nll" -> ((s, dir) =>
+      graft.operators.LangModel.bigramNll(Tables.documents(s, dir), lambda = 0.7)),
     // ---- intra-doc repetition: duplicate 3-gram fraction per document
     // (the Gopher-style "keeps repeating itself" curation signal)
     "x_text_repetition" -> ((s, dir) =>
@@ -984,6 +994,15 @@ object SparkEntry {
         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_ngram_frac" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+        |         i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h FROM d),
+        |f AS (SELECT h, min(doc_id) <> max(doc_id) AS is_shared FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (WHERE f.is_shared) AS BIGINT) AS n_dup,
+        |       round(CAST(count(*) FILTER (WHERE f.is_shared) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM g JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_neardup_embed_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
@@ -1083,6 +1102,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN nll USING (doc_id), cut
         |WHERE nll.nll <= cut.cut ORDER BY d.doc_id""".stripMargin,
+    "x_lm_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |u AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM t),
+        |bp AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS prev,
+        |         unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS cur
+        |       FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT prev, cur, count(*) AS cb FROM bp GROUP BY 1, 2),
+        |cx AS (SELECT prev, sum(cb) AS cc FROM bc GROUP BY 1)
+        |SELECT bp.doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln(0.7 * CAST(bc.cb AS DOUBLE) / cx.cc
+        |                     + 0.3 * CAST(u.cu AS DOUBLE) / tot.n_total)), 4) AS nll
+        |FROM bp JOIN bc USING (prev, cur) JOIN cx USING (prev)
+        |       JOIN u ON u.tok = bp.cur, tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id, list_transform(range(0, greatest(len(t) - 3, 0) + 1),

@@ -188,6 +188,47 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-document duplicated-text fraction at n-gram granularity — the
+    * exact-substring-dedup signal (cf. "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022, re-expressed
+    * Spark-first: n-gram occurrence counting instead of suffix arrays):
+    * for each document, the fraction of its n-gram OCCURRENCES (every
+    * position counts, repeated boilerplate inside one doc counts each
+    * time) whose n-gram also appears in at least one OTHER document.
+    * High dup_frac = the document is mostly text that exists elsewhere
+    * in the corpus; the usual curation cut drops or trims it.
+    *
+    * Scale shape: the per-position explode is intrinsic (one row per
+    * token, as every corpus-statistics operator here). The cross-doc
+    * frequency aggregate shuffles md5 DIGESTS (fixed 32 hex chars), not
+    * reassembled n-gram text — same reasoning as [[exactByDigest]] —
+    * and "appears in >1 doc" folds into min(id) != max(id), one hash
+    * aggregate with no distinct-count sketch or second pass. md5 (not
+    * xxhash64) keeps the key replayable by an external engine, which is
+    * what makes this one oracle-checkable where [[minhashPairs]] isn't.
+    * Returns (doc_id, n_grams, n_dup, dup_frac) ordered by doc_id.
+    */
+  def dupNgramFraction(docs: DataFrame, n: Int = 5,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // BIND toks before the windowing lambda (the [[shingles]] O(len²) trap)
+    val tokenized = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
+    val gram = transform(
+      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+      i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
+    val occ = tokenized.select(col("id"), explode(gram).as("h"))
+      .localCheckpoint() // feeds the doc-frequency agg AND the scoring join
+    val shared = occ.groupBy(col("h"))
+      .agg((min(col("id")) =!= max(col("id"))).as("is_shared"))
+    occ.join(shared, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 4))
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over a near-duplicate pair list (id_a, id_b)
     * by alternating large-star / small-star contraction — the standard
     * way to turn pairwise similarity into duplicate CLUSTERS (a~b, b~c

@@ -78,6 +78,61 @@ object LangModel {
       .orderBy(col("grp"), col("rank"))
   }
 
+  /** Per-document mean negative log-likelihood under an interpolated
+    * bigram model of the corpus itself: for each in-document position
+    * i >= 2, p = lambda * c(prev,cur)/c(prev,·) + (1-lambda) *
+    * c(cur)/N, where c(prev,·) is the bigram-CONTEXT count (bigrams
+    * starting with prev — not the unigram count, which over-counts
+    * doc-final tokens that start no bigram). The unigram back-off term
+    * keeps p > 0 without smoothing (the corpus scores itself, so every
+    * cur exists in the vocabulary); lambda in (0,1] weighs how much
+    * local word order matters vs bare token frequency. The bigram score
+    * separates shuffled/templated token soup from fluent text where
+    * [[unigramNll]] can't (same bag of words, same unigram score).
+    *
+    * Plan shape: the tokenized corpus is checkpointed ONCE (narrow
+    * (id, toks) rows); the unigram and bigram streams both read it, so
+    * the text is split a single time. Count tables shuffle on token
+    * keys (vocabulary-sized — too big to assume broadcastable at
+    * 100 TB, AQE broadcasts when they fit); the context count folds out
+    * of the bigram table, costing no extra corpus pass. Documents with
+    * fewer than 2 tokens have no bigram positions and do not appear.
+    * Returns (id, n_bigrams, nll) ordered by id.
+    */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.7,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda=$lambda out of (0,1]")
+    val tokenized = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
+      .localCheckpoint() // one text split feeds unigrams AND bigrams
+    val toks = tokenized.select(col("id"), explode(col("toks")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // read twice: total + scoring join
+    val total = uni.agg(sum(col("cu")).as("n_total")) // 1 row — broadcast
+    // guard: sequence(1, size-1) on a 1-token doc would DESCEND [1, 0]
+    val biIdx = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1)).otherwise(array())
+    val bi = tokenized.select(col("id"), explode(
+      transform(biIdx, i => struct(
+        element_at(col("toks"), i).as("prev"),
+        element_at(col("toks"), i + 1).as("cur")))).as("b"))
+      .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .localCheckpoint() // feeds bigram counts, context counts, scoring
+    val big = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // read twice: context fold + scoring join
+    val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+    bi.join(big, Seq("prev", "cur"))
+      .join(ctx, "prev")
+      .join(uni.select(col("tok").as("cur"), col("cu")), "cur")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          lit(lambda) * col("cb").cast("double") / col("cc") +
+            lit(1 - lambda) * col("cu").cast("double") / col("n_total"))), 4).as("nll"))
+      .orderBy(col("id"))
+  }
+
   /** Keep documents below the `pct` percentile of [[unigramNll]] — the
     * "drop the most improbable tail" curation cut. The threshold is an
     * exact interpolated percentile computed distributed (one extra

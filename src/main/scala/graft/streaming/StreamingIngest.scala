@@ -161,6 +161,42 @@ object StreamingIngest {
       }
     }
 
+  /** Content-digest exact dedup on a DOCUMENT stream — the streaming
+    * form of [[graft.operators.Dedup.exactByDigest]]: a doc whose text
+    * digest was already seen within the watermark horizon is dropped.
+    * State holds 32-byte sha-256 digests (plus the key bookkeeping),
+    * never document text, so state size is rows-seen × O(digest) no
+    * matter how large the documents are — the same shuffle-digests-not-
+    * text reasoning as the batch path, applied to the state store. The
+    * watermark bounds state for an unbounded corpus feed; an exact
+    * forever-dedup is a batch [[graft.operators.Dedup]] concern, not a
+    * stream-state one. Requires an event-time column `eventTimeCol`
+    * (TimestampType).
+    */
+  def dedupeDocsByDigest(docs: DataFrame, eventTimeCol: String,
+                         textCol: String = "text",
+                         watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("digest", sha2(col(textCol).cast("binary"), 256))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
+  /** Streaming maintenance of a persisted [[graft.operators
+    * .AnnIndexStore]]: each micro-batch of (vec_id, embedding) rows is
+    * appended as an incremental index version — delta-cost hashing and
+    * centroid assignment, manifest-reuse of every prior posting file —
+    * so the searchable index trails the stream by one micro-batch
+    * without ever paying corpus-scale rebuild cost. Empty micro-batches
+    * commit nothing (no empty index versions from idle triggers).
+    * Returns the ready-to-start writer.
+    */
+  def annIngest(vectors: DataFrame, store: graft.operators.AnnIndexStore,
+                vecCol: String = "embedding", idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
+    }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, LangModel, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Unit semantics for the training-data extension operators on tiny
@@ -29,6 +29,41 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs((0L, 1L)) == 1.0)
     assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("dup n-gram fraction: exact dups fully duplicated, near dup partial, unique 0") {
+    val r = Dedup.dupNgramFraction(docs, n = 3).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((7L, 7L, 1.0)))   // every gram also in doc 1
+    assert(r(1L) == ((7L, 7L, 1.0)))
+    assert(r(2L) == ((7L, 6L, 0.8571))) // "the lazy cat" is its own
+    assert(r(3L)._3 == 0.0 && r(4L)._3 == 0.0)
+  }
+
+  test("dup n-gram fraction counts OCCURRENCES: intra-doc repeats of a shared gram each count") {
+    val d = Seq((0L, "x y z"), (1L, "x y z q x y z")).toDF("doc_id", "text")
+    val r = Dedup.dupNgramFraction(d, n = 3).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L) == ((1L, 1L, 1.0)))
+    assert(r(1L) == ((5L, 2L, 0.4))) // "x y z" twice, both shared with doc 0
+  }
+
+  test("bigram LM: word order separates shuffled token soup where unigram can't") {
+    val df = ((0L to 3L).map(i => (i, "the cat sat on the mat")) :+
+      ((4L, "mat the on sat cat the"))).toDF("doc_id", "text")
+    val uni = LangModel.unigramNll(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(0L) == uni(4L)) // same bag of words — unigram is blind
+    val bi = LangModel.bigramNll(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(bi(0L)._1 == 5L) // 6 tokens -> 5 bigram positions
+    assert(bi(0L) == bi(3L)) // identical docs score identically
+    assert(bi(4L)._2 > bi(0L)._2) // rare bigrams -> higher nll
+  }
+
+  test("bigram LM: docs with fewer than 2 tokens have no positions and are absent") {
+    val df = Seq((0L, "a b"), (1L, "solo")).toDF("doc_id", "text")
+    assert(LangModel.bigramNll(df).collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
   test("minhash LSH finds the exact and near dup; est_jaccard sane") {
