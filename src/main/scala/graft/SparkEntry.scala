@@ -410,6 +410,15 @@ object SparkEntry {
     "x_neardup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- k-means corpus profile: sizes + mean norm per embedding
+    // cluster (no oracle — iterative float averages are engine-specific)
+    "x_cluster_profile" -> ((s, dir) =>
+      graft.operators.Clustering.clusterProfile(Tables.embeddings(s, dir), k = 8)),
+    // ---- diversity sampling: equal quota from each embedding cluster
+    // (no oracle — cluster labels are engine-specific)
+    "x_cluster_balanced_sample" -> ((s, dir) =>
+      graft.operators.Clustering.balancedSample(Tables.embeddings(s, dir),
+        k = 8, perCluster = 10)),
     // ---- similarity search: exact cosine top-5 for 10 query vectors
     "x_ann_topk_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -720,6 +729,11 @@ object SparkEntry {
       graft.operators.LangModel.filterByNll(Tables.documents(s, dir), pct = 90.0)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // ---- lexical search: BM25 top-k — the inverted-index probe as a
+    // relational plan (query terms land in the token scan as literals)
+    "x_search_bm25" -> ((s, dir) =>
+      graft.operators.Search.bm25TopK(Tables.documents(s, dir),
+        query = "spark hash join", k = 20)),
     // ---- interpolated bigram LM: word-order-aware fluency signal
     // (separates shuffled token soup from fluent text — same unigram
     // score, different bigram score)
@@ -729,6 +743,10 @@ object SparkEntry {
     // (the Gopher-style "keeps repeating itself" curation signal)
     "x_text_repetition" -> ((s, dir) =>
       graft.operators.Quality.dupNgramStats(Tables.documents(s, dir))),
+    // ---- composite curation ruleset report: per-rule flag counts +
+    // survivors ("what would this ruleset drop?") in ONE corpus scan
+    "x_quality_filter_report" -> ((s, dir) =>
+      graft.operators.Quality.filterReport(Tables.documents(s, dir))),
     // ---- range join: events inside each user's first-2h window —
     // point-in-interval via chunk-bucketed equi-join (a naive theta
     // join would be broadcast-nested-loop)
@@ -825,6 +843,20 @@ object SparkEntry {
       s"* (1.0 - (length($c) - length(translate($c, '.,!?;:', ''))) / CAST(length($c) AS DOUBLE)) " +
       s"* (CASE WHEN (CAST(len(list_filter(string_split($c, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) " +
       s"/ (length($c) - length(replace($c, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4)"
+
+  /** Stopword-hit count and language-ID SQL forms ([[graft.functions
+    * .TextFunctions.stopwordHits]]/[[graft.functions.TextFunctions
+    * .langId]]) — the stopword lists interpolate from the Scala
+    * constants so the engines can't drift.
+    */
+  private def stopHitsSql(c: String, words: Seq[String]): String =
+    s"len(list_filter(string_split($c, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private def langIdSqlExpr(c: String): String = {
+    import graft.functions.TextFunctions.{EN_STOP, ES_STOP, FR_STOP}
+    val (en, es, fr) = (stopHitsSql(c, EN_STOP), stopHitsSql(c, ES_STOP), stopHitsSql(c, FR_STOP))
+    s"(CASE WHEN $en >= $es AND $en >= $fr THEN 'en' WHEN $es >= $fr THEN 'es' ELSE 'fr' END)"
+  }
 
   /** The decontamination CTE chain (corpus/eval shingles → clean set),
     * shared by both pipeline oracles.
@@ -1102,6 +1134,41 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN nll USING (doc_id), cut
         |WHERE nll.nll <= cut.cut ORDER BY d.doc_id""".stripMargin,
+    "x_quality_filter_report" ->
+      s"""WITH s AS (SELECT
+        |  (length(text) - length(translate(text, ' ', '')) + 1 < 30) AS f_short,
+        |  (${qualitySqlExpr("text")} < 0.3) AS f_qual,
+        |  (round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |     / len(string_split(text, ' ')), 4) < 0.35) AS f_rep,
+        |  (${langIdSqlExpr("text")} <> lang) AS f_lang
+        |  FROM documents),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS too_short,
+        |  CAST(sum(CASE WHEN f_qual THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+        |  CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS repetitive,
+        |  CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_mismatch,
+        |  CAST(sum(CASE WHEN NOT (f_short OR f_qual OR f_rep OR f_lang) THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |  FROM s)
+        |SELECT 'kept' AS rule, kept AS n_docs FROM a
+        |UNION ALL SELECT 'lang_mismatch', lang_mismatch FROM a
+        |UNION ALL SELECT 'low_quality', low_quality FROM a
+        |UNION ALL SELECT 'repetitive', repetitive FROM a
+        |UNION ALL SELECT 'too_short', too_short FROM a
+        |ORDER BY rule""".stripMargin,
+    "x_search_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |                 * tf.tf * (1.2 + 1.0)
+        |                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "x_lm_bigram_nll" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),

@@ -32,4 +32,48 @@ object Quality {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** C4/Gopher-style composite filter REPORT: how many documents each
+    * curation rule flags, plus how many survive every rule — the
+    * first artifact a pipeline owner asks for before committing to a
+    * ruleset ("what would this drop?"). Rules (each evaluated
+    * independently — one doc can count under several):
+    *  - `too_short`: fewer than `minTokens` whitespace tokens;
+    *  - `low_quality`: [[graft.functions.TextFunctions.qualityScore]]
+    *    below `minQuality`;
+    *  - `repetitive`: distinct/total token ratio below
+    *    `minDistinctRatio`;
+    *  - `lang_mismatch`: heuristic language ID disagrees with the
+    *    declared `langCol`;
+    *  - `kept`: flagged by none of the above.
+    * All four signals are scan-stage codegen'd Columns — the whole
+    * report is one corpus scan into a singleton aggregate (no shuffle
+    * of anything but the 5 partial counters), then a constant-width
+    * stack to (rule, n_docs) rows. Thresholds ride the plan as
+    * literals.
+    */
+  def filterReport(docs: DataFrame, minTokens: Int = 30,
+                   minQuality: Double = 0.3, minDistinctRatio: Double = 0.35,
+                   textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import graft.functions.TextFunctions
+    val t = col(textCol)
+    docs.select(
+      (TextFunctions.wsTokenCount(t) < minTokens).cast("long").as("f_short"),
+      (TextFunctions.qualityScore(t) < minQuality).cast("long").as("f_qual"),
+      (TextFunctions.repetitionRatio(t) < minDistinctRatio).cast("long").as("f_rep"),
+      (TextFunctions.langId(t) =!= col(langCol)).cast("long").as("f_lang"))
+      .withColumn("f_kept",
+        when(col("f_short") + col("f_qual") + col("f_rep") + col("f_lang") === 0L, 1L)
+          .otherwise(0L))
+      .agg(sum(col("f_short")).as("too_short"),
+        sum(col("f_qual")).as("low_quality"),
+        sum(col("f_rep")).as("repetitive"),
+        sum(col("f_lang")).as("lang_mismatch"),
+        sum(col("f_kept")).as("kept"))
+      .select(expr(
+        "stack(5, 'kept', kept, 'lang_mismatch', lang_mismatch, " +
+          "'low_quality', low_quality, 'repetitive', repetitive, " +
+          "'too_short', too_short) AS (rule, n_docs)"))
+      .orderBy(col("rule"))
+  }
 }

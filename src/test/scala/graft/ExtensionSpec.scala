@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, LangModel, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, LangModel, Multimodal, Quality, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Unit semantics for the training-data extension operators on tiny
@@ -64,6 +64,50 @@ class ExtensionSpec extends SparkSpec {
   test("bigram LM: docs with fewer than 2 tokens have no positions and are absent") {
     val df = Seq((0L, "a b"), (1L, "solo")).toDF("doc_id", "text")
     assert(LangModel.bigramNll(df).collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("k-means: total assignment, ≤k clusters, balanced sample honors per-cluster quota") {
+    import graft.operators.Clustering
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val assign = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+    assert(assign.count() == 200L) // every vector lands in exactly one cluster
+    assert(assign.select("cluster").distinct().count() <= 4L)
+    val prof = Clustering.clusterProfile(emb, k = 4, iters = 2).collect()
+    assert(prof.map(_.getLong(1)).sum == 200L)
+    assert(prof.forall(_.getDouble(2) > 0.0))
+    val sampled = Clustering.balancedSample(emb, k = 4, perCluster = 5, iters = 2)
+    val perCluster = sampled.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(perCluster.forall(_ <= 5L) && sampled.count() <= 20L)
+  }
+
+  test("quality filter report: rules count independently; kept = flagged by none") {
+    val fluent = "the a of " + (1 to 38).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, "the of and to in is", "en"),              // short + low quality
+      (1L, fluent, "en"),                             // kept
+      (2L, Seq.fill(40)("spam").mkString(" "), "en"), // repetitive + low quality
+      (3L, fluent, "fr")                              // lang mismatch only
+    ).toDF("doc_id", "text", "lang")
+    val r = Quality.filterReport(d).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("kept" -> 1L, "lang_mismatch" -> 1L, "low_quality" -> 2L,
+      "repetitive" -> 1L, "too_short" -> 1L))
+  }
+
+  test("BM25: all-terms doc outranks single-term docs; no-term docs absent; k-cut honored") {
+    val corpus = Seq(
+      (0L, "spark join fast"),
+      (1L, "spark alpha beta gamma"),
+      (2L, "join delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val r = graft.operators.Search.bm25TopK(corpus, "spark join", k = 3).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(r.head._1 == 0L)                       // both terms, shortest doc
+    assert(r.map(_._1).toSet == Set(0L, 1L, 2L))  // doc 3 matches nothing
+    assert(r.forall(_._2 > 0.0))
+    assert(r.find(_._1 == 0L).get._3 == 2L && r.find(_._1 == 1L).get._3 == 1L)
+    assert(graft.operators.Search.bm25TopK(corpus, "spark join", k = 1).count() == 1L)
   }
 
   test("minhash LSH finds the exact and near dup; est_jaccard sane") {
