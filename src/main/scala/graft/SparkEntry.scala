@@ -387,6 +387,10 @@ object SparkEntry {
     // gram text, which is also what makes it oracle-checkable)
     "x_dedup_ngram_frac" -> ((s, dir) =>
       Dedup.dupNgramFraction(Tables.documents(s, dir), n = 5)),
+    // ---- dedup: maximal duplicated token SPANS (which ranges to TRIM,
+    // not just which docs to drop) via gaps-and-islands
+    "x_dedup_ngram_spans" -> ((s, dir) =>
+      Dedup.dupNgramSpans(Tables.documents(s, dir), n = 5, minRun = 2)),
     // ---- dedup: MinHash + LSH banding over the full table (scale path;
     // no oracle — xxhash64 signatures are engine-specific)
     "x_dedup_minhash_lsh" -> ((s, dir) =>
@@ -410,6 +414,13 @@ object SparkEntry {
     "x_neardup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- Holt linear forecast per tag over the TS view (no oracle —
+    // feedback recurrence has no SQL form; spec pins exact-linear law)
+    "x_forecast_holt" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Forecast.holtLinear(
+        Tables.ts(s, dir).as[graft.model.TS], horizon = 5)
+    }),
     // ---- k-means corpus profile: sizes + mean norm per embedding
     // cluster (no oracle — iterative float averages are engine-specific)
     "x_cluster_profile" -> ((s, dir) =>
@@ -1035,6 +1046,21 @@ object SparkEntry {
         |       CAST(count(*) FILTER (WHERE f.is_shared) AS BIGINT) AS n_dup,
         |       round(CAST(count(*) FILTER (WHERE f.is_shared) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM g JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_ngram_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
+        |        unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+        |          i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h FROM d),
+        |f AS (SELECT h, min(doc_id) <> max(doc_id) AS is_shared FROM g GROUP BY 1),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (h) WHERE f.is_shared),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |       CAST(max(pos) + 4 AS BIGINT) AS end_tok,
+        |       CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM i GROUP BY doc_id, grp HAVING count(*) >= 2
+        |ORDER BY doc_id, start_tok""".stripMargin,
     "x_neardup_embed_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos

@@ -229,6 +229,48 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Maximal duplicated SPANS per document: runs of >= `minRun`
+    * consecutive n-gram positions whose n-gram also appears in another
+    * document — [[dupNgramFraction]]'s span-level refinement. Where the
+    * fraction says "this doc is 60% duplicated", the spans say WHICH
+    * token ranges, so a curation pass can TRIM the boilerplate instead
+    * of dropping the document (the actual remedy in Lee et al. 2022).
+    *
+    * Plan shape: positional gram explode (md5 digests again — the
+    * shuffle never carries gram text and the oracle can replay the
+    * key), the same min(id)≠max(id) doc-frequency fold, then
+    * gaps-and-islands (pos − row_number over (doc, pos)) to contract
+    * consecutive duplicated positions into one row per run — one
+    * window, keyed by doc, no self-join over positions. `minRun`
+    * suppresses isolated shared grams (common-phrase noise);
+    * `span_end` is the last TOKEN index covered (last gram start
+    * + n − 1). Returns (doc_id, start_tok, end_tok, n_shared_grams)
+    * ordered by (doc_id, start_tok).
+    */
+  def dupNgramSpans(docs: DataFrame, n: Int = 5, minRun: Int = 2,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokenized = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("toks"))
+    val gram = transform(
+      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+      i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
+    val occ = tokenized.select(col("id"), posexplode(gram).as(Seq("pos", "h")))
+      .localCheckpoint() // feeds the doc-frequency agg AND the span pass
+    val shared = occ.groupBy(col("h"))
+      .agg((min(col("id")) =!= max(col("id"))).as("is_shared"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    occ.join(shared, "h").filter(col("is_shared"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id").as(idCol), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + n - 1).cast("long").as("end_tok"),
+        count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minRun)
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_shared_grams"))
+      .orderBy(col(idCol), col("start_tok"))
+  }
+
   /** Connected components over a near-duplicate pair list (id_a, id_b)
     * by alternating large-star / small-star contraction — the standard
     * way to turn pairwise similarity into duplicate CLUSTERS (a~b, b~c

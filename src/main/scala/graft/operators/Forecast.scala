@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-series forecasting (beyond-reference: the natural next question
+  * a time-series store gets asked — "where is this metric heading").
+  * Holt linear (double) exponential smoothing: a level and a trend per
+  * series, each an O(1)-state recurrence over the points in time
+  * order, then an h-step linear extrapolation.
+  *
+  * Scale shape: ONE shuffle (groupByKey on the tag); each series then
+  * folds sequentially inside its group — the recurrence is inherently
+  * order-dependent, so this is the documented [[Dataset#groupByKey]]/
+  * `flatMapGroups` exception to the no-imperative-code rule (a window
+  * function cannot express a feedback recurrence: each output depends
+  * on the PREVIOUS OUTPUT, not on the input frame). Memory is O(series
+  * points) per tag while sorting the group iterator; a series too big
+  * for one executor should be bucket-aggregated first ([[GapFill
+  * .bucketCounts]] / tumbling windows) — forecasting raw sub-second
+  * ticks is a modeling smell, not an engine path.
+  *
+  * Deterministic: input order is pinned by the (timestamp, tag)
+  * uniqueness rule + an explicit sort, the fold is fixed-order double
+  * arithmetic, and outputs round to 4 decimals.
+  */
+object Forecast {
+
+  /** h-step-ahead Holt linear forecasts per tag:
+    * (tag, step, ts, yhat), step in 1..horizon, ts extrapolated at the
+    * series' median observed spacing. Initialization: level = first
+    * value, trend = second − first (series with < 2 points emit
+    * nothing — no trend evidence). On perfectly linear series the
+    * forecast continues the line EXACTLY for any alpha/beta (level
+    * tracks, trend is fixed-point) — pinned in the spec.
+    */
+  def holtLinear(ts: Dataset[graft.model.TS], alpha: Double = 0.5,
+                 beta: Double = 0.3, horizon: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    require(beta >= 0 && beta <= 1, s"beta=$beta out of [0,1]")
+    require(horizon >= 1, s"horizon=$horizon must be >= 1")
+    val spark = ts.sparkSession
+    import spark.implicits._
+    ts.groupByKey(_.tag)
+      .flatMapGroups { (tag, rows) =>
+        val pts = rows.toArray.sortBy(_.timestamp)
+        if (pts.length < 2) Iterator.empty
+        else {
+          var level = pts(0).value
+          var trend = pts(1).value - pts(0).value
+          pts.iterator.drop(1).foreach { p =>
+            val prevLevel = level
+            level = alpha * p.value + (1 - alpha) * (level + trend)
+            trend = beta * (level - prevLevel) + (1 - beta) * trend
+          }
+          val gaps = pts.sliding(2).map(w => w(1).timestamp - w(0).timestamp).toArray.sorted
+          val stepMs = gaps(gaps.length / 2) // median spacing
+          val last = pts.last.timestamp
+          (1 to horizon).iterator.map(h =>
+            (tag, h.toLong, last + h * stepMs,
+              math.rint((level + h * trend) * 10000) / 10000))
+        }
+      }
+      .toDF("tag", "step", "ts", "yhat")
+      .orderBy(col("tag"), col("step"))
+  }
+}

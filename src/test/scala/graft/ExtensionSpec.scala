@@ -48,6 +48,18 @@ class ExtensionSpec extends SparkSpec {
     assert(r(1L) == ((5L, 2L, 0.4))) // "x y z" twice, both shared with doc 0
   }
 
+  test("dup n-gram spans: maximal shared runs give trim coordinates; short runs suppressed") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),        // shares "a b c d e f" with doc 1
+      (1L, "x y a b c d e f q r"),
+      (2L, "a b c z1 z2 z3 q")        // one isolated shared gram < minRun
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupNgramSpans(d, n = 3, minRun = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc0: gram positions 0-3 shared -> tokens [0,5]; doc1: positions 2-5 -> tokens [2,7]
+    assert(r.toSeq == Seq((0L, 0L, 5L, 4L), (1L, 2L, 7L, 4L)))
+  }
+
   test("bigram LM: word order separates shuffled token soup where unigram can't") {
     val df = ((0L to 3L).map(i => (i, "the cat sat on the mat")) :+
       ((4L, "mat the on sat cat the"))).toDF("doc_id", "text")
@@ -64,6 +76,22 @@ class ExtensionSpec extends SparkSpec {
   test("bigram LM: docs with fewer than 2 tokens have no positions and are absent") {
     val df = Seq((0L, "a b"), (1L, "solo")).toDF("doc_id", "text")
     assert(LangModel.bigramNll(df).collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("Holt forecast: exact on linear series for any alpha/beta; constant stays flat; <2 points empty") {
+    import graft.model.TS
+    import graft.operators.Forecast
+    val linear = (0 to 9).map(t => TS(1000L * t, "lin", 2.0 + 3.0 * t))
+    val const = (0 to 9).map(t => TS(1000L * t, "const", 7.5))
+    val lone = Seq(TS(0L, "lone", 1.0))
+    val r = Forecast.holtLinear((linear ++ const ++ lone).toDS(),
+        alpha = 0.37, beta = 0.81, horizon = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val lin = r.filter(_._1 == "lin")
+    assert(lin.toSeq == (1 to 3).map(h =>
+      ("lin", h.toLong, 9000L + 1000L * h, 2.0 + 3.0 * (9 + h))))
+    assert(r.filter(_._1 == "const").forall(_._4 == 7.5))
+    assert(!r.exists(_._1 == "lone"))
   }
 
   test("k-means: total assignment, ≤k clusters, balanced sample honors per-cluster quota") {
