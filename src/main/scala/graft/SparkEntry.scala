@@ -435,6 +435,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // ---- similarity search over int8-quantized vectors (4× smaller
+    // candidate I/O; no oracle — recall-gated vs brute in the spec)
+    "x_ann_topk_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- similarity search: LSH-bucketed approximate top-5 against the
     // PERSISTED on-disk index (no oracle); only the 10-query probe is
     // per-call — bucket pruning + row-group skipping on the postings

@@ -61,6 +61,48 @@ object Similarity {
       .sortWithinPartitions(col("query_id"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = round(127·v_i /
+    * max|v|) as `array<tinyint>` — 4× smaller than float32 (the
+    * vectors/postings I/O lever at 100 TB: candidate rescoring reads a
+    * quarter of the bytes). The per-vector scale is POSITIVE and
+    * multiplies every component equally, so it cancels in cosine —
+    * cos(q(a), q(b)) ≈ cos(a, b) with only the ±0.5-step rounding
+    * error, no scale bookkeeping at probe time. All-zero vectors
+    * quantize to all zeros (scale guard). Scan-stage Columns, no UDF.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      // BIND mx before the transform lambda (unbound aggregates
+      // re-evaluate per element — the documented O(len²) trap)
+      .withColumn("mx", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .select(col("vec_id"),
+        when(col("mx") === 0.0,
+          transform(col("v"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("v"),
+            x => round(x * 127.0 / col("mx")).cast("tinyint"))).as("q"))
+
+  /** Exact-shape top-k over the int8-QUANTIZED corpus: the same
+    * broadcast-queries scan as [[bruteForceTopK]], but candidates ship
+    * as `array<tinyint>` (the materialized checkpoint stands in for a
+    * stored quantized index) and only widen to double inside the
+    * scoring loop. Recall vs the float path is gated in the spec;
+    * scores differ from float scores only by quantization error.
+    */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cq = quantizeInt8(corpus, vecCol, idCol)
+      .localCheckpoint() // int8 rows — what a stored index would ship
+    val qq = quantizeInt8(queries, vecCol, idCol)
+      .select(col("vec_id").as("query_id"), asDouble(col("q")).as("qv"))
+    val cand = cq.select(col("vec_id"), asDouble(col("q")).as("v"))
+      .crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("vec_id"))
+    rankTopK(cand, k)
+  }
+
   /** Exact top-k by cosine for each query vector. Queries must be small
     * (they are broadcast).
     */

@@ -331,6 +331,13 @@ class ExtensionSpec extends SparkSpec {
     assert(lshRecall >= 0.70, f"LSH ANN recall regressed: $lshRecall%.3f")
     assert(ivfRecall >= 0.60, f"IVF ANN recall regressed: $ivfRecall%.3f")
 
+    // int8 quantization: near-lossless for ranking — the gate is far
+    // above the hash-bucketed paths'
+    val int8 = pairs(Similarity.bruteForceTopKInt8(emb, queries, k = 5))
+    val int8Recall = int8.intersect(brute).size.toDouble / brute.size
+    info(f"ann top-5 recall: int8=$int8Recall%.3f (n=${brute.size})")
+    assert(int8Recall >= 0.90, f"int8 ANN recall regressed: $int8Recall%.3f")
+
     val sub = emb.filter($"vec_id" < 200)
     def dupPairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -72,4 +72,25 @@ object OperatorPropertiesSpec extends Properties("Operators") {
         .agg(NumericFunctions.sum128(col("v"))).head().getDecimal(0)
       BigDecimal(got) == BigDecimal(vals.map(BigInt(_)).sum)
     }
+
+  // small vocabulary so cross-doc n-gram overlap actually arises
+  private val genCorpus: Gen[Seq[(Long, String)]] = for {
+    nDocs <- Gen.choose(2, 6)
+    docs <- Gen.sequence[Seq[Seq[String]], Seq[String]](
+      (0 until nDocs).map(_ => Gen.choose(2, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))))
+  } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+
+  property("span totals at minRun=1 == dupNgramFraction shared-occurrence counts") =
+    forAll(genCorpus) { corpus =>
+      // two independent plans over the same semantics: the per-doc sum of
+      // island sizes must equal the per-doc count of shared occurrences
+      val docs = corpus.toDF("doc_id", "text")
+      val fromSpans = Dedup.dupNgramSpans(docs, n = 2, minRun = 1)
+        .groupBy("doc_id").agg(sum("n_shared_grams").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fromFrac = Dedup.dupNgramFraction(docs, n = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap // (doc_id, n_dup)
+      fromFrac.filter(_._2 > 0) == fromSpans
+    }
 }
