@@ -764,6 +764,20 @@ object SparkEntry {
     // survivors ("what would this ruleset drop?") in ONE corpus scan
     "x_quality_filter_report" -> ((s, dir) =>
       graft.operators.Quality.filterReport(Tables.documents(s, dir))),
+    // ---- grouped top-k: best-quality docs per source (window rank,
+    // score rounded before the cut)
+    "x_quality_topk_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("q"))
+        .orderBy(col("source"), col("rank"))
+    }),
     // ---- range join: events inside each user's first-2h window —
     // point-in-interval via chunk-bucketed equi-join (a naive theta
     // join would be broadcast-nested-loop)
@@ -1187,6 +1201,13 @@ object SparkEntry {
         |UNION ALL SELECT 'repetitive', repetitive FROM a
         |UNION ALL SELECT 'too_short', too_short FROM a
         |ORDER BY rule""".stripMargin,
+    "x_quality_topk_per_source" ->
+      s"""WITH s AS (SELECT source, doc_id, ${qualitySqlExpr("text")} AS q FROM documents),
+        |r AS (SELECT source, doc_id, q,
+        |        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, q
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "x_search_bm25" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),

@@ -197,6 +197,26 @@ object StreamingIngest {
       if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
     }
 
+  /** On-stream benchmark decontamination: every micro-batch of
+    * documents is scrubbed against the STATIC eval set with the exact
+    * batch operator ([[graft.operators.Contamination.scrub]] —
+    * broadcast eval shingles, corpus side never shuffled on shingles)
+    * before reaching the sink. foreachBatch is deliberate: the batch
+    * scrub IS the semantics, so the streaming path cannot drift from
+    * the oracle-checked batch path — the same reasoning as
+    * [[ingestToStore]]. Stateless across batches (a doc's
+    * contamination depends only on itself and the eval set), so no
+    * watermark and no state store; survivors are handed to
+    * `writeBatch`.
+    */
+  def decontaminatedIngest(docs: DataFrame, evalSet: DataFrame, n: Int = 8,
+                           maxOverlap: Double = 0.0)(writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        writeBatch(graft.operators.Contamination.scrub(batch, evalSet, n, maxOverlap))
+    }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

@@ -125,6 +125,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: contaminated docs dropped per micro-batch, clean pass") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingIngest.decontaminatedIngest(
+      mem.toDF().toDF("doc_id", "text"), eval, n = 3) { batch =>
+      survivors.synchronized { survivors ++= batch.collect().map(_.getLong(0)) }
+    }.start()
+    try {
+      mem.addData(
+        (0L, "alpha beta gamma stolen eval text here"), // shares a 3-gram
+        (1L, "totally fresh words nothing shared one"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, "delta epsilon zeta also leaked content"),
+        (3L, "another clean document arrives later ok"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(survivors.sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("streaming ANN maintenance: appended micro-batches probe identically to a full build") {
     import graft.operators.AnnIndexStore
     import graft.operators.AnnIndexStore.{IvfParams, LshParams}
