@@ -143,6 +143,10 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
         // IllegalStateException replace the original error
         try respond(ex, 500, String.valueOf(e.getMessage), "text/plain")
         catch { case _: Throwable => () }
+        // a fatal VM error (OOM, stack overflow) must still propagate
+        // after the best-effort 500 — only NonFatal errors are the
+        // server loop's to absorb
+        if (!scala.util.control.NonFatal(e)) throw e
     }
   }
 

@@ -123,6 +123,28 @@ class ExtensionSpec extends SparkSpec {
       "repetitive" -> 1L, "too_short" -> 1L))
   }
 
+  test("edge behavior: empty corpus / absent terms / zero vectors degrade, never crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dupNgramFraction(empty).count() == 0L)
+    assert(Dedup.dupNgramSpans(empty).count() == 0L)
+    assert(LangModel.bigramNll(empty).count() == 0L)
+    val docs2 = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    // no doc contains any query term -> empty result, not an error
+    assert(graft.operators.Search.bm25TopK(docs2, "absent terms", k = 5).count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Search.bm25TopK(docs2, "   ", k = 5)
+    }
+    // zero vector: cosine defines 0.0 (never NaN), so it ranks last, not first
+    val withZero = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ranked = Similarity.bruteForceTopKInt8(withZero,
+      withZero.filter($"vec_id" === 0L), k = 2).collect()
+      .map(x => (x.getLong(2), x.getDouble(3)))
+    assert(ranked.head._1 == 1L && ranked.last == ((2L, 0.0)))
+  }
+
   test("BM25: all-terms doc outranks single-term docs; no-term docs absent; k-cut honored") {
     val corpus = Seq(
       (0L, "spark join fast"),
