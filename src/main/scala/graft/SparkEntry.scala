@@ -414,6 +414,11 @@ object SparkEntry {
     "x_neardup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- token-budget mixture sampling: weighted per-source doc
+    // contributions to a 2000-token budget (exclusive-cumsum cut)
+    "x_sample_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, dir),
+        budgetTokens = mixBudget, weights = mixWeights)),
     // ---- Holt linear forecast per tag over the TS view (no oracle —
     // feedback recurrence has no SQL form; spec pins exact-linear law)
     "x_forecast_holt" -> ((s, dir) => {
@@ -921,6 +926,21 @@ object SparkEntry {
   private def pseudoOrderSql(c: String): String =
     s"(($c % 1000000007) * 2654435761) % 1000000007"
 
+  /** The x_sample_token_budget mix spec, defined ONCE; the oracle gets
+    * the driver-computed integer quotas interpolated as literals (the
+    * cut under test is the exclusive cumsum, not double floor()
+    * associativity).
+    */
+  private val mixBudget: Long = 2000L
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  private def mixQuotaValues: String = {
+    val wsum = mixWeights.map(_._2).sum
+    mixWeights.map { case (g, w) =>
+      s"('$g', ${math.floor(mixBudget * w / wsum).toLong})"
+    }.mkString(", ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1201,6 +1221,17 @@ object SparkEntry {
         |UNION ALL SELECT 'repetitive', repetitive FROM a
         |UNION ALL SELECT 'too_short', too_short FROM a
         |ORDER BY rule""".stripMargin,
+    "x_sample_token_budget" ->
+      s"""WITH q(source, quota) AS (VALUES $mixQuotaValues),
+        |d AS (SELECT source, doc_id,
+        |        length(text) - length(translate(text, ' ', '')) + 1 AS nt FROM documents),
+        |c AS (SELECT d.source, d.doc_id, d.nt, q.quota,
+        |        coalesce(sum(d.nt) OVER (PARTITION BY d.source
+        |          ORDER BY ${pseudoOrderSql("d.doc_id")}, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d JOIN q USING (source))
+        |SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens FROM c
+        |WHERE cb < quota ORDER BY source, doc_id""".stripMargin,
     "x_quality_topk_per_source" ->
       s"""WITH s AS (SELECT source, doc_id, ${qualitySqlExpr("text")} AS q FROM documents),
         |r AS (SELECT source, doc_id, q,

@@ -45,6 +45,46 @@ object Sampling {
     df.filter(pseudoOrder(col(idCol)) < lit((1000000007L * pct / 100.0).toLong))
   }
 
+  /** Token-budget mixture sampling — how a pretraining mix is actually
+    * specified: "budget B tokens total, source s gets weight w_s".
+    * Each weighted source contributes documents in [[pseudoOrder]]
+    * until its token share `floor(B · w_s / Σw)` is reached; the doc
+    * that CROSSES the share is kept (cut on the EXCLUSIVE running sum),
+    * so every source with a positive share contributes at least one
+    * document and the overshoot is bounded by one document per source.
+    * Sources absent from `weights` contribute nothing (the mix spec is
+    * the contract). Deterministic and engine-replayable: the order key
+    * is integer arithmetic, token counts are exact, and the running
+    * sum is frame-defined — no RNG, no floats in the cut.
+    *
+    * One shuffle (the per-source window); weights/quotas ride a
+    * broadcast. Returns (group, id, n_tokens) ordered by (group, id).
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        weights: Seq[(String, Double)],
+                        groupCol: String = "source", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be > 0")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.exists(_._2 > 0),
+      s"weights must be non-negative with at least one positive: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wsum = weights.map(_._2).sum
+    val quotas = weights.map { case (g, w) =>
+      (g, math.floor(budgetTokens * w / wsum).toLong)
+    }.toDF(groupCol, "__quota")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pseudoOrder(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(groupCol), col(idCol),
+        graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
+      .join(broadcast(quotas), groupCol)
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("__quota"))
+      .select(col(groupCol), col(idCol), col("n_tokens"))
+      .orderBy(col(groupCol), col(idCol))
+  }
+
   private def assignByCuts(bucket: Column, cuts: Seq[(String, Int)]): Column = {
     require(cuts.nonEmpty && cuts.last._2 == 100 &&
       cuts.map(_._2) == cuts.map(_._2).sorted,

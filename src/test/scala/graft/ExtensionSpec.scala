@@ -123,6 +123,27 @@ class ExtensionSpec extends SparkSpec {
       "repetitive" -> 1L, "too_short" -> 1L))
   }
 
+  test("token-budget mix: per-source exclusive-cumsum cut, ≥1 doc per weighted source, unweighted absent") {
+    import graft.operators.Sampling
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = (Seq(1L, 2L, 3L, 4L).map(id => (id, "a", words(10))) ++
+      Seq(11L, 12L, 13L).map(id => (id, "b", words(30))) :+
+      ((21L, "c", words(5)))).toDF("doc_id", "source", "text")
+    val r = Sampling.tokenBudgetSample(docs, budgetTokens = 100L,
+        weights = Seq("a" -> 0.25, "b" -> 0.75), groupCol = "source")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toList
+    // source a (quota 25, 10-token docs in pseudoOrder 2,4,1,3): 1,2,4
+    // kept (the doc crossing the share stays), 3 cut; b (quota 75)
+    // takes all 3×30 = 90 — overshoot bounded by one doc; c unweighted
+    assert(r == List(("a", 1L), ("a", 2L), ("a", 4L),
+      ("b", 11L), ("b", 12L), ("b", 13L)))
+    // a share smaller than the first document still yields that document
+    val tiny = Sampling.tokenBudgetSample(
+      Seq((1L, "x", words(100))).toDF("doc_id", "source", "text"),
+      budgetTokens = 10L, weights = Seq("x" -> 1.0), groupCol = "source")
+    assert(tiny.count() == 1L)
+  }
+
   test("edge behavior: empty corpus / absent terms / zero vectors degrade, never crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.dupNgramFraction(empty).count() == 0L)
