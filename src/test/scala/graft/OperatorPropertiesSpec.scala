@@ -81,6 +81,39 @@ object OperatorPropertiesSpec extends Properties("Operators") {
         Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))))
   } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
 
+  private val genMix: Gen[(Seq[(Long, String, String)], Seq[(String, Double)], Long)] = for {
+    nDocs <- Gen.choose(1, 25)
+    docs <- Gen.sequence[Seq[(Int, Int)], (Int, Int)]((0 until nDocs).map(_ =>
+      Gen.zip(Gen.choose(0, 3), Gen.choose(1, 40)))) // (source idx, token count)
+    nW <- Gen.choose(1, 4)
+    ws <- Gen.sequence[Seq[Double], Double](Seq.fill(nW)(Gen.choose(0.1, 5.0)))
+    budget <- Gen.choose(1L, 400L)
+  } yield (
+    docs.zipWithIndex.map { case ((s, len), i) =>
+      (i.toLong, s"s$s", (1 to len).map(j => s"w$j").mkString(" ")) },
+    ws.zipWithIndex.map { case (w, i) => (s"s$i", w) },
+    budget)
+
+  property("tokenBudgetSample: quota bound, >=1 doc per binding source, unweighted absent") =
+    forAll(genMix) { case (rows, weights, budget) =>
+      import graft.operators.Sampling
+      val docs = rows.toDF("doc_id", "source", "text")
+      val kept = Sampling.tokenBudgetSample(docs, budget, weights).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val wsum = weights.map(_._2).sum
+      val quota = weights.map { case (g, w) =>
+        g -> math.floor(budget * w / wsum).toLong }.toMap
+      val bySrc = kept.groupBy(_._1)
+      // only weighted sources appear; per source the EXCLUSIVE cumsum of
+      // every kept doc is under quota (total - largest <= total - last)
+      kept.forall(k => quota.contains(k._1)) &&
+        bySrc.forall { case (s, ks) =>
+          ks.map(_._3).sum - ks.map(_._3).max < quota(s) } &&
+        // every weighted source with docs and a positive quota contributes
+        quota.forall { case (s, q) =>
+          q == 0 || !rows.exists(_._2 == s) || bySrc.contains(s) }
+    }
+
   property("span totals at minRun=1 == dupNgramFraction shared-occurrence counts") =
     forAll(genCorpus) { corpus =>
       // two independent plans over the same semantics: the per-doc sum of
