@@ -391,6 +391,10 @@ object SparkEntry {
     // not just which docs to drop) via gaps-and-islands
     "x_dedup_ngram_spans" -> ((s, dir) =>
       Dedup.dupNgramSpans(Tables.documents(s, dir), n = 5, minRun = 2)),
+    // ---- dedup apply-side: rewrite docs with duplicated spans removed
+    // (nested positional-filter × span-exists, scan-stage)
+    "x_dedup_span_trim" -> ((s, dir) =>
+      Dedup.trimDupSpans(Tables.documents(s, dir), n = 5, minRun = 2)),
     // ---- dedup: MinHash + LSH banding over the full table (scale path;
     // no oracle — xxhash64 signatures are engine-specific)
     "x_dedup_minhash_lsh" -> ((s, dir) =>
@@ -1101,6 +1105,30 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_shared_grams
         |FROM i GROUP BY doc_id, grp HAVING count(*) >= 2
         |ORDER BY doc_id, start_tok""".stripMargin,
+    "x_dedup_span_trim" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
+        |        unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+        |          i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h FROM t),
+        |f AS (SELECT h, min(doc_id) <> max(doc_id) AS is_shared FROM g GROUP BY 1),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (h) WHERE f.is_shared),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |       FROM i GROUP BY doc_id, grp HAVING count(*) >= 2),
+        |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM sp GROUP BY 1),
+        |k AS (SELECT t.doc_id, t.text, t.toks, spl.spans,
+        |        CASE WHEN spl.spans IS NULL THEN t.toks
+        |             ELSE list_filter(t.toks, (tok, ix) ->
+        |               len(list_filter(spl.spans, sp2 -> ix - 1 >= sp2.s AND ix - 1 <= sp2.e)) = 0)
+        |        END AS kept
+        |      FROM t LEFT JOIN spl USING (doc_id))
+        |SELECT doc_id,
+        |       CASE WHEN spans IS NULL THEN text
+        |            ELSE coalesce(array_to_string(kept, ' '), '') END AS trimmed_text,
+        |       CASE WHEN spans IS NULL THEN 0 ELSE len(toks) - len(kept) END::BIGINT AS n_removed_tokens
+        |FROM k ORDER BY doc_id""".stripMargin,
     "x_neardup_embed_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos

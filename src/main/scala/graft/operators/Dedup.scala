@@ -271,6 +271,37 @@ object Dedup {
       .orderBy(col(idCol), col("start_tok"))
   }
 
+  /** The apply-side of [[dupNgramSpans]]: documents with every
+    * qualifying duplicated span REMOVED — trim the boilerplate, keep
+    * the document (Lee et al. 2022's remedy; dropping whole docs for
+    * one shared paragraph throws away unique text). A token is removed
+    * when any span covers its index; docs with no spans pass through
+    * byte-identical. The rewrite is a scan-stage nested higher-order
+    * expression (positional filter × span exists) over the
+    * collect_list'd spans — per-doc span lists are small by
+    * construction (bounded by grams/minRun), so the collect_list is a
+    * narrow per-doc aggregate, not a corpus materialization. Returns
+    * (doc_id, trimmed_text, n_removed_tokens) ordered by doc_id.
+    */
+  def trimDupSpans(docs: DataFrame, n: Int = 5, minRun: Int = 2,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = dupNgramSpans(docs, n, minRun, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    val toks = split(col(textCol), " ")
+    val kept = filter(toks, (_, i) =>
+      !exists(col("spans"), s =>
+        i.cast("long") >= s("start_tok") && i.cast("long") <= s("end_tok")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("trimmed_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(size(toks).cast("long") - size(kept).cast("long"))
+          .as("n_removed_tokens"))
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over a near-duplicate pair list (id_a, id_b)
     * by alternating large-star / small-star contraction — the standard
     * way to turn pairwise similarity into duplicate CLUSTERS (a~b, b~c

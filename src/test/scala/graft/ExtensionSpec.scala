@@ -60,6 +60,19 @@ class ExtensionSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 0L, 5L, 4L), (1L, 2L, 7L, 4L)))
   }
 
+  test("span trim: duplicated ranges removed, clean docs byte-identical, removal counted") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e f q r"),
+      (2L, "p q r2 s t u v")).toDF("doc_id", "text")
+    val r = Dedup.trimDupSpans(d, n = 3, minRun = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (0L, "g h", 6L),
+      (1L, "x y q r", 6L),
+      (2L, "p q r2 s t u v", 0L)))
+  }
+
   test("bigram LM: word order separates shuffled token soup where unigram can't") {
     val df = ((0L to 3L).map(i => (i, "the cat sat on the mat")) :+
       ((4L, "mat the on sat cat the"))).toDF("doc_id", "text")
