@@ -642,6 +642,25 @@ object SparkEntry {
     // ---- full curation pipeline: decontaminate → quality-filter →
     // exact-dedup → per-language quota sample → stats, all ONE
     // oracle-checked plan (the end-to-end story the operators exist for)
+    // ---- pipeline v2 (round-4 operators end to end, ONE oracle-checked
+    // plan): decontaminate → span-TRIM the surviving docs → drop the
+    // now-too-short → token-budget mixture over sources → mix stats
+    "x_pipeline_curation_v2" -> ((s, dir) => {
+      import graft.operators.{Contamination, Sampling}
+      val docs = Tables.documents(s, dir)
+      val clean = Contamination.scrub(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), n = 3)
+      val trimmed = Dedup.trimDupSpans(clean, n = 5, minRun = 2)
+        .join(clean.select(col("doc_id"), col("source")), "doc_id")
+      val sized = trimmed.filter(
+        TextFunctions.wsTokenCount(col("trimmed_text")) >= 30)
+      Sampling.tokenBudgetSample(sized, budgetTokens = mixBudget,
+          weights = mixWeights, groupCol = "source", idCol = "doc_id",
+          textCol = "trimmed_text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
     "x_pipeline_curation" -> ((s, dir) => {
       import graft.operators.{Contamination, Sampling}
       val docs = Tables.documents(s, dir)
@@ -898,6 +917,32 @@ object SparkEntry {
     s"(CASE WHEN $en >= $es AND $en >= $fr THEN 'en' WHEN $es >= $fr THEN 'es' ELSE 'fr' END)"
   }
 
+  /** Span-trim CTE chain over relation `src` (needs doc_id, text):
+    * yields `tr(doc_id, text, toks, spans, kept)` — kept is the token
+    * list with every qualifying duplicated span removed. ONE definition
+    * ([[graft.operators.Dedup.trimDupSpans]]'s SQL form), shared by the
+    * standalone trim oracle and pipeline v2 so the rewrite can't drift.
+    */
+  private def spanTrimSqlCtes(src: String): String =
+    s"""t9 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $src),
+       |g9 AS (SELECT doc_id,
+       |        unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
+       |        unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+       |          i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h FROM t9),
+       |f9 AS (SELECT h, min(doc_id) <> max(doc_id) AS is_shared FROM g9 GROUP BY 1),
+       |dp9 AS (SELECT g9.doc_id, g9.pos FROM g9 JOIN f9 USING (h) WHERE f9.is_shared),
+       |i9 AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp9),
+       |sp9 AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+       |        FROM i9 GROUP BY doc_id, grp HAVING count(*) >= 2),
+       |spl9 AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM sp9 GROUP BY 1),
+       |tr AS (SELECT t9.doc_id, t9.text, t9.toks, spl9.spans,
+       |        CASE WHEN spl9.spans IS NULL THEN t9.toks
+       |             ELSE list_filter(t9.toks, (tok, ix) ->
+       |               len(list_filter(spl9.spans, sp2 -> ix - 1 >= sp2.s AND ix - 1 <= sp2.e)) = 0)
+       |        END AS kept
+       |       FROM t9 LEFT JOIN spl9 USING (doc_id))""".stripMargin
+
   /** The decontamination CTE chain (corpus/eval shingles → clean set),
     * shared by both pipeline oracles.
     */
@@ -1106,29 +1151,12 @@ object SparkEntry {
         |FROM i GROUP BY doc_id, grp HAVING count(*) >= 2
         |ORDER BY doc_id, start_tok""".stripMargin,
     "x_dedup_span_trim" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |g AS (SELECT doc_id,
-        |        unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS pos,
-        |        unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
-        |          i -> md5(array_to_string(toks[i+1:i+5], ' ')))) AS h FROM t),
-        |f AS (SELECT h, min(doc_id) <> max(doc_id) AS is_shared FROM g GROUP BY 1),
-        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (h) WHERE f.is_shared),
-        |i AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
-        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
-        |       FROM i GROUP BY doc_id, grp HAVING count(*) >= 2),
-        |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM sp GROUP BY 1),
-        |k AS (SELECT t.doc_id, t.text, t.toks, spl.spans,
-        |        CASE WHEN spl.spans IS NULL THEN t.toks
-        |             ELSE list_filter(t.toks, (tok, ix) ->
-        |               len(list_filter(spl.spans, sp2 -> ix - 1 >= sp2.s AND ix - 1 <= sp2.e)) = 0)
-        |        END AS kept
-        |      FROM t LEFT JOIN spl USING (doc_id))
+      s"""WITH ${spanTrimSqlCtes("documents")}
         |SELECT doc_id,
         |       CASE WHEN spans IS NULL THEN text
         |            ELSE coalesce(array_to_string(kept, ' '), '') END AS trimmed_text,
         |       CASE WHEN spans IS NULL THEN 0 ELSE len(toks) - len(kept) END::BIGINT AS n_removed_tokens
-        |FROM k ORDER BY doc_id""".stripMargin,
+        |FROM tr ORDER BY doc_id""".stripMargin,
     "x_neardup_embed_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
@@ -1169,6 +1197,26 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.event_id""".stripMargin,
+    "x_pipeline_curation_v2" ->
+      s"""$decontamSqlCtes,
+        |${spanTrimSqlCtes("clean")},
+        |tt AS (SELECT tr.doc_id, clean.source,
+        |        CASE WHEN tr.spans IS NULL THEN tr.text
+        |             ELSE coalesce(array_to_string(tr.kept, ' '), '') END AS trimmed_text
+        |       FROM tr JOIN clean USING (doc_id)),
+        |sized AS (SELECT doc_id, source, trimmed_text,
+        |        CAST(length(trimmed_text) - length(translate(trimmed_text, ' ', '')) + 1 AS BIGINT) AS nt
+        |       FROM tt
+        |       WHERE length(trimmed_text) - length(translate(trimmed_text, ' ', '')) + 1 >= 30),
+        |qv(source, quota) AS (VALUES $mixQuotaValues),
+        |cm AS (SELECT sized.source, sized.doc_id, sized.nt, qv.quota,
+        |        coalesce(sum(sized.nt) OVER (PARTITION BY sized.source
+        |          ORDER BY ${pseudoOrderSql("sized.doc_id")}, sized.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |       FROM sized JOIN qv USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM cm WHERE cb < quota GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_pipeline_curation" ->
       s"""$decontamSqlCtes,
         |scored AS (SELECT doc_id, lang, text,
