@@ -631,6 +631,19 @@ object SparkEntry {
       Contamination.flag(docs.filter(col("doc_id") >= 20),
         docs.filter(col("doc_id") < 20), n = 3)
     }),
+    // ---- contamination PROFILE: which sources leak eval data, and how
+    // badly — the triage view over the flag() output
+    "x_decontaminate_by_source" -> ((s, dir) => {
+      import graft.operators.Contamination
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      Contamination.flag(corpus, docs.filter(col("doc_id") < 20), n = 3)
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          round(avg(col("overlap_frac")), 4).as("avg_overlap"))
+        .orderBy(col("source"))
+    }),
     // ---- deterministic mixture sampling: 50 docs per language in
     // engine-mirrorable pseudo-random order
     "x_sample_quota" -> ((s, dir) => {
@@ -1477,6 +1490,22 @@ object SparkEntry {
         |SELECT h.doc_id, h.n_overlap, s.n_shingles,
         |       round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS overlap_frac
         |FROM hits h JOIN sizes s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x_decontaminate_by_source" ->
+      """WITH corpus AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),
+        |cs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM corpus),
+        |es AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM ev),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM cs
+        |         WHERE shingle IN (SELECT shingle FROM es) GROUP BY 1),
+        |fl AS (SELECT h.doc_id, round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS overlap_frac
+        |       FROM hits h JOIN sizes s USING (doc_id))
+        |SELECT c.source, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |       round(avg(fl.overlap_frac), 4) AS avg_overlap
+        |FROM fl JOIN corpus c USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sample_quota" ->
       s"""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
