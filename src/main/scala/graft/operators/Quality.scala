@@ -65,11 +65,13 @@ object Quality {
       .withColumn("f_kept",
         when(col("f_short") + col("f_qual") + col("f_rep") + col("f_lang") === 0L, 1L)
           .otherwise(0L))
-      .agg(sum(col("f_short")).as("too_short"),
-        sum(col("f_qual")).as("low_quality"),
-        sum(col("f_rep")).as("repetitive"),
-        sum(col("f_lang")).as("lang_mismatch"),
-        sum(col("f_kept")).as("kept"))
+      // coalesce: a global agg over ZERO rows yields one all-NULL row —
+      // an empty corpus must report zeros, not nulls
+      .agg(coalesce(sum(col("f_short")), lit(0L)).as("too_short"),
+        coalesce(sum(col("f_qual")), lit(0L)).as("low_quality"),
+        coalesce(sum(col("f_rep")), lit(0L)).as("repetitive"),
+        coalesce(sum(col("f_lang")), lit(0L)).as("lang_mismatch"),
+        coalesce(sum(col("f_kept")), lit(0L)).as("kept"))
       .select(expr(
         "stack(5, 'kept', kept, 'lang_mismatch', lang_mismatch, " +
           "'low_quality', low_quality, 'repetitive', repetitive, " +

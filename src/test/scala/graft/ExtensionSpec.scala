@@ -162,6 +162,12 @@ class ExtensionSpec extends SparkSpec {
     assert(Dedup.dupNgramFraction(empty).count() == 0L)
     assert(Dedup.dupNgramSpans(empty).count() == 0L)
     assert(LangModel.bigramNll(empty).count() == 0L)
+    // the ruleset report on an empty corpus is five ZEROS, not nulls
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Quality.filterReport(emptyLang).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("kept" -> 0L, "lang_mismatch" -> 0L, "low_quality" -> 0L,
+        "repetitive" -> 0L, "too_short" -> 0L))
     val docs2 = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
     // no doc contains any query term -> empty result, not an error
     assert(graft.operators.Search.bm25TopK(docs2, "absent terms", k = 5).count() == 0L)
