@@ -32,7 +32,8 @@ object Explain {
       "x_split_stratified", "x_lm_unigram_nll", "x_pipeline_pretrain",
       "x_lm_filter_nll", "x_skew_join_salted", "x_range_join",
       "x_text_repetition", "x_dedup_ngram_frac", "x_lm_bigram_nll",
-      "x_search_bm25", "x_quality_filter_report")
+      "x_search_bm25", "x_quality_filter_report", "x_dedup_ngram_spans",
+      "x_dedup_span_trim", "x_sample_token_budget", "x_pipeline_curation_v2")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

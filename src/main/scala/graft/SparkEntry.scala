@@ -632,7 +632,11 @@ object SparkEntry {
         docs.filter(col("doc_id") < 20), n = 3)
     }),
     // ---- contamination PROFILE: which sources leak eval data, and how
-    // badly — the triage view over the flag() output
+    // badly — the triage view over the flag() output. The rate is
+    // POOLED (Σoverlap/Σshingles): integer sums are exact in any
+    // engine, so one division + one round is tie-free — avg of
+    // per-doc ROUNDED fracs lands exactly on .00005 summation-order
+    // ties (demonstrated on the fixture) and would flap the compare
     "x_decontaminate_by_source" -> ((s, dir) => {
       import graft.operators.Contamination
       val docs = Tables.documents(s, dir)
@@ -641,7 +645,8 @@ object SparkEntry {
         .join(corpus.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_contaminated"),
-          round(avg(col("overlap_frac")), 4).as("avg_overlap"))
+          round(sum(col("n_overlap")).cast("double") /
+            sum(col("n_shingles")), 4).as("overlap_rate"))
         .orderBy(col("source"))
     }),
     // ---- deterministic mixture sampling: 50 docs per language in
@@ -661,8 +666,10 @@ object SparkEntry {
     "x_pipeline_curation_v2" -> ((s, dir) => {
       import graft.operators.{Contamination, Sampling}
       val docs = Tables.documents(s, dir)
+      // clean feeds the span derivation, the trim-side doc join AND the
+      // source join — checkpoint so the scrub runs once, not three times
       val clean = Contamination.scrub(docs.filter(col("doc_id") >= 20),
-        docs.filter(col("doc_id") < 20), n = 3)
+        docs.filter(col("doc_id") < 20), n = 3).localCheckpoint()
       val trimmed = Dedup.trimDupSpans(clean, n = 5, minRun = 2)
         .join(clean.select(col("doc_id"), col("source")), "doc_id")
       val sized = trimmed.filter(
@@ -796,7 +803,7 @@ object SparkEntry {
     // (separates shuffled token soup from fluent text — same unigram
     // score, different bigram score)
     "x_lm_bigram_nll" -> ((s, dir) =>
-      graft.operators.LangModel.bigramNll(Tables.documents(s, dir), lambda = 0.7)),
+      graft.operators.LangModel.bigramNll(Tables.documents(s, dir), lambda = lmLambda)),
     // ---- intra-doc repetition: duplicate 3-gram fraction per document
     // (the Gopher-style "keeps repeating itself" curation signal)
     "x_text_repetition" -> ((s, dir) =>
@@ -913,7 +920,7 @@ object SparkEntry {
   private def qualitySqlExpr(c: String): String =
     s"round(least(1.0, (length($c) - length(replace($c, ' ', '')) + 1) / 100.0) " +
       s"* (1.0 - (length($c) - length(translate($c, '.,!?;:', ''))) / CAST(length($c) AS DOUBLE)) " +
-      s"* (CASE WHEN (CAST(len(list_filter(string_split($c, ' '), w -> w IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) " +
+      s"* (CASE WHEN (CAST(${stopHitsSql(c, graft.functions.TextFunctions.EN_STOP)} AS DOUBLE) " +
       s"/ (length($c) - length(replace($c, ' ', '')) + 1)) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END), 4)"
 
   /** Stopword-hit count and language-ID SQL forms ([[graft.functions
@@ -993,6 +1000,13 @@ object SparkEntry {
     * cut under test is the exclusive cumsum, not double floor()
     * associativity).
     */
+  /** x_lm_bigram_nll's interpolation weight, defined ONCE: the oracle
+    * interpolates BOTH constants from it (`1 - lmLambda` stringifies to
+    * the exact double Spark computes — hardcoding "0.3" in SQL would be
+    * one ULP off 1 - 0.7 and can flip a round(,4) at a tie).
+    */
+  private val lmLambda: Double = 0.7
+
   private val mixBudget: Long = 2000L
   private val mixWeights: Seq[(String, Double)] =
     Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
@@ -1298,11 +1312,11 @@ object SparkEntry {
         |  (${langIdSqlExpr("text")} <> lang) AS f_lang
         |  FROM documents),
         |a AS (SELECT
-        |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS too_short,
-        |  CAST(sum(CASE WHEN f_qual THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
-        |  CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS repetitive,
-        |  CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_mismatch,
-        |  CAST(sum(CASE WHEN NOT (f_short OR f_qual OR f_rep OR f_lang) THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |  CAST(coalesce(sum(CASE WHEN f_short THEN 1 ELSE 0 END), 0) AS BIGINT) AS too_short,
+        |  CAST(coalesce(sum(CASE WHEN f_qual THEN 1 ELSE 0 END), 0) AS BIGINT) AS low_quality,
+        |  CAST(coalesce(sum(CASE WHEN f_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS repetitive,
+        |  CAST(coalesce(sum(CASE WHEN f_lang THEN 1 ELSE 0 END), 0) AS BIGINT) AS lang_mismatch,
+        |  CAST(coalesce(sum(CASE WHEN NOT (f_short OR f_qual OR f_rep OR f_lang) THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept
         |  FROM s)
         |SELECT 'kept' AS rule, kept AS n_docs FROM a
         |UNION ALL SELECT 'lang_mismatch', lang_mismatch FROM a
@@ -1343,7 +1357,7 @@ object SparkEntry {
         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "x_lm_bigram_nll" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
         |u AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1),
         |tot AS (SELECT count(*) AS n_total FROM t),
@@ -1354,8 +1368,8 @@ object SparkEntry {
         |bc AS (SELECT prev, cur, count(*) AS cb FROM bp GROUP BY 1, 2),
         |cx AS (SELECT prev, sum(cb) AS cc FROM bc GROUP BY 1)
         |SELECT bp.doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(avg(-ln(0.7 * CAST(bc.cb AS DOUBLE) / cx.cc
-        |                     + 0.3 * CAST(u.cu AS DOUBLE) / tot.n_total)), 4) AS nll
+        |       round(avg(-ln($lmLambda * CAST(bc.cb AS DOUBLE) / cx.cc
+        |                     + ${1 - lmLambda} * CAST(u.cu AS DOUBLE) / tot.n_total)), 4) AS nll
         |FROM bp JOIN bc USING (prev, cur) JOIN cx USING (prev)
         |       JOIN u ON u.tok = bp.cur, tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1500,10 +1514,10 @@ object SparkEntry {
         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
         |hits AS (SELECT doc_id, count(*) AS n_overlap FROM cs
         |         WHERE shingle IN (SELECT shingle FROM es) GROUP BY 1),
-        |fl AS (SELECT h.doc_id, round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS overlap_frac
+        |fl AS (SELECT h.doc_id, h.n_overlap, s.n_shingles
         |       FROM hits h JOIN sizes s USING (doc_id))
         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_contaminated,
-        |       round(avg(fl.overlap_frac), 4) AS avg_overlap
+        |       round(CAST(sum(fl.n_overlap) AS DOUBLE) / sum(fl.n_shingles), 4) AS overlap_rate
         |FROM fl JOIN corpus c USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sample_quota" ->

@@ -54,7 +54,11 @@ object Forecast {
             trend = beta * (level - prevLevel) + (1 - beta) * trend
           }
           val gaps = pts.sliding(2).map(w => w(1).timestamp - w(0).timestamp).toArray.sorted
-          val stepMs = gaps(gaps.length / 2) // median spacing
+          // true median: even counts average the two middle gaps
+          // (integer mean — spacings are epoch-milli longs)
+          val stepMs =
+            if (gaps.length % 2 == 1) gaps(gaps.length / 2)
+            else (gaps(gaps.length / 2 - 1) + gaps(gaps.length / 2)) / 2
           val last = pts.last.timestamp
           (1 to horizon).iterator.map(h =>
             (tag, h.toLong, last + h * stepMs,

@@ -67,6 +67,10 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be > 0")
     require(weights.nonEmpty && weights.forall(_._2 >= 0) && weights.exists(_._2 > 0),
       s"weights must be non-negative with at least one positive: $weights")
+    // a duplicated key would fan out the quota join and silently emit
+    // duplicate rows past the budget — reject loudly
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate group keys in weights: ${weights.map(_._1)}")
     val spark = docs.sparkSession
     import spark.implicits._
     val wsum = weights.map(_._2).sum

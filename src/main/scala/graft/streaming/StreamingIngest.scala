@@ -176,7 +176,9 @@ object StreamingIngest {
   def dedupeDocsByDigest(docs: DataFrame, eventTimeCol: String,
                          textCol: String = "text",
                          watermark: String = "10 minutes"): DataFrame =
-    docs.withColumn("digest", sha2(col(textCol).cast("binary"), 256))
+    // unhex: sha2 returns 64 HEX CHARS — keying state on the raw
+    // 32-byte binary halves the documented state-key footprint
+    docs.withColumn("digest", unhex(sha2(col(textCol).cast("binary"), 256)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")

@@ -105,6 +105,11 @@ class ExtensionSpec extends SparkSpec {
       ("lin", h.toLong, 9000L + 1000L * h, 2.0 + 3.0 * (9 + h))))
     assert(r.filter(_._1 == "const").forall(_._4 == 7.5))
     assert(!r.exists(_._1 == "lone"))
+    // even gap count: true median (mean of the two middle spacings)
+    val uneven = Seq(TS(0L, "u", 1.0), TS(1000L, "u", 2.0), TS(4000L, "u", 3.0))
+    val ts1 = Forecast.holtLinear(uneven.toDS(), horizon = 1).collect()
+      .map(_.getLong(2)).head
+    assert(ts1 == 6000L) // 4000 + median([1000, 3000]) = 4000 + 2000
   }
 
   test("k-means: total assignment, ≤k clusters, balanced sample honors per-cluster quota") {
@@ -155,6 +160,11 @@ class ExtensionSpec extends SparkSpec {
       Seq((1L, "x", words(100))).toDF("doc_id", "source", "text"),
       budgetTokens = 10L, weights = Seq("x" -> 1.0), groupCol = "source")
     assert(tiny.count() == 1L)
+    // a duplicated weight key would fan out the quota join — rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(docs, 100L,
+        weights = Seq("a" -> 0.5, "a" -> 0.5), groupCol = "source")
+    }
   }
 
   test("edge behavior: empty corpus / absent terms / zero vectors degrade, never crash") {
