@@ -33,7 +33,10 @@ object Explain {
       "x_lm_filter_nll", "x_skew_join_salted", "x_range_join",
       "x_text_repetition", "x_dedup_ngram_frac", "x_lm_bigram_nll",
       "x_search_bm25", "x_quality_filter_report", "x_dedup_ngram_spans",
-      "x_dedup_span_trim", "x_sample_token_budget", "x_pipeline_curation_v2")
+      "x_dedup_span_trim", "x_sample_token_budget", "x_pipeline_curation_v2",
+      "x_pack_sequences", "x_heavy_hitters", "x_ewma_smooth",
+      "x_cube_pricing", "x_pivot_order_status", "x_bucketed_join",
+      "x_acf", "x_quality_deciles")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -73,6 +73,40 @@ object SparkEntry {
     }
   }
 
+  /** Bucketed lineitem/orders pair per (session, sf dir): written ONCE
+    * per JVM ([[graft.sources.Bucketed.writeBucketed]], narrow
+    * projections only), then every co-located join reads the bucketed
+    * layout — the write-once/join-many trade the operator exists for.
+    */
+  private val bucketedPairs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private val bucketedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  sys.addShutdownHook {
+    bucketedDirs.forEach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def bucketedPair(s: SparkSession, dir: String): (String, String) =
+    bucketedPairs.synchronized {
+      bucketedPairs.getOrElseUpdate((s, dir), {
+        // name scoped by session identity too: sibling sessions share
+        // ONE catalog, so a dir-only name would let a second session
+        // silently repoint the first session's tables
+        val id = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+          java.lang.Integer.toHexString(System.identityHashCode(s))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        bucketedDirs.add(tmp)
+        graft.sources.Bucketed.writeBucketed(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+          s"b_li_$id", s"$tmp/li", "l_orderkey", 16)
+        graft.sources.Bucketed.writeBucketed(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          s"b_ord_$id", s"$tmp/ord", "o_orderkey", 16)
+        (s"b_li_$id", s"b_ord_$id")
+      })
+    }
+
   /** The shared as-of fixture: clicks (left) and the users' error events
     * (right) on epoch-millis time — used by both asof queries so the
     * projection can't diverge between them.
@@ -418,6 +452,40 @@ object SparkEntry {
     "x_neardup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- sequence packing: concat-and-chunk the corpus token stream
+    // into 512-token training sequences (distributed two-phase prefix
+    // sum — no single-partition global window)
+    "x_pack_sequences" -> ((s, dir) =>
+      graft.operators.Pack.packSequences(Tables.documents(s, dir),
+        capacity = 512)),
+    // ---- packing apply-side: the materialized training sequences
+    // themselves (md5 witness per 512-token sequence text)
+    "x_pack_apply" -> ((s, dir) =>
+      graft.operators.Pack.packApply(Tables.documents(s, dir),
+        capacity = 512)),
+    // ---- curate-then-pack pipeline: quality percentile cut (driver
+    // literal, same shape as the decile report) feeds the distributed
+    // packer — ONE oracle-checked plan from raw corpus to the sequence
+    // stream a trainer consumes
+    "x_pipeline_pack" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val cut = math.rint(
+        scored.agg(expr("percentile(q, 0.2)")).head().getDouble(0) * 10000) / 10000
+      graft.operators.Pack.packSequences(
+        scored.filter(col("q") > cut), capacity = 512)
+    }),
+    // ---- heavy hitters: exact top-20 tokens via Misra-Gries
+    // candidates + exact recount (the bounded-summary plan that never
+    // shuffles the token universe)
+    "x_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Frequency.heavyHitterTopK(Tables.documents(s, dir),
+        k = 20, capacity = 256)),
+    // ---- quality-score distribution in decile bands (percentile-cut
+    // shape — cut points collect to the driver, banding is scan-stage;
+    // NOT a single-task global ntile)
+    "x_quality_deciles" -> ((s, dir) =>
+      graft.operators.Quality.scoreDeciles(Tables.documents(s, dir))),
     // ---- token-budget mixture sampling: weighted per-source doc
     // contributions to a 2000-token budget (exclusive-cumsum cut)
     "x_sample_token_budget" -> ((s, dir) =>
@@ -580,6 +648,13 @@ object SparkEntry {
     // what makes "last 7 buckets" mean "last 7 minutes"
     "x_moving_avg" -> ((s, dir) =>
       graft.operators.GapFill.movingAvg(denseGrid(s, dir), window = 7)),
+    // ---- EWMA smoothing over a bounded 16-row trailing frame: the
+    // recurrence folds a window-collected array, so it stays a pure
+    // scan-stage expression (alpha = 0.25 is binary-exact, making the
+    // fold bit-replayable in any IEEE-754 engine)
+    "x_ewma_smooth" -> ((s, dir) =>
+      graft.operators.Forecast.ewmaBounded(denseGrid(s, dir), Seq("tag"),
+        "bucket_start", "cnt", alpha = 0.25, frameRows = 16)),
     "x_bucket_delta" -> ((s, dir) =>
       graft.operators.GapFill.delta(denseGrid(s, dir))),
     // ---- anomaly detection: buckets deviating >= 2 trailing-window
@@ -587,6 +662,10 @@ object SparkEntry {
     // score is cross-engine exact)
     "x_anomaly_zscore" -> ((s, dir) =>
       graft.operators.GapFill.anomalies(denseGrid(s, dir), window = 30, threshold = 2.0)),
+    // ---- autocorrelation at lags 1..5 per series (seasonality /
+    // burst-persistence diagnostic; ONE window shuffle feeds all lags)
+    "x_acf" -> ((s, dir) =>
+      graft.operators.GapFill.autocorrelation(denseGrid(s, dir), maxLag = 5)),
     // ---- rollup: hierarchical subtotal grid over the pricing keys
     // (grouping-set analytics; sentinel 'ALL' keeps null ordering out
     // of the compare)
@@ -601,6 +680,47 @@ object SparkEntry {
           col("sum_qty"), col("n_rows"))
         .orderBy(col("rf"), col("ls"))
     }),
+    // ---- cube: full marginal grid over the pricing keys (rollup's
+    // column-hierarchy PLUS the per-linestatus marginals; same 'ALL'
+    // sentinel discipline)
+    "x_cube_pricing" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(scaledSum(col("l_quantity"), 100).as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+    // ---- co-located fact-fact join over bucketed layout: both sides
+    // read pre-bucketed on the join key, so the join has ZERO Exchange
+    // (BucketedSpec pins the plan) — the write-once/join-many trade
+    "x_bucketed_join" -> ((s, dir) => {
+      graft.functions.NumericFunctions.register(s)
+      val (liTbl, ordTbl) = bucketedPair(s, dir)
+      graft.sources.Bucketed.colocatedJoin(s, liTbl, ordTbl,
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(scaledSum(col("l_extendedprice"), 100).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .orderBy(col("priority"))
+    }),
+    // ---- pivot: order counts per priority, statuses as columns (the
+    // relational RESHAPE — fixed pivot values keep the schema static,
+    // which is also the 100 TB rule: pivot on an unbounded value set is
+    // a schema explosion, not a query)
+    "x_pivot_order_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy(col("priority"))),
     // ---- vocabulary: global top-100 tokens by frequency (the vocab-
     // building sweep; deterministic tie order by token)
     "x_token_vocab" -> ((s, dir) =>
@@ -917,6 +1037,24 @@ object SparkEntry {
   /** The quality-score formula, ONE definition (no line starts with
     * "|" or "||" — safe to interpolate into stripMargin'd strings).
     */
+  /** Shared pack-sequences oracle body over a doc source CTE/table
+    * `src` (must expose doc_id, text) — used verbatim by
+    * `x_pack_sequences` and composed by `x_pipeline_pack`, so the
+    * packing SQL cannot drift between them.
+    */
+  private def packSeqSql(src: String, capacity: Int): String =
+    s"""pk_d AS (SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks FROM $src),
+      |pk_c AS (SELECT doc_id, toks,
+      |        CAST(sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM pk_d),
+      |pk_s AS (SELECT doc_id, toks, end_off - toks AS start_off, end_off,
+      |        unnest(generate_series((end_off - toks) // $capacity, (end_off - 1) // $capacity)) AS seq_id FROM pk_c)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE start_off < seq_id * $capacity OR end_off > (seq_id + 1) * $capacity) AS BIGINT) AS n_split_docs,
+      |       CAST(sum(least(end_off, (seq_id + 1) * $capacity) - greatest(start_off, seq_id * $capacity)) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM pk_s GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   private def qualitySqlExpr(c: String): String =
     s"round(least(1.0, (length($c) - length(replace($c, ' ', '')) + 1) / 100.0) " +
       s"* (1.0 - (length($c) - length(translate($c, '.,!?;:', ''))) / CAST(length($c) AS DOUBLE)) " +
@@ -1432,6 +1570,66 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // exact top-k is the oracle; the Spark side reaches it through the
+    // MG-candidates + recount plan, which is exact while the k-th count
+    // clears the N/(capacity+1) retention bound (trivially true here:
+    // capacity exceeds the fixture vocabulary)
+    "x_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // concat-and-chunk packing: global token offsets via a window
+    // cumsum (the oracle's corpus is small; the Spark side computes the
+    // SAME prefix sum distributed — bucketed carry, no global window)
+    "x_pack_sequences" ->
+      s"""WITH ${packSeqSql("documents", 512)}""".stripMargin,
+    // curate-then-pack: quality cut at the 20th percentile, survivors
+    // packed — the pipeline that hands a trainer its sequence stream
+    "x_pipeline_pack" ->
+      s"""WITH scored AS (SELECT doc_id, text, ${qualitySqlExpr("text")} AS q FROM documents),
+        |cutv AS (SELECT round(quantile_cont(q, 0.2), 4) AS c FROM scored),
+        |kept AS (SELECT doc_id, text FROM scored, cutv WHERE q > c),
+        |${packSeqSql("kept", 512)}""".stripMargin,
+    // the materialized form: each sequence's text is its docs' token
+    // slices joined in doc_id order (md5 witness; validated against an
+    // independent whole-corpus chunk reconstruction)
+    "x_pack_apply" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM d),
+        |s AS (SELECT doc_id, toks, end_off - n AS start_off, end_off,
+        |        unnest(generate_series((end_off - n) // 512, (end_off - 1) // 512)) AS seq_id FROM c),
+        |p AS (SELECT seq_id, doc_id, greatest(start_off, seq_id * 512) AS lo,
+        |        least(end_off, (seq_id + 1) * 512) AS hi, start_off, toks FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+        |       md5(string_agg(array_to_string(toks[(lo - start_off + 1):(hi - start_off)], ' '), ' ' ORDER BY doc_id)) AS h
+        |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "x_acf" -> (
+      denseGridSql + """,
+        |l AS (SELECT tag, cnt,
+        |        lag(cnt, 1) OVER w AS lag_1, lag(cnt, 2) OVER w AS lag_2,
+        |        lag(cnt, 3) OVER w AS lag_3, lag(cnt, 4) OVER w AS lag_4,
+        |        lag(cnt, 5) OVER w AS lag_5
+        |      FROM dense WINDOW w AS (PARTITION BY tag ORDER BY bucket_start))
+        |SELECT tag, round(corr(cnt, lag_1), 4) AS acf_1, round(corr(cnt, lag_2), 4) AS acf_2,
+        |       round(corr(cnt, lag_3), 4) AS acf_3, round(corr(cnt, lag_4), 4) AS acf_4,
+        |       round(corr(cnt, lag_5), 4) AS acf_5
+        |FROM l GROUP BY tag ORDER BY tag""".stripMargin),
+    // band edges = rounded exact percentiles (Spark `percentile` and
+    // DuckDB `quantile_cont` are the same linear interpolation — the d3
+    // pairing); banding compares 4-decimal values on both sides
+    "x_quality_deciles" -> {
+      val cutDefs = (1 to 9)
+        .map(i => s"round(quantile_cont(q, 0.$i), 4) AS c$i").mkString(", ")
+      val bandExpr = (1 to 9)
+        .map(i => s"(CASE WHEN q > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH scored AS (SELECT ${qualitySqlExpr("text")} AS q FROM documents),
+        |cuts AS (SELECT $cutDefs FROM scored)
+        |SELECT CAST($bandExpr AS BIGINT) AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_docs, round(avg(q), 4) AS avg_q,
+        |       min(q) AS min_q, max(q) AS max_q
+        |FROM scored, cuts GROUP BY 1 ORDER BY decile""".stripMargin
+    },
     "x_group_percentiles" ->
       s"""SELECT tag AS grp, round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.95), 4) AS p95
@@ -1465,6 +1663,19 @@ object SparkEntry {
         |       round(avg(cnt) OVER (PARTITION BY tag ORDER BY bucket_start
         |                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM dense ORDER BY tag, bucket_start""".stripMargin),
+    // the same left fold over the same frame array: DuckDB list_reduce
+    // inits at the first element, mirroring ewmaBounded's aggregate()
+    // over the frame tail — weights are binary-exact doubles, so the
+    // IEEE fold replays bit-for-bit
+    "x_ewma_smooth" -> (
+      denseGridSql + """
+        |SELECT tag, bucket_start, cnt,
+        |       round(list_reduce(l, (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+        |                                        + CAST(0.25 AS DOUBLE) * x), 4) AS ewma
+        |FROM (SELECT tag, bucket_start, cnt,
+        |        list(cnt) OVER (PARTITION BY tag ORDER BY bucket_start
+        |                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |      FROM dense) f ORDER BY tag, bucket_start""".stripMargin),
     "x_bucket_delta" -> (
       denseGridSql + """
         |SELECT tag, bucket_start, cnt,
@@ -1491,6 +1702,27 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "x_cube_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS DOUBLE) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    // layout changes results not at all — a plain join IS the oracle
+    "x_bucketed_join" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(count(*) AS DOUBLE) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+    "x_pivot_order_status" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
     "x_decontaminate" ->
       """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id >= 20),
         |ev AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20),

@@ -316,6 +316,46 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     Similarity.rankTopK(cand, k)
   }
 
+  /** Rewrite the CURRENT version's (possibly many-directory) append
+    * chain into ONE fresh directory per component and commit it as a
+    * new version. Pure I/O: postings, inverted lists and vectors are
+    * read from the chain and rewritten merged + re-sorted — nothing is
+    * re-hashed or re-assigned, so probes against the compacted version
+    * are identical by construction (same params, same rows). The
+    * motivation is the same as any LSM compaction: a long append chain
+    * accumulates small files and per-directory scan overhead; compact
+    * restores the single-sorted-run layout [[write]] produces, at I/O
+    * cost instead of [[write]]'s compute cost. Old versions remain
+    * probeable until [[vacuum]]. Returns the committed version.
+    */
+  def compact(): Long = synchronized {
+    val base = pinVersion()
+    val st = state(base)
+    val version = versions.lastOption.getOrElse(-1L) + 1L
+    val dir = root.resolve(s"v$version")
+    Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
+    st.vectors.repartition(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("vectors").toString)
+    st.lshPostings
+      .repartition(col("tbl"))
+      .sortWithinPartitions(col("tbl"), col("bucket"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("tbl")
+      .parquet(dir.resolve("lsh").toString)
+    st.ivfLists
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
+    st.centroids.coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
+    writeParams(dir, st.lsh, st.ivf)
+    val own = Manifest(Seq(s"v$version/vectors"), Seq(s"v$version/lsh"),
+      Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
+    Files.writeString(dir.resolve("manifest.json"), own.toJson)
+    commitCurrent(version)
+    version
+  }
+
   /** Delete index data superseded for longer than `retentionMs` (same
     * grace-period contract as the table store's vacuum) — but never a
     * directory the CURRENT version's manifest still references: an

@@ -68,4 +68,41 @@ object Forecast {
       .toDF("tag", "step", "ts", "yhat")
       .orderBy(col("tag"), col("step"))
   }
+
+  /** Exponentially-weighted moving average over a BOUNDED trailing
+    * frame of `frameRows` points per series: collect the frame
+    * (`collect_list` over a rows-window), then fold it left with the
+    * EWMA recurrence `acc*(1-alpha) + alpha*x`, initialized at the
+    * frame's oldest point.
+    *
+    * Unlike [[holtLinear]] (whole-series feedback, imperative by
+    * necessity), the bounded frame turns the recurrence into a pure
+    * scan-stage array fold: one shuffle to cluster each series, a
+    * partitioned window, and a codegen'd `aggregate` over ≤ frameRows
+    * elements per row. Both engines fold the SAME array in the SAME
+    * order (Spark `aggregate` == DuckDB `list_reduce`), so results are
+    * bit-replayable and the query is oracle-checkable — the reason to
+    * prefer the bounded frame over the unbounded recurrence at 100 TB
+    * is the same reason it replays: no cross-partition feedback.
+    *
+    * Expects one row per (series key, tsCol); emits the input grid plus
+    * `ewma` rounded to 4 decimals.
+    */
+  def ewmaBounded(grid: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valCol: String, alpha: Double = 0.3,
+                  frameRows: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    require(frameRows >= 1, s"frameRows=$frameRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(-(frameRows - 1), 0)
+    val frame = collect_list(col(valCol)).over(w)
+    grid.withColumn("__frame", frame)
+      .withColumn("ewma", round(aggregate(
+        slice(col("__frame"), lit(2), greatest(size(col("__frame")) - 1, lit(0))),
+        element_at(col("__frame"), 1),
+        (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x), 4))
+      .drop("__frame")
+      .orderBy(keyCols.map(col) :+ col(tsCol): _*)
+  }
 }

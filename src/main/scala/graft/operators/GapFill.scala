@@ -79,4 +79,25 @@ object GapFill {
         col("sd"), col("z"))
       .orderBy(col("tag"), col("bucket_start"))
   }
+
+  /** Autocorrelation of each series at lags 1..maxLag — the seasonality
+    * / burst-persistence diagnostic (a daily-periodic metric shows an
+    * ACF spike at the day lag). One window shuffle produces ALL the lag
+    * columns (Pearson corr then pairs each with the current value,
+    * skipping the first `k` null rows per series, same as SQL `corr`).
+    * Rounded to 4 decimals: corr folds co-moments in partition order,
+    * so the raw low bits are not replayable across engines — the same
+    * convention as every float aggregate here.
+    */
+  def autocorrelation(dense: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"autocorrelation: maxLag=$maxLag must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag")).orderBy(col("bucket_start"))
+    val lagCols = (1 to maxLag).map(k => lag(col("cnt"), k).over(w).as(s"lag_$k"))
+    val base = dense.select(col("tag") +: col("cnt") +: lagCols: _*)
+    val aggs = (1 to maxLag).map(k =>
+      round(corr(col("cnt"), col(s"lag_$k")), 4).as(s"acf_$k"))
+    base.groupBy(col("tag")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("tag"))
+  }
 }

@@ -219,6 +219,27 @@ object StreamingIngest {
         writeBatch(graft.operators.Contamination.scrub(batch, evalSet, n, maxOverlap))
     }
 
+  /** Streaming frequent tokens: a global Misra-Gries aggregation over
+    * the token stream, state = ONE capacity-bounded summary regardless
+    * of stream length or vocabulary (contrast a streaming
+    * `groupBy(token).count()`, whose state store grows with the
+    * observed vocabulary — unbounded on web text). Each trigger emits
+    * the current summary in Complete mode; the MG bounds (est ≤ true,
+    * undercount ≤ N/(capacity+1), retention of anything above that
+    * bar) hold across batch boundaries because the state IS a merged
+    * MG summary ([[graft.functions.MgOps.merge]] is how partials fold).
+    * While distinct tokens seen stay under `capacity`, the emitted
+    * counts are exact.
+    */
+  def streamingTopTokens(docs: DataFrame, capacity: Int = 256,
+                         textCol: String = "text"): DataFrame = {
+    graft.functions.FreqFunctions.register(docs.sparkSession)
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(graft.functions.FreqFunctions.misraGries(col("token"), capacity).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est"))
+  }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

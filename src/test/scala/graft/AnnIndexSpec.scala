@@ -101,6 +101,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(fresh.probeLsh(q, k = 5)) == rows(full.probeLsh(q, k = 5)))
   }
 
+  test("compact folds an append chain into one run; probes are identical") {
+    val pathStr = Files.createTempDirectory("graft-ann-cpt").toString
+    val store = new AnnIndexStore(spark, pathStr)
+    val lsh = LshParams(8, 6, 64)
+    store.write(emb.filter($"vec_id" < 200), lsh, IvfParams(8, 1, 64))
+    store.append(emb.filter($"vec_id" >= 200 && $"vec_id" < 300))
+    store.append(emb.filter($"vec_id" >= 300 && $"vec_id" < 350))
+    val q = emb.filter($"vec_id" < 5)
+    val lshBefore = rows(store.probeLsh(q, k = 5))
+    val ivfBefore = rows(store.probeIvf(q, k = 5, nprobe = 4))
+
+    assert(store.compact() == 3L)
+    // single-run layout again: the compacted manifest references ONLY
+    // its own directories, one per component
+    val mtxt = Files.readString(Paths.get(pathStr, "v3", "manifest.json"))
+    assert(Seq("v0/", "v1/", "v2/").forall(p => !mtxt.contains(p)))
+    assert(Seq("vectors", "lsh", "ivf", "ivf_centroids")
+      .forall(c => mtxt.contains(s"v3/$c") && Files.exists(Paths.get(pathStr, "v3", c))))
+    // pure I/O rewrite — same rows, same params => identical probes,
+    // also from a session with no cached state
+    assert(rows(store.probeLsh(q, k = 5)) == lshBefore)
+    assert(rows(store.probeIvf(q, k = 5, nprobe = 4)) == ivfBefore)
+    val fresh = new AnnIndexStore(spark.newSession(), pathStr)
+    assert(rows(fresh.probeLsh(q, k = 5)) == lshBefore)
+    // after vacuum the chain's old versions go entirely — nothing in
+    // the compacted manifest references them
+    assert(store.vacuum(0) == 3)
+    assert(store.versions == Seq(3L))
+    assert(rows(store.probeIvf(q, k = 5, nprobe = 4)) == ivfBefore)
+  }
+
   test("vacuum spares data dirs referenced by the live append chain") {
     val pathStr = Files.createTempDirectory("graft-ann-vac").toString
     val store = new AnnIndexStore(spark, pathStr)

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Forecast, Frequency, Pack}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing, heavy hitters and bounded EWMA: the deterministic
+  * end-to-end behaviors (MG's algorithmic laws are property-tested in
+  * [[FreqPropertiesSpec]]).
+  */
+class PackFreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 docs, doc i = i+1 tokens ("w w w ...") => 55 tokens total
+  private def docsDf = (0 until 10)
+    .map(i => (i.toLong, Seq.fill(i + 1)("w").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("packSequences: conservation, full sequences, boundary counts") {
+    val out = Pack.packSequences(docsDf, capacity = 10).collect()
+    // 55 tokens at capacity 10 => 6 sequences, last holds 5
+    assert(out.map(_.getLong(0)).toSeq == (0L to 5L))
+    assert(out.map(_.getLong(3)).sum == 55L)
+    assert(out.dropRight(1).forall(_.getLong(3) == 10L))
+    assert(out.last.getLong(3) == 5L)
+    // doc offsets: doc0 [0,1) doc1 [1,3) doc2 [3,6) doc3 [6,10) — all
+    // inside seq 0; doc4 [10,15) starts ON the boundary (not split);
+    // doc5 [15,21) straddles seqs 1|2
+    val bySeq = out.map(r => r.getLong(0) -> r).toMap
+    assert(bySeq(0L).getLong(1) == 4L && bySeq(0L).getLong(2) == 0L)
+    assert(bySeq(1L).getLong(1) == 2L && bySeq(1L).getLong(2) == 1L)
+    assert(bySeq(1L).getLong(4) == 4L && bySeq(1L).getLong(5) == 5L)
+    // the straddler is counted (as split) in BOTH sequences it touches
+    assert(bySeq(2L).getLong(4) == 5L)
+  }
+
+  test("packSequences is invariant to the bucketing (the prefix-sum carry is exact)") {
+    def run(buckets: Int) =
+      Pack.packSequences(docsDf, capacity = 7, targetBuckets = buckets)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(3))
+    assert(run(3) == run(256))
+  }
+
+  test("packSequences: empty corpus => empty result") {
+    assert(Pack.packSequences(docsDf.filter($"doc_id" < 0), 10).count() == 0L)
+    assert(Pack.packApply(docsDf.filter($"doc_id" < 0), 10).count() == 0L)
+  }
+
+  test("packApply reconstructs exactly the concatenated corpus chunks") {
+    // distinct tokens so slices are position-sensitive
+    val docs = (0 until 10)
+      .map(i => (i.toLong, (0 to i).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pack.packApply(docs, capacity = 10).collect()
+    val stream = (0 until 10).flatMap(i => (0 to i).map(j => s"w${i}_$j"))
+    val expected = stream.grouped(10).zipWithIndex.map { case (chunk, i) =>
+      (i.toLong, chunk.size.toLong,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(chunk.mkString(" ")))
+    }.toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq == expected)
+  }
+
+  test("heavyHitterTopK == exact groupBy top-k on a skewed corpus") {
+    // zipf-ish: token t_j appears ~ N/j times across docs
+    val docs = (0 until 50).map { i =>
+      val toks = (1 to 20).flatMap(j => if (i % j == 0) Seq(s"t$j") else Nil)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Frequency.heavyHitterTopK(docs, k = 8, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("heavyHitterTopK stays exact when capacity evictions fire") {
+    // 26 distinct tokens, capacity 8: the MG summary must evict, yet
+    // the two clear heavy hitters survive candidacy and recount exactly
+    val docs = (0 until 40).map { i =>
+      val heavy = Seq.fill(30)("hot") ++ Seq.fill(20)("warm")
+      val noise = (0 until 26).map(c => ('a' + c).toChar.toString)
+      (i.toLong, (heavy ++ noise).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Frequency.heavyHitterTopK(docs, k = 2, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 1200L), ("warm", 800L)))
+  }
+
+  test("ewmaBounded: recurrence values and frame bounding") {
+    val grid = Seq(("a", 0L, 2.0), ("a", 1L, 4.0), ("a", 2L, 8.0),
+      ("b", 0L, 1.0)).toDF("tag", "bucket_start", "cnt")
+    val full = Forecast.ewmaBounded(grid, Seq("tag"), "bucket_start", "cnt",
+      alpha = 0.25, frameRows = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    // 2; 2*.75+4*.25 = 2.5; 2.5*.75+8*.25 = 3.875; series b untouched
+    assert(full.toSeq == Seq(("a", 0L, 2.0), ("a", 1L, 2.5), ("a", 2L, 3.875),
+      ("b", 0L, 1.0)))
+    // frameRows = 2: the third point folds ONLY [4, 8] => 4*.75+8*.25 = 5
+    val bounded = Forecast.ewmaBounded(grid, Seq("tag"), "bucket_start", "cnt",
+      alpha = 0.25, frameRows = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(bounded.toSeq == Seq(("a", 0L, 2.0), ("a", 1L, 2.5), ("a", 2L, 5.0),
+      ("b", 0L, 1.0)))
+  }
+}

@@ -301,6 +301,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTopTokens: MG state across micro-batches == whole-stream counts") {
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingTopTokens(
+      mem.toDF().toDF("doc_id", "text"), capacity = 64)
+      .writeStream.format("memory").queryName("t_toptok")
+      .outputMode("complete").start()
+    try {
+      mem.addData((0L, "a a a b"), (1L, "b c"))
+      q.processAllAvailable()
+      mem.addData((2L, "a c c d"))
+      q.processAllAvailable()
+      // capacity > vocabulary => the merged MG state is EXACT: the
+      // emitted summary equals the true whole-stream counts
+      val got = spark.table("t_toptok").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq(("a", 4L), ("b", 2L), ("c", 3L), ("d", 1L)))
+    } finally q.stop()
+  }
+
   test("runningStats carries per-tag state across micro-batches") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.runningStats(mem.toDS())
