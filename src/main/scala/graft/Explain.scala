@@ -36,7 +36,8 @@ object Explain {
       "x_dedup_span_trim", "x_sample_token_budget", "x_pipeline_curation_v2",
       "x_pack_sequences", "x_heavy_hitters", "x_ewma_smooth",
       "x_cube_pricing", "x_pivot_order_status", "x_bucketed_join",
-      "x_acf", "x_quality_deciles")
+      "x_acf", "x_quality_deciles", "x_funnel", "x_retention_cohorts",
+      "x_pipeline_pack")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -126,11 +126,13 @@ object SparkEntry {
     * bucket present ([[graft.operators.GapFill.bucketCounts]]).
     */
   private def denseGrid(s: SparkSession, dir: String): DataFrame =
+    // unsorted: every consumer either window-partitions by tag (its own
+    // shuffle) or is x_gapfill_minutes, which sorts explicitly
     graft.operators.GapFill.bucketCounts(
       Tables.ts(s, dir)
         .filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L)
         .filter(col("tag") === "click" || col("tag") === "error"),
-      bucketMs = 60000L)
+      bucketMs = 60000L, sorted = false)
 
   /** Shared shaping of an as-of result for the oracle compare (sentinel
     * values instead of engine-specific null encodings).
@@ -643,7 +645,8 @@ object SparkEntry {
     // ---- gap-fill: per-tag minute-bucket counts over one day, EVERY
     // bucket present (zeros where no events landed) — the classic TS
     // densification the reference lacks
-    "x_gapfill_minutes" -> ((s, dir) => denseGrid(s, dir)),
+    "x_gapfill_minutes" -> ((s, dir) =>
+      denseGrid(s, dir).orderBy(col("tag"), col("bucket_start"))),
     // ---- moving average + delta over the dense grid: gap filling is
     // what makes "last 7 buckets" mean "last 7 minutes"
     "x_moving_avg" -> ((s, dir) =>
@@ -662,6 +665,20 @@ object SparkEntry {
     // score is cross-engine exact)
     "x_anomaly_zscore" -> ((s, dir) =>
       graft.operators.GapFill.anomalies(denseGrid(s, dir), window = 30, threshold = 2.0)),
+    // ---- funnel: strictly-ordered view→click→purchase progression
+    // (conditional-min chain per user — no per-user event lists)
+    "x_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000000").cast("long").as("t"), col("event_type"))
+      graft.operators.Funnel.funnel(e, Seq("view", "click", "purchase"))
+    }),
+    // ---- cohort retention: weekly cohorts by first event, distinct
+    // active users per (cohort, week offset)
+    "x_retention_cohorts" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000000").cast("long").as("t"))
+      graft.operators.Funnel.retentionCohorts(e)
+    }),
     // ---- autocorrelation at lags 1..5 per series (seasonality /
     // burst-persistence diagnostic; ONE window shuffle feeds all lags)
     "x_acf" -> ((s, dir) =>
@@ -777,6 +794,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ---- deterministic weighted sampling (A-Res): longer docs win
+    // proportionally more often, draw replays in any engine
+    "x_sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
     // ---- full curation pipeline: decontaminate → quality-filter →
     // exact-dedup → per-language quota sample → stats, all ONE
     // oracle-checked plan (the end-to-end story the operators exist for)
@@ -1604,6 +1628,31 @@ object SparkEntry {
         |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
         |       md5(string_agg(array_to_string(toks[(lo - start_off + 1):(hi - start_off)], ' '), ' ' ORDER BY doc_id)) AS h
         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "x_sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars,
+        |  round(pow((CAST(${pseudoOrderSql("doc_id")} AS DOUBLE) + 1.0) / 1000000008.0,
+        |            1.0 / CAST(n_chars AS DOUBLE)), 4) AS wkey
+        |FROM documents ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
+    "x_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS stage_name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |) u ORDER BY stage""".stripMargin,
+    "x_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |c AS (SELECT user_id, min(t // 604800000) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, t // 604800000 AS bkt FROM e)
+        |SELECT c.cohort * 604800000 AS cohort_start, a.bkt - c.cohort AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_start, week_offset""".stripMargin,
     "x_acf" -> (
       denseGridSql + """,
         |l AS (SELECT tag, cnt,

@@ -19,9 +19,14 @@ object GapFill {
 
   /** (tag, bucket_start, cnt) with zero-filled gaps: every `bucketMs`
     * bucket between the GLOBAL min and max bucket appears for every
-    * tag.
+    * tag. Pass `sorted = false` when the grid feeds a windowed
+    * consumer: the final total-order sort is a global range Exchange
+    * that a downstream `Window.partitionBy(tag)` immediately
+    * re-shuffles anyway — skipping it removes one Exchange + global
+    * sort from every moving-avg/delta/anomaly/EWMA/ACF plan.
     */
-  def bucketCounts(ts: DataFrame, bucketMs: Long): DataFrame = {
+  def bucketCounts(ts: DataFrame, bucketMs: Long,
+                   sorted: Boolean = true): DataFrame = {
     val bucket = expr(s"timestamp div $bucketMs")
     val counts = ts.groupBy(col("tag"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -29,10 +34,10 @@ object GapFill {
     val grid = ts.select(col("tag")).distinct()
       .crossJoin(bounds) // 1-row bounds => broadcast nested loop
       .select(col("tag"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    grid.join(counts, Seq("tag", "bucket"), "left")
+    val dense = grid.join(counts, Seq("tag", "bucket"), "left")
       .select(col("tag"), (col("bucket") * bucketMs).as("bucket_start"),
         coalesce(col("cnt"), lit(0L)).cast("double").as("cnt"))
-      .orderBy(col("tag"), col("bucket_start"))
+    if (sorted) dense.orderBy(col("tag"), col("bucket_start")) else dense
   }
 
   /** Trailing `window`-bucket moving average per tag over a DENSE grid

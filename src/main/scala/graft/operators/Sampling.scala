@@ -136,4 +136,24 @@ object Sampling {
       .withColumn("split", assignByCuts(bucket, cuts))
       .drop("__rn", "__cnt")
   }
+
+  /** Deterministic weighted sampling without replacement (A-Res,
+    * Efraimidis-Spirakis): each row gets key `u^(1/w)` where
+    * `u ∈ (0,1)` derives from [[pseudoOrder]] instead of an RNG, and
+    * the sample is the top-k by key — heavier rows win proportionally
+    * more often, yet the draw replays bit-identically across runs,
+    * partitionings and engines. Keys are ROUNDED to 4 decimals before
+    * ranking (libm `pow` is not correctly-rounded everywhere; the id
+    * tiebreak makes the rounded order total), and top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k=$k must be >= 1")
+    val u = (pseudoOrder(col(idCol)).cast("double") + 1.0) / 1000000008.0
+    df.withColumn("wkey",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 4))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -240,6 +240,50 @@ object StreamingIngest {
       .select(col("e.item").as("token"), col("e.est").as("est"))
   }
 
+  /** A user's funnel progress: highest stage reached (1-based; 0 =
+    * nothing yet) and when they reached it.
+    */
+  final case class FunnelProgress(user_id: Long, stage: Int, reached_at: Long)
+
+  /** Streaming funnel: per-user stage state carried across
+    * micro-batches (state = ONE (stage, reachedAt) pair per user —
+    * never an event list, so power users can't skew executor memory).
+    * Each batch's events fold in time order through the same
+    * strictly-after rule as the batch operator
+    * ([[graft.operators.Funnel.funnel]]): greedy earliest-advance over
+    * in-order events is equivalent to the conditional-min chain, so a
+    * stream delivered in event-time order converges to exactly the
+    * batch result (pinned in StreamingSpec). Late cross-batch events
+    * can under-advance — bound disorder upstream with a watermark if
+    * the source reorders. Emits a row per user whose stage advanced.
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[String])
+      : Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "streamingFunnel: stages must be non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("t").cast("long"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Int, Long)]) =>
+          val evs = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+          var (st, at) = state.getOption.getOrElse((0, Long.MinValue))
+          var changed = false
+          evs.foreach { case (t, ty) =>
+            if (st < stages.length && ty == stages(st) && t > at) {
+              st += 1; at = t; changed = true
+            }
+          }
+          if (changed) {
+            state.update((st, at))
+            Iterator.single(FunnelProgress(user, st, at))
+          } else Iterator.empty
+      }
+  }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

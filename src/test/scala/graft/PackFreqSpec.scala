@@ -88,6 +88,28 @@ class PackFreqSpec extends SparkSpec {
     assert(got == Seq(("hot", 1200L), ("warm", 800L)))
   }
 
+  test("weightedSample: equal weights reduce to pseudoOrder top-k; heavy rows dominate") {
+    import graft.operators.Sampling
+    val docs = (0 until 200).map(i => (i.toLong, 10.0)).toDF("doc_id", "w")
+    val equal = Sampling.weightedSample(docs, "doc_id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    // equal weights: u^(1/w) is monotone in u, so top-k == top-k by u
+    val byOrder = docs
+      .orderBy(Sampling.pseudoOrder(col("doc_id")).desc, col("doc_id"))
+      .limit(20).collect().map(_.getLong(0)).toSet
+    assert(equal == byOrder)
+    // one row with overwhelming weight: key -> 1, always sampled
+    val skewed = docs.withColumn("w",
+      when($"doc_id" === 77L, 1e9).otherwise(1.0))
+    val got = Sampling.weightedSample(skewed, "doc_id", "w", k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.length == 5 && got.contains(77L))
+    // deterministic: a second draw is identical
+    val again = Sampling.weightedSample(skewed, "doc_id", "w", k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("ewmaBounded: recurrence values and frame bounding") {
     val grid = Seq(("a", 0L, 2.0), ("a", 1L, 4.0), ("a", 2L, 8.0),
       ("b", 0L, 1.0)).toDF("tag", "bucket_start", "cnt")

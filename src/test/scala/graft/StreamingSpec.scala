@@ -320,6 +320,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: in-order stream converges to the batch funnel") {
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamingIngest.streamingFunnel(
+      mem.toDF().toDF("user_id", "t", "event_type"),
+      Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: everyone's early events (time order preserved)
+      mem.addData((1L, 10L, "view"), (2L, 20L, "click"), (3L, 10L, "view"),
+        (3L, 10L, "click"), (4L, 10L, "view"))
+      q.processAllAvailable()
+      // batch 2: later events — u1 completes, u2's view comes after
+      // their click (stays stage 1), u4 clicks
+      mem.addData((1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 30L, "view"), (4L, 15L, "click"))
+      q.processAllAvailable()
+      // latest emitted row per user = final stage
+      val fin = spark.table("t_funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._3)._2 }
+      // same fixture logic as FunnelSpec: stage counts 4 / 2 / 1
+      def reached(k: Int) = fin.count(_._2 >= k)
+      assert((reached(1), reached(2), reached(3)) == (4, 2, 1))
+      // cross-batch strictly-after: u3's same-timestamp click never counted
+      assert(fin(3L) == 1)
+    } finally q.stop()
+  }
+
   test("runningStats carries per-tag state across micro-batches") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.runningStats(mem.toDS())
