@@ -754,6 +754,16 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
         .orderBy(col("grp"))),
+    // ---- per-group percentiles, sketch path: approx_percentile is
+    // the quantile that scales (bounded-memory KLL-style sketch vs
+    // exact percentile's full sort); rows-only — sketch interpolation
+    // is engine-specific — with a tolerance gate vs exact in the spec
+    "x_group_percentiles_approx" -> ((s, dir) =>
+      Tables.ts(s, dir)
+        .groupBy(col("tag").as("grp"))
+        .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
+          round(expr("approx_percentile(value, 0.95, 1000)"), 4).as("p95"))
+        .orderBy(col("grp"))),
     // ---- fixed-width value histogram (bin = floor(value/5))
     "x_value_histogram" -> ((s, dir) =>
       Tables.ts(s, dir)

@@ -44,8 +44,12 @@ object Frequency {
       FreqFunctions.misraGries(col("token"), capacity).as("mg"))
       .select(explode(col("mg")).as("c"))
       .select(col("c.item")).collect().map(_.getString(0)).toSeq
-    // pass 2: exact recount restricted to the candidate set
-    toks.filter(col("token").isin(summary: _*))
+    // pass 2: exact recount restricted to the candidate set (empty
+    // corpus => empty candidates => empty result, not an isin() error)
+    val candidates =
+      if (summary.isEmpty) toks.limit(0)
+      else toks.filter(col("token").isin(summary: _*))
+    candidates
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))

@@ -75,6 +75,11 @@ class PackFreqSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("heavyHitterTopK: empty corpus => empty result") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Frequency.heavyHitterTopK(empty, k = 5, capacity = 8).count() == 0L)
+  }
+
   test("heavyHitterTopK stays exact when capacity evictions fire") {
     // 26 distinct tokens, capacity 8: the MG summary must evict, yet
     // the two clear heavy hitters survive candidacy and recount exactly
@@ -108,6 +113,30 @@ class PackFreqSpec extends SparkSpec {
     val again = Sampling.weightedSample(skewed, "doc_id", "w", k = 5)
       .collect().map(_.getLong(0))
     assert(got.toSeq == again.toSeq)
+  }
+
+  test("approx_percentile tracks exact percentile within sketch tolerance on the fixture") {
+    val ts = graft.sources.Tables.ts(spark, "/root/testdata/sf0.001")
+      .select($"tag", $"value")
+    // the sketch's guarantee is on RANK, not value: accuracy 1000 =>
+    // rank error <= n/1000, so gate each approx value inside the exact
+    // value bracket at quantile ± 0.02 (20x headroom)
+    val exact = ts.groupBy($"tag")
+      .agg(expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.93)").as("lo95"),
+        expr("percentile(value, 0.97)").as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = ts.groupBy($"tag")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 1000)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (tag, (a50, a95)) =>
+      val (lo50, hi50, lo95, hi95) = exact(tag)
+      assert(a50 >= lo50 && a50 <= hi50, s"$tag p50: $a50 outside [$lo50, $hi50]")
+      assert(a95 >= lo95 && a95 <= hi95, s"$tag p95: $a95 outside [$lo95, $hi95]")
+    }
   }
 
   test("ewmaBounded: recurrence values and frame bounding") {
