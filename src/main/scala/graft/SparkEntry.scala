@@ -78,8 +78,11 @@ object SparkEntry {
     * projections only), then every co-located join reads the bucketed
     * layout — the write-once/join-many trade the operator exists for.
     */
-  private val bucketedPairs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  // WEAK session keys (same rationale as annStores): a strong key would
+  // pin every short-lived session for the JVM's life. Catalog entries
+  // are per-name (session-scoped names below) and die with the catalog.
+  private val bucketedPairs = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, (String, String)]]()
   private val bucketedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   sys.addShutdownHook {
@@ -89,7 +92,9 @@ object SparkEntry {
 
   private def bucketedPair(s: SparkSession, dir: String): (String, String) =
     bucketedPairs.synchronized {
-      bucketedPairs.getOrElseUpdate((s, dir), {
+      val byDir = bucketedPairs.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      byDir.getOrElseUpdate(dir, {
         // name scoped by session identity too: sibling sessions share
         // ONE catalog, so a dir-only name would let a second session
         // silently repoint the first session's tables
@@ -472,8 +477,11 @@ object SparkEntry {
     "x_pipeline_pack" -> ((s, dir) => {
       val scored = Tables.documents(s, dir).select(col("doc_id"), col("text"),
         TextFunctions.qualityScore(col("text")).as("q"))
-      val cut = math.rint(
-        scored.agg(expr("percentile(q, 0.2)")).head().getDouble(0) * 10000) / 10000
+      // HALF_UP, matching the oracle's round() — rint is half-even
+      val cutRow = scored.agg(expr("percentile(q, 0.2)")).head()
+      val cut = if (cutRow.isNullAt(0)) Double.NegativeInfinity
+        else BigDecimal(cutRow.getDouble(0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       graft.operators.Pack.packSequences(
         scored.filter(col("q") > cut), capacity = 512)
     }),
@@ -1640,8 +1648,8 @@ object SparkEntry {
         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "x_sample_weighted" ->
       s"""SELECT doc_id, source, n_chars,
-        |  round(pow((CAST(${pseudoOrderSql("doc_id")} AS DOUBLE) + 1.0) / 1000000008.0,
-        |            1.0 / CAST(n_chars AS DOUBLE)), 4) AS wkey
+        |  round(ln((CAST(${pseudoOrderSql("doc_id")} AS DOUBLE) + 1.0) / 1000000008.0)
+        |        / CAST(n_chars AS DOUBLE), 10) AS wkey
         |FROM documents ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
     "x_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),

@@ -99,18 +99,28 @@ object Pack {
     val spark = d.sparkSession
     // bucket width from max(doc_id): one tiny agg job (min/max come
     // from parquet footer stats when the source is an unfiltered scan)
-    val maxRow = d.agg(max(col("doc_id")), min(col("doc_id"))).head()
+    val maxRow = d.agg(max(col("doc_id")), min(col("doc_id")),
+      count(lit(1)), countDistinct(col("doc_id"))).head()
     if (maxRow.isNullAt(0)) return None
     // SQL `div` truncates toward zero, so negative ids would interleave
     // bucket ranges (-5 div 10 == 0 == 5 div 10) and break the carry
     require(maxRow.getLong(1) >= 0L,
       s"packSequences: doc ids must be non-negative, got min=${maxRow.getLong(1)}")
+    // duplicate ids would be ORDER BY peers: their relative order (and
+    // therefore the whole downstream offset assignment) is undefined —
+    // fail loudly instead of packing nondeterministically
+    require(maxRow.getLong(2) == maxRow.getLong(3),
+      s"packSequences: doc ids must be unique, got ${maxRow.getLong(2)} rows " +
+        s"over ${maxRow.getLong(3)} distinct ids")
     val width = math.max(1L, maxRow.getLong(0) / targetBuckets.toLong + 1L)
     val b = d.withColumn("bkt", expr(s"doc_id div $width"))
 
     // per-bucket running sum: an ordinary partitioned window (shuffle
-    // clusters by bkt; each bucket sorts independently)
+    // clusters by bkt; each bucket sorts independently). ROWS frame, not
+    // the default RANGE: RANGE treats order-by peers as one frame and
+    // would silently double-assign offsets if uniqueness ever regressed
     val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = b.withColumn("lcum", sum(col("toks")).over(w))
 
     // bucket offsets: ≤ targetBuckets rows to the driver, prefix-summed

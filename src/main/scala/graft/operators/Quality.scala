@@ -99,10 +99,29 @@ object Quality {
     val scored = docs.select(
       graft.functions.TextFunctions.qualityScore(col(textCol)).as("q"))
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = scored
+    val cutRow = scored
       .agg(expr(s"percentile(q, array(${fracs.mkString(",")}))").as("cs"))
-      .head().getSeq[Double](0)
-      .map(c => math.rint(c * 10000) / 10000)
+      .head()
+    // percentile over zero rows is null — an empty corpus reports an
+    // empty distribution, not an NPE
+    if (cutRow.isNullAt(0))
+      return docs.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("decile",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("avg_q",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("min_q",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("max_q",
+            org.apache.spark.sql.types.DoubleType))))
+    // HALF_UP like Spark/DuckDB round() — math.rint is half-even and
+    // would band differently from the oracle's round() at exact ties
+    val cuts = cutRow.getSeq[Double](0)
+      .map(c => BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val band = cuts.map(c => when(col("q") > c, 1).otherwise(0))
       .reduce(_ + _).cast("long")
     scored.groupBy(band.as("decile"))

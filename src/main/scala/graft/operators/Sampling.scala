@@ -142,17 +142,29 @@ object Sampling {
     * `u ∈ (0,1)` derives from [[pseudoOrder]] instead of an RNG, and
     * the sample is the top-k by key — heavier rows win proportionally
     * more often, yet the draw replays bit-identically across runs,
-    * partitionings and engines. Keys are ROUNDED to 4 decimals before
-    * ranking (libm `pow` is not correctly-rounded everywhere; the id
-    * tiebreak makes the rounded order total), and top-k plans as
+    * partitionings and engines.
+    *
+    * Ranked in the LOG domain: `ln(u)/w` orders identically to
+    * `u^(1/w)` (exp is monotone) but does not compress toward 1.0 for
+    * large weights — the power form at w ≈ 10³ collapses most keys
+    * into a handful of rounded buckets, silently degrading the draw to
+    * an id-order pick. Keys round to 10 decimals (libm `ln` is not
+    * correctly rounded everywhere; at key magnitudes ≤ ~21 the cross-
+    * engine ulp gap is ≤ 1e-14, far under the quantum, and the id
+    * tiebreak makes the order total). Non-positive weights or negative
+    * ids would mint winning keys (u ≤ 0, 1/w ≤ 0) — they raise
+    * scan-stage instead of corrupting the sample. Top-k plans as
     * TakeOrderedAndProject — per-partition heaps, no global sort.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"weightedSample: k=$k must be >= 1")
     val u = (pseudoOrder(col(idCol)).cast("double") + 1.0) / 1000000008.0
+    val bad = col(weightCol).isNull || col(weightCol) <= 0 || col(idCol) < 0
     df.withColumn("wkey",
-        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 4))
+        when(bad, raise_error(lit(
+          "weightedSample: weights must be > 0 and ids >= 0")).cast("double"))
+          .otherwise(round(log(u) / col(weightCol).cast("double"), 10)))
       .orderBy(col("wkey").desc, col(idCol))
       .limit(k)
   }

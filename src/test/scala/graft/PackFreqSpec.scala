@@ -46,6 +46,46 @@ class PackFreqSpec extends SparkSpec {
     assert(Pack.packApply(docsDf.filter($"doc_id" < 0), 10).count() == 0L)
   }
 
+  test("packSequences rejects duplicate and negative doc ids loudly") {
+    val dup = docsDf.union(docsDf.limit(1))
+    val e1 = intercept[IllegalArgumentException](Pack.packSequences(dup, 10))
+    assert(e1.getMessage.contains("unique"))
+    val neg = Seq((-1L, "a b"), (0L, "c")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](Pack.packSequences(neg, 10))
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
+  test("scoreDeciles: empty corpus => empty report, not an NPE") {
+    import graft.operators.Quality
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Quality.scoreDeciles(empty).count() == 0L)
+  }
+
+  test("weightedSample raises on non-positive weights and negative ids") {
+    import graft.operators.Sampling
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    val badW = Seq((1L, 0.0), (2L, 3.0)).toDF("doc_id", "w")
+    val e1 = intercept[Exception](
+      Sampling.weightedSample(badW, "doc_id", "w", 1).collect())
+    assert(chain(e1).contains("weightedSample"))
+    val badId = Seq((-1L, 2.0)).toDF("doc_id", "w")
+    val e2 = intercept[Exception](
+      Sampling.weightedSample(badId, "doc_id", "w", 1).collect())
+    assert(chain(e2).contains("weightedSample"))
+  }
+
+  test("weightedSample keys stay spread at realistic (large) weights") {
+    import graft.operators.Sampling
+    // w ~ thousands: the power-form key u^(1/w) rounded to 4 decimals
+    // collapses here; the log-domain key must keep the draw weighted
+    val docs = (0 until 500).map(i => (i.toLong, 2000.0 + i)).toDF("doc_id", "w")
+    val keys = Sampling.weightedSample(docs, "doc_id", "w", 500)
+      .collect().map(_.getDouble(2))
+    assert(keys.distinct.length > 450) // near-unique, not a few tie buckets
+  }
+
   test("packApply reconstructs exactly the concatenated corpus chunks") {
     // distinct tokens so slices are position-sensitive
     val docs = (0 until 10)
