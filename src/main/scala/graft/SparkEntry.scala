@@ -436,6 +436,34 @@ object SparkEntry {
     // (nested positional-filter × span-exists, scan-stage)
     "x_dedup_span_trim" -> ((s, dir) =>
       Dedup.trimDupSpans(Tables.documents(s, dir), n = 5, minRun = 2)),
+    // ---- dedup: INCREMENTAL — new batch (doc_id >= 250) deduped
+    // against a persisted digest index of everything ingested before
+    // (doc_id < 250); the cross-snapshot path where history is indexed
+    // once and each new batch pays batch cost
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-digest-q").toString
+      val idx = new graft.operators.DigestIndex(s, tmp)
+      idx.write(docs.filter(col("doc_id") < 250))
+      idx.dedupe(docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- heavy hitters PER GROUP: the MG aggregate composes with
+    // groupBy — top-5 tokens per source straight off each group's
+    // summary (exact here: capacity exceeds the fixture vocabulary)
+    "x_heavy_hitters_by_source" -> ((s, dir) => {
+      graft.functions.FreqFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"))
+        .agg(slice(graft.functions.FreqFunctions.misraGries(col("token"), 256),
+          1, 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.item").as("token"), col("col.est").as("cnt"))
+        .orderBy(col("source"), col("rank"))
+    }),
     // ---- dedup: MinHash + LSH banding over the full table (scale path;
     // no oracle — xxhash64 signatures are engine-specific)
     "x_dedup_minhash_lsh" -> ((s, dir) =>
@@ -1620,6 +1648,22 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // MG summaries are exact below capacity, and eval() sorts
+    // (est desc, item asc) — the same total order as the row_number
+    "x_heavy_hitters_by_source" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, token, cnt, row_number() OVER
+        |        (PARTITION BY source ORDER BY cnt DESC, token) AS rank FROM c)
+        |SELECT source, CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "x_dedup_incremental" ->
+      """SELECT d.doc_id, sha256(d.text) AS digest
+        |FROM documents d
+        |WHERE d.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents p
+        |  WHERE p.doc_id < 250 AND sha256(p.text) = sha256(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
     // concat-and-chunk packing: global token offsets via a window
     // cumsum (the oracle's corpus is small; the Spark side computes the
     // SAME prefix sum distributed — bucketed carry, no global window)

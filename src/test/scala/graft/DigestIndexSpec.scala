@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.DigestIndex
+import java.nio.file.{Files, Paths}
+
+/** The persisted exact-dedup index: batch-cost appends against
+  * corpus-scale history, probed across sessions.
+  */
+class DigestIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("dedupe drops anything ever indexed; append stores only the delta") {
+    val path = Files.createTempDirectory("graft-digest").toString
+    val idx = new DigestIndex(spark, path)
+    assert(idx.write(docs(0L -> "aa", 1L -> "bb")) == 0L)
+    // delta: "bb" already indexed, "cc"+"dd" new
+    assert(idx.append(docs(2L -> "bb", 3L -> "cc", 4L -> "dd")) == 1L)
+    // v1 holds ONLY the 2 new digests (batch-scale, not corpus-scale)
+    assert(spark.read.parquet(s"$path/v1/digests").count() == 2L)
+
+    val batch = docs(10L -> "aa", 11L -> "cc", 12L -> "zz", 13L -> "zz")
+    val kept = idx.dedupe(batch).collect().map(_.getLong(0)).sorted.toSeq
+    // aa (v0) and cc (v1) drop; zz unseen — BOTH zz rows stay
+    // (in-batch dups are Dedup.exact's job)
+    assert(kept == Seq(12L, 13L))
+
+    // a fresh session reads the committed chain purely from disk
+    val fresh = new DigestIndex(spark.newSession(), path)
+    assert(fresh.dedupe(batch).count() == 2L)
+
+    // appending the batch then deduping it again drops everything
+    idx.append(batch)
+    assert(idx.dedupe(batch).count() == 0L)
+    assert(idx.versions == Seq(0L, 1L, 2L))
+  }
+
+  test("append before write fails loudly; rival version dirs are stepped past, not clobbered") {
+    val path = Files.createTempDirectory("graft-digest2").toString
+    val idx = new DigestIndex(spark, path)
+    intercept[IllegalStateException](idx.append(docs(0L -> "aa")))
+    idx.write(docs(0L -> "aa"))
+    // a rival writer's (or crashed) v1 dir: the next commit must not
+    // write into it — it allocates v2 and leaves v1 untouched
+    Files.createDirectory(Paths.get(path, "v1"))
+    assert(idx.append(docs(1L -> "bb")) == 2L)
+    assert(Files.notExists(Paths.get(path, "v1", "digests")))
+    assert(idx.dedupe(docs(5L -> "bb")).count() == 0L)
+  }
+}
