@@ -78,6 +78,30 @@ object SparkEntry {
     * projections only), then every co-located join reads the bucketed
     * layout — the write-once/join-many trade the operator exists for.
     */
+  /** Digest index per sf dir (x_dedup_incremental's history side):
+    * built ONCE per JVM over doc_id < 250, probed by every pass — the
+    * amortization the operator exists for (a per-pass rebuild would
+    * make Bench time index construction, not the incremental probe).
+    */
+  private val digestIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    digestIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
+    digestIndexPaths.synchronized {
+      val p = digestIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-digest-idx").toString
+        new graft.operators.DigestIndex(s, tmp).write(
+          Tables.documents(s, dir).filter(col("doc_id") < 250))
+        tmp
+      })
+      new graft.operators.DigestIndex(s, p)
+    }
+
   // WEAK session keys (same rationale as annStores): a strong key would
   // pin every short-lived session for the JVM's life. Catalog entries
   // are per-name (session-scoped names below) and die with the catalog.
@@ -442,10 +466,14 @@ object SparkEntry {
     // once and each new batch pays batch cost
     "x_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-digest-q").toString
-      val idx = new graft.operators.DigestIndex(s, tmp)
-      idx.write(docs.filter(col("doc_id") < 250))
-      idx.dedupe(docs.filter(col("doc_id") >= 250))
+      // the new snapshot PLUS 50 re-crawled docs (indexed text under
+      // fresh ids): the fixture has no natural cross-boundary
+      // duplicates, so without the injection the oracle would pass
+      // even against a dedupe that drops nothing
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      digestIndexFor(s, dir).dedupe(batch)
         .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
         .orderBy(col("doc_id"))
     }),
@@ -1658,12 +1686,16 @@ object SparkEntry {
         |SELECT source, CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "x_dedup_incremental" ->
-      """SELECT d.doc_id, sha256(d.text) AS digest
-        |FROM documents d
-        |WHERE d.doc_id >= 250 AND NOT EXISTS (
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT b.doc_id, sha256(b.text) AS digest
+        |FROM batch b
+        |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents p
-        |  WHERE p.doc_id < 250 AND sha256(p.text) = sha256(d.text))
-        |ORDER BY d.doc_id""".stripMargin,
+        |  WHERE p.doc_id < 250 AND sha256(p.text) = sha256(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
     // concat-and-chunk packing: global token offsets via a window
     // cumsum (the oracle's corpus is small; the Spark side computes the
     // SAME prefix sum distributed — bucketed carry, no global window)

@@ -63,8 +63,11 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     */
   def versions: Seq[Long] = {
     val s = Files.list(root)
+    // length bounds: a bare "v" passes forall vacuously, and >18 digits
+    // overflows Long — both are stray artifacts to ignore, not crashes
     try s.iterator().asScala.map(_.getFileName.toString).toSeq
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .filter(n => n.length > 1 && n.length <= 19 &&
+        n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).sorted
     finally s.close()
   }

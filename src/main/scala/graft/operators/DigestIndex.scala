@@ -30,8 +30,11 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
 
   def versions: Seq[Long] = {
     val s = Files.list(root)
+    // length bounds: a bare "v" passes forall vacuously, and >18 digits
+    // overflows Long — both are stray artifacts to ignore, not crashes
     try s.iterator().asScala.map(_.getFileName.toString).toSeq
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .filter(n => n.length > 1 && n.length <= 19 &&
+        n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).sorted
     finally s.close()
   }
@@ -90,11 +93,15 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
     * batch are [[Dedup.exact]]'s job, not this one's. The anti-join
     * shuffles 32-byte digests, never text.
     */
-  def dedupe(batch: DataFrame, textCol: String = "text"): DataFrame =
+  def dedupe(batch: DataFrame, textCol: String = "text"): DataFrame = {
+    require(!batch.columns.contains("__digest"),
+      "dedupe: batch already has a __digest column — rename it first " +
+        "(withColumn would silently clobber and drop it)")
     batch.withColumn("__digest", sha2(col(textCol), 256))
       .join(digests().withColumnRenamed("digest", "__digest"),
         Seq("__digest"), "left_anti")
       .drop("__digest")
+  }
 
   private def manifestDirs(version: Long): Seq[String] =
     Files.readString(root.resolve(s"v$version").resolve("manifest.txt"))

@@ -4,7 +4,7 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing for LLM pretraining: concatenate the corpus in a
   * deterministic document order and chunk the token stream into
@@ -99,29 +99,32 @@ object Pack {
     val spark = d.sparkSession
     // bucket width from max(doc_id): one tiny agg job (min/max come
     // from parquet footer stats when the source is an unfiltered scan)
-    val maxRow = d.agg(max(col("doc_id")), min(col("doc_id")),
-      count(lit(1)), countDistinct(col("doc_id"))).head()
+    // one tiny agg job (min/max come from parquet footer stats when the
+    // source is an unfiltered scan)
+    val maxRow = d.agg(max(col("doc_id")), min(col("doc_id"))).head()
     if (maxRow.isNullAt(0)) return None
     // SQL `div` truncates toward zero, so negative ids would interleave
     // bucket ranges (-5 div 10 == 0 == 5 div 10) and break the carry
     require(maxRow.getLong(1) >= 0L,
       s"packSequences: doc ids must be non-negative, got min=${maxRow.getLong(1)}")
-    // duplicate ids would be ORDER BY peers: their relative order (and
-    // therefore the whole downstream offset assignment) is undefined —
-    // fail loudly instead of packing nondeterministically
-    require(maxRow.getLong(2) == maxRow.getLong(3),
-      s"packSequences: doc ids must be unique, got ${maxRow.getLong(2)} rows " +
-        s"over ${maxRow.getLong(3)} distinct ids")
     val width = math.max(1L, maxRow.getLong(0) / targetBuckets.toLong + 1L)
     val b = d.withColumn("bkt", expr(s"doc_id div $width"))
 
     // per-bucket running sum: an ordinary partitioned window (shuffle
     // clusters by bkt; each bucket sorts independently). ROWS frame, not
     // the default RANGE: RANGE treats order-by peers as one frame and
-    // would silently double-assign offsets if uniqueness ever regressed
-    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = b.withColumn("lcum", sum(col("toks")).over(w))
+    // would double-assign offsets. Duplicate ids (ORDER BY peers whose
+    // relative order — and therefore the whole offset assignment — is
+    // undefined) raise on the SAME window pass: equal ids always share
+    // a bucket, so lag(doc_id) == doc_id detects every dup with zero
+    // extra jobs (no corpus-wide countDistinct).
+    val wOrd = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    val lcumRaw = sum(col("toks"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val dupHit = col("doc_id") === lag(col("doc_id"), 1).over(wOrd)
+    val local = b.withColumn("lcum",
+      when(dupHit, raise_error(concat(lit("packSequences: duplicate doc_id "),
+        col("doc_id"))).cast("long")).otherwise(lcumRaw))
 
     // bucket offsets: ≤ targetBuckets rows to the driver, prefix-summed
     // and broadcast back — the cross-bucket carry of the prefix sum
@@ -156,14 +159,10 @@ object Pack {
 
   private def emptyStats(spark: SparkSession): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](),
-      StructType(Seq(
-        StructField("seq_id", LongType), StructField("n_docs", LongType),
-        StructField("n_split_docs", LongType), StructField("n_tokens", LongType),
-        StructField("first_doc", LongType), StructField("last_doc", LongType))))
+      StructType.fromDDL("seq_id BIGINT, n_docs BIGINT, n_split_docs BIGINT, " +
+        "n_tokens BIGINT, first_doc BIGINT, last_doc BIGINT"))
 
   private def emptyApply(spark: SparkSession): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](),
-      StructType(Seq(
-        StructField("seq_id", LongType), StructField("n_tokens", LongType),
-        StructField("h", StringType))))
+      StructType.fromDDL("seq_id BIGINT, n_tokens BIGINT, h STRING"))
 }

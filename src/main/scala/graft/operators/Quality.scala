@@ -107,17 +107,8 @@ object Quality {
     if (cutRow.isNullAt(0))
       return docs.sparkSession.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("decile",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_docs",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("avg_q",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("min_q",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("max_q",
-            org.apache.spark.sql.types.DoubleType))))
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "decile BIGINT, n_docs BIGINT, avg_q DOUBLE, min_q DOUBLE, max_q DOUBLE"))
     // HALF_UP like Spark/DuckDB round() — math.rint is half-even and
     // would band differently from the oracle's round() at exact ties
     val cuts = cutRow.getSeq[Double](0)

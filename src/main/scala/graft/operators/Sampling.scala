@@ -160,7 +160,8 @@ object Sampling {
                      k: Int): DataFrame = {
     require(k >= 1, s"weightedSample: k=$k must be >= 1")
     val u = (pseudoOrder(col(idCol)).cast("double") + 1.0) / 1000000008.0
-    val bad = col(weightCol).isNull || col(weightCol) <= 0 || col(idCol) < 0
+    val bad = col(weightCol).isNull || col(weightCol) <= 0 ||
+      col(idCol).isNull || col(idCol) < 0
     df.withColumn("wkey",
         when(bad, raise_error(lit(
           "weightedSample: weights must be > 0 and ids >= 0")).cast("double"))

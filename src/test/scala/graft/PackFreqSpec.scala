@@ -47,9 +47,14 @@ class PackFreqSpec extends SparkSpec {
   }
 
   test("packSequences rejects duplicate and negative doc ids loudly") {
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    // duplicates detect scan-stage on the window pass (zero extra jobs),
+    // so the error surfaces at action time
     val dup = docsDf.union(docsDf.limit(1))
-    val e1 = intercept[IllegalArgumentException](Pack.packSequences(dup, 10))
-    assert(e1.getMessage.contains("unique"))
+    val e1 = intercept[Exception](Pack.packSequences(dup, 10).collect())
+    assert(chain(e1).contains("duplicate doc_id"))
     val neg = Seq((-1L, "a b"), (0L, "c")).toDF("doc_id", "text")
     val e2 = intercept[IllegalArgumentException](Pack.packSequences(neg, 10))
     assert(e2.getMessage.contains("non-negative"))
