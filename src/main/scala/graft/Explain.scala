@@ -37,7 +37,8 @@ object Explain {
       "x_pack_sequences", "x_heavy_hitters", "x_ewma_smooth",
       "x_cube_pricing", "x_pivot_order_status", "x_bucketed_join",
       "x_acf", "x_quality_deciles", "x_funnel", "x_retention_cohorts",
-      "x_pipeline_pack")
+      "x_pipeline_pack", "x_dedup_incremental", "x_heavy_hitters_by_source",
+      "x_sample_weighted")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -103,6 +103,51 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
       .drop("__digest")
   }
 
+  /** Fold the append chain into ONE directory (I/O-only, same motive
+    * as [[AnnIndexStore.compact]]): a long chain accumulates small
+    * files and per-directory scan overhead. Old versions stay
+    * probeable until [[vacuum]]. Returns the committed version.
+    */
+  def compact(): Long = synchronized {
+    val base = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no digest index committed at $root"))
+    val version = versions.lastOption.getOrElse(-1L) + 1L
+    val dir = root.resolve(s"v$version")
+    Files.createDirectory(dir)
+    digests(Some(base))
+      .repartition(col("digest")).sortWithinPartitions(col("digest"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("digests").toString)
+    Files.writeString(dir.resolve("manifest.txt"), s"v$version/digests\n")
+    commitCurrent(version)
+    version
+  }
+
+  /** Reclaim superseded versions older than `retentionMs` — but never
+    * a directory the CURRENT manifest still references (append chains
+    * share their base's files). Returns versions made unprobeable.
+    */
+  def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
+    require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val cur = currentVersion.getOrElse(-1L)
+    val live: Set[String] = if (cur < 0) Set.empty else manifestDirs(cur).toSet
+    var removed = 0
+    versions.filter(_ < cur).foreach { v =>
+      val dir = root.resolve(s"v$v")
+      if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
+        val probeable = Files.exists(dir.resolve("manifest.txt"))
+        if (!live.contains(s"v$v/digests"))
+          graft.Fs.deleteTree(dir.resolve("digests"))
+        Files.deleteIfExists(dir.resolve("manifest.txt"))
+        val children = Files.list(dir)
+        val empty = try !children.iterator().hasNext finally children.close()
+        if (empty) Files.delete(dir)
+        if (probeable) removed += 1
+      }
+    }
+    removed
+  }
+
   private def manifestDirs(version: Long): Seq[String] =
     Files.readString(root.resolve(s"v$version").resolve("manifest.txt"))
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)

@@ -36,6 +36,28 @@ class DigestIndexSpec extends SparkSpec {
     assert(idx.versions == Seq(0L, 1L, 2L))
   }
 
+  test("compact folds the chain into one dir; vacuum spares referenced dirs, reaps after compact") {
+    val path = Files.createTempDirectory("graft-digest3").toString
+    val idx = new DigestIndex(spark, path)
+    idx.write(docs(0L -> "aa"))
+    idx.append(docs(1L -> "bb"))
+    // superseded v0's data is still referenced by v1's manifest —
+    // vacuum strips its probeability but keeps the digests dir
+    assert(idx.vacuum(0) == 1)
+    assert(Files.exists(Paths.get(path, "v0", "digests")))
+    assert(idx.dedupe(docs(9L -> "aa")).count() == 0L)
+
+    assert(idx.compact() == 2L)
+    val probe = docs(10L -> "aa", 11L -> "bb", 12L -> "new")
+    assert(idx.dedupe(probe).collect().map(_.getLong(0)).toSeq == Seq(12L))
+    // nothing references v0/v1 anymore — vacuum reclaims them fully
+    idx.vacuum(0)
+    assert(idx.versions == Seq(2L))
+    // a fresh session probes the compacted index
+    val fresh = new DigestIndex(spark.newSession(), path)
+    assert(fresh.dedupe(probe).count() == 1L)
+  }
+
   test("append before write fails loudly; rival version dirs are stepped past, not clobbered") {
     val path = Files.createTempDirectory("graft-digest2").toString
     val idx = new DigestIndex(spark, path)
