@@ -868,6 +868,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ---- deterministic epoch shuffling: the first 20 docs of each of
+    // 3 training epochs — a different replayable permutation per epoch
+    // (restart-safe training order, no shuffle-seed state)
+    "x_epoch_shuffle" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"))
+        .orderBy(Sampling.epochOrder(col("doc_id"), col("epoch")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("epoch"), col("rank"), col("doc_id"))
+        .orderBy(col("epoch"), col("rank"))
+    }),
     // ---- deterministic weighted sampling (A-Res): longer docs win
     // proportionally more often, draw replays in any engine
     "x_sample_weighted" -> ((s, dir) =>
@@ -1722,6 +1737,15 @@ object SparkEntry {
         |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
         |       md5(string_agg(array_to_string(toks[(lo - start_off + 1):(hi - start_off)], ' '), ' ' ORDER BY doc_id)) AS h
         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "x_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),
+        |k AS (SELECT epoch, doc_id,
+        |        ((doc_id % 1000000007) * 2654435761 + (epoch % 1000000007) * 40503) % 1000000007 AS kk
+        |      FROM e),
+        |r AS (SELECT epoch, doc_id,
+        |        row_number() OVER (PARTITION BY epoch ORDER BY kk, doc_id) AS rank FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 20 ORDER BY epoch, rank""".stripMargin,
     "x_sample_weighted" ->
       s"""SELECT doc_id, source, n_chars,
         |  round(ln((CAST(${pseudoOrderSql("doc_id")} AS DOUBLE) + 1.0) / 1000000008.0)

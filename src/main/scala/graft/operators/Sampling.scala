@@ -24,6 +24,17 @@ object Sampling {
   def pseudoOrder(id: Column): Column =
     ((id % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
+  /** Deterministic per-epoch training order: a different replayable
+    * permutation of the corpus for every epoch — what a trainer needs
+    * so run N and its restart see the SAME epoch-k order, with no
+    * shuffle-seed state to persist. Same overflow-free shape as
+    * [[pseudoOrder]]: reduce mod M first, then the products stay under
+    * `(M-1)·2654435761 + (M-1)·40503 < 2^63` for every (id, epoch).
+    */
+  def epochOrder(id: Column, epoch: Column): Column =
+    ((id % lit(1000000007L)) * lit(2654435761L) +
+      (epoch % lit(1000000007L)) * lit(40503L)) % lit(1000000007L)
+
   /** Keep (up to) `quota` rows per group, chosen in [[pseudoOrder]] —
     * the mixture-weighting primitive. One shuffle (the window on the
     * group key); groups smaller than the quota pass through whole.

@@ -65,6 +65,24 @@ object OperatorPropertiesSpec extends Properties("Operators") {
       }
     }
 
+  property("epochOrder == BigInt reference on full-range longs (no overflow)") =
+    forAll(genIds, Gen.choose(0L, 1000L)) { (ids, epoch) =>
+      val got = ids.toDF("id")
+        .select(col("id"), graft.operators.Sampling.epochOrder(
+          col("id"), lit(epoch)).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.forall { id =>
+        // mirror the REDUCED form: with a two-term sum the unreduced
+        // congruent value can sit on the other signed-% representative
+        // for negative ids (sum signs differ), unlike the single
+        // product in pseudoOrder's law
+        val m = BigInt(1000000007L)
+        val ref = ((BigInt(id) % m) * BigInt(2654435761L) +
+          (BigInt(epoch) % m) * BigInt(40503L)) % m
+        got(id) == ref.toLong
+      }
+    }
+
   property("Sum128 == BigInt sum over arbitrary signed longs + partitionings") =
     forAll(genLongs, Gen.choose(1, 7)) { (vals, parts) =>
       NumericFunctions.register(spark)
