@@ -868,6 +868,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ---- corpus data card: the per-source summary a dataset owner
+    // reads first — ONE scan, partial-aggregated counters
+    "x_corpus_report" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("sum_tokens"),
+          round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))),
     // ---- deterministic epoch shuffling: the first 20 docs of each of
     // 3 training epochs — a different replayable permutation per epoch
     // (restart-safe training order, no shuffle-seed state)
@@ -1737,6 +1747,12 @@ object SparkEntry {
         |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
         |       md5(string_agg(array_to_string(toks[(lo - start_off + 1):(hi - start_off)], ' '), ' ' ORDER BY doc_id)) AS h
         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "x_corpus_report" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+        |  round(avg(${qualitySqlExpr("text")}), 4) AS avg_quality,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_epoch_shuffle" ->
       """WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),
         |k AS (SELECT epoch, doc_id,
