@@ -880,16 +880,22 @@ object SparkEntry {
         .orderBy(col("source"))),
     // ---- deterministic epoch shuffling: the first 20 docs of each of
     // 3 training epochs — a different replayable permutation per epoch
-    // (restart-safe training order, no shuffle-seed state)
+    // (restart-safe training order, no shuffle-seed state). Per-epoch
+    // TakeOrderedAndProject branches, NOT a row_number window: a
+    // partitionBy(epoch) window funnels the whole corpus through one
+    // task per epoch, while each TakeOrdered is a per-partition heap.
+    // The trailing rank window then orders 20-row groups — trivial.
     "x_epoch_shuffle" -> ((s, dir) => {
       import graft.operators.Sampling
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val heads = (0L to 2L).map { ep =>
+        docs.select(lit(ep).as("epoch"), col("doc_id"),
+          Sampling.epochOrder(col("doc_id"), lit(ep)).as("k"))
+          .orderBy(col("k"), col("doc_id")).limit(20)
+      }.reduce(_ unionByName _)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("epoch"))
-        .orderBy(Sampling.epochOrder(col("doc_id"), col("epoch")), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("epoch"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
+        .partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))
+      heads.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("epoch"), col("rank"), col("doc_id"))
         .orderBy(col("epoch"), col("rank"))
     }),
