@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
@@ -10,9 +10,11 @@ import scala.jdk.CollectionConverters._
   * [[Similarity.buildLshIndex]] / [[Similarity.buildIvfIndex]], probed
   * across sessions and restarts without re-hashing the corpus.
   *
-  * Layout (same CURRENT-pointer commit protocol as
-  * [[graft.engine.TimeSeriesStore]] manifests — immutable version
-  * directories, atomic pointer swap, put-if-absent version dirs):
+  * Layout (commit protocol: [[Versioned]] — each version staged
+  * COMPLETE and claimed with one atomic rename, racing writers collide
+  * loudly on the slot and rebase-retry, torn version dirs impossible;
+  * the index analogue of [[graft.engine.TimeSeriesStore]]'s manifest
+  * CAS):
   *
   * ```
   * path/
@@ -54,27 +56,14 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   private val root: Path = Paths.get(pathStr)
   Files.createDirectories(root)
 
-  private def currentPtr: Path = root.resolve("CURRENT")
-
   /** Version directories present on disk, ascending. After a [[vacuum]]
     * this can include superseded versions retained only because a later
     * append still references their data files (their manifest is gone —
     * they are no longer probeable, just data holders).
     */
-  def versions: Seq[Long] = {
-    val s = Files.list(root)
-    // length bounds: a bare "v" passes forall vacuously, and >18 digits
-    // overflows Long — both are stray artifacts to ignore, not crashes
-    try s.iterator().asScala.map(_.getFileName.toString).toSeq
-      .filter(n => n.length > 1 && n.length <= 19 &&
-        n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).sorted
-    finally s.close()
-  }
+  def versions: Seq[Long] = Versioned.listVersions(root)
 
-  def currentVersion: Option[Long] =
-    if (!Files.exists(currentPtr)) None
-    else Some(Files.readString(currentPtr).trim.stripPrefix("v").toLong)
+  def currentVersion: Option[Long] = Versioned.currentVersion(root)
 
   /** Resolve CURRENT exactly once per probe and thread the pinned
     * version's cached state through every read — re-reading the pointer
@@ -91,43 +80,40 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def write(corpus: DataFrame, lsh: LshParams = LshParams(),
             ivf: IvfParams = IvfParams(),
             vecCol: String = "embedding", idCol: String = "vec_id"): Long = synchronized {
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
-    // ids are canonically LONG on disk (callers may pass int ids; the
-    // probes extract them driver-side as longs)
-    val canon = corpus.withColumn(idCol, col(idCol).cast("long"))
-    val vectors = canon.select(col(idCol).as("vec_id"),
-      Similarity.asDouble(col(vecCol)).as("v"))
+    Versioned.commitWithRetry(root, "manifest.json") { (_, slot, staging) =>
+      // ids are canonically LONG on disk (callers may pass int ids; the
+      // probes extract them driver-side as longs)
+      val canon = corpus.withColumn(idCol, col(idCol).cast("long"))
+      val vectors = canon.select(col(idCol).as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
 
-    // vectors once, sorted by vec_id => row-group skipping on id joins
-    vectors.sortWithinPartitions(col("vec_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("vectors").toString)
+      // vectors once, sorted by vec_id => row-group skipping on id joins
+      vectors.sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("vectors").toString)
 
-    // LSH postings: narrow (bucket, vec_id) under tbl=<t> partitions,
-    // bucket-sorted within files for min/max skipping
-    writeLshPostings(vectors, lsh, dir)
+      // LSH postings: narrow (bucket, vec_id) under tbl=<t> partitions,
+      // bucket-sorted within files for min/max skipping
+      writeLshPostings(vectors, lsh, staging)
 
-    // IVF: tiny refined centroids + inverted lists. Unlike the LSH
-    // postings (tables× duplication), each vector sits in exactly ONE
-    // list, so storing v alongside (cent_id, vec_id) costs one extra
-    // copy of the corpus and lets a probe score candidates straight off
-    // the pruned list scan — no second join against the vectors table
-    val built = Similarity.buildIvfIndex(canon, ivf.nlist, ivf.refineIters,
-      ivf.dim, vecCol, idCol)
-    built.centroids.coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
-    built.assigned.select(col("cent_id"), col("vec_id"), col("v"))
-      .repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
+      // IVF: tiny refined centroids + inverted lists. Unlike the LSH
+      // postings (tables× duplication), each vector sits in exactly ONE
+      // list, so storing v alongside (cent_id, vec_id) costs one extra
+      // copy of the corpus and lets a probe score candidates straight off
+      // the pruned list scan — no second join against the vectors table
+      val built = Similarity.buildIvfIndex(canon, ivf.nlist, ivf.refineIters,
+        ivf.dim, vecCol, idCol)
+      built.centroids.coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf_centroids").toString)
+      built.assigned.select(col("cent_id"), col("vec_id"), col("v"))
+        .repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
 
-    writeParams(dir, lsh, ivf)
-    val own = Manifest(Seq(s"v$version/vectors"), Seq(s"v$version/lsh"),
-      Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
-    Files.writeString(dir.resolve("manifest.json"), own.toJson)
-    commitCurrent(version)
-    version
+      writeParams(staging, lsh, ivf)
+      val own = Manifest(Seq(s"v$slot/vectors"), Seq(s"v$slot/lsh"),
+        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"))
+      Files.writeString(staging.resolve("manifest.json"), own.toJson)
+    }
   }
 
   /** Incrementally index `delta` against the CURRENT version: hash and
@@ -144,36 +130,37 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def append(delta: DataFrame,
              vecCol: String = "embedding", idCol: String = "vec_id"): Long = synchronized {
     graft.functions.VectorFunctions.register(spark)
-    val base = pinVersion()
-    val st = state(base)
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
-    val vectors = delta.select(col(idCol).cast("long").as("vec_id"),
-      Similarity.asDouble(col(vecCol)).as("v"))
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.json") { (baseOpt, slot, staging) =>
+      // rebase-retry recomputes against the slot race winner's state —
+      // its postings become part of this version's manifest chain
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no ANN index committed at $root"))
+      val st = state(base)
+      val vectors = delta.select(col(idCol).cast("long").as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("v"))
 
-    vectors.sortWithinPartitions(col("vec_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("vectors").toString)
+      vectors.sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("vectors").toString)
 
-    writeLshPostings(vectors, st.lsh, dir)
+      writeLshPostings(vectors, st.lsh, staging)
 
-    // assign the delta to the PINNED centroids (cached, broadcast) —
-    // one pass over the batch, zero passes over the corpus
-    Similarity.nearestCentroids(vectors, st.centroids, "vec_id", "v", keep = 1)
-      .select(col("cent_id"), col("vec_id"), col("v"))
-      .repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
+      // assign the delta to the PINNED centroids (cached, broadcast) —
+      // one pass over the batch, zero passes over the corpus
+      Similarity.nearestCentroids(vectors, st.centroids, "vec_id", "v", keep = 1)
+        .select(col("cent_id"), col("vec_id"), col("v"))
+        .repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
 
-    writeParams(dir, st.lsh, st.ivf)
-    val m = Manifest(
-      st.manifest.vectors :+ s"v$version/vectors",
-      st.manifest.lsh :+ s"v$version/lsh",
-      st.manifest.ivf :+ s"v$version/ivf",
-      st.manifest.centroids) // reused verbatim — no new centroid files
-    Files.writeString(dir.resolve("manifest.json"), m.toJson)
-    commitCurrent(version)
-    version
+      writeParams(staging, st.lsh, st.ivf)
+      val m = Manifest(
+        st.manifest.vectors :+ s"v$slot/vectors",
+        st.manifest.lsh :+ s"v$slot/lsh",
+        st.manifest.ivf :+ s"v$slot/ivf",
+        st.manifest.centroids) // reused verbatim — no new centroid files
+      Files.writeString(staging.resolve("manifest.json"), m.toJson)
+    }
   }
 
   private def writeLshPostings(vectors: DataFrame, lsh: LshParams, dir: Path): Unit =
@@ -188,13 +175,6 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     Files.writeString(dir.resolve("params.json"),
       s"""{"tables":${lsh.tables},"planes":${lsh.planes},"lsh_dim":${lsh.dim},""" +
         s""""nlist":${ivf.nlist},"refine_iters":${ivf.refineIters},"ivf_dim":${ivf.dim}}""")
-
-  private def commitCurrent(version: Long): Unit = {
-    val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
-    Files.writeString(tmpPtr, s"v$version")
-    Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Probe state that is immutable once a version commits: parsed
     * params, the manifest, the DataFrame handles over its (possibly
@@ -332,31 +312,30 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     * probeable until [[vacuum]]. Returns the committed version.
     */
   def compact(): Long = synchronized {
-    val base = pinVersion()
-    val st = state(base)
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir) // put-if-absent: a racing writer fails loudly
-    st.vectors.repartition(col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("vectors").toString)
-    st.lshPostings
-      .repartition(col("tbl"))
-      .sortWithinPartitions(col("tbl"), col("bucket"))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("tbl")
-      .parquet(dir.resolve("lsh").toString)
-    st.ivfLists
-      .repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf").toString)
-    st.centroids.coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("ivf_centroids").toString)
-    writeParams(dir, st.lsh, st.ivf)
-    val own = Manifest(Seq(s"v$version/vectors"), Seq(s"v$version/lsh"),
-      Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
-    Files.writeString(dir.resolve("manifest.json"), own.toJson)
-    commitCurrent(version)
-    version
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.json") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no ANN index committed at $root"))
+      val st = state(base)
+      st.vectors.repartition(col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("vectors").toString)
+      st.lshPostings
+        .repartition(col("tbl"))
+        .sortWithinPartitions(col("tbl"), col("bucket"))
+        .write.mode(SaveMode.ErrorIfExists).partitionBy("tbl")
+        .parquet(staging.resolve("lsh").toString)
+      st.ivfLists
+        .repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
+      st.centroids.coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf_centroids").toString)
+      writeParams(staging, st.lsh, st.ivf)
+      val own = Manifest(Seq(s"v$slot/vectors"), Seq(s"v$slot/lsh"),
+        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"))
+      Files.writeString(staging.resolve("manifest.json"), own.toJson)
+    }
   }
 
   /** Delete index data superseded for longer than `retentionMs` (same
@@ -398,6 +377,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         if (probeable) removed += 1
       }
     }
+    Versioned.reapCrashResidue(root, "manifest.json", cutoff)
     removed
   }
 }

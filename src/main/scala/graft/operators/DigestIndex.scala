@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 /** Durable exact-dedup index: the persisted content-digest set that
   * lets a NEW corpus snapshot dedupe against EVERYTHING ingested before
@@ -13,71 +12,57 @@ import scala.jdk.CollectionConverters._
   * inside the watermark horizon; this index is the forever-exact path
   * that doc refers to).
   *
-  * Same commit protocol as [[AnnIndexStore]]/the table store: immutable
-  * version directories under a CURRENT pointer, manifests listing the
-  * directories composing a version. [[append]] stores ONLY digests not
-  * already indexed (delta-sized files; manifest reuses every prior
-  * directory), so daily ingest pays batch-scale writes against
-  * corpus-scale history. Rows are 32-byte sha-256 digests — text never
-  * enters the index.
+  * Commit protocol: [[Versioned]] — each version is staged COMPLETE
+  * (digests + manifest) and claimed with one atomic rename, so racing
+  * cross-process writers collide loudly on the slot and rebase-retry
+  * instead of the later CURRENT swap silently dropping the earlier
+  * delta; torn version dirs cannot exist. [[append]] stores ONLY
+  * digests not already indexed (delta-sized files; manifest reuses
+  * every prior directory), so daily ingest pays batch-scale writes
+  * against corpus-scale history. Rows are 32-byte sha-256 digests —
+  * text never enters the index.
   */
 final class DigestIndex(spark: SparkSession, pathStr: String) {
 
   private val root: Path = Paths.get(pathStr)
   Files.createDirectories(root)
 
-  private def currentPtr: Path = root.resolve("CURRENT")
+  def versions: Seq[Long] = Versioned.listVersions(root)
 
-  def versions: Seq[Long] = {
-    val s = Files.list(root)
-    // length bounds: a bare "v" passes forall vacuously, and >18 digits
-    // overflows Long — both are stray artifacts to ignore, not crashes
-    try s.iterator().asScala.map(_.getFileName.toString).toSeq
-      .filter(n => n.length > 1 && n.length <= 19 &&
-        n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).sorted
-    finally s.close()
-  }
-
-  def currentVersion: Option[Long] =
-    if (!Files.exists(currentPtr)) None
-    else Some(Files.readString(currentPtr).trim.stripPrefix("v").toLong)
+  def currentVersion: Option[Long] = Versioned.currentVersion(root)
 
   private def digestsOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(sha2(col(textCol), 256).as("digest")).distinct()
 
   /** Index `docs`' content digests as version 0 (or a full rebuild). */
   def write(docs: DataFrame, textCol: String = "text"): Long = synchronized {
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir) // put-if-absent: racing writers fail loudly
-    digestsOf(docs, textCol)
-      .repartition(col("digest")).sortWithinPartitions(col("digest"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("digests").toString)
-    Files.writeString(dir.resolve("manifest.txt"), s"v$version/digests\n")
-    commitCurrent(version)
-    version
+    Versioned.commitWithRetry(root, "manifest.txt") { (_, slot, staging) =>
+      digestsOf(docs, textCol)
+        .repartition(col("digest")).sortWithinPartitions(col("digest"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("digests").toString)
+      Files.writeString(staging.resolve("manifest.txt"), s"v$slot/digests\n")
+    }
   }
 
   /** Index a new batch incrementally: store ONLY digests absent from
-    * the current index (left_anti against it), commit a version whose
-    * manifest = previous directories + the delta directory.
+    * the pinned base version (left_anti against it), commit a version
+    * whose manifest = the base's directories + the delta directory. On
+    * a lost slot race the delta is RECOMPUTED against the winner's
+    * published state ([[Versioned.commitWithRetry]]'s rebase-retry),
+    * so concurrent appends compose — neither writer's delta is dropped.
     */
   def append(docs: DataFrame, textCol: String = "text"): Long = synchronized {
-    val base = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no digest index committed at $root"))
-    val prev = manifestDirs(base)
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir)
-    digestsOf(docs, textCol)
-      .join(digests(Some(base)), Seq("digest"), "left_anti")
-      .repartition(col("digest")).sortWithinPartitions(col("digest"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("digests").toString)
-    Files.writeString(dir.resolve("manifest.txt"),
-      (prev :+ s"v$version/digests").mkString("", "\n", "\n"))
-    commitCurrent(version)
-    version
+    requireCommitted()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no digest index committed at $root"))
+      digestsOf(docs, textCol)
+        .join(digests(Some(base)), Seq("digest"), "left_anti")
+        .repartition(col("digest")).sortWithinPartitions(col("digest"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("digests").toString)
+      Files.writeString(staging.resolve("manifest.txt"),
+        (manifestDirs(base) :+ s"v$slot/digests").mkString("", "\n", "\n"))
+    }
   }
 
   /** All indexed digests (the union of the version's directories). */
@@ -109,22 +94,27 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
     * probeable until [[vacuum]]. Returns the committed version.
     */
   def compact(): Long = synchronized {
-    val base = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no digest index committed at $root"))
-    val version = versions.lastOption.getOrElse(-1L) + 1L
-    val dir = root.resolve(s"v$version")
-    Files.createDirectory(dir)
-    digests(Some(base))
-      .repartition(col("digest")).sortWithinPartitions(col("digest"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("digests").toString)
-    Files.writeString(dir.resolve("manifest.txt"), s"v$version/digests\n")
-    commitCurrent(version)
-    version
+    requireCommitted()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no digest index committed at $root"))
+      digests(Some(base))
+        .repartition(col("digest")).sortWithinPartitions(col("digest"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("digests").toString)
+      Files.writeString(staging.resolve("manifest.txt"), s"v$slot/digests\n")
+    }
   }
+
+  private def requireCommitted(): Unit =
+    if (currentVersion.isEmpty)
+      throw new IllegalStateException(s"no digest index committed at $root")
 
   /** Reclaim superseded versions older than `retentionMs` — but never
     * a directory the CURRENT manifest still references (append chains
-    * share their base's files). Returns versions made unprobeable.
+    * share their base's files) — plus crash residue: stale staging
+    * dirs and stale uncommitted version dirs above CURRENT
+    * ([[Versioned.reapCrashResidue]]). Returns versions made
+    * unprobeable.
     */
   def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
     require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
@@ -145,17 +135,19 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
         if (probeable) removed += 1
       }
     }
+    Versioned.reapCrashResidue(root, "manifest.txt", cutoff)
     removed
   }
 
-  private def manifestDirs(version: Long): Seq[String] =
-    Files.readString(root.resolve(s"v$version").resolve("manifest.txt"))
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-
-  private def commitCurrent(version: Long): Unit = {
-    val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
-    Files.writeString(tmpPtr, s"v$version")
-    Files.move(tmpPtr, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  private def manifestDirs(version: Long): Seq[String] = {
+    val mf = root.resolve(s"v$version").resolve("manifest.txt")
+    // a v<N> without a manifest is foreign garbage or a pre-protocol
+    // torn commit — name it rather than NoSuchFileException deep in a
+    // parquet read; vacuum reaps it once stale
+    if (!Files.exists(mf))
+      throw new IllegalStateException(
+        s"v$version at $root has no manifest.txt — not a committed version " +
+          "(torn or foreign dir); vacuum() reaps it once stale")
+    Files.readString(mf).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.DigestIndex
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The persisted exact-dedup index: batch-cost appends against
   * corpus-scale history, probed across sessions.
@@ -56,6 +57,36 @@ class DigestIndexSpec extends SparkSpec {
     // a fresh session probes the compacted index
     val fresh = new DigestIndex(spark.newSession(), path)
     assert(fresh.dedupe(probe).count() == 1L)
+  }
+
+  test("racing appends from independent instances both land (slot CAS + rebase-retry)") {
+    // the round-4 advisory race: two writers on the same base, neither
+    // serialized by instance-level synchronized. Under last-write-wins
+    // the later CURRENT swap silently dropped the earlier delta; under
+    // the slot CAS the loser collides, rebases on the winner's
+    // published manifest and recomputes its delta — both batches land.
+    val path = Files.createTempDirectory("graft-digest-race").toString
+    new DigestIndex(spark, path).write(docs(0L -> "aa"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("bb" -> 1L, "cc" -> 2L).map { case (text, id) =>
+      new Thread(() =>
+        try { new DigestIndex(spark, path).append(docs(id -> text)); () }
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing append failed: ${errs.asScala.map(_.getMessage)}")
+    val probe = docs(10L -> "aa", 11L -> "bb", 12L -> "cc", 13L -> "zz")
+    val fresh = new DigestIndex(spark.newSession(), path)
+    // every indexed text drops — NEITHER racer's delta was lost
+    assert(fresh.dedupe(probe).collect().map(_.getLong(0)).toSeq == Seq(13L))
+  }
+
+  test("a version dir without a manifest is named loudly, not NoSuchFileException") {
+    val path = Files.createTempDirectory("graft-digest-torn").toString
+    val idx = new DigestIndex(spark, path)
+    idx.write(docs(0L -> "aa"))
+    val e = intercept[IllegalStateException](idx.digests(Some(99L)))
+    assert(e.getMessage.contains("v99") && e.getMessage.contains("manifest"))
   }
 
   test("append before write fails loudly; rival version dirs are stepped past, not clobbered") {
