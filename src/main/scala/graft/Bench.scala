@@ -71,6 +71,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // compact summary LAST: the full line above fronts its headline, so
+    // a tail-truncated capture (round-4 driver artifact) loses the
+    // total — this line survives any tail grab
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

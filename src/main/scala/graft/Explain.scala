@@ -38,7 +38,10 @@ object Explain {
       "x_cube_pricing", "x_pivot_order_status", "x_bucketed_join",
       "x_acf", "x_quality_deciles", "x_funnel", "x_retention_cohorts",
       "x_pipeline_pack", "x_dedup_incremental", "x_heavy_hitters_by_source",
-      "x_sample_weighted")
+      "x_sample_weighted", "x_pack_apply", "x_epoch_shuffle",
+      "x_corpus_report", "x_decontaminate_by_source",
+      "x_group_percentiles_approx", "x_dedup_incremental_neardup",
+      "x_forecast_holt", "x_quality_deciles_approx")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

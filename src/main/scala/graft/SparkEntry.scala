@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.MaterializeOps
 import graft.engine.QueryEngine
 import graft.functions.TextFunctions
 import graft.model._
@@ -100,6 +101,29 @@ object SparkEntry {
         tmp
       })
       new graft.operators.DigestIndex(s, p)
+    }
+
+  /** MinHash index per sf dir (x_dedup_incremental_neardup's history
+    * side): built ONCE per JVM over doc_id < 250, probed by every pass
+    * — history is signed once; each probe signs only its batch.
+    */
+  private val minhashIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    minhashIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def minhashIndexFor(s: SparkSession, dir: String): graft.operators.MinHashIndex =
+    minhashIndexPaths.synchronized {
+      val p = minhashIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-idx").toString
+        new graft.operators.MinHashIndex(s, tmp).write(
+          Tables.documents(s, dir).filter(col("doc_id") < 250))
+        tmp
+      })
+      new graft.operators.MinHashIndex(s, p)
     }
 
   // WEAK session keys (same rationale as annStores): a strong key would
@@ -477,6 +501,22 @@ object SparkEntry {
         .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
         .orderBy(col("doc_id"))
     }),
+    // ---- dedup: INCREMENTAL NEAR-dup — new batch probed against a
+    // persisted MinHash band-posting index of everything ingested
+    // before (doc_id < 250, signed ONCE per JVM); only the batch is
+    // signed per probe. Injected re-crawls (indexed text + one appended
+    // token, fresh ids) guarantee cross-boundary near-dups exist —
+    // the fixture has none naturally. Rows-only (xxhash64 signatures
+    // are engine-specific); the regression gate is ExtensionSpec's
+    // equality check vs minhashPairs on the union.
+    "x_dedup_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" recrawl"))))
+      minhashIndexFor(s, dir).neardupe(batch, minEstJaccard = 0.5)
+    }),
     // ---- heavy hitters PER GROUP: the MG aggregate composes with
     // groupBy — top-5 tokens per source straight off each group's
     // summary (exact here: capacity exceeds the fixture vocabulary)
@@ -526,20 +566,21 @@ object SparkEntry {
     "x_pack_apply" -> ((s, dir) =>
       graft.operators.Pack.packApply(Tables.documents(s, dir),
         capacity = 512)),
-    // ---- curate-then-pack pipeline: quality percentile cut (driver
-    // literal, same shape as the decile report) feeds the distributed
-    // packer — ONE oracle-checked plan from raw corpus to the sequence
-    // stream a trainer consumes
+    // ---- curate-then-pack pipeline: quality percentile cut
+    // (broadcast-crossJoin of the 1-row aggregate — the filterByNll
+    // shape, no driver hop) feeds the distributed packer — ONE
+    // oracle-checked plan from raw corpus to the sequence stream a
+    // trainer consumes
     "x_pipeline_pack" -> ((s, dir) => {
+      // scores materialized once (the filterByNll shape): the cut
+      // aggregate, the keep-filter and the packer's window passes all
+      // read the checkpoint, not the scoring plan
       val scored = Tables.documents(s, dir).select(col("doc_id"), col("text"),
-        TextFunctions.qualityScore(col("text")).as("q"))
-      // HALF_UP, matching the oracle's round() — rint is half-even
-      val cutRow = scored.agg(expr("percentile(q, 0.2)")).head()
-      val cut = if (cutRow.isNullAt(0)) Double.NegativeInfinity
-        else BigDecimal(cutRow.getDouble(0))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        TextFunctions.qualityScore(col("text")).as("q")).graftCheckpoint()
+      val cut = scored.agg(round(expr("percentile(q, 0.2)"), 4).as("cut"))
       graft.operators.Pack.packSequences(
-        scored.filter(col("q") > cut), capacity = 512)
+        scored.crossJoin(broadcast(cut)).filter(col("q") > col("cut"))
+          .drop("cut"), capacity = 512)
     }),
     // ---- heavy hitters: exact top-20 tokens via Misra-Gries
     // candidates + exact recount (the bounded-summary plan that never
@@ -552,17 +593,33 @@ object SparkEntry {
     // NOT a single-task global ntile)
     "x_quality_deciles" -> ((s, dir) =>
       graft.operators.Quality.scoreDeciles(Tables.documents(s, dir))),
+    // ---- same report off the approx_percentile sketch — the 100 TB
+    // default (bounded sketch memory, no exact global percentile).
+    // Rows-only: sketch cuts are engine-specific; the tolerance gate
+    // vs the exact report lives in PackFreqSpec.
+    "x_quality_deciles_approx" -> ((s, dir) =>
+      graft.operators.Quality.scoreDeciles(Tables.documents(s, dir),
+        approx = true)),
     // ---- token-budget mixture sampling: weighted per-source doc
     // contributions to a 2000-token budget (exclusive-cumsum cut)
     "x_sample_token_budget" -> ((s, dir) =>
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, dir),
         budgetTokens = mixBudget, weights = mixWeights)),
-    // ---- Holt linear forecast per tag over the TS view (no oracle —
-    // feedback recurrence has no SQL form; spec pins exact-linear law)
+    // ---- Holt linear forecast per tag over DAILY bucketed counts
+    // (the operator's own advice: forecast aggregated series, not raw
+    // ticks — and the bucketing is what makes the feedback recurrence
+    // oracle-checkable: ~30 points/tag replay through a DuckDB
+    // recursive CTE). Count is integer-exact in both engines and
+    // alpha/beta are binary-exact doubles, so the fold replays
+    // bit-for-bit; only the final yhat rounds.
     "x_forecast_holt" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Forecast.holtLinear(
-        Tables.ts(s, dir).as[graft.model.TS], horizon = 5)
+      val daily = Tables.ts(s, dir)
+        .groupBy(col("tag"),
+          (expr("timestamp div 86400000") * 86400000L).as("timestamp"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Forecast.holtLinear(daily.as[graft.model.TS],
+        alpha = 0.5, beta = 0.25, horizon = 5)
     }),
     // ---- k-means corpus profile: sizes + mean norm per embedding
     // cluster (no oracle — iterative float averages are engine-specific)
@@ -918,7 +975,7 @@ object SparkEntry {
       // clean feeds the span derivation, the trim-side doc join AND the
       // source join — checkpoint so the scrub runs once, not three times
       val clean = Contamination.scrub(docs.filter(col("doc_id") >= 20),
-        docs.filter(col("doc_id") < 20), n = 3).localCheckpoint()
+        docs.filter(col("doc_id") < 20), n = 3).graftCheckpoint()
       val trimmed = Dedup.trimDupSpans(clean, n = 5, minRun = 2)
         .join(clean.select(col("doc_id"), col("source")), "doc_id")
       val sized = trimmed.filter(
@@ -1870,6 +1927,48 @@ object SparkEntry {
         |SELECT tag, bucket_start, cnt,
         |       cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY tag ORDER BY bucket_start), 0) AS delta
         |FROM dense ORDER BY tag, bucket_start""".stripMargin),
+    // the Holt (level, trend) feedback recurrence replayed as a DuckDB
+    // RECURSIVE CTE — one iteration per daily bucket (~30/tag), every
+    // input integer-exact and every weight a binary-exact double, so
+    // the IEEE fold matches Spark's flatMapGroups fold bit-for-bit.
+    // (list_reduce can't carry the pair: DuckDB 1.0 struct accumulators
+    // alias updated fields across iterations — measured, not guessed.)
+    // Init mirrors holtLinear: level=y1, trend=y2-y1, first update
+    // consumes y2; median gap uses the same integer even-count rule.
+    "x_forecast_holt" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT tag, ("timestamp" // 86400000) * 86400000 AS day_ts,
+        |         CAST(count(*) AS DOUBLE) AS value
+        |  FROM $FROM t GROUP BY 1, 2
+        |),
+        |series AS (
+        |  SELECT tag, list(value ORDER BY day_ts) AS ys
+        |  FROM base GROUP BY tag HAVING count(*) >= 2
+        |),
+        |fold AS (
+        |  SELECT tag, ys, 2 AS i, CAST(ys[1] AS DOUBLE) AS level,
+        |         CAST(ys[2] - ys[1] AS DOUBLE) AS trend
+        |  FROM series
+        |  UNION ALL
+        |  SELECT tag, ys, i + 1,
+        |         CAST(0.5 AS DOUBLE) * ys[i] + CAST(0.5 AS DOUBLE) * (level + trend),
+        |         CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * ys[i]
+        |           + CAST(0.5 AS DOUBLE) * (level + trend)) - level)
+        |           + CAST(0.75 AS DOUBLE) * trend
+        |  FROM fold WHERE i <= len(ys)
+        |),
+        |final AS (SELECT tag, level, trend FROM fold WHERE i = len(ys) + 1),
+        |gapt AS (SELECT tag, day_ts - lag(day_ts) OVER (PARTITION BY tag ORDER BY day_ts) AS gap FROM base),
+        |gaps AS (SELECT tag, list_sort(list(gap)) AS gs FROM gapt WHERE gap IS NOT NULL GROUP BY tag),
+        |step AS (SELECT tag, CASE WHEN len(gs) % 2 = 1 THEN gs[len(gs)//2 + 1]
+        |                          ELSE (gs[len(gs)//2] + gs[len(gs)//2 + 1]) // 2 END AS step_ms FROM gaps),
+        |lastt AS (SELECT tag, max(day_ts) AS last_ts FROM base GROUP BY tag)
+        |SELECT f.tag, CAST(h.h AS BIGINT) AS step, l.last_ts + h.h * s.step_ms AS ts,
+        |       round(f.level + h.h * f.trend, 4) AS yhat
+        |FROM final f
+        |JOIN step s USING (tag) JOIN lastt l USING (tag)
+        |CROSS JOIN (SELECT range AS h FROM range(1, 6)) h
+        |ORDER BY tag, step""".stripMargin,
     "x_anomaly_zscore" -> (
       denseGridSql + """,
         |stats AS (SELECT tag, bucket_start, cnt,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +101,23 @@ object Dedup {
       .select(col("id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
   }
 
+  /** The banded LSH hashes of a MinHash signature column: element b =
+    * xxhash64(b, sig[b*r+1 .. b*r+r]). ONE definition shared by the
+    * one-shot pair search ([[minhashPairs]]) and the persisted index
+    * ([[MinHashIndex]]) — their agreement is what makes an index probe
+    * equal a fresh full-corpus banding.
+    */
+  private[operators] def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * r + 1, r))): _*)
+
+  /** (id, band, band_hash) banding rows from a signature frame — the
+    * NARROW shape every LSH shuffle ships (never the 64-long sigs).
+    */
+  private[operators] def bandedRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("id"), posexplode(bandHashes(col("sig"), bands, r)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
   /** LSH candidate pairs from MinHash signatures, with the signature-
     * estimated Jaccard. `bands` × `rowsPerBand` must equal k.
     */
@@ -111,16 +129,13 @@ object Dedup {
     val r = k / bands
     // signatures materialized ONCE (explode+64-agg is the expensive
     // stage); everything downstream joins back to this
-    val sigs = minhashSignatures(docs, n, k, textCol, idCol).localCheckpoint()
+    val sigs = minhashSignatures(docs, n, k, textCol, idCol).graftCheckpoint()
 
     // banded rows are NARROW — (id, band, band_hash) only. Carrying the
     // 64-long signatures through the banding shuffle, the checkpoint and
     // both self-join legs moved ~20× more bytes for the same pairs; the
     // signatures rejoin below only for candidates that survive dedup.
-    val banded = sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedRows(sigs, bands, r)
 
     // skew guard: drop degenerate buckets before the self-join. The
     // overloaded-bucket list is tiny → hash-agg count + broadcast
@@ -143,7 +158,7 @@ object Dedup {
       .toDF("band", "band_hash")
     val bucketed = banded
       .join(broadcast(overDf), Seq("band", "band_hash"), "left_anti")
-      .localCheckpoint()
+      .graftCheckpoint()
 
     val a = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -217,7 +232,7 @@ object Dedup {
       sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
       i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
     val occ = tokenized.select(col("id"), explode(gram).as("h"))
-      .localCheckpoint() // feeds the doc-frequency agg AND the scoring join
+      .graftCheckpoint() // feeds the doc-frequency agg AND the scoring join
     val shared = occ.groupBy(col("h"))
       .agg((min(col("id")) =!= max(col("id"))).as("is_shared"))
     occ.join(shared, "h")
@@ -256,7 +271,7 @@ object Dedup {
       sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
       i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
     val occ = tokenized.select(col("id"), posexplode(gram).as(Seq("pos", "h")))
-      .localCheckpoint() // feeds the doc-frequency agg AND the span pass
+      .graftCheckpoint() // feeds the doc-frequency agg AND the span pass
     val shared = occ.groupBy(col("h"))
       .agg((min(col("id")) =!= max(col("id"))).as("is_shared"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -336,11 +351,11 @@ object Dedup {
     // normalized to long so the driver fast path and the distributed
     // path emit the SAME schema regardless of the input's integer width
     val p = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).localCheckpoint()
+      col("id_b").cast("long").as("id_b")).graftCheckpoint()
     // canonical directed edges (big > small); self-pairs dropped
     var edges = p.select(greatest(col("id_a"), col("id_b")).as("big"),
         least(col("id_a"), col("id_b")).as("small"))
-      .filter(col("big") =!= col("small")).distinct().localCheckpoint()
+      .filter(col("big") =!= col("small")).distinct().graftCheckpoint()
 
     // a SELF-pair contributes a singleton component (it carries no
     // edge, but the node exists); real-edge endpoints are already
@@ -404,7 +419,7 @@ object Dedup {
       val ss = joined.select(col("big"), col("mn").as("small"))
         .unionAll(joined.filter(col("small") =!= col("mn"))
           .select(col("small").as("big"), col("mn").as("small")))
-        .distinct().localCheckpoint()
+        .distinct().graftCheckpoint()
       val s = sig(ss)
       converged = s == prevSig
       prevSig = s
@@ -436,15 +451,15 @@ object Dedup {
   private[graft] def connectedComponentsLabelProp(pairs: DataFrame,
                                                   maxIter: Int = 20): DataFrame = {
     val p = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).localCheckpoint()
+      col("id_b").cast("long").as("id_b")).graftCheckpoint()
     val edges0 = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     val edges =
-      if (edges0.count() < 100000) edges0.coalesce(1).localCheckpoint()
+      if (edges0.count() < 100000) edges0.coalesce(1).graftCheckpoint()
       else edges0
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+      .withColumn("component", col("id")).graftCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -461,7 +476,7 @@ object Dedup {
             .as("component"),
           (coalesce(col("n_comp"), col("component")) < col("component"))
             .as("changed"))
-        .localCheckpoint()
+        .graftCheckpoint()
       converged = !next.agg(coalesce(max(col("changed")), lit(false))).head().getBoolean(0)
       labels = next.select(col("id"), col("component"))
       i += 1
@@ -500,7 +515,7 @@ object Dedup {
     // pass over the corpus text. Only when wide rows actually exist —
     // degenerate at any realistic corpus — are exactly those documents
     // re-read (semi-joined by id) through the explode ground truth.
-    val swarAll = simhashSwarOrNull(docs, textCol, idCol).localCheckpoint()
+    val swarAll = simhashSwarOrNull(docs, textCol, idCol).graftCheckpoint()
     val wideIds = swarAll.filter(col("simhash").isNull).select(col("id"))
     if (wideIds.isEmpty) swarAll
     else {
@@ -510,7 +525,7 @@ object Dedup {
       // signatures twice, and the explode recompute must not run per leg
       swarAll.filter(col("simhash").isNotNull)
         .unionByName(simhashViaExplode(wide, "__text", "id"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
   }
 

@@ -60,9 +60,12 @@ object Forecast {
             if (gaps.length % 2 == 1) gaps(gaps.length / 2)
             else (gaps(gaps.length / 2 - 1) + gaps(gaps.length / 2)) / 2
           val last = pts.last.timestamp
+          // HALF_UP like Spark/DuckDB round() — math.rint is half-even
+          // and would diverge from the oracle's round() at exact ties
           (1 to horizon).iterator.map(h =>
             (tag, h.toLong, last + h * stepMs,
-              math.rint((level + h * trend) * 10000) / 10000))
+              BigDecimal(level + h * trend)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
         }
       }
       .toDF("tag", "step", "ts", "yhat")

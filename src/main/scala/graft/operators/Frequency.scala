@@ -38,12 +38,29 @@ object Frequency {
     val spark = docs.sparkSession
     FreqFunctions.register(spark)
     val toks = docs.select(explode(split(col("text"), " ")).as("token"))
-    // pass 1: bounded summary; the driver receives ONE row holding
-    // <= capacity (item, est) structs
-    val summary = toks.agg(
-      FreqFunctions.misraGries(col("token"), capacity).as("mg"))
-      .select(explode(col("mg")).as("c"))
-      .select(col("c.item")).collect().map(_.getString(0)).toSeq
+    // pass 1: bounded summary + stream length; the driver receives ONE
+    // row holding <= capacity (item, est) structs and N
+    val row = toks.agg(
+      FreqFunctions.misraGries(col("token"), capacity).as("mg"),
+      count(lit(1)).as("n")).head()
+    val mg = row.getSeq[org.apache.spark.sql.Row](0)
+    val summary = mg.map(_.getString(0))
+    // exactness precondition (MG retention bound): the result is the
+    // true top-k if the k-th count clears N/(capacity+1). Checked from
+    // pass-1 data alone (no extra corpus scan): sum(est) == N proves
+    // the summary never decremented (every token retained, all counts
+    // exact); otherwise est <= true, so est_k above the bar still
+    // PROVES retention — only a lossy summary with est_k at or under
+    // the bar may have missed the true k-th, and that degradation is
+    // said out loud instead of silently shipping a wrong top-k.
+    val n = row.getLong(1)
+    val bar = n.toDouble / (capacity + 1)
+    val lossy = mg.map(_.getLong(1)).sum < n
+    if (lossy && (mg.size < k || mg(k - 1).getLong(1) <= bar))
+      System.err.println(s"[graft] heavyHitterTopK: capacity=$capacity may be " +
+        f"undersized for exact top-$k (k-th estimate ${if (mg.size < k) 0L else mg(k - 1).getLong(1)} " +
+        f"<= N/(capacity+1) = $bar%.1f) — counts of RETAINED tokens stay exact, " +
+        "but a tail token above the true k-th may be missing; raise capacity")
     // pass 2: exact recount restricted to the candidate set (empty
     // corpus => empty candidates => empty result, not an isin() error)
     val candidates =

@@ -100,8 +100,12 @@ object GapFill {
       .partitionBy(col("tag")).orderBy(col("bucket_start"))
     val lagCols = (1 to maxLag).map(k => lag(col("cnt"), k).over(w).as(s"lag_$k"))
     val base = dense.select(col("tag") +: col("cnt") +: lagCols: _*)
+    // nanvl: Spark corr yields NaN for a zero-variance (constant)
+    // series where DuckDB yields NULL — normalize to NULL so a
+    // degenerate series can't flap the cross-engine compare
     val aggs = (1 to maxLag).map(k =>
-      round(corr(col("cnt"), col(s"lag_$k")), 4).as(s"acf_$k"))
+      round(nanvl(corr(col("cnt"), col(s"lag_$k")), lit(null).cast("double")), 4)
+        .as(s"acf_$k"))
     base.groupBy(col("tag")).agg(aggs.head, aggs.tail: _*)
       .orderBy(col("tag"))
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,9 +35,9 @@ object LangModel {
     // folds out of the vocabulary (sum of cnt), costing no extra pass
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // read twice: total + scoring join
+      .graftCheckpoint() // read twice: total + scoring join
     val total = vocab.agg(sum(col("cnt")).as("n_total")) // 1 row — broadcast
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
@@ -59,9 +60,9 @@ object LangModel {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(groupCol).as("grp"),
       explode(split(col(textCol), " ")).as("term"))
-      .localCheckpoint() // feeds tf, df and n_groups — one corpus scan
+      .graftCheckpoint() // feeds tf, df and n_groups — one corpus scan
     val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by df + the scoring join
+      .graftCheckpoint() // read by df + the scoring join
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nGroups = tf.select(col("grp")).distinct()
       .agg(count(lit(1)).as("n_groups")) // 1 row — broadcast
@@ -104,10 +105,10 @@ object LangModel {
     require(lambda > 0 && lambda <= 1, s"lambda=$lambda out of (0,1]")
     val tokenized = docs.select(col(idCol).as("id"),
       split(col(textCol), " ").as("toks"))
-      .localCheckpoint() // one text split feeds unigrams AND bigrams
+      .graftCheckpoint() // one text split feeds unigrams AND bigrams
     val toks = tokenized.select(col("id"), explode(col("toks")).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint() // read twice: total + scoring join
+      .graftCheckpoint() // read twice: total + scoring join
     val total = uni.agg(sum(col("cu")).as("n_total")) // 1 row — broadcast
     // guard: sequence(1, size-1) on a 1-token doc would DESCEND [1, 0]
     val biIdx = when(size(col("toks")) >= 2,
@@ -117,9 +118,9 @@ object LangModel {
         element_at(col("toks"), i).as("prev"),
         element_at(col("toks"), i + 1).as("cur")))).as("b"))
       .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      .localCheckpoint() // feeds bigram counts, context counts, scoring
+      .graftCheckpoint() // feeds bigram counts, context counts, scoring
     val big = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint() // read twice: context fold + scoring join
+      .graftCheckpoint() // read twice: context fold + scoring join
     val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
     bi.join(big, Seq("prev", "cur"))
       .join(ctx, "prev")
@@ -146,7 +147,7 @@ object LangModel {
     require(pct > 0 && pct <= 100, s"pct=$pct out of (0,100]")
     // scores materialized once (narrow): the percentile aggregate and
     // the keep-filter both read the checkpoint, not the scoring plan
-    val scored = unigramNll(docs, textCol, idCol).localCheckpoint()
+    val scored = unigramNll(docs, textCol, idCol).graftCheckpoint()
     val cut = scored.agg(expr(s"round(percentile(nll, ${pct / 100.0}), 4)").as("cut"))
     docs.join(
       scored.crossJoin(broadcast(cut)).filter(col("nll") <= col("cut"))

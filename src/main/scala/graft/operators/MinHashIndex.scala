@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Durable NEAR-dup index: persisted MinHash band postings that let a
+  * new batch find its near-duplicates against EVERYTHING ingested
+  * before at batch cost — the near-dup companion to [[DigestIndex]]
+  * (exact) and the cross-snapshot form of [[Dedup.minhashPairs]]
+  * (which re-signs the WHOLE corpus every run; at 100 TB with daily
+  * ingest, near-dup-against-history is the operation a training-data
+  * pipeline runs most often, and it must pay batch-scale, not
+  * corpus-scale).
+  *
+  * Commit protocol: [[Versioned]] (staged-complete version dirs, atomic
+  * slot CAS, rebase-retry — racing appends compose). Layout:
+  *
+  * ```
+  * path/
+  *   v<N>/sigs/        (id, sig: array<long>[k])      id-sorted
+  *   v<N>/postings/    (band, band_hash, id)          hash-clustered
+  *   v<N>/params.json  {"n":…,"k":…,"bands":…}        pinned at write
+  *   v<N>/manifest.txt root-relative dirs composing the version
+  *   CURRENT
+  * ```
+  *
+  * [[append]] signs ONLY its batch (manifest reuses every prior
+  * directory — the [[AnnIndexStore.append]] move), so probes against
+  * `write(c); append(d)` equal probes against `write(c ∪ d)`: the
+  * hashes are deterministic literal-seeded xxhash64 of the pinned
+  * params ([[Dedup.bandHashes]] is the shared definition). A probe
+  * ([[neardupe]]) signs only the query batch and equi-joins its banded
+  * rows against the stored postings on (band, band_hash) — the
+  * postings side streams from parquet, the batch side is
+  * batch-scale (AQE broadcasts it when it fits), and only surviving
+  * candidate pairs rejoin the wide signatures for the Jaccard
+  * estimate. Per-probe cost is proportional to the batch and its
+  * candidates, never the corpus.
+  */
+final class MinHashIndex(spark: SparkSession, pathStr: String) {
+  import MinHashIndex._
+
+  private val root: Path = Paths.get(pathStr)
+  Files.createDirectories(root)
+
+  def versions: Seq[Long] = Versioned.listVersions(root)
+
+  def currentVersion: Option[Long] = Versioned.currentVersion(root)
+
+  private def pinVersion(): Long = currentVersion.getOrElse(
+    throw new IllegalStateException(s"no minhash index committed at $root"))
+
+  /** Sign `docs` and commit them as the first version (or a full
+    * rebuild under new params). Returns the committed version.
+    */
+  def write(docs: DataFrame, params: Params = Params(),
+            textCol: String = "text", idCol: String = "doc_id"): Long = synchronized {
+    require(params.k % params.bands == 0,
+      s"bands=${params.bands} must divide k=${params.k}")
+    Versioned.commitWithRetry(root, "manifest.txt") { (_, slot, staging) =>
+      stageDelta(docs, params, textCol, idCol, staging)
+      Files.writeString(staging.resolve("params.json"), params.toJson)
+      Files.writeString(staging.resolve("manifest.txt"),
+        Seq(s"v$slot/sigs", s"v$slot/postings").mkString("", "\n", "\n"))
+    }
+  }
+
+  /** Index a new batch incrementally: sign ONLY the batch under the
+    * pinned params, commit a version whose manifest = the base's
+    * directories + the delta directories. History is never re-signed.
+    */
+  def append(docs: DataFrame,
+             textCol: String = "text", idCol: String = "doc_id"): Long = synchronized {
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no minhash index committed at $root"))
+      val st = state(base)
+      stageDelta(docs, st.params, textCol, idCol, staging)
+      Files.writeString(staging.resolve("params.json"), st.params.toJson)
+      Files.writeString(staging.resolve("manifest.txt"),
+        (st.manifest ++ Seq(s"v$slot/sigs", s"v$slot/postings"))
+          .mkString("", "\n", "\n"))
+    }
+  }
+
+  /** Write one version's sigs + postings into `staging`. The postings
+    * are derived by re-READING the just-written sigs parquet — the
+    * signature stage (shingle explode + k-agg) runs once, with durable
+    * materialization instead of a lineage checkpoint.
+    */
+  private def stageDelta(docs: DataFrame, params: Params,
+                         textCol: String, idCol: String, staging: Path): Unit = {
+    val r = params.k / params.bands
+    Dedup.minhashSignatures(docs, params.n, params.k, textCol, idCol)
+      .repartition(col("id")).sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("sigs").toString)
+    val stored = spark.read.parquet(staging.resolve("sigs").toString)
+    Dedup.bandedRows(stored, params.bands, r)
+      .repartition(col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("postings").toString)
+  }
+
+  /** All indexed (id, sig) rows — also the indexed-id set an ingest
+    * uses for redelivery idempotence.
+    */
+  def sigs(version: Option[Long] = None): DataFrame = {
+    val st = state(version.getOrElse(pinVersion()))
+    st.sigDirs.map(d => spark.read.parquet(root.resolve(d).toString))
+      .reduce(_ unionByName _)
+  }
+
+  private def postings(version: Long): DataFrame = {
+    val st = state(version)
+    st.postingDirs.map(d => spark.read.parquet(root.resolve(d).toString))
+      .reduce(_ unionByName _)
+  }
+
+  /** Near-duplicate candidates of `batch` AGAINST THE INDEX:
+    * (batch_id, index_id, est_jaccard), est ≥ `minEstJaccard`, ordered.
+    * Only the batch is signed; rows whose ids collide with an indexed
+    * id are treated as redeliveries, not near-dups (batch_id =!=
+    * index_id) — in-batch near-dup is [[Dedup.minhashPairs]]'s job,
+    * mirroring [[DigestIndex.dedupe]]'s contract. `bucketCap` drops
+    * degenerate INDEX-side buckets (counted + logged) exactly like the
+    * one-shot path.
+    */
+  def neardupe(batch: DataFrame, minEstJaccard: Double = 0.5,
+               bucketCap: Int = 200,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val st = state(pinVersion())
+    val p = st.params
+    val r = p.k / p.bands
+    // batch-only signature compute — the whole point of the index;
+    // feeds both the banding join and the Jaccard-estimate rejoin
+    val bSigs = graft.Materialize.checkpoint(
+      Dedup.minhashSignatures(batch, p.n, p.k, textCol, idCol))
+    val bBanded = Dedup.bandedRows(bSigs, p.bands, r)
+
+    // skew guard on the INDEX side, restricted to buckets the batch
+    // touches (a semi-join keeps the count scan probe-sized): a
+    // degenerate bucket with B postings × b batch rows explodes the
+    // candidate set. Tiny by construction → collected + logged.
+    val store = postings(pinVersion())
+    val overloaded = store
+      .join(bBanded.select(col("band"), col("band_hash")).distinct(),
+        Seq("band", "band_hash"), "left_semi")
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap)
+    val overRows = overloaded.collect()
+    if (overRows.nonEmpty)
+      System.err.println(s"[graft] MinHashIndex.neardupe: dropping ${overRows.length} " +
+        s"bucket(s) over bucketCap=$bucketCap " +
+        s"(${overRows.map(_.getLong(2)).sum} postings) — pairs inside them are not compared")
+    import spark.implicits._
+    val overDf = overRows.map(x => (x.getInt(0), x.getLong(1))).toSeq
+      .toDF("band", "band_hash")
+
+    // the LSH probe: narrow equi-join, candidate pairs deduped BEFORE
+    // the wide signatures rejoin (same byte discipline as minhashPairs)
+    val cand = store.join(broadcast(overDf), Seq("band", "band_hash"), "left_anti")
+      .withColumnRenamed("id", "index_id")
+      .join(bBanded.withColumnRenamed("id", "batch_id"), Seq("band", "band_hash"))
+      .filter(col("batch_id") =!= col("index_id"))
+      .select(col("batch_id"), col("index_id"))
+      .dropDuplicates("batch_id", "index_id")
+
+    cand
+      .join(bSigs.select(col("id").as("batch_id"), col("sig").as("sig_b")), "batch_id")
+      .join(sigs(Some(pinVersion()))
+        .select(col("id").as("index_id"), col("sig").as("sig_i")), "index_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_b"), col("sig_i"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / p.k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("batch_id"), col("index_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("batch_id"), col("index_id"))
+  }
+
+  /** Fold the append chain into ONE sigs + ONE postings directory
+    * (I/O-only — nothing is re-signed, so probes against the compacted
+    * version are identical by construction). Returns the version.
+    */
+  def compact(): Long = synchronized {
+    val base = pinVersion()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val b = baseOpt.getOrElse(base)
+      sigs(Some(b))
+        .repartition(col("id")).sortWithinPartitions(col("id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("sigs").toString)
+      postings(b)
+        .repartition(col("band_hash"))
+        .sortWithinPartitions(col("band"), col("band_hash"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("postings").toString)
+      Files.writeString(staging.resolve("params.json"), state(b).params.toJson)
+      Files.writeString(staging.resolve("manifest.txt"),
+        Seq(s"v$slot/sigs", s"v$slot/postings").mkString("", "\n", "\n"))
+    }
+  }
+
+  /** Reclaim superseded versions older than `retentionMs` (never a
+    * directory the CURRENT manifest references) plus crash residue —
+    * the [[DigestIndex.vacuum]] contract. Returns versions made
+    * unprobeable.
+    */
+  def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
+    require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val cur = currentVersion.getOrElse(-1L)
+    val live: Set[String] = if (cur < 0) Set.empty else manifestDirs(cur).toSet
+    var removed = 0
+    versions.filter(_ < cur).foreach { v =>
+      val dir = root.resolve(s"v$v")
+      if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
+        val probeable = Files.exists(dir.resolve("manifest.txt"))
+        Seq("sigs", "postings")
+          .filterNot(c => live.contains(s"v$v/$c"))
+          .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
+        Files.deleteIfExists(dir.resolve("manifest.txt"))
+        Files.deleteIfExists(dir.resolve("params.json"))
+        val children = Files.list(dir)
+        val empty = try !children.iterator().hasNext finally children.close()
+        if (empty) Files.delete(dir)
+        stateCache.remove(v)
+        if (probeable) removed += 1
+      }
+    }
+    Versioned.reapCrashResidue(root, "manifest.txt", cutoff)
+    removed
+  }
+
+  /** Per-version pinned state: params + manifest split by component. */
+  private final case class VersionState(params: Params, manifest: Seq[String]) {
+    def sigDirs: Seq[String] = manifest.filter(_.endsWith("/sigs"))
+    def postingDirs: Seq[String] = manifest.filter(_.endsWith("/postings"))
+  }
+
+  private val stateCache = TrieMap.empty[Long, VersionState]
+
+  private def state(version: Long): VersionState =
+    stateCache.getOrElseUpdate(version,
+      VersionState(Params.read(root.resolve(s"v$version").resolve("params.json")),
+        manifestDirs(version)))
+
+  private def manifestDirs(version: Long): Seq[String] = {
+    val mf = root.resolve(s"v$version").resolve("manifest.txt")
+    if (!Files.exists(mf))
+      throw new IllegalStateException(
+        s"v$version at $root has no manifest.txt — not a committed version " +
+          "(torn or foreign dir); vacuum() reaps it once stale")
+    Files.readString(mf).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+object MinHashIndex {
+  /** MinHash/LSH build parameters, pinned at [[MinHashIndex.write]]:
+    * shingle width `n`, signature length `k`, band count `bands`
+    * (bands must divide k; rows per band = k/bands).
+    */
+  final case class Params(n: Int = 3, k: Int = 64, bands: Int = 16) {
+    def toJson: String = s"""{"n":$n,"k":$k,"bands":$bands}"""
+  }
+
+  object Params {
+    def read(p: Path): Params = {
+      val txt = Files.readString(p)
+      def num(key: String): Int =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalStateException(s"params.json missing $key"))
+          .group(1).toInt
+      Params(num("n"), num("k"), num("bands"))
+    }
+  }
+}

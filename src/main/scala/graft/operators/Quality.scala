@@ -85,37 +85,38 @@ object Quality {
     *
     * NOT a global `ntile`: an ORDER-BY-everything window serializes
     * the corpus through one task. Instead the cut points (buckets − 1
-    * values) come from ONE percentile aggregate, collect to the driver
-    * (bounded by `buckets`, never corpus size), and band assignment is
-    * a scan-stage comparison chain — the same percentile-cut shape as
-    * [[LangModel.filterByNll]]. Cuts and scores are rounded to 4
-    * decimals BEFORE banding so the band edges replay cross-engine.
-    * (At 100 TB swap the exact `percentile` for `approx_percentile`;
-    * the plan shape is unchanged.)
+    * values) come from ONE percentile aggregate whose single row
+    * broadcast-crossJoins back onto the scores — ONE plan, no driver
+    * hop (the [[LangModel.filterByNll]] shape, now the standard for
+    * every percentile-cut operator) — and band assignment is a
+    * scan-stage array fold. Cuts and scores are rounded to 4 decimals
+    * BEFORE banding so the band edges replay cross-engine. An empty
+    * corpus reports an empty distribution (the crossJoin of zero score
+    * rows is zero rows — no special case).
+    *
+    * `approx = true` swaps the exact `percentile` for
+    * `approx_percentile` (t-digest sketch): same plan shape, bounded
+    * sketch memory instead of a full sort-based exact aggregate — the
+    * 100 TB default, where exact global percentiles pay a corpus-wide
+    * exact aggregate for precision the banding doesn't need. Band
+    * POPULATIONS may then deviate slightly near the cut points
+    * (tolerance-gated in the spec); rows-only in the driver compare
+    * (sketch cuts are engine-specific).
     */
   def scoreDeciles(docs: DataFrame, buckets: Int = 10,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text", approx: Boolean = false): DataFrame = {
     require(buckets >= 2, s"scoreDeciles: buckets=$buckets must be >= 2")
     val scored = docs.select(
       graft.functions.TextFunctions.qualityScore(col(textCol)).as("q"))
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val cutRow = scored
-      .agg(expr(s"percentile(q, array(${fracs.mkString(",")}))").as("cs"))
-      .head()
-    // percentile over zero rows is null — an empty corpus reports an
-    // empty distribution, not an NPE
-    if (cutRow.isNullAt(0))
-      return docs.sparkSession.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "decile BIGINT, n_docs BIGINT, avg_q DOUBLE, min_q DOUBLE, max_q DOUBLE"))
-    // HALF_UP like Spark/DuckDB round() — math.rint is half-even and
-    // would band differently from the oracle's round() at exact ties
-    val cuts = cutRow.getSeq[Double](0)
-      .map(c => BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val band = cuts.map(c => when(col("q") > c, 1).otherwise(0))
-      .reduce(_ + _).cast("long")
-    scored.groupBy(band.as("decile"))
+    val pctFn = if (approx) "approx_percentile" else "percentile"
+    val cuts = scored.agg(
+      transform(expr(s"$pctFn(q, array(${fracs.mkString(",")}))"),
+        c => round(c, 4)).as("cs"))
+    val band = aggregate(col("cs"), lit(0),
+      (acc, c) => acc + when(col("q") > c, 1).otherwise(0)).cast("long")
+    scored.crossJoin(broadcast(cuts))
+      .groupBy(band.as("decile"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 4).as("avg_q"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
       .orderBy(col("decile"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,12 +39,12 @@ object Search {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
     val doclen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-      .localCheckpoint() // read twice: corpus stats + per-doc norm join
+      .graftCheckpoint() // read twice: corpus stats + per-doc norm join
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl")) // 1 row — broadcast
     val tf = toks.filter(col("tok").isin(terms: _*)) // lands in the scan
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read twice: df fold + scoring
+      .graftCheckpoint() // read twice: df fold + scoring
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(df, "tok")
       .join(doclen, "id")

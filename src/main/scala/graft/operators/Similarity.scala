@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -94,7 +95,7 @@ object Similarity {
                          vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val cq = quantizeInt8(corpus, vecCol, idCol)
-      .localCheckpoint() // int8 rows — what a stored index would ship
+      .graftCheckpoint() // int8 rows — what a stored index would ship
     val qq = quantizeInt8(queries, vecCol, idCol)
       .select(col("vec_id").as("query_id"), asDouble(col("q")).as("qv"))
     val cand = cq.select(col("vec_id"), asDouble(col("q")).as("v"))
@@ -185,7 +186,7 @@ object Similarity {
       corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")
       .select(col("tbl"), col("bucket"), col("vec_id"), col("v"))
-      .localCheckpoint()
+      .graftCheckpoint()
 
   /** Probe a [[buildLshIndex]] index: score only corpus vectors that
     * share a bucket with the query in at least one table. The query side
@@ -256,7 +257,7 @@ object Similarity {
           coalesce(size(col("v")).cast("string"), lit("null")))), lit(true)))
     val seed = c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .localCheckpoint() // computed once; reused by assignment + probing
+      .graftCheckpoint() // computed once; reused by assignment + probing
     val cents = (0 until refineIters).foldLeft(seed) { (cs, _) =>
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cs").desc, col("cent_id"))
@@ -267,9 +268,9 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("v"), i + 1))): _*).as("cv"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
-    IvfIndex(cents, nearestCentroids(c, cents, "vec_id", "v", 1).localCheckpoint())
+    IvfIndex(cents, nearestCentroids(c, cents, "vec_id", "v", 1).graftCheckpoint())
   }
 
   /** Probe a [[buildIvfIndex]] index: score only the `nprobe` inverted
@@ -325,7 +326,7 @@ object Similarity {
     val c = withBuckets(
       corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
       tables, planes, dim, "v")
-      .localCheckpoint() // bucketing computed once, reused by both legs
+      .graftCheckpoint() // bucketing computed once, reused by both legs
     val a = c.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = c.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("tbl", "bucket"))

@@ -199,6 +199,40 @@ object StreamingIngest {
       if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
     }
 
+  /** Streaming near-dup-filtered ingest against a persisted
+    * [[graft.operators.MinHashIndex]]: each micro-batch (1) drops rows
+    * whose id is already indexed (redelivery idempotence — the same
+    * anti-join move as [[ingestToStore]], so a restart-from-checkpoint
+    * re-run is a no-op), (2) probes the SURVIVING rows against history
+    * ([[graft.operators.MinHashIndex.neardupe]] — batch-only signing,
+    * band-join against stored postings) and drops near-dup hits, then
+    * (3) appends the survivors' signatures as an incremental index
+    * version and hands the surviving rows to `writeBatch`. History is
+    * never re-signed; each trigger pays batch cost — the near-dup form
+    * of [[dedupeDocsByDigest]] with no watermark horizon (the index IS
+    * the forever state) and the maintenance shape of [[annIngest]].
+    * Empty micro-batches commit nothing.
+    */
+  def neardupIngest(docs: DataFrame, index: graft.operators.MinHashIndex,
+                    minEstJaccard: Double = 0.5,
+                    textCol: String = "text", idCol: String = "doc_id")
+                   (writeBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val fresh = batch.dropDuplicates(idCol)
+          .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        val hits = index.neardupe(fresh, minEstJaccard,
+            textCol = textCol, idCol = idCol)
+          .select(col("batch_id").as(idCol)).distinct()
+        val survivors = fresh.join(hits, Seq(idCol), "left_anti")
+        if (!survivors.isEmpty) {
+          index.append(survivors, textCol, idCol)
+          writeBatch(survivors)
+        }
+      }
+    }
+
   /** On-stream benchmark decontamination: every micro-batch of
     * documents is scrubbed against the STATIC eval set with the exact
     * batch operator ([[graft.operators.Contamination.scrub]] —

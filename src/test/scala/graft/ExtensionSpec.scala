@@ -260,6 +260,34 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.8, f"minhash LSH recall regressed: $recall%.3f")
   }
 
+  test("incremental near-dup probe == one-shot minhashPairs cross-boundary pairs on fixture data") {
+    // the production query (x_dedup_incremental_neardup) is rows-only;
+    // THIS is its regression gate, at full strength: the index probe
+    // shares minhashPairs' hashing and banding, so on the same corpus
+    // split its candidates must EQUAL the one-shot pairs that cross the
+    // history/batch boundary (recall 1.0 relative, not just >= 0.8)
+    import graft.operators.MinHashIndex
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+      .unionByName(docs.filter($"doc_id" < 20)
+        .withColumn("doc_id", $"doc_id" + 200000L)
+        .withColumn("text", concat($"text", lit(" recrawl"))))
+    val idx = new MinHashIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft-mh-gate").toString)
+    idx.write(history)
+    val probe = idx.neardupe(batch, minEstJaccard = 0.5).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val historyIds = history.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.minhashPairs(history.unionByName(batch),
+        n = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(x => historyIds.contains(x._1) ^ historyIds.contains(x._2)).toSet
+    assert(probe.nonEmpty, "no cross-boundary near-dups — the injection is broken")
+    assert(probe == oneShot)
+  }
+
   test("connected components cluster transitive near-dup pairs deterministically") {
     // 1-2, 2-3 chain; 7-8 pair; 9 isolated (not in pairs => not emitted)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Dedup, MinHashIndex}
+import java.nio.file.Files
+
+/** The persisted near-dup index: batch-cost probes and appends against
+  * corpus-scale history. The bars mirror AnnIndexSpec's: incremental
+  * commits must be probe-equal to a full rebuild, from a FRESH session.
+  */
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs with deliberate near-duplicates: 1 ≈ 0 (one token changed),
+  // 11 ≈ 10 (one token changed), 20/21 unrelated
+  private def mk(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private val A =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val B =
+    "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+  private val C =
+    "red orange yellow green blue indigo violet white black brown " +
+      "pink gray maroon navy teal olive coral amber jade ruby"
+  private val D =
+    "cat dog bird fish horse cow sheep goat pig duck " +
+      "hen goose mole vole hare lynx deer elk fox owl"
+  private val base = mk(0L -> A, 10L -> B, 20L -> C)
+  // 1 ≈ 0 and 11 ≈ 10 (last token changed); 21 unrelated
+  private val batch = mk(
+    1L -> A.replace("upsilon", "phi"),
+    11L -> B.replace("twenty", "thirty"),
+    21L -> D)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("neardupe finds batch-vs-history near-dups; write+append probe-equal to a full rebuild from a fresh session") {
+    val p1 = Files.createTempDirectory("graft-mh1").toString
+    val idx = new MinHashIndex(spark, p1)
+    assert(idx.write(base) == 0L)
+    val hits = pairs(idx.neardupe(batch, minEstJaccard = 0.5))
+    // the two near-dups found, the unrelated doc not
+    assert(hits.map(h => (h._1, h._2)) == Seq((1L, 0L), (11L, 10L)))
+    assert(hits.forall(_._3 >= 0.5))
+
+    // append the batch, then probe a second batch against the grown
+    // index vs a one-shot full rebuild — identical from a new session
+    val batch2 = mk(2L -> A, 12L -> D)
+    assert(idx.append(batch) == 1L)
+    // v1 holds only the 3-row delta's sigs (batch-scale, not corpus)
+    assert(spark.read.parquet(s"$p1/v1/sigs").count() == 3L)
+
+    val p2 = Files.createTempDirectory("graft-mh2").toString
+    new MinHashIndex(spark, p2).write(base.unionByName(batch))
+    val freshSession = spark.newSession()
+    val grown = pairs(new MinHashIndex(freshSession, p1).neardupe(batch2))
+    val rebuilt = pairs(new MinHashIndex(freshSession, p2).neardupe(batch2))
+    assert(grown == rebuilt)
+    // 2 ≈ 0 exactly (est 1.0) and ≈ 1; 12 == 21 exactly
+    assert(grown.map(h => (h._1, h._2)).toSet == Set((2L, 0L), (2L, 1L), (12L, 21L)))
+  }
+
+  test("probe candidates agree with the one-shot minhashPairs cross-boundary pairs") {
+    // same hashing, same banding, same threshold => the index probe
+    // must find exactly minhashPairs' pairs that cross the
+    // history/batch boundary (no cap hit at this size)
+    val p = Files.createTempDirectory("graft-mh3").toString
+    val idx = new MinHashIndex(spark, p)
+    idx.write(base)
+    val probe = pairs(idx.neardupe(batch, minEstJaccard = 0.5))
+      .map(h => (math.min(h._1, h._2), math.max(h._1, h._2), h._3)).toSet
+    val baseIds = Set(0L, 10L, 20L)
+    val oneShot = Dedup.minhashPairs(base.unionByName(batch),
+        n = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(x => baseIds.contains(x._1) ^ baseIds.contains(x._2)).toSet
+    assert(probe == oneShot)
+  }
+
+  test("compact folds the chain; probes identical; vacuum reaps; params pin across appends") {
+    val p = Files.createTempDirectory("graft-mh4").toString
+    val idx = new MinHashIndex(spark, p)
+    idx.write(base, MinHashIndex.Params(n = 2, k = 32, bands = 8))
+    idx.append(batch)
+    val before = pairs(idx.neardupe(mk(5L -> A)))
+    assert(idx.compact() == 2L)
+    val after = pairs(new MinHashIndex(spark.newSession(), p).neardupe(
+      mk(5L -> A)))
+    assert(before == after && before.nonEmpty)
+    idx.vacuum(0)
+    assert(idx.versions == Seq(2L))
+    // appended under the pinned (2,32,8) params, not the defaults
+    assert(spark.read.parquet(s"$p/v2/sigs").head().getSeq[Long](1).length == 32)
+  }
+
+  test("neardupe before write fails loudly; same-id rows are redeliveries, not near-dups") {
+    val p = Files.createTempDirectory("graft-mh5").toString
+    val idx = new MinHashIndex(spark, p)
+    intercept[IllegalStateException](idx.neardupe(batch))
+    idx.write(base)
+    // re-delivering an indexed doc under its own id: self-pair filtered
+    assert(pairs(idx.neardupe(base)).isEmpty)
+  }
+}

@@ -64,6 +64,31 @@ class PackFreqSpec extends SparkSpec {
     import graft.operators.Quality
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Quality.scoreDeciles(empty).count() == 0L)
+    assert(Quality.scoreDeciles(empty, approx = true).count() == 0L)
+  }
+
+  test("scoreDeciles(approx) tracks the exact report within sketch tolerance on the fixture") {
+    import graft.operators.Quality
+    // the production query (x_quality_deciles_approx) is rows-only —
+    // THIS is its gate: same bands, populations within the sketch's
+    // rank error of the exact report's (default accuracy 10000 =>
+    // rank error <= n/10000, i.e. exact at fixture sizes is typical,
+    // but gate loosely enough that a legitimate sketch stays green
+    // while a broken banding fails)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def report(approx: Boolean): Map[Long, Long] =
+      Quality.scoreDeciles(docs, approx = approx).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = report(approx = false)
+    val approx = report(approx = true)
+    assert(exact.keySet == approx.keySet) // all 10 bands populated alike
+    val n = exact.values.sum
+    assert(approx.values.sum == n) // every doc lands in exactly one band
+    // each band within 2% of corpus size of the exact population
+    exact.foreach { case (band, cnt) =>
+      assert(math.abs(approx(band) - cnt) <= math.max(2L, n / 50),
+        s"band $band: exact=$cnt approx=${approx(band)}")
+    }
   }
 
   test("weightedSample raises on non-positive weights and negative ids") {

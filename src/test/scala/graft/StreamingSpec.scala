@@ -177,6 +177,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed.probeLsh(queries, k = 5)) == rows(full.probeLsh(queries, k = 5)))
   }
 
+  test("streaming near-dup ingest: cross-batch near-dups dropped; restart redelivery is a no-op") {
+    import graft.operators.MinHashIndex
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mh-ckpt").toString
+    val index = new MinHashIndex(spark, idxDir)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textB = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    index.write(Seq((0L, textA)).toDF("doc_id", "text"))
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamingIngest.neardupIngest(
+        mem.toDF().toDF("doc_id", "text"), index) { b =>
+        sunk ++= b.select($"doc_id").collect().map(_.getLong(0)); ()
+      }.option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // 1 ≈ 0 (near-dup of HISTORY — dropped); 10 is novel (survives)
+      mem.addData((1L, textA.replace("upsilon", "phi")), (10L, textB))
+      q1.processAllAvailable()
+      // 11 ≈ 10 — near-dup of a doc indexed by the PREVIOUS micro-batch
+      mem.addData((11L, textB.replace("twenty", "thirty")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sunk.sorted.toSeq == Seq(10L))
+    // restart against the same checkpoint; the source redelivers an
+    // already-indexed doc — the id anti-join makes the re-run a no-op
+    val q2 = start()
+    try {
+      mem.addData((10L, textB), (20L, "red orange yellow green blue indigo " +
+        "violet white black brown pink gray maroon navy teal olive coral amber jade ruby"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk.sorted.toSeq == Seq(10L, 20L))
+    // the index holds exactly the survivors: 0 (base), 10, 20
+    assert(index.sigs().select($"id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 10L, 20L))
+  }
+
   test("streaming ingest into the store: idempotent under redelivery") {
     import graft.engine.TimeSeriesStore
     val store = new TimeSeriesStore(spark,
