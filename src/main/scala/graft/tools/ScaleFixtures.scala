@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-soak fixture generator: writes a `factor`× variant of a
+  * driver fixture dir so the heaviest queries can be MEASURED (not
+  * asserted) at 10× — `args = <srcDir> <outDir> [factor]`.
+  *
+  * Scaling must preserve the workload's distributional shape, not just
+  * its row count:
+  *   - `documents`: `factor` copies under fresh ids; copies beyond the
+  *     first carry a deterministic hash-order PERMUTATION of the token
+  *     multiset. Token/vocab frequencies (LM, heavy-hitter, quality
+  *     paths) are preserved exactly; n-gram identity is not, so the
+  *     copies are NOT near-duplicates of their source — naive
+  *     replication would hand every doc `factor−1` near-dup partners
+  *     and blow the LSH candidate space quadratically, measuring a
+  *     fixture artifact instead of the operator.
+  *   - `events`: `factor` copies under fresh event/user ids, same
+  *     timestamps — more users at 10× density over the same window,
+  *     which is how an event stream actually grows. Per-user history
+  *     length (session/funnel state) stays constant.
+  *   - everything else is copied verbatim (file-level).
+  *
+  * Deterministic end-to-end: ids shift by computed offsets, the
+  * permutation keys are xxhash64 — no RNG, so two runs produce
+  * byte-comparable corpora. The `ts` column is written as LONG nanos
+  * (Spark cannot write parquet TIMESTAMP(NANOS)); every reader already
+  * treats it as Long nanos via `nanosAsLong`, so `ts div 1000000`
+  * behaves identically.
+  */
+object ScaleFixtures {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    def copies(df: DataFrame): DataFrame = {
+      val k = explode(sequence(lit(0), lit(factor - 1))).as("k")
+      df.select(col("*"), k)
+    }
+
+    // ---- documents: fresh ids + per-copy hash-order token permutation
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val toks = split(col("text"), " ")
+    // struct sort key: (hash, token) — array_sort orders by field 1
+    // then 2, so equal-hash ties (repeated tokens) stay deterministic
+    val permuted = concat_ws(" ",
+      transform(
+        array_sort(transform(toks, (t, i) =>
+          struct(xxhash64(col("doc_id"), col("k"), t, i).as("h"), t.as("t")))),
+        s => s.getField("t")))
+    copies(docs)
+      .withColumn("text", when(col("k") === 0, col("text")).otherwise(permuted))
+      .withColumn("doc_id", col("doc_id") + col("k") * idSpan)
+      .drop("k")
+      .repartition(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    // ---- events: fresh event/user ids, same timestamps (ts stays the
+    // Long nanos the readers expect)
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val Array(evSpan, userSpan) = events
+      .agg(max(col("event_id")), max(col("user_id"))).head() match {
+        case r => Array(r.getLong(0) + 1L, r.getLong(1) + 1L)
+      }
+    copies(events)
+      .withColumn("event_id", col("event_id") + col("k") * evSpan)
+      .withColumn("user_id", col("user_id") + col("k") * userSpan)
+      .drop("k")
+      .repartition(col("event_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    // ---- the rest: verbatim file copies (parquet dirs or single files)
+    val scaled = Set("documents.parquet", "events.parquet")
+    val src = java.nio.file.Paths.get(srcDir)
+    val s = java.nio.file.Files.list(src)
+    try s.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (!scaled.contains(name) && name.endsWith(".parquet"))
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(outDir).resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+
+    println(s"[scale-fixtures] wrote $outDir at ${factor}x " +
+      s"(docs=${spark.read.parquet(s"$outDir/documents.parquet").count()}, " +
+      s"events=${spark.read.parquet(s"$outDir/events.parquet").count()})")
+    spark.stop()
+  }
+}
