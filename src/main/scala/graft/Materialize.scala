@@ -25,6 +25,13 @@ object Materialize {
     */
   val ConfKey = "graft.checkpointDir"
 
+  /** The dir last asserted via setCheckpointDir, per context — weak
+    * keys so a stopped context doesn't pin its entry.
+    */
+  private val lastSetDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Materialize `df` once and truncate its lineage (eager in both
     * modes — the callers reuse the result immediately, and laziness
     * would re-enter the race localCheckpoint has with lazy evaluation).
@@ -33,11 +40,21 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir is SparkContext-global; re-assert per call so
+        // setCheckpointDir is SparkContext-global; re-assert when this
+        // session's configured dir differs from the last one asserted so
         // sibling sessions with different configs don't inherit a stale
-        // path silently (last-set wins within one context, documented)
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
-          spark.sparkContext.setCheckpointDir(dir)
+        // path silently (last-set wins within one context, documented).
+        // The comparison must use OUR record of what was set, not
+        // `getCheckpointDir`: Spark stores `<dir>/<random-UUID>`, which
+        // never equals the raw configured dir — comparing against it
+        // would re-mkdir a fresh UUID subdir on every call (an
+        // object-store metadata op per materialization site, dozens per
+        // connected-components run)
+        val sc = spark.sparkContext
+        if (dir != lastSetDir.get(sc)) {
+          sc.setCheckpointDir(dir)
+          lastSetDir.put(sc, dir)
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

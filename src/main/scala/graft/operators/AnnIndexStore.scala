@@ -24,8 +24,10 @@ import scala.jdk.CollectionConverters._
   *   v<N>/ivf/            (cent_id, vec_id)     sorted by cent_id
   *   v<N>/params.json     LSH/IVF parameters the index was built with
   *   v<N>/manifest.json   root-relative data dirs composing the version
-  *   CURRENT              live version name (atomic swap)
   * ```
+  *
+  * The live version is the highest `v<N>` with a manifest; the atomic
+  * slot rename is the commit point ([[Versioned]]).
   *
   * A version's data is the UNION of the directories its manifest lists —
   * [[write]] lists only its own dirs (full build), [[append]] lists the
@@ -63,12 +65,13 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     */
   def versions: Seq[Long] = Versioned.listVersions(root)
 
-  def currentVersion: Option[Long] = Versioned.currentVersion(root)
+  def currentVersion: Option[Long] = Versioned.currentVersion(root, "manifest.json")
 
-  /** Resolve CURRENT exactly once per probe and thread the pinned
-    * version's cached state through every read — re-reading the pointer
+  /** Resolve the live version exactly once per probe and thread the
+    * pinned version's cached state through every read — re-resolving
     * mid-probe could mix one version's hyperplane params with another
-    * version's postings if a concurrent [[write]] swaps it.
+    * version's postings if a concurrent [[write]] commits between the
+    * reads.
     */
   private def pinVersion(): Long =
     currentVersion.getOrElse(
@@ -340,7 +343,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
 
   /** Delete index data superseded for longer than `retentionMs` (same
     * grace-period contract as the table store's vacuum) — but never a
-    * directory the CURRENT version's manifest still references: an
+    * directory the live version's manifest still references: an
     * append chain shares its base version's postings, so only the
     * UNREFERENCED data dirs and the superseded version's
     * manifest/params (its probeability) are reclaimed. Returns how many
@@ -377,7 +380,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         if (probeable) removed += 1
       }
     }
-    Versioned.reapCrashResidue(root, "manifest.json", cutoff)
+    Versioned.reapStaleStaging(root, cutoff)
     removed
   }
 }

@@ -13,10 +13,10 @@ import java.nio.file.{Files, Path, Paths}
   * that doc refers to).
   *
   * Commit protocol: [[Versioned]] — each version is staged COMPLETE
-  * (digests + manifest) and claimed with one atomic rename, so racing
-  * cross-process writers collide loudly on the slot and rebase-retry
-  * instead of the later CURRENT swap silently dropping the earlier
-  * delta; torn version dirs cannot exist. [[append]] stores ONLY
+  * (digests + manifest) and committed with one atomic rename into its
+  * slot, so racing cross-process writers collide loudly on the slot
+  * and rebase-retry instead of either delta being silently dropped;
+  * torn version dirs cannot exist. [[append]] stores ONLY
   * digests not already indexed (delta-sized files; manifest reuses
   * every prior directory), so daily ingest pays batch-scale writes
   * against corpus-scale history. Rows are 32-byte sha-256 digests —
@@ -29,7 +29,7 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
 
   def versions: Seq[Long] = Versioned.listVersions(root)
 
-  def currentVersion: Option[Long] = Versioned.currentVersion(root)
+  def currentVersion: Option[Long] = Versioned.currentVersion(root, "manifest.txt")
 
   private def digestsOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(sha2(col(textCol), 256).as("digest")).distinct()
@@ -110,11 +110,10 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
       throw new IllegalStateException(s"no digest index committed at $root")
 
   /** Reclaim superseded versions older than `retentionMs` — but never
-    * a directory the CURRENT manifest still references (append chains
-    * share their base's files) — plus crash residue: stale staging
-    * dirs and stale uncommitted version dirs above CURRENT
-    * ([[Versioned.reapCrashResidue]]). Returns versions made
-    * unprobeable.
+    * a directory the live version's manifest still references (append
+    * chains share their base's files) — plus crash residue: stale
+    * staging dirs ([[Versioned.reapStaleStaging]]). Returns versions
+    * made unprobeable.
     */
   def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
     require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
@@ -135,19 +134,19 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
         if (probeable) removed += 1
       }
     }
-    Versioned.reapCrashResidue(root, "manifest.txt", cutoff)
+    Versioned.reapStaleStaging(root, cutoff)
     removed
   }
 
   private def manifestDirs(version: Long): Seq[String] = {
     val mf = root.resolve(s"v$version").resolve("manifest.txt")
-    // a v<N> without a manifest is foreign garbage or a pre-protocol
-    // torn commit — name it rather than NoSuchFileException deep in a
-    // parquet read; vacuum reaps it once stale
+    // a v<N> without a manifest is a vacuumed data-holder, foreign
+    // garbage, or absent — name it rather than NoSuchFileException
+    // deep in a parquet read
     if (!Files.exists(mf))
       throw new IllegalStateException(
-        s"v$version at $root has no manifest.txt — not a committed version " +
-          "(torn or foreign dir); vacuum() reaps it once stale")
+        s"v$version at $root has no manifest.txt — not a probeable version " +
+          "(vacuumed, foreign, or never committed)")
     Files.readString(mf).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

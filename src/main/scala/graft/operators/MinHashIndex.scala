@@ -23,8 +23,10 @@ import scala.collection.concurrent.TrieMap
   *   v<N>/postings/    (band, band_hash, id)          hash-clustered
   *   v<N>/params.json  {"n":…,"k":…,"bands":…}        pinned at write
   *   v<N>/manifest.txt root-relative dirs composing the version
-  *   CURRENT
   * ```
+  *
+  * The live version is the highest `v<N>` with a manifest; the atomic
+  * slot rename is the commit point ([[Versioned]]).
   *
   * [[append]] signs ONLY its batch (manifest reuses every prior
   * directory — the [[AnnIndexStore.append]] move), so probes against
@@ -47,7 +49,7 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
 
   def versions: Seq[Long] = Versioned.listVersions(root)
 
-  def currentVersion: Option[Long] = Versioned.currentVersion(root)
+  def currentVersion: Option[Long] = Versioned.currentVersion(root, "manifest.txt")
 
   private def pinVersion(): Long = currentVersion.getOrElse(
     throw new IllegalStateException(s"no minhash index committed at $root"))
@@ -131,7 +133,13 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
   def neardupe(batch: DataFrame, minEstJaccard: Double = 0.5,
                bucketCap: Int = 200,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val st = state(pinVersion())
+    // resolve the live version ONCE and thread it through every read
+    // (params, postings, sigs) — re-resolving mid-probe could band the
+    // batch under one version's params and join another version's
+    // postings if a concurrent write() commits between the reads
+    // (the AnnIndexStore pin contract)
+    val pinned = pinVersion()
+    val st = state(pinned)
     val p = st.params
     val r = p.k / p.bands
     // batch-only signature compute — the whole point of the index;
@@ -144,7 +152,7 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     // touches (a semi-join keeps the count scan probe-sized): a
     // degenerate bucket with B postings × b batch rows explodes the
     // candidate set. Tiny by construction → collected + logged.
-    val store = postings(pinVersion())
+    val store = postings(pinned)
     val overloaded = store
       .join(bBanded.select(col("band"), col("band_hash")).distinct(),
         Seq("band", "band_hash"), "left_semi")
@@ -171,7 +179,7 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
 
     cand
       .join(bSigs.select(col("id").as("batch_id"), col("sig").as("sig_b")), "batch_id")
-      .join(sigs(Some(pinVersion()))
+      .join(sigs(Some(pinned))
         .select(col("id").as("index_id"), col("sig").as("sig_i")), "index_id")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_b"), col("sig_i"),
@@ -205,7 +213,8 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
   }
 
   /** Reclaim superseded versions older than `retentionMs` (never a
-    * directory the CURRENT manifest references) plus crash residue —
+    * directory the live version's manifest references) plus crash
+    * residue (stale staging dirs) —
     * the [[DigestIndex.vacuum]] contract. Returns versions made
     * unprobeable.
     */
@@ -231,7 +240,7 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
         if (probeable) removed += 1
       }
     }
-    Versioned.reapCrashResidue(root, "manifest.txt", cutoff)
+    Versioned.reapStaleStaging(root, cutoff)
     removed
   }
 
@@ -252,8 +261,8 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     val mf = root.resolve(s"v$version").resolve("manifest.txt")
     if (!Files.exists(mf))
       throw new IllegalStateException(
-        s"v$version at $root has no manifest.txt — not a committed version " +
-          "(torn or foreign dir); vacuum() reaps it once stale")
+        s"v$version at $root has no manifest.txt — not a probeable version " +
+          "(vacuumed, foreign, or never committed)")
     Files.readString(mf).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 /** Cross-process commit protocol shared by the versioned index stores
@@ -10,33 +10,44 @@ import scala.jdk.CollectionConverters._
   * The unit of publication is a COMPLETE version directory: a writer
   * stages every component (data files AND the manifest) in a hidden
   * `.staging-*` directory, then claims the `v<N>` slot with ONE atomic
-  * rename. That makes the slot claim a true compare-and-swap — a rival
-  * that already renamed into the slot makes the move fail loudly
-  * (`FileAlreadyExistsException` from the existence check, or
-  * `DirectoryNotEmptyException` from rename(2) when both writers pass
-  * the check together; either way nobody overwrites a committed
-  * version) — and it makes torn version directories impossible: a
-  * `v<N>` either doesn't exist or is complete, so the only crash
-  * residue is a stale staging directory (reaped by the stores'
-  * vacuum). Contrast the pre-protocol shape this replaces: version =
-  * `versions.last + 1` plus a REPLACE_EXISTING CURRENT swap let two
-  * writers on different slots both "succeed" while the later swap
-  * silently dropped the earlier writer's delta from the live manifest.
+  * rename. **That rename IS the commit point.** The committed version
+  * is simply the highest `v<N>` directory that contains the store's
+  * manifest file — there is no separate CURRENT pointer, so there is
+  * no commit window: a version is either invisible (still staging) or
+  * durably committed, atomically. The slot claim is a true
+  * compare-and-swap — a rival that already renamed into the slot makes
+  * the move fail loudly (`FileAlreadyExistsException` from the
+  * existence check, or `DirectoryNotEmptyException` from rename(2)
+  * when both writers pass the check together; either way nobody
+  * overwrites a committed version) and the loser rebase-retries
+  * against the winner's published state, so concurrent appends
+  * compose instead of one writer's delta being dropped.
   *
-  * Commit point is the CURRENT pointer swap (last-wins across racers —
-  * version numbers are totally ordered and each published dir is
-  * durable — but [[commitCurrent]] refuses to move CURRENT backwards,
-  * so a stalled writer resurrecting after a rival committed a higher
-  * version fails loudly instead of rolling the store back). A version
-  * directory present WITHOUT a CURRENT swap is an uncommitted crash
-  * orphan: fresh ones are awaited (the writer is in its ms-scale
-  * commit window), stale ones are skipped — never adopted, never
-  * rebased on — mirroring the table store's orphan-manifest contract.
+  * Contrast the two shapes this replaces. The pre-protocol shape
+  * (version = `versions.last + 1` plus a REPLACE_EXISTING CURRENT
+  * swap) let two writers on different slots both "succeed" while the
+  * later swap silently dropped the earlier writer's delta. The
+  * interim shape (slot CAS + separate CURRENT swap) closed that race
+  * between live writers but reopened it for STALLED ones: a writer
+  * paused longer than a grace period between its slot claim and its
+  * pointer swap was indistinguishable from a crashed one, so rivals
+  * had to guess (timeout heuristics) and a late-waking writer could
+  * still swap the pointer over a rival's rebased commit. Making the
+  * rename the commit point removes the guess: a stalled writer's
+  * rename either lands first (its delta is committed and every later
+  * pin includes it) or collides and rebases. No interleaving drops a
+  * committed delta, with no clocks involved.
+  *
+  * The only crash residue is a stale `.staging-*` directory (writer
+  * died mid-stage), reaped by the stores' vacuum via
+  * [[reapStaleStaging]]. A bare `v<N>` without a manifest can only be
+  * foreign garbage (this protocol can't create one); commits step
+  * past it and reads name it loudly.
   */
-private[operators] object Versioned {
+private[graft] object Versioned {
 
   /** Version numbers of the `v<N>` directories under `root`, ascending.
-    * Presence on disk only — includes uncommitted orphans and (after a
+    * Presence on disk only — includes foreign/torn dirs and (after a
     * vacuum) data-holder dirs whose manifest is stripped.
     */
   def listVersions(root: Path): Seq[Long] = {
@@ -51,34 +62,35 @@ private[operators] object Versioned {
     finally s.close()
   }
 
-  def currentVersion(root: Path): Option[Long] = {
-    val ptr = root.resolve("CURRENT")
-    if (!Files.exists(ptr)) None
-    else Some(Files.readString(ptr).trim.stripPrefix("v").toLong)
-  }
+  /** The committed version: the highest `v<N>` containing
+    * `manifestName`. Versions below it keep their manifests until
+    * vacuum strips them (older probeable versions = time travel), so
+    * the maximum is always the live one.
+    */
+  def currentVersion(root: Path, manifestName: String): Option[Long] =
+    listVersions(root)
+      .filter(v => Files.exists(root.resolve(s"v$v").resolve(manifestName)))
+      .lastOption
 
   /** Run `stage` to fill a staging directory with the COMPLETE content
-    * of the next version (data + manifest), then publish it at the next
-    * free slot and swap CURRENT. `stage(base, slot, staging)` receives
-    * the pinned base version (CURRENT at pin time — compute deltas and
-    * chained manifests against exactly this), the slot the content will
-    * commit as (manifest entries are `v<slot>/...`-relative), and the
-    * staging dir to write into. On a lost slot race the staged content
-    * is discarded and `stage` runs AGAIN against the winner's published
-    * state — the rebase-retry that makes concurrent appends compose
-    * instead of silently dropping one writer's delta. Returns the
-    * committed version.
+    * of the next version (data + manifest), then commit it with one
+    * atomic rename into the next free slot. `stage(base, slot,
+    * staging)` receives the pinned base version (the committed version
+    * at pin time — compute deltas and chained manifests against
+    * exactly this), the slot the content will commit as (manifest
+    * entries are `v<slot>/...`-relative), and the staging dir to write
+    * into. On a lost slot race the staged content is discarded and
+    * `stage` runs AGAIN against the winner's published state — the
+    * rebase-retry that makes concurrent appends compose instead of
+    * silently dropping one writer's delta. Returns the committed
+    * version.
     */
   def commitWithRetry(root: Path, manifestName: String, maxAttempts: Int = 5)
                      (stage: (Option[Long], Long, Path) => Unit): Long = {
     var attempt = 0
     while (true) {
-      // a COMPLETE dir above CURRENT is a rival inside its ms-scale
-      // commit window (await its swap — pinning a base under it would
-      // drop its delta) or a crashed writer's uncommitted orphan
-      // (stale => skipped, never adopted: its client never saw success)
-      awaitFreshRivals(root, manifestName)
-      val base = currentVersion(root)
+      val base = currentVersion(root, manifestName)
+      // step past foreign manifest-less dirs too — never write into one
       val slot = math.max(listVersions(root).lastOption.getOrElse(-1L),
         base.getOrElse(-1L)) + 1L
       val staging = Files.createTempDirectory(root, ".staging-")
@@ -87,7 +99,7 @@ private[operators] object Versioned {
           stage(base, slot, staging)
           publish(root, staging, slot)
         } finally graft.Fs.deleteTree(staging, swallow = true)
-      if (published) { commitCurrent(root, slot); return slot }
+      if (published) return slot
       attempt += 1
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
@@ -97,7 +109,8 @@ private[operators] object Versioned {
   }
 
   /** Atomically claim slot `version` by renaming the staged dir into
-    * place. True on success; false when a rival holds the slot.
+    * place — the commit point. True on success; false when a rival
+    * holds the slot.
     */
   private def publish(root: Path, staging: Path, version: Long): Boolean =
     try {
@@ -111,72 +124,38 @@ private[operators] object Versioned {
       case _: java.nio.file.DirectoryNotEmptyException => false
     }
 
-  /** Swap CURRENT to `version` — atomic, and refuses to regress: a
-    * writer that stalled past a rival's commit fails loudly here
-    * instead of rolling the live version back (its published dir stays
-    * on disk as an uncommitted orphan for vacuum).
+  /** Reap stale `.staging-*` dirs (writer died mid-stage), called from
+    * the stores' vacuum. Staleness is judged by the NEWEST mtime in
+    * the staging TREE, not the root dir's own mtime — a live
+    * corpus-scale parquet write touches the root only when its
+    * top-level children appear, but it creates part files continuously,
+    * so the deep-walk maximum stays fresh for as long as the writer is
+    * alive. On top of the caller's cutoff a quiescence floor of
+    * [[StagingQuiescenceMs]] always applies, so an aggressive
+    * `vacuum(0)` cannot reap a writer that is merely between two
+    * filesystem operations.
     */
-  def commitCurrent(root: Path, version: Long): Unit = {
-    currentVersion(root).filter(_ > version).foreach { cur =>
-      throw new IllegalStateException(
-        s"CURRENT at $root advanced to v$cur during this commit of v$version — " +
-          "a rival committed first; rerun against the new state")
-    }
-    val tmpPtr = Files.createTempFile(root, ".tmp-current", "")
-    Files.writeString(tmpPtr, s"v$version")
-    Files.move(tmpPtr, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Wait (bounded) for CURRENT to reach any FRESH complete version dir
-    * above it — a rival between its slot claim and pointer swap. Stale
-    * ones (older than `graceMs`) are crashed uncommitted writers:
-    * skipped immediately, no wait. Throws if a fresh rival never swaps
-    * (crashed inside the window) — loud, like the table store's
-    * "writer crashed mid-commit" path — rather than dropping a commit
-    * a client may have been told succeeded.
-    */
-  private def awaitFreshRivals(root: Path, manifestName: String,
-                               timeoutMs: Long = 5000L, graceMs: Long = 60000L): Unit = {
-    val now = System.currentTimeMillis()
-    val cur = currentVersion(root).getOrElse(-1L)
-    val fresh = listVersions(root).filter { v =>
-      val dir = root.resolve(s"v$v")
-      v > cur && Files.exists(dir.resolve(manifestName)) &&
-        now - Files.getLastModifiedTime(dir).toMillis < graceMs
-    }
-    if (fresh.isEmpty) return
-    val top = fresh.max
-    val deadline = now + timeoutMs
-    while (currentVersion(root).getOrElse(-1L) < top) {
-      if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(
-          s"v$top at $root is published but CURRENT never advanced " +
-            "(writer crashed mid-commit?); retry after its grace period — " +
-            "vacuum reaps it once stale")
-      Thread.sleep(25)
-    }
-  }
-
-  /** Crash residue reaping, called from the stores' vacuum: stale
-    * `.staging-*` dirs (writer died mid-stage) and stale UNCOMMITTED
-    * version dirs above CURRENT (writer died between slot claim and
-    * pointer swap — complete on disk but never committed, so their
-    * client never saw success and no later manifest can reference
-    * them). Returns how many version dirs were reaped.
-    */
-  def reapCrashResidue(root: Path, manifestName: String, cutoffMs: Long): Int = {
+  def reapStaleStaging(root: Path, cutoffMs: Long): Unit = {
+    val floor = System.currentTimeMillis() - StagingQuiescenceMs
+    val cutoff = math.min(cutoffMs, floor)
     val s = Files.list(root)
     try s.iterator().asScala
       .filter(_.getFileName.toString.startsWith(".staging-"))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+      .filter(p => newestMtime(p) < cutoff)
       .foreach(p => graft.Fs.deleteTree(p, swallow = true))
     finally s.close()
-    val cur = currentVersion(root).getOrElse(-1L)
-    val orphans = listVersions(root).filter { v =>
-      v > cur && Files.getLastModifiedTime(root.resolve(s"v$v")).toMillis < cutoffMs
-    }
-    orphans.foreach(v => graft.Fs.deleteTree(root.resolve(s"v$v"), swallow = true))
-    orphans.size
+  }
+
+  /** A staging dir is only reaped once NOTHING in it has been written
+    * for this long, whatever retention the caller asked for.
+    */
+  val StagingQuiescenceMs: Long = 600000L
+
+  private def newestMtime(p: Path): Long = {
+    val s = Files.walk(p)
+    try s.iterator().asScala
+      .map(f => Files.getLastModifiedTime(f).toMillis)
+      .foldLeft(Long.MinValue)(math.max)
+    finally s.close()
   }
 }

@@ -206,10 +206,22 @@ object StreamingIngest {
     * re-run is a no-op), (2) probes the SURVIVING rows against history
     * ([[graft.operators.MinHashIndex.neardupe]] — batch-only signing,
     * band-join against stored postings) and drops near-dup hits, then
-    * (3) appends the survivors' signatures as an incremental index
-    * version and hands the surviving rows to `writeBatch`. History is
-    * never re-signed; each trigger pays batch cost — the near-dup form
-    * of [[dedupeDocsByDigest]] with no watermark horizon (the index IS
+    * (3) hands the surviving rows to `writeBatch` and ONLY THEN
+    * appends their signatures as an incremental index version. That
+    * order is load-bearing for at-least-once delivery: were the append
+    * first, a crash between append and sink would leave the rows
+    * indexed, so the restart's redelivery anti-join would drop them
+    * before `writeBatch` ever saw them — indexed but lost from the
+    * sink forever. Sink-first means a crash between the two re-runs
+    * the whole trigger on restart (ids not yet indexed), re-invoking
+    * `writeBatch` on the same rows — the standard foreachBatch
+    * contract (`writeBatch` must be idempotent per batch, as
+    * [[ingestToStore]]'s sink is). The survivors frame is materialized
+    * once ([[graft.Materialize]]) so the isEmpty probe, the sink write
+    * and the append sign one computed batch instead of re-running the
+    * corpus-side anti-joins three times. History is never re-signed;
+    * each trigger pays batch cost — the near-dup form of
+    * [[dedupeDocsByDigest]] with no watermark horizon (the index IS
     * the forever state) and the maintenance shape of [[annIngest]].
     * Empty micro-batches commit nothing.
     */
@@ -220,15 +232,20 @@ object StreamingIngest {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val fresh = batch.dropDuplicates(idCol)
-          .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        // materialized: feeds the neardupe probe AND the survivors
+        // anti-join — one corpus-side sigs scan, not two
+        val fresh = graft.Materialize.checkpoint(batch.dropDuplicates(idCol)
+          .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti"))
         val hits = index.neardupe(fresh, minEstJaccard,
             textCol = textCol, idCol = idCol)
           .select(col("batch_id").as(idCol)).distinct()
-        val survivors = fresh.join(hits, Seq(idCol), "left_anti")
+        // materialized: consumed by isEmpty, the sink AND the append
+        val survivors = graft.Materialize.checkpoint(
+          fresh.join(hits, Seq(idCol), "left_anti"))
         if (!survivors.isEmpty) {
+          writeBatch(survivors) // sink first — see the ordering note above
           index.append(survivors, textCol, idCol)
-          writeBatch(survivors)
+          ()
         }
       }
     }

@@ -84,16 +84,27 @@ object ScaleFixtures {
       .repartition(col("event_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    // ---- the rest: verbatim file copies (parquet dirs or single files)
+    // ---- the rest: verbatim copies (parquet dirs or single files);
+    // a Spark-written table is a DIRECTORY named *.parquet, so the
+    // copy must walk — a flat Files.copy would land an empty dir and
+    // every query over it would silently run on zero rows
     val scaled = Set("documents.parquet", "events.parquet")
     val src = java.nio.file.Paths.get(srcDir)
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(from)
+      try w.iterator().forEachRemaining { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally w.close()
+    }
     val s = java.nio.file.Files.list(src)
     try s.iterator().forEachRemaining { p =>
       val name = p.getFileName.toString
       if (!scaled.contains(name) && name.endsWith(".parquet"))
-        java.nio.file.Files.copy(p,
-          java.nio.file.Paths.get(outDir).resolve(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        copyTree(p, java.nio.file.Paths.get(outDir).resolve(name))
     } finally s.close()
 
     println(s"[scale-fixtures] wrote $outDir at ${factor}x " +

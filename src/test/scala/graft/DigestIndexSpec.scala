@@ -89,6 +89,30 @@ class DigestIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("v99") && e.getMessage.contains("manifest"))
   }
 
+  test("a leftover staging dir is invisible to readers and spared by vacuum until quiescent") {
+    val path = Files.createTempDirectory("graft-digest-stag")
+    val idx = new DigestIndex(spark, path.toString)
+    idx.write(docs(0L -> "aa"))
+    // crash residue: a writer died mid-stage (or is still writing)
+    val staging = Files.createTempDirectory(path, ".staging-")
+    Files.writeString(staging.resolve("part-0"), "half-written")
+    // invisible to reads and version listings
+    assert(idx.currentVersion.contains(0L))
+    assert(idx.versions == Seq(0L))
+    assert(idx.dedupe(docs(1L -> "aa")).count() == 0L)
+    // an aggressive vacuum(0) must NOT reap it — the writer may be
+    // live between two filesystem ops (quiescence floor)
+    idx.vacuum(0)
+    assert(Files.exists(staging))
+    // once every file in the tree has been quiet past the floor, it goes
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - graft.operators.Versioned.StagingQuiescenceMs - 60000)
+    Seq(staging, staging.resolve("part-0"))
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    idx.vacuum(0)
+    assert(Files.notExists(staging))
+  }
+
   test("append before write fails loudly; rival version dirs are stepped past, not clobbered") {
     val path = Files.createTempDirectory("graft-digest2").toString
     val idx = new DigestIndex(spark, path)
