@@ -103,6 +103,31 @@ object SparkEntry {
       new graft.operators.DigestIndex(s, p)
     }
 
+  /** Digest index WITH a takedown (x_dedup_delete's history side):
+    * doc_id < 250 indexed, then doc_id < 50 tombstoned — separate from
+    * [[digestIndexFor]]'s index so the delete never leaks into
+    * x_dedup_incremental's oracle.
+    */
+  private val digestDeleteIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    digestDeleteIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def digestDeleteIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
+    digestDeleteIndexPaths.synchronized {
+      val p = digestDeleteIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-digest-del-idx").toString
+        val idx = new graft.operators.DigestIndex(s, tmp)
+        idx.write(Tables.documents(s, dir).filter(col("doc_id") < 250))
+        idx.delete(Tables.documents(s, dir).filter(col("doc_id") < 50))
+        tmp
+      })
+      new graft.operators.DigestIndex(s, p)
+    }
+
   /** MinHash index per sf dir (x_dedup_incremental_neardup's history
     * side): built ONCE per JVM over doc_id < 250, probed by every pass
     * — history is signed once; each probe signs only its batch.
@@ -498,6 +523,19 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 100000L))
       digestIndexFor(s, dir).dedupe(batch)
+        .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- dedup: TAKEDOWN — the index of doc_id < 250 with doc_id < 50
+    // tombstoned ([[graft.operators.DigestIndex.delete]]); re-crawls of
+    // the deleted docs are ADMITTED again while re-crawls of the
+    // still-indexed docs keep dropping — the right-to-be-forgotten path
+    // a training-data pipeline needs next to ingest dedup
+    "x_dedup_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+      digestDeleteIndexFor(s, dir).dedupe(batch)
         .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
         .orderBy(col("doc_id"))
     }),
@@ -1783,6 +1821,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents p
         |  WHERE p.doc_id < 250 AND sha256(p.text) = sha256(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
+    // takedown semantics are a true set-minus (indexed MINUS tombstoned),
+    // not a doc_id-range complement — robust even if a deleted text also
+    // appeared under a still-indexed doc_id
+    "x_dedup_delete" ->
+      """WITH indexed AS (
+        |  SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 250),
+        |tomb AS (
+        |  SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 50),
+        |eff AS (
+        |  SELECT digest FROM indexed WHERE digest NOT IN (SELECT digest FROM tomb)),
+        |batch AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 100)
+        |SELECT b.doc_id, sha256(b.text) AS digest
+        |FROM batch b
+        |WHERE sha256(b.text) NOT IN (SELECT digest FROM eff)
         |ORDER BY b.doc_id""".stripMargin,
     // concat-and-chunk packing: global token offsets via a window
     // cumsum (the oracle's corpus is small; the Spark side computes the

@@ -19,8 +19,10 @@ import java.nio.file.{Files, Path, Paths}
   * torn version dirs cannot exist. [[append]] stores ONLY
   * digests not already indexed (delta-sized files; manifest reuses
   * every prior directory), so daily ingest pays batch-scale writes
-  * against corpus-scale history. Rows are 32-byte sha-256 digests —
-  * text never enters the index.
+  * against corpus-scale history; [[delete]] appends batch-scale
+  * tombstones (the takedown path — removed content re-admits on
+  * re-crawl) that [[compact]] folds away physically. Rows are 32-byte
+  * sha-256 digests — text never enters the index.
   */
 final class DigestIndex(spark: SparkSession, pathStr: String) {
 
@@ -65,12 +67,48 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
     }
   }
 
-  /** All indexed digests (the union of the version's directories). */
+  /** The effective indexed digest set. Manifest order is event order:
+    * add directories fold as unions, tombstone directories
+    * ([[delete]]) as subtractions, so a delete-then-reingest chain
+    * replays correctly — a single global subtract would wrongly drop
+    * the re-add that came AFTER the tombstone.
+    */
   def digests(version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no digest index committed at $root"))
-    manifestDirs(v).map(d => spark.read.parquet(root.resolve(d).toString))
-      .reduce(_ unionByName _)
+    manifestDirs(v).foldLeft(Option.empty[DataFrame]) { (acc, d) =>
+      val df = spark.read.parquet(root.resolve(d).toString)
+      acc match {
+        case None => Some(df) // first entry is always a digests dir (write)
+        case Some(a) if d.endsWith("/tombstones") =>
+          Some(a.join(df, Seq("digest"), "left_anti"))
+        case Some(a) => Some(a.unionByName(df))
+      }
+    }.getOrElse(
+      throw new IllegalStateException(s"v$v manifest at $root lists no directories"))
+  }
+
+  /** Remove `docs`' content digests from the index — the takedown
+    * path: a re-crawl of removed content is ADMITTED by [[dedupe]]
+    * again. Commits a version whose manifest = the base's chain + a
+    * batch-scale tombstone directory (only digests actually present
+    * are stored — the semi-join keeps the delta tight); nothing is
+    * rewritten until [[compact]], which folds the chain through the
+    * tombstones and drops them physically. Returns the committed
+    * version.
+    */
+  def delete(docs: DataFrame, textCol: String = "text"): Long = synchronized {
+    requireCommitted()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no digest index committed at $root"))
+      digestsOf(docs, textCol)
+        .join(digests(Some(base)), Seq("digest"), "left_semi")
+        .repartition(col("digest")).sortWithinPartitions(col("digest"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("tombstones").toString)
+      Files.writeString(staging.resolve("manifest.txt"),
+        (manifestDirs(base) :+ s"v$slot/tombstones").mkString("", "\n", "\n"))
+    }
   }
 
   /** Rows of `batch` whose content digest is NOT in the index —
@@ -125,8 +163,9 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
       val dir = root.resolve(s"v$v")
       if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
         val probeable = Files.exists(dir.resolve("manifest.txt"))
-        if (!live.contains(s"v$v/digests"))
-          graft.Fs.deleteTree(dir.resolve("digests"))
+        Seq("digests", "tombstones")
+          .filterNot(c => live.contains(s"v$v/$c"))
+          .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
         Files.deleteIfExists(dir.resolve("manifest.txt"))
         val children = Files.list(dir)
         val empty = try !children.iterator().hasNext finally children.close()

@@ -21,6 +21,7 @@ import scala.collection.concurrent.TrieMap
   * path/
   *   v<N>/sigs/        (id, sig: array<long>[k])      id-sorted
   *   v<N>/postings/    (band, band_hash, id)          hash-clustered
+  *   v<N>/tombstones/  (id)                           deletes only
   *   v<N>/params.json  {"n":…,"k":…,"bands":…}        pinned at write
   *   v<N>/manifest.txt root-relative dirs composing the version
   * ```
@@ -106,19 +107,57 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("postings").toString)
   }
 
-  /** All indexed (id, sig) rows — also the indexed-id set an ingest
-    * uses for redelivery idempotence.
+  /** All effective (id, sig) rows — also the indexed-id set an ingest
+    * uses for redelivery idempotence. Manifest order is event order:
+    * sig directories fold as unions, tombstone directories
+    * ([[delete]]) as id-subtractions, so delete-then-reingest replays
+    * correctly (a global subtract would wrongly drop the re-add).
     */
-  def sigs(version: Option[Long] = None): DataFrame = {
-    val st = state(version.getOrElse(pinVersion()))
-    st.sigDirs.map(d => spark.read.parquet(root.resolve(d).toString))
-      .reduce(_ unionByName _)
-  }
+  def sigs(version: Option[Long] = None): DataFrame =
+    foldDirs(state(version.getOrElse(pinVersion())), _.endsWith("/sigs"))
 
-  private def postings(version: Long): DataFrame = {
-    val st = state(version)
-    st.postingDirs.map(d => spark.read.parquet(root.resolve(d).toString))
-      .reduce(_ unionByName _)
+  private def postings(version: Long): DataFrame =
+    foldDirs(state(version), _.endsWith("/postings"))
+
+  /** Replay one component's manifest chain: `keep` dirs union in
+    * order; tombstone dirs anti-join on `id` (both sigs and postings
+    * carry the doc id).
+    */
+  private def foldDirs(st: VersionState, keep: String => Boolean): DataFrame =
+    st.manifest.filter(d => keep(d) || d.endsWith("/tombstones"))
+      .foldLeft(Option.empty[DataFrame]) { (acc, d) =>
+        val df = spark.read.parquet(root.resolve(d).toString)
+        acc match {
+          case None => Some(df) // first entry is always a data dir (write)
+          case Some(a) if d.endsWith("/tombstones") =>
+            Some(a.join(df.select(col("id")), Seq("id"), "left_anti"))
+          case Some(a) => Some(a.unionByName(df))
+        }
+      }.getOrElse(throw new IllegalStateException(
+        s"manifest at $root lists no data directories"))
+
+  /** Remove ids from the index — the takedown path: deleted documents
+    * stop appearing as near-dup hits, and a later [[append]] of the
+    * same id indexes it afresh. Commits a version whose manifest = the
+    * base's chain + a batch-scale id tombstone directory (semi-joined
+    * so only ids actually indexed are stored); [[compact]] folds the
+    * chain through the tombstones and drops them physically. Returns
+    * the committed version.
+    */
+  def delete(ids: DataFrame, idCol: String = "doc_id"): Long = synchronized {
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no minhash index committed at $root"))
+      val st = state(base)
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .join(sigs(Some(base)).select(col("id")), Seq("id"), "left_semi")
+        .repartition(col("id")).sortWithinPartitions(col("id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("tombstones").toString)
+      Files.writeString(staging.resolve("params.json"), st.params.toJson)
+      Files.writeString(staging.resolve("manifest.txt"),
+        (st.manifest :+ s"v$slot/tombstones").mkString("", "\n", "\n"))
+    }
   }
 
   /** Near-duplicate candidates of `batch` AGAINST THE INDEX:
@@ -228,7 +267,7 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
       val dir = root.resolve(s"v$v")
       if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
         val probeable = Files.exists(dir.resolve("manifest.txt"))
-        Seq("sigs", "postings")
+        Seq("sigs", "postings", "tombstones")
           .filterNot(c => live.contains(s"v$v/$c"))
           .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
         Files.deleteIfExists(dir.resolve("manifest.txt"))
@@ -244,11 +283,8 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     removed
   }
 
-  /** Per-version pinned state: params + manifest split by component. */
-  private final case class VersionState(params: Params, manifest: Seq[String]) {
-    def sigDirs: Seq[String] = manifest.filter(_.endsWith("/sigs"))
-    def postingDirs: Seq[String] = manifest.filter(_.endsWith("/postings"))
-  }
+  /** Per-version pinned state: params + the ordered manifest chain. */
+  private final case class VersionState(params: Params, manifest: Seq[String])
 
   private val stateCache = TrieMap.empty[Long, VersionState]
 

@@ -89,6 +89,33 @@ class DigestIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("v99") && e.getMessage.contains("manifest"))
   }
 
+  test("delete tombstones digests: re-crawls admit again; the chain replays in order; compact folds physically") {
+    val path = Files.createTempDirectory("graft-digest-del").toString
+    val idx = new DigestIndex(spark, path)
+    idx.write(docs(0L -> "aa", 1L -> "bb"))
+    assert(idx.dedupe(docs(10L -> "aa")).count() == 0L)
+    // takedown "aa": its re-crawl is admitted again, "bb" still drops
+    idx.delete(docs(100L -> "aa"))
+    assert(idx.dedupe(docs(10L -> "aa", 11L -> "bb"))
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // deleting never-indexed content stores nothing (semi-join delta)
+    val vz = idx.delete(docs(101L -> "zz"))
+    assert(spark.read.parquet(s"$path/v$vz/tombstones").count() == 0L)
+    // re-ingest AFTER the delete: manifest order replays, "aa" drops
+    // again (a global subtract would wrongly keep admitting it)
+    idx.append(docs(20L -> "aa"))
+    assert(idx.dedupe(docs(12L -> "aa")).count() == 0L)
+    // compact folds the tombstones away physically; effective set is
+    // exactly {aa, bb}; a fresh session agrees
+    val v = idx.compact()
+    idx.vacuum(0)
+    assert(idx.versions == Seq(v))
+    assert(spark.read.parquet(s"$path/v$v/digests").count() == 2L)
+    val fresh = new DigestIndex(spark.newSession(), path)
+    assert(fresh.dedupe(docs(13L -> "aa", 14L -> "cc"))
+      .collect().map(_.getLong(0)).toSeq == Seq(14L))
+  }
+
   test("a leftover staging dir is invisible to readers and spared by vacuum until quiescent") {
     val path = Files.createTempDirectory("graft-digest-stag")
     val idx = new DigestIndex(spark, path.toString)

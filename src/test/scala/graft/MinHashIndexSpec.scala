@@ -94,6 +94,33 @@ class MinHashIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/v2/sigs").head().getSeq[Long](1).length == 32)
   }
 
+  test("delete removes ids from probes; re-append re-indexes; probe-equal to a rebuild without them") {
+    val p = Files.createTempDirectory("graft-mh6").toString
+    val idx = new MinHashIndex(spark, p)
+    val a1 = 1L -> A.replace("upsilon", "phi")
+    idx.write(base.unionByName(mk(a1)))
+    // a probe ≈ A hits both indexed variants
+    assert(pairs(idx.neardupe(mk(5L -> A))).map(_._2).toSet == Set(0L, 1L))
+    // takedown doc 0: it stops hitting, doc 1 still does
+    idx.delete(Seq(0L).toDF("doc_id"))
+    val afterDel = pairs(idx.neardupe(mk(5L -> A)))
+    assert(afterDel.map(_._2) == Seq(1L))
+    // probe-equal to an index that never contained doc 0 (fresh session)
+    val p2 = Files.createTempDirectory("graft-mh7").toString
+    new MinHashIndex(spark, p2).write(mk(a1, 10L -> B, 20L -> C))
+    assert(pairs(new MinHashIndex(spark.newSession(), p2)
+      .neardupe(mk(5L -> A))) == afterDel)
+    // re-append doc 0: the chain replays in order, it hits again
+    idx.append(mk(0L -> A))
+    assert(pairs(idx.neardupe(mk(5L -> A))).map(_._2).toSet == Set(0L, 1L))
+    // compact folds tombstones physically; fresh-session probes agree
+    val v = idx.compact()
+    idx.vacuum(0)
+    assert(idx.versions == Seq(v))
+    val folded = pairs(new MinHashIndex(spark.newSession(), p).neardupe(mk(5L -> A)))
+    assert(folded.map(_._2).toSet == Set(0L, 1L))
+  }
+
   test("neardupe before write fails loudly; same-id rows are redeliveries, not near-dups") {
     val p = Files.createTempDirectory("graft-mh5").toString
     val idx = new MinHashIndex(spark, p)
