@@ -41,7 +41,8 @@ object Explain {
       "x_sample_weighted", "x_pack_apply", "x_epoch_shuffle",
       "x_corpus_report", "x_decontaminate_by_source",
       "x_group_percentiles_approx", "x_dedup_incremental_neardup",
-      "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete")
+      "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
+      "x_corpus_stats_incremental")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

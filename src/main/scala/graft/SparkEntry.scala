@@ -128,6 +128,30 @@ object SparkEntry {
       new graft.operators.DigestIndex(s, p)
     }
 
+  /** Stats index per sf dir (x_corpus_stats_* history side): doc_id <
+    * 250 aggregated once per JVM, the rest appended — the report
+    * merges batch partials, never re-scanning the corpus.
+    */
+  private val statsIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    statsIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def statsIndexFor(s: SparkSession, dir: String): graft.operators.StatsIndex =
+    statsIndexPaths.synchronized {
+      val p = statsIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stats-idx").toString
+        val idx = new graft.operators.StatsIndex(s, tmp)
+        idx.write(Tables.documents(s, dir).filter(col("doc_id") < 250))
+        idx.append(Tables.documents(s, dir).filter(col("doc_id") >= 250))
+        tmp
+      })
+      new graft.operators.StatsIndex(s, p)
+    }
+
   /** MinHash index per sf dir (x_dedup_incremental_neardup's history
     * side): built ONCE per JVM over doc_id < 250, probed by every pass
     * — history is signed once; each probe signs only its batch.
@@ -973,6 +997,21 @@ object SparkEntry {
           round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy(col("source"))),
+    // ---- incremental corpus stats: the data card maintained at BATCH
+    // cost — per-source partials committed per ingest
+    // ([[graft.operators.StatsIndex]]), merged at report time. The
+    // oracle full-scans the same corpus: incremental == one-shot is
+    // exactly the law being checked. Exact columns only here; the HLL
+    // distinct estimates ride the rows-only card below
+    "x_corpus_stats_incremental" -> ((s, dir) =>
+      statsIndexFor(s, dir).report()
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("avg_doc_tokens"))
+        .orderBy(col("source"))),
+    // the full card incl. HLL distinct-digest/vocabulary estimates
+    // (sketch estimates are engine-specific => rows-only; the
+    // write+append == one-shot estimate law is StatsIndexSpec's)
+    "x_corpus_stats_card" -> ((s, dir) => statsIndexFor(s, dir).report()),
     // ---- deterministic epoch shuffling: the first 20 docs of each of
     // 3 training epochs — a different replayable permutation per epoch
     // (restart-safe training order, no shuffle-seed state). Per-epoch
@@ -1869,6 +1908,13 @@ object SparkEntry {
         |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
         |  round(avg(${qualitySqlExpr("text")}), 4) AS avg_quality,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_corpus_stats_incremental" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS DOUBLE)
+        |        / count(*), 4) AS avg_doc_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_epoch_shuffle" ->
       """WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents),

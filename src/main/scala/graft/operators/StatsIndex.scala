@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** Durable incremental corpus statistics: the per-source data card
+  * ([[graft.SparkEntry]]'s `x_corpus_report` computes it with a full
+  * corpus scan) maintained at BATCH cost — each ingested batch commits
+  * one directory of per-source partial rows, and the report merges
+  * partials across the chain. The merge is exact for the additive
+  * columns (doc/token/char counts — plain sums) and sketch-exact for
+  * the distinct columns: Datasketches HLL unions are register-wise, so
+  * `write(b1); append(b2)` reports the SAME estimates as a one-shot
+  * build over `b1 ∪ b2` (spec-pinned). At 100 TB with daily ingest,
+  * this is the difference between a data card that costs a corpus scan
+  * per refresh and one that costs the day's batch.
+  *
+  * Commit protocol: [[Versioned]] (staged-complete version dirs, the
+  * atomic slot rename is the commit). Layout:
+  *
+  * ```
+  * path/
+  *   v<N>/stats/       one row per source in the BATCH:
+  *                     (source, n_docs, n_tokens, n_chars,
+  *                      digest_hll binary, token_hll binary)
+  *   v<N>/manifest.txt root-relative dirs composing the version
+  * ```
+  *
+  * The sketches summarize distinct CONTENT DIGESTS (dedup-aware corpus
+  * volume) and distinct whitespace tokens (vocabulary) per source.
+  * Rows are bounded by |sources| per version — the only corpus-scale
+  * work ever done is the batch's own aggregation. [[compact]] merges
+  * the chain into one directory (a |sources|-row aggregation, not a
+  * corpus re-scan).
+  */
+final class StatsIndex(spark: SparkSession, pathStr: String) {
+
+  private val root: Path = Paths.get(pathStr)
+  Files.createDirectories(root)
+
+  def versions: Seq[Long] = Versioned.listVersions(root)
+
+  def currentVersion: Option[Long] = Versioned.currentVersion(root, "manifest.txt")
+
+  /** Per-source partial rows for one batch. lgK pins the sketch
+    * precision for the whole chain (unions require compatible
+    * configs — same contract as MinHashIndex's pinned params). Two
+    * aggregation grains — doc-level counts+digest sketch, token-level
+    * vocabulary sketch — joined on source; both passes are over the
+    * BATCH only.
+    */
+  private def partials(docs: DataFrame, textCol: String, sourceCol: String,
+                       lgK: Int): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"),
+      col(textCol).as("__text"), split(col(textCol), " ").as("__toks"))
+    val docAgg = base
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks"))).as("n_tokens"),
+        sum(length(col("__text"))).as("n_chars"),
+        hll_sketch_agg(sha2(col("__text"), 256), lgK).as("digest_hll"))
+    val tokAgg = base
+      .select(col("source"), explode(col("__toks")).as("__tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("__tok"), lgK).as("token_hll"))
+    docAgg.join(tokAgg, Seq("source"))
+  }
+
+  /** Commit `docs`' per-source partials as the first version (or a
+    * full rebuild). Returns the committed version.
+    */
+  def write(docs: DataFrame, textCol: String = "text",
+            sourceCol: String = "source", lgK: Int = 12): Long = synchronized {
+    Versioned.commitWithRetry(root, "manifest.txt") { (_, slot, staging) =>
+      stage(docs, textCol, sourceCol, lgK, slot, staging, chain = Seq.empty)
+    }
+  }
+
+  /** Commit a new batch's partials incrementally: the batch is
+    * aggregated (batch-scale), history is never re-read. Returns the
+    * committed version.
+    */
+  def append(docs: DataFrame, textCol: String = "text",
+             sourceCol: String = "source"): Long = synchronized {
+    requireCommitted()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no stats index committed at $root"))
+      stage(docs, textCol, sourceCol, lgKOf(base), slot, staging,
+        chain = manifestDirs(base))
+    }
+  }
+
+  private def stage(docs: DataFrame, textCol: String, sourceCol: String,
+                    lgK: Int, slot: Long, staging: Path,
+                    chain: Seq[String]): Unit = {
+    partials(docs, textCol, sourceCol, lgK)
+      .repartition(1) // |sources| rows — one file, not 32 near-empty ones
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("stats").toString)
+    Files.writeString(staging.resolve("lgk.txt"), s"$lgK\n")
+    Files.writeString(staging.resolve("manifest.txt"),
+      (chain :+ s"v$slot/stats").mkString("", "\n", "\n"))
+  }
+
+  /** The merged per-source data card across every batch in the chain:
+    * exact additive counts, mean doc length, and HLL estimates of
+    * distinct content digests (dedup-aware volume) and distinct
+    * tokens (vocabulary). The input is Σ|sources per batch| rows —
+    * never the corpus.
+    */
+  def report(version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no stats index committed at $root"))
+    manifestDirs(v).map(d => spark.read.parquet(root.resolve(d).toString))
+      .reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        hll_sketch_estimate(hll_union_agg(col("digest_hll")))
+          .as("distinct_docs_est"),
+        hll_sketch_estimate(hll_union_agg(col("token_hll")))
+          .as("distinct_tokens_est"))
+      .withColumn("avg_doc_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** Fold the append chain into ONE stats directory — a
+    * Σ|sources|-row merge (sums + sketch unions), never a corpus
+    * re-scan. Sketch unions are register-wise, so reports against the
+    * compacted version are identical. Returns the committed version.
+    */
+  def compact(): Long = synchronized {
+    requireCommitted()
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no stats index committed at $root"))
+      manifestDirs(base).map(d => spark.read.parquet(root.resolve(d).toString))
+        .reduce(_ unionByName _)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          hll_union_agg(col("digest_hll")).as("digest_hll"),
+          hll_union_agg(col("token_hll")).as("token_hll"))
+        .repartition(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("stats").toString)
+      Files.writeString(staging.resolve("lgk.txt"), s"${lgKOf(base)}\n")
+      Files.writeString(staging.resolve("manifest.txt"), s"v$slot/stats\n")
+    }
+  }
+
+  /** Reclaim superseded versions older than `retentionMs` (never a
+    * directory the live manifest references) plus stale staging dirs —
+    * the [[DigestIndex.vacuum]] contract. Returns versions made
+    * unprobeable.
+    */
+  def vacuum(retentionMs: Long = 3600000L): Int = synchronized {
+    require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val cur = currentVersion.getOrElse(-1L)
+    val live: Set[String] = if (cur < 0) Set.empty else manifestDirs(cur).toSet
+    var removed = 0
+    versions.filter(_ < cur).foreach { v =>
+      val dir = root.resolve(s"v$v")
+      if (Files.getLastModifiedTime(dir).toMillis < cutoff) {
+        val probeable = Files.exists(dir.resolve("manifest.txt"))
+        if (!live.contains(s"v$v/stats"))
+          graft.Fs.deleteTree(dir.resolve("stats"))
+        Files.deleteIfExists(dir.resolve("manifest.txt"))
+        Files.deleteIfExists(dir.resolve("lgk.txt"))
+        val children = Files.list(dir)
+        val empty = try !children.iterator().hasNext finally children.close()
+        if (empty) Files.delete(dir)
+        if (probeable) removed += 1
+      }
+    }
+    Versioned.reapStaleStaging(root, cutoff)
+    removed
+  }
+
+  private def requireCommitted(): Unit =
+    if (currentVersion.isEmpty)
+      throw new IllegalStateException(s"no stats index committed at $root")
+
+  private def lgKOf(version: Long): Int = {
+    val f = root.resolve(s"v$version").resolve("lgk.txt")
+    if (!Files.exists(f))
+      throw new IllegalStateException(
+        s"v$version at $root has no lgk.txt — not a probeable version")
+    Files.readString(f).trim.toInt
+  }
+
+  private def manifestDirs(version: Long): Seq[String] = {
+    val mf = root.resolve(s"v$version").resolve("manifest.txt")
+    if (!Files.exists(mf))
+      throw new IllegalStateException(
+        s"v$version at $root has no manifest.txt — not a probeable version " +
+          "(vacuumed, foreign, or never committed)")
+    Files.readString(mf).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}

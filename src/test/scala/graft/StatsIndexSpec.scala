@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.StatsIndex
+import java.nio.file.Files
+
+/** The incremental data card: per-source counts + HLL distinct
+  * sketches maintained at batch cost. The bar mirrors the other index
+  * stores': write+append must report IDENTICALLY to a one-shot build
+  * over the union, from a fresh session — exact for the additive
+  * columns, register-wise-exact for the sketch unions.
+  */
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  private val b1 = docs(
+    (0L, "web", "alpha beta gamma delta"),
+    (1L, "web", "alpha beta gamma delta"), // exact dup of 0
+    (2L, "web", "epsilon zeta"),
+    (3L, "books", "one two three four five six"))
+  private val b2 = docs(
+    (4L, "web", "eta theta iota"),
+    (5L, "books", "one two three four five six"), // dup of 3
+    (6L, "wiki", "seven eight"))
+
+  private def rows(ix: StatsIndex) = ix.report().collect().toSeq
+
+  test("write+append reports identically to a one-shot build over the union; estimates exact at this scale") {
+    val p1 = Files.createTempDirectory("graft-stats1").toString
+    val inc = new StatsIndex(spark, p1)
+    assert(inc.write(b1) == 0L)
+    assert(inc.append(b2) == 1L)
+
+    val p2 = Files.createTempDirectory("graft-stats2").toString
+    new StatsIndex(spark, p2).write(b1.unionByName(b2))
+
+    // fresh session: everything reads from disk
+    val fresh = spark.newSession()
+    val incRows = rows(new StatsIndex(fresh, p1))
+    val oneRows = rows(new StatsIndex(fresh, p2))
+    assert(incRows == oneRows)
+
+    // the card itself: counts exact, sketch estimates exact at this
+    // cardinality (HLL stays in its exact sparse mode)
+    val web = incRows.find(_.getString(0) == "web").get
+    assert(web.getLong(1) == 4L)            // n_docs
+    assert(web.getLong(2) == 4 + 4 + 2 + 3) // n_tokens
+    assert(web.getLong(4) == 3L)            // distinct_docs_est (0==1)
+    assert(web.getLong(5) == 9L)            // distinct tokens: 6 + 3 new
+    val books = incRows.find(_.getString(0) == "books").get
+    assert(books.getLong(1) == 2L && books.getLong(4) == 1L) // 5 dups 3
+  }
+
+  test("compact merges the chain to one |sources|-row dir; report identical; vacuum reaps") {
+    val p = Files.createTempDirectory("graft-stats3").toString
+    val ix = new StatsIndex(spark, p)
+    ix.write(b1)
+    ix.append(b2)
+    val before = rows(ix)
+    val v = ix.compact()
+    assert(rows(new StatsIndex(spark.newSession(), p)) == before)
+    ix.vacuum(0)
+    assert(ix.versions == Seq(v))
+    // the compacted dir holds one row per source, not per (source, batch)
+    assert(spark.read.parquet(s"$p/v$v/stats").count() == 3L)
+  }
+
+  test("append before write fails loudly") {
+    val p = Files.createTempDirectory("graft-stats4").toString
+    intercept[IllegalStateException](new StatsIndex(spark, p).append(b1))
+  }
+}
