@@ -22,6 +22,7 @@ import scala.jdk.CollectionConverters._
   *   v<N>/lsh/tbl=<t>/    (bucket, vec_id)      sorted by bucket
   *   v<N>/ivf_centroids/  (cent_id, cv)         tiny (nlist rows)
   *   v<N>/ivf/            (cent_id, vec_id)     sorted by cent_id
+  *   v<N>/tombstones/     (vec_id)              deletes only, kept current
   *   v<N>/params.json     LSH/IVF parameters the index was built with
   *   v<N>/manifest.json   root-relative data dirs composing the version
   * ```
@@ -166,6 +167,38 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     }
   }
 
+  /** Remove ids from the index — the takedown path, completing the
+    * [[DigestIndex.delete]]/[[MinHashIndex.delete]] story for
+    * embeddings: deleted vectors stop appearing in probe results
+    * immediately, nothing corpus-scale is rewritten, and a later
+    * [[append]] of the same id indexes it afresh (the manifest chains
+    * replay positionally — the tombstone subtracts only from entries
+    * BEFORE it, so the re-add stays live and exactly one copy
+    * survives, preserving probeIvf's id-uniqueness contract). Commits
+    * a version whose manifest appends ONE batch-scale tombstone dir
+    * (ids semi-joined against the effective set — re-deleting an
+    * already-deleted id stores nothing) to all three component chains;
+    * [[compact]] folds the chains through the tombstones into clean
+    * data files. Returns the committed version.
+    */
+  def delete(ids: DataFrame, idCol: String = "vec_id"): Long = synchronized {
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.json") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no ANN index committed at $root"))
+      val st = state(base)
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .join(st.vectors.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("tombstones").toString)
+      writeParams(staging, st.lsh, st.ivf)
+      val t = s"v$slot/tombstones"
+      Files.writeString(staging.resolve("manifest.json"),
+        Manifest(st.manifest.vectors :+ t, st.manifest.lsh :+ t,
+          st.manifest.ivf :+ t, st.manifest.centroids).toJson)
+    }
+  }
+
   private def writeLshPostings(vectors: DataFrame, lsh: LshParams, dir: Path): Unit =
     Similarity.withBuckets(vectors, lsh.tables, lsh.planes, lsh.dim, "v")
       .select(col("tbl"), col("bucket"), col("vec_id"))
@@ -204,20 +237,32 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .getOrElse(throw new IllegalStateException(s"params.json missing $key"))
         .group(1).toInt
     val m = Manifest.read(verDir, version)
-    def abs(rel: Seq[String]): Seq[String] = rel.map(root.resolve(_).toString)
-    // the partitioned LSH dirs are read per-directory and unioned:
-    // multi-root partition discovery trips over the intermediate v<N>
-    // segments, and per-branch reads push filters down identically
-    val lshDf = abs(m.lsh).map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // component chains replay in manifest order: data dirs union,
+    // tombstone entries subtract their (takedown-sized, broadcast) id
+    // sets from everything earlier — so the probes need no tombstone
+    // awareness at all. Per-directory reads also sidestep multi-root
+    // partition discovery tripping over the intermediate v<N> segments
+    // (the partitioned LSH dirs), and push filters down identically.
+    def fold(chain: Seq[String]): DataFrame =
+      chain.foldLeft(Option.empty[DataFrame]) { (acc, d) =>
+        val df = spark.read.parquet(root.resolve(d).toString)
+        acc match {
+          case None => Some(df) // first entry is always a data dir (write)
+          case Some(a) if d.endsWith("/tombstones") =>
+            Some(a.join(broadcast(df.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+          case Some(a) => Some(a.unionByName(df))
+        }
+      }.getOrElse(throw new IllegalStateException(
+        s"v$version manifest at $root lists no data directories"))
     // centroids are tiny (nlist rows) and broadcast on every probe —
     // collect them ONCE into a LocalRelation so later probes build the
     // broadcast from driver memory with zero scan jobs
-    val centsDisk = spark.read.parquet(abs(m.centroids): _*)
+    val centsDisk = spark.read.parquet(
+      m.centroids.map(root.resolve(_).toString): _*)
     val cents = localDf(centsDisk.collect(), centsDisk.schema)
     VersionState(LshParams(num("tables"), num("planes"), num("lsh_dim")),
       IvfParams(num("nlist"), num("refine_iters"), num("ivf_dim")),
-      m, spark.read.parquet(abs(m.vectors): _*), lshDf,
-      spark.read.parquet(abs(m.ivf): _*), cents)
+      m, fold(m.vectors), fold(m.lsh), fold(m.ivf), cents)
   }
 
   /** A driver-local DataFrame (LocalRelation): joins that broadcast it
@@ -366,7 +411,7 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         // probeability would leak a corpus-scale copy forever
         val probeable = Files.exists(dir.resolve("manifest.json")) ||
           Files.exists(dir.resolve("params.json"))
-        Seq("vectors", "lsh", "ivf", "ivf_centroids")
+        Seq("vectors", "lsh", "ivf", "ivf_centroids", "tombstones")
           .filterNot(c => live.contains(s"v$v/$c"))
           .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
         Files.deleteIfExists(dir.resolve("manifest.json"))
@@ -394,6 +439,13 @@ object AnnIndexStore {
   /** The root-relative data directories composing one committed
     * version. Written at commit time; versions older than the manifest
     * format (none in practice) default to their own four dirs.
+    */
+  /** Each component list is an ORDERED chain: data dirs union in
+    * order, and a `…/tombstones` entry ([[AnnIndexStore.delete]])
+    * subtracts its ids from everything earlier — the same positional
+    * replay as the digest/minhash manifests, so delete-then-reappend
+    * resolves to exactly one live copy (a flat "subtract the set"
+    * would either resurrect the old copy or hide the new one).
     */
   private[operators] final case class Manifest(vectors: Seq[String], lsh: Seq[String],
                                                ivf: Seq[String], centroids: Seq[String]) {

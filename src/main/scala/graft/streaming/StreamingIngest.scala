@@ -199,6 +199,20 @@ object StreamingIngest {
       if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
     }
 
+  /** Streaming maintenance of a persisted [[graft.operators
+    * .StatsIndex]]: each micro-batch commits its per-source partial
+    * rows (batch-scale aggregation, |sources| stored rows), so the
+    * corpus data card trails the stream by one micro-batch without
+    * ever re-scanning history — the [[annIngest]] shape for corpus
+    * statistics. Empty micro-batches commit nothing.
+    */
+  def statsIngest(docs: DataFrame, index: graft.operators.StatsIndex,
+                  textCol: String = "text", sourceCol: String = "source")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) { index.append(batch, textCol, sourceCol); () }
+    }
+
   /** Streaming near-dup-filtered ingest against a persisted
     * [[graft.operators.MinHashIndex]]: each micro-batch (1) drops rows
     * whose id is already indexed (redelivery idempotence — the same

@@ -151,4 +151,40 @@ class AnnIndexSpec extends SparkSpec {
     val fresh = new AnnIndexStore(spark.newSession(), pathStr)
     assert(fresh.probeIvf(q, k = 3, nprobe = 4).count() > 0)
   }
+
+  test("delete purges ids from both probes; re-append un-deletes; compact folds tombstones away") {
+    val path = Files.createTempDirectory("graft-ann-del").toString
+    val store = new AnnIndexStore(spark, path)
+    val corpus = emb.filter($"vec_id" < 300)
+    store.write(corpus, LshParams(8, 4, 64), IvfParams(8, 1, 64))
+    val q = emb.filter($"vec_id" === 0)
+    val before = rows(store.probeLsh(q, k = 5))
+    // take down the probe's own top hits — the strongest absence check
+    val victims = before.map(_._3).take(2)
+    store.delete(victims.toDF("vec_id"))
+    val after = rows(store.probeLsh(q, k = 5))
+    assert(after.map(_._3).toSet.intersect(victims.toSet).isEmpty)
+    assert(rows(store.probeIvf(q, k = 5, nprobe = 8))
+      .map(_._3).toSet.intersect(victims.toSet).isEmpty)
+    // LSH probe-equal to an index that NEVER contained the victims,
+    // from a fresh session (deterministic literal-seeded hyperplanes)
+    val p2 = Files.createTempDirectory("graft-ann-del2").toString
+    new AnnIndexStore(spark, p2).write(
+      corpus.filter(!$"vec_id".isin(victims: _*)), LshParams(8, 4, 64),
+      IvfParams(8, 1, 64))
+    assert(rows(new AnnIndexStore(spark.newSession(), p2).probeLsh(q, k = 5))
+      == after)
+    // re-appending a deleted id un-deletes it: probes return to the
+    // original answer exactly (same hyperplanes, same pinned centroids)
+    store.append(corpus.filter($"vec_id".isin(victims: _*)))
+    assert(rows(store.probeLsh(q, k = 5)) == before)
+    assert(rows(store.probeIvf(q, k = 5, nprobe = 8))
+      .map(_._3).toSet.intersect(victims.toSet).nonEmpty)
+    // compact folds the (now-empty) tombstone set into clean files;
+    // fresh-session probes agree and nothing references tombstone dirs
+    store.compact()
+    store.vacuum(0)
+    assert(rows(new AnnIndexStore(spark.newSession(), path).probeLsh(q, k = 5))
+      == before)
+  }
 }

@@ -405,4 +405,30 @@ class StreamingSpec extends SparkSpec {
         Seq((2L, 6.0, 4.0), (3L, 16.0, 10.0)))
     } finally q.stop()
   }
+
+  test("statsIngest: streamed data card equals a one-shot build over everything seen") {
+    import graft.operators.StatsIndex
+    val streamed = new StatsIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft-stats-stream").toString)
+    val b0 = Seq((0L, "web", "alpha beta gamma"), (1L, "books", "one two"))
+      .toDF("doc_id", "source", "text")
+    streamed.write(b0)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.statsIngest(
+      mem.toDF().toDF("doc_id", "source", "text"), streamed).start()
+    val later = Seq((2L, "web", "alpha delta"), (3L, "wiki", "five six seven"),
+      (4L, "books", "one two")) // exact dup of 1 — distinct est unmoved
+    try {
+      mem.addData(later.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(later.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(streamed.versions == Seq(0L, 1L, 2L)) // base + one per batch
+
+    val full = new StatsIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft-stats-full").toString)
+    full.write(b0.unionByName(later.toDF("doc_id", "source", "text")))
+    assert(streamed.report().collect().toSeq == full.report().collect().toSeq)
+  }
 }
