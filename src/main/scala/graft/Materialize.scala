@@ -51,7 +51,15 @@ object Materialize {
         // object-store metadata op per materialization site, dozens per
         // connected-components run)
         val sc = spark.sparkContext
-        if (dir != lastSetDir.get(sc)) {
+        // skip the re-assert only when BOTH our memo matches AND the
+        // context still points inside our dir — foreign code calling
+        // setCheckpointDir directly would otherwise silently divert
+        // every later checkpoint (getCheckpointDir is the
+        // scheme-qualified `<dir>/<UUID>`, hence containment, not
+        // equality)
+        val already = dir == lastSetDir.get(sc) &&
+          sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/")))
+        if (!already) {
           sc.setCheckpointDir(dir)
           lastSetDir.put(sc, dir)
         }
@@ -59,6 +67,18 @@ object Materialize {
       case None => df.localCheckpoint()
     }
   }
+
+  /** Trigger-scoped materialization for UNBOUNDED streaming loops:
+    * always `localCheckpoint`, even when [[ConfKey]] is set. Reliable
+    * checkpoint files are not reference-cleaned by default
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false), so
+    * a foreachBatch calling [[checkpoint]] would grow the durable
+    * store by a few directories per trigger, forever. Losing an
+    * executor mid-trigger just fails that trigger — the streaming
+    * engine's retry-from-offsets is the recovery path, not lineage
+    * replay — so reliable storage buys nothing here.
+    */
+  def ephemeral(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Chain syntax: `df.graftCheckpoint()` == `Materialize.checkpoint(df)`. */
   implicit final class MaterializeOps(private val df: DataFrame) extends AnyVal {

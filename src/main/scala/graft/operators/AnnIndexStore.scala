@@ -237,23 +237,15 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .getOrElse(throw new IllegalStateException(s"params.json missing $key"))
         .group(1).toInt
     val m = Manifest.read(verDir, version)
-    // component chains replay in manifest order: data dirs union,
-    // tombstone entries subtract their (takedown-sized, broadcast) id
-    // sets from everything earlier — so the probes need no tombstone
-    // awareness at all. Per-directory reads also sidestep multi-root
-    // partition discovery tripping over the intermediate v<N> segments
-    // (the partitioned LSH dirs), and push filters down identically.
+    // component chains replay in manifest order ([[Versioned
+    // .replayChain]]: data dirs union, tombstone entries subtract from
+    // everything earlier) — so the probes need no tombstone awareness
+    // at all. Per-directory reads also sidestep multi-root partition
+    // discovery tripping over the intermediate v<N> segments (the
+    // partitioned LSH dirs), and push filters down identically.
     def fold(chain: Seq[String]): DataFrame =
-      chain.foldLeft(Option.empty[DataFrame]) { (acc, d) =>
-        val df = spark.read.parquet(root.resolve(d).toString)
-        acc match {
-          case None => Some(df) // first entry is always a data dir (write)
-          case Some(a) if d.endsWith("/tombstones") =>
-            Some(a.join(broadcast(df.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
-          case Some(a) => Some(a.unionByName(df))
-        }
-      }.getOrElse(throw new IllegalStateException(
-        s"v$version manifest at $root lists no data directories"))
+      Versioned.replayChain(root, chain, "vec_id")(
+        d => spark.read.parquet(root.resolve(d).toString))
     // centroids are tiny (nlist rows) and broadcast on every probe —
     // collect them ONCE into a LocalRelation so later probes build the
     // broadcast from driver memory with zero scan jobs

@@ -76,16 +76,8 @@ final class DigestIndex(spark: SparkSession, pathStr: String) {
   def digests(version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no digest index committed at $root"))
-    manifestDirs(v).foldLeft(Option.empty[DataFrame]) { (acc, d) =>
-      val df = spark.read.parquet(root.resolve(d).toString)
-      acc match {
-        case None => Some(df) // first entry is always a digests dir (write)
-        case Some(a) if d.endsWith("/tombstones") =>
-          Some(a.join(df, Seq("digest"), "left_anti"))
-        case Some(a) => Some(a.unionByName(df))
-      }
-    }.getOrElse(
-      throw new IllegalStateException(s"v$v manifest at $root lists no directories"))
+    Versioned.replayChain(root, manifestDirs(v), "digest")(
+      d => spark.read.parquet(root.resolve(d).toString))
   }
 
   /** Remove `docs`' content digests from the index — the takedown

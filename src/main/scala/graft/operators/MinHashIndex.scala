@@ -119,22 +119,14 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
   private def postings(version: Long): DataFrame =
     foldDirs(state(version), _.endsWith("/postings"))
 
-  /** Replay one component's manifest chain: `keep` dirs union in
-    * order; tombstone dirs anti-join on `id` (both sigs and postings
-    * carry the doc id).
+  /** Replay one component's manifest chain ([[Versioned.replayChain]]):
+    * `keep` dirs union in order; tombstone dirs anti-join on `id`
+    * (both sigs and postings carry the doc id).
     */
   private def foldDirs(st: VersionState, keep: String => Boolean): DataFrame =
-    st.manifest.filter(d => keep(d) || d.endsWith("/tombstones"))
-      .foldLeft(Option.empty[DataFrame]) { (acc, d) =>
-        val df = spark.read.parquet(root.resolve(d).toString)
-        acc match {
-          case None => Some(df) // first entry is always a data dir (write)
-          case Some(a) if d.endsWith("/tombstones") =>
-            Some(a.join(df.select(col("id")), Seq("id"), "left_anti"))
-          case Some(a) => Some(a.unionByName(df))
-        }
-      }.getOrElse(throw new IllegalStateException(
-        s"manifest at $root lists no data directories"))
+    Versioned.replayChain(root,
+      st.manifest.filter(d => keep(d) || d.endsWith("/tombstones")), "id")(
+      d => spark.read.parquet(root.resolve(d).toString))
 
   /** Remove ids from the index — the takedown path: deleted documents
     * stop appearing as near-dup hits, and a later [[append]] of the
@@ -182,8 +174,12 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     val p = st.params
     val r = p.k / p.bands
     // batch-only signature compute — the whole point of the index;
-    // feeds both the banding join and the Jaccard-estimate rejoin
-    val bSigs = graft.Materialize.checkpoint(
+    // feeds both the banding join and the Jaccard-estimate rejoin.
+    // ephemeral (localCheckpoint even in reliable mode): the subtree
+    // is BATCH-scale and cheap to recompute by re-running the probe,
+    // and probes run inside unbounded streaming loops (neardupIngest)
+    // where reliable checkpoints leak one dir per trigger
+    val bSigs = graft.Materialize.ephemeral(
       Dedup.minhashSignatures(batch, p.n, p.k, textCol, idCol))
     val bBanded = Dedup.bandedRows(bSigs, p.bands, r)
 

@@ -56,15 +56,21 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
       col(textCol).as("__text"), split(col(textCol), " ").as("__toks"))
     val docAgg = base
       .groupBy(col("source"))
+      // null text: size(null)/length(null) are null and the sketch
+      // skips them — coalesce so an all-null source still counts its
+      // docs instead of going null
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks"))).as("n_tokens"),
-        sum(length(col("__text"))).as("n_chars"),
+        coalesce(sum(size(col("__toks"))), lit(0L)).as("n_tokens"),
+        coalesce(sum(length(col("__text"))), lit(0L)).as("n_chars"),
         hll_sketch_agg(sha2(col("__text"), 256), lgK).as("digest_hll"))
     val tokAgg = base
       .select(col("source"), explode(col("__toks")).as("__tok"))
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("__tok"), lgK).as("token_hll"))
-    docAgg.join(tokAgg, Seq("source"))
+    // LEFT join: a source whose batch rows all have null text produces
+    // no exploded tokens and so no tokAgg row — an inner join would
+    // silently drop its counts from the card
+    docAgg.join(tokAgg, Seq("source"), "left")
   }
 
   /** Commit `docs`' per-source partials as the first version (or a
@@ -78,29 +84,45 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
   }
 
   /** Commit a new batch's partials incrementally: the batch is
-    * aggregated (batch-scale), history is never re-read. Returns the
-    * committed version.
+    * aggregated (batch-scale), history is never re-read. A `tag`
+    * makes the append IDEMPOTENT: if any version on disk already
+    * carries it, that version is returned and nothing commits — the
+    * redelivery guard a streaming caller needs (an at-least-once
+    * replayed trigger would otherwise double-count its partials into
+    * the additive sums forever). Tags live with their version dir
+    * until vacuum reclaims it, which outlasts the one-trigger
+    * redelivery horizon. Returns the committed (or found) version.
     */
   def append(docs: DataFrame, textCol: String = "text",
-             sourceCol: String = "source"): Long = synchronized {
+             sourceCol: String = "source", tag: Option[String] = None): Long = synchronized {
     requireCommitted()
-    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
-      val base = baseOpt.getOrElse(
-        throw new IllegalStateException(s"no stats index committed at $root"))
-      stage(docs, textCol, sourceCol, lgKOf(base), slot, staging,
-        chain = manifestDirs(base))
+    tag.flatMap(t => versions.find(v => tagOf(v).contains(t))) match {
+      case Some(seen) => seen
+      case None =>
+        Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+          val base = baseOpt.getOrElse(
+            throw new IllegalStateException(s"no stats index committed at $root"))
+          stage(docs, textCol, sourceCol, lgKOf(base), slot, staging,
+            chain = manifestDirs(base), tag = tag)
+        }
     }
   }
 
   private def stage(docs: DataFrame, textCol: String, sourceCol: String,
                     lgK: Int, slot: Long, staging: Path,
-                    chain: Seq[String]): Unit = {
+                    chain: Seq[String], tag: Option[String] = None): Unit = {
     partials(docs, textCol, sourceCol, lgK)
       .repartition(1) // |sources| rows — one file, not 32 near-empty ones
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("stats").toString)
     Files.writeString(staging.resolve("lgk.txt"), s"$lgK\n")
+    tag.foreach(t => Files.writeString(staging.resolve("tag.txt"), s"$t\n"))
     Files.writeString(staging.resolve("manifest.txt"),
       (chain :+ s"v$slot/stats").mkString("", "\n", "\n"))
+  }
+
+  private def tagOf(version: Long): Option[String] = {
+    val f = root.resolve(s"v$version").resolve("tag.txt")
+    if (Files.exists(f)) Some(Files.readString(f).trim) else None
   }
 
   /** The merged per-source data card across every batch in the chain:
@@ -118,9 +140,11 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
-        hll_sketch_estimate(hll_union_agg(col("digest_hll")))
+        // coalesce: a source whose every batch had null-only text has
+        // null sketches — estimate 0, not null
+        coalesce(hll_sketch_estimate(hll_union_agg(col("digest_hll"))), lit(0L))
           .as("distinct_docs_est"),
-        hll_sketch_estimate(hll_union_agg(col("token_hll")))
+        coalesce(hll_sketch_estimate(hll_union_agg(col("token_hll"))), lit(0L))
           .as("distinct_tokens_est"))
       .withColumn("avg_doc_tokens",
         round(col("n_tokens").cast("double") / col("n_docs"), 4))
@@ -171,6 +195,7 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
           graft.Fs.deleteTree(dir.resolve("stats"))
         Files.deleteIfExists(dir.resolve("manifest.txt"))
         Files.deleteIfExists(dir.resolve("lgk.txt"))
+        Files.deleteIfExists(dir.resolve("tag.txt"))
         val children = Files.list(dir)
         val empty = try !children.iterator().hasNext finally children.close()
         if (empty) Files.delete(dir)

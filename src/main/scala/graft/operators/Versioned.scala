@@ -89,10 +89,20 @@ private[graft] object Versioned {
                      (stage: (Option[Long], Long, Path) => Unit): Long = {
     var attempt = 0
     while (true) {
-      val base = currentVersion(root, manifestName)
+      // base and slot MUST come from ONE directory snapshot: listing
+      // twice lets a rival commit land between the reads, yielding
+      // base=v0 but slot=v2 — the stage then chains off v0, publishes
+      // into the FREE v2 slot with no collision, and silently drops
+      // the rival's v1 delta. One snapshot forces the loser onto the
+      // collision/rebase path. (A listed v<N> is complete — the rename
+      // that made it visible carried its manifest — so the per-version
+      // manifest check is consistent with the snapshot.)
+      val versions = listVersions(root)
+      val base = versions
+        .filter(v => Files.exists(root.resolve(s"v$v").resolve(manifestName)))
+        .lastOption
       // step past foreign manifest-less dirs too — never write into one
-      val slot = math.max(listVersions(root).lastOption.getOrElse(-1L),
-        base.getOrElse(-1L)) + 1L
+      val slot = versions.lastOption.getOrElse(-1L) + 1L
       val staging = Files.createTempDirectory(root, ".staging-")
       val published =
         try {
@@ -151,11 +161,43 @@ private[graft] object Versioned {
     */
   val StagingQuiescenceMs: Long = 600000L
 
-  private def newestMtime(p: Path): Long = {
-    val s = Files.walk(p)
-    try s.iterator().asScala
-      .map(f => Files.getLastModifiedTime(f).toMillis)
-      .foldLeft(Long.MinValue)(math.max)
-    finally s.close()
+  private def newestMtime(p: Path): Long =
+    // the tree is mutating under a LIVE writer (task-commit renames,
+    // the publish rename, the writer's own cleanup) — any walk/stat
+    // failure means activity, i.e. FRESH, never a crash to surface
+    try {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(Long.MinValue)(math.max)
+      finally s.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        Long.MaxValue
+    }
+
+  /** Replay one manifest chain in order: data directories union,
+    * `…/tombstones` entries ([[DigestIndex.delete]] & friends)
+    * subtract their key sets from everything EARLIER — positional, so
+    * delete-then-reingest resolves to exactly one live copy. The
+    * tombstone side is takedown-sized by contract and explicitly
+    * broadcast (auto-broadcast can miss when size stats are absent,
+    * which would shuffle the corpus-scale chain against a tiny set).
+    * `read` maps a chain entry to its DataFrame; `key` is the id
+    * column shared by data and tombstone rows.
+    */
+  def replayChain(root: Path, chain: Seq[String], key: String)
+                 (read: String => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    chain.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, d) =>
+      acc match {
+        case None => Some(read(d)) // first entry is always a data dir (write)
+        case Some(a) if d.endsWith("/tombstones") =>
+          Some(a.join(broadcast(read(d).select(col(key))), Seq(key), "left_anti"))
+        case Some(a) => Some(a.unionByName(read(d)))
+      }
+    }.getOrElse(throw new IllegalStateException(
+      s"manifest chain at $root lists no data directories"))
   }
 }

@@ -207,10 +207,18 @@ object StreamingIngest {
     * statistics. Empty micro-batches commit nothing.
     */
   def statsIngest(docs: DataFrame, index: graft.operators.StatsIndex,
-                  textCol: String = "text", sourceCol: String = "source")
+                  textCol: String = "text", sourceCol: String = "source",
+                  streamTag: String = "stats")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) { index.append(batch, textCol, sourceCol); () }
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // foreachBatch is at-least-once: the tag makes a replayed
+      // trigger's append a no-op instead of double-counting its
+      // partials into the additive sums forever. streamTag scopes the
+      // ids — give each query writing one index its own value.
+      if (!batch.isEmpty) {
+        index.append(batch, textCol, sourceCol,
+          tag = Some(s"$streamTag-$batchId")); ()
+      }
     }
 
   /** Streaming near-dup-filtered ingest against a persisted
@@ -246,15 +254,17 @@ object StreamingIngest {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        // materialized: feeds the neardupe probe AND the survivors
-        // anti-join — one corpus-side sigs scan, not two
-        val fresh = graft.Materialize.checkpoint(batch.dropDuplicates(idCol)
+        // materialized (trigger-scoped — Materialize.ephemeral, never
+        // reliable checkpoints: those leak per trigger, unbounded):
+        // feeds the neardupe probe AND the survivors anti-join — one
+        // corpus-side sigs scan, not two
+        val fresh = graft.Materialize.ephemeral(batch.dropDuplicates(idCol)
           .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti"))
         val hits = index.neardupe(fresh, minEstJaccard,
             textCol = textCol, idCol = idCol)
           .select(col("batch_id").as(idCol)).distinct()
         // materialized: consumed by isEmpty, the sink AND the append
-        val survivors = graft.Materialize.checkpoint(
+        val survivors = graft.Materialize.ephemeral(
           fresh.join(hits, Seq(idCol), "left_anti"))
         if (!survivors.isEmpty) {
           writeBatch(survivors) // sink first — see the ordering note above

@@ -71,4 +71,16 @@ class StatsIndexSpec extends SparkSpec {
     val p = Files.createTempDirectory("graft-stats4").toString
     intercept[IllegalStateException](new StatsIndex(spark, p).append(b1))
   }
+
+  test("tagged append is idempotent: a redelivered batch commits nothing and counts once") {
+    val p = Files.createTempDirectory("graft-stats5").toString
+    val ix = new StatsIndex(spark, p)
+    ix.write(b1)
+    val v1 = ix.append(b2, tag = Some("stats-1"))
+    // the streaming redelivery shape: same batch, same tag, re-run
+    assert(ix.append(b2, tag = Some("stats-1")) == v1)
+    assert(ix.versions == Seq(0L, v1))
+    val books = ix.report().collect().find(_.getString(0) == "books").get
+    assert(books.getLong(1) == 2L) // b1's + b2's, each ONCE
+  }
 }
