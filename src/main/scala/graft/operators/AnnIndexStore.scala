@@ -141,17 +141,28 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no ANN index committed at $root"))
       val st = state(base)
+      // already-indexed ids drop from the delta (anti-join: corpus-side
+      // scan, batch-sized output — the DigestIndex.append shape). This
+      // is what makes a redelivered streaming micro-batch (annIngest is
+      // at-least-once) a no-op instead of committing DUPLICATE vec_ids,
+      // which would put the same id twice in every probe's top-k and
+      // break probeIvf's id-uniqueness contract. Deleted ids are NOT in
+      // the effective set, so re-appending after a takedown still works.
       val vectors = delta.select(col(idCol).cast("long").as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("v"))
+        .join(st.vectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
 
       vectors.sortWithinPartitions(col("vec_id"))
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("vectors").toString)
+      // re-READ the written file so the anti-joined subtree runs once,
+      // with durable materialization (the MinHashIndex.stageDelta move)
+      val stored = spark.read.parquet(staging.resolve("vectors").toString)
 
-      writeLshPostings(vectors, st.lsh, staging)
+      writeLshPostings(stored, st.lsh, staging)
 
       // assign the delta to the PINNED centroids (cached, broadcast) —
       // one pass over the batch, zero passes over the corpus
-      Similarity.nearestCentroids(vectors, st.centroids, "vec_id", "v", keep = 1)
+      Similarity.nearestCentroids(stored, st.centroids, "vec_id", "v", keep = 1)
         .select(col("cent_id"), col("vec_id"), col("v"))
         .repartition(col("cent_id"))
         .sortWithinPartitions(col("cent_id"))

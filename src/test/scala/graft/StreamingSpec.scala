@@ -163,7 +163,10 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData(asData(slice(200L, 250L)): _*)
       q.processAllAvailable()
-      mem.addData(asData(slice(250L, 300L)): _*)
+      // at-least-once redelivery: the second trigger re-carries the
+      // first batch's rows — append's indexed-id anti-join must drop
+      // them or every probe would return duplicate top-k entries
+      mem.addData(asData(slice(200L, 300L)): _*)
       q.processAllAvailable()
     } finally q.stop()
     assert(streamed.versions == Seq(0L, 1L, 2L)) // base + one per micro-batch
