@@ -667,6 +667,15 @@ object SparkEntry {
     "x_sample_token_budget" -> ((s, dir) =>
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, dir),
         budgetTokens = mixBudget, weights = mixWeights)),
+    // ---- temperature-reweighted mixture: weights derived from the
+    // corpus's OWN token shares, w = share^0.5 — the multilingual-
+    // pretraining rebalancing (flattens the head toward the tail).
+    // Counts are exact, weights + weight-sum round to 10 decimals in
+    // both engines, quotas are single IEEE multiply/divide/floor —
+    // fully hash-checkable despite the derived (non-literal) weights
+    "x_sample_temperature" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(Tables.documents(s, dir),
+        budgetTokens = mixBudget, alpha = 0.5)),
     // ---- Holt linear forecast per tag over DAILY bucketed counts
     // (the operator's own advice: forecast aggregated series, not raw
     // ticks — and the bucketing is what makes the feedback recurrence
@@ -1735,6 +1744,26 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |      FROM d JOIN q USING (source))
         |SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens FROM c
+        |WHERE cb < quota ORDER BY source, doc_id""".stripMargin,
+    // derived-weight mixture: counts exact; weights and their sum round
+    // to 10 decimals in BOTH engines (DuckDB round = half away from
+    // zero = HALF_UP for positives), so the quota arithmetic replays
+    "x_sample_temperature" ->
+      s"""WITH cnt AS (SELECT source,
+        |        CAST(sum(length(text) - length(translate(text, ' ', '')) + 1) AS BIGINT) AS c
+        |      FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+        |w AS (SELECT source, round(pow(CAST(c AS DOUBLE) / t, 0.5), 10) AS w FROM cnt, tot),
+        |ws AS (SELECT round(sum(w), 10) AS wsum FROM w),
+        |q AS (SELECT source, CAST(floor(2000 * w / wsum) AS BIGINT) AS quota FROM w, ws),
+        |d AS (SELECT source, doc_id,
+        |        length(text) - length(translate(text, ' ', '')) + 1 AS nt FROM documents),
+        |c2 AS (SELECT d.source, d.doc_id, d.nt, q.quota,
+        |        coalesce(sum(d.nt) OVER (PARTITION BY d.source
+        |          ORDER BY ${pseudoOrderSql("d.doc_id")}, d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d JOIN q USING (source))
+        |SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens FROM c2
         |WHERE cb < quota ORDER BY source, doc_id""".stripMargin,
     "x_quality_topk_per_source" ->
       s"""WITH s AS (SELECT source, doc_id, ${qualitySqlExpr("text")} AS q FROM documents),

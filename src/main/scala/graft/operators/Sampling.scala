@@ -82,18 +82,61 @@ object Sampling {
     // duplicate rows past the budget — reject loudly
     require(weights.map(_._1).distinct.size == weights.size,
       s"duplicate group keys in weights: ${weights.map(_._1)}")
+    val wsum = weights.map(_._2).sum
+    budgetCut(docs, weights.map { case (g, w) =>
+      (g, math.floor(budgetTokens * w / wsum).toLong)
+    }, groupCol, idCol, textCol)
+  }
+
+  /** Temperature-reweighted token-budget mixture: the weights are the
+    * corpus's OWN per-source token shares raised to `alpha` —
+    * `w_s = (c_s / Σc)^α` — the standard rebalancing for multilingual
+    * and multi-domain pretraining (α = 1 keeps natural proportions,
+    * α = 0 is uniform, values between flatten the head toward the
+    * tail). Shares come from one exact per-source count aggregate
+    * (|sources| rows to the driver — the quota path's bounded collect),
+    * then the [[tokenBudgetSample]] cut applies. Engine-replayable by
+    * the same discipline as [[weightedSample]]: weights AND their sum
+    * round to 10 decimals (HALF_UP, both engines) before the quota
+    * arithmetic, so the only non-replayable step — a float sum's
+    * term order — is quantized away; the remaining multiply/divide/
+    * floor are single correctly-rounded IEEE ops.
+    */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long, alpha: Double,
+                     groupCol: String = "source", idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be > 0")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha out of [0,1]")
+    def round10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(graft.functions.TextFunctions.wsTokenCount(col(textCol))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val w = counts.map { case (g, c) => (g, round10(math.pow(c / total, alpha))) }
+    val wsum = round10(w.map(_._2).sum)
+    budgetCut(docs, w.map { case (g, wv) =>
+      (g, math.floor(budgetTokens * wv / wsum).toLong)
+    }, groupCol, idCol, textCol)
+  }
+
+  /** The shared budget cut: per-source documents in [[pseudoOrder]]
+    * until the EXCLUSIVE running token sum reaches the source's quota
+    * (the crossing doc is kept). One shuffle (the per-source window);
+    * quotas ride a broadcast.
+    */
+  private def budgetCut(docs: DataFrame, quotas: Seq[(String, Long)],
+                        groupCol: String, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wsum = weights.map(_._2).sum
-    val quotas = weights.map { case (g, w) =>
-      (g, math.floor(budgetTokens * w / wsum).toLong)
-    }.toDF(groupCol, "__quota")
+    val q = quotas.toDF(groupCol, "__quota")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(pseudoOrder(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(groupCol), col(idCol),
         graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
-      .join(broadcast(quotas), groupCol)
+      .join(broadcast(q), groupCol)
       .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("__cum_before") < col("__quota"))
       .select(col(groupCol), col(idCol), col("n_tokens"))

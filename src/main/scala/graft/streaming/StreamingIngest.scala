@@ -199,6 +199,39 @@ object StreamingIngest {
       if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
     }
 
+  /** Streaming exact-dedup ingest against a persisted
+    * [[graft.operators.DigestIndex]] — the FOREVER-exact path
+    * ([[dedupeDocsByDigest]] is exact only within its watermark
+    * horizon; this one's state is the persisted index, unbounded in
+    * time and batch-cost per trigger). Each micro-batch drops in-batch
+    * text duplicates, then rows whose content digest is already
+    * indexed, hands the survivors to `writeBatch` and ONLY THEN
+    * appends their digests — the sink-first ordering
+    * [[neardupIngest]] uses, for the same at-least-once reason: a
+    * crash between sink and append re-runs the whole trigger on
+    * restart (digests not yet indexed), re-invoking the idempotent
+    * sink; a crash after the append re-runs into an all-dropped batch
+    * whose sink delivery already happened. Empty micro-batches commit
+    * nothing.
+    */
+  def dedupIngest(docs: DataFrame, index: graft.operators.DigestIndex,
+                  textCol: String = "text")
+                 (writeBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        // trigger-scoped materialization: consumed by isEmpty, the
+        // sink AND the append
+        val survivors = graft.Materialize.ephemeral(
+          index.dedupe(batch.dropDuplicates(textCol), textCol))
+        if (!survivors.isEmpty) {
+          writeBatch(survivors) // sink first — see the ordering note above
+          index.append(survivors, textCol)
+          ()
+        }
+      }
+    }
+
   /** Streaming maintenance of a persisted [[graft.operators
     * .StatsIndex]]: each micro-batch commits its per-source partial
     * rows (batch-scale aggregation, |sources| stored rows), so the

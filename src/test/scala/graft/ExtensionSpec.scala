@@ -167,6 +167,32 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: α=0 is uniform, α=1 natural shares; flattening is monotone in α") {
+    import graft.operators.Sampling
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // a head-heavy corpus: source a has >3× source b's tokens, and both
+    // sides hold more than any quota below (so the cut, not exhaustion,
+    // decides every share)
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "a", words(50))) ++
+      Seq.tabulate(30)(i => (100L + i, "b", words(10)))).toDF("doc_id", "source", "text")
+    def tokensBySource(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMix(docs, budgetTokens = 300L, alpha = alpha,
+          groupCol = "source").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // α=0: pow(share, 0) == 1.0 exactly for every source — quotas are
+    // floor(B/2) each, and the crossing doc bounds the overshoot
+    val uni = tokensBySource(0.0)
+    assert(uni("a") >= 150L && uni("a") < 150L + 50L)
+    assert(uni("b") >= 150L && uni("b") < 150L + 10L)
+    // α=1: natural proportions — the head keeps ~10/13 of the budget
+    val nat = tokensBySource(1.0)
+    assert(nat("a") > nat("b") * 3)
+    // flattening is monotone: the tail's share never shrinks as α drops
+    val mid = tokensBySource(0.5)
+    assert(nat("b") <= mid("b") && mid("b") <= uni("b"))
+    assert(uni("a") <= mid("a") && mid("a") <= nat("a"))
+  }
+
   test("edge behavior: empty corpus / absent terms / zero vectors degrade, never crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.dupNgramFraction(empty).count() == 0L)

@@ -409,6 +409,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest: exact dups vs all history dropped; restart redelivery is a no-op") {
+    import graft.operators.DigestIndex
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-di-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-di-ckpt").toString
+    val index = new DigestIndex(spark, idxDir)
+    index.write(Seq((0L, "history text one")).toDF("doc_id", "text"))
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamingIngest.dedupIngest(
+        mem.toDF().toDF("doc_id", "text"), index) { b =>
+        sunk ++= b.select($"doc_id").collect().map(_.getLong(0)); ()
+      }.option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // dup of HISTORY dropped; novel survives (and is indexed)
+      mem.addData((1L, "history text one"), (2L, "novel text two"))
+      q1.processAllAvailable()
+      // dup of the PREVIOUS micro-batch's survivor dropped
+      mem.addData((3L, "novel text two"), (4L, "novel text three"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sunk.sorted.toSeq == Seq(2L, 4L))
+    // restart on the same checkpoint: redelivered text is indexed, so
+    // the re-run drops it — only the genuinely new row lands
+    val q2 = start()
+    try {
+      mem.addData((5L, "novel text three"), (6L, "novel text four"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk.sorted.toSeq == Seq(2L, 4L, 6L))
+  }
+
   test("statsIngest: streamed data card equals a one-shot build over everything seen") {
     import graft.operators.StatsIndex
     val streamed = new StatsIndex(spark,
