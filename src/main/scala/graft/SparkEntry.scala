@@ -675,7 +675,7 @@ object SparkEntry {
     // fully hash-checkable despite the derived (non-literal) weights
     "x_sample_temperature" -> ((s, dir) =>
       graft.operators.Sampling.temperatureMix(Tables.documents(s, dir),
-        budgetTokens = mixBudget, alpha = 0.5)),
+        budgetTokens = mixBudget, alpha = mixAlpha)),
     // ---- Holt linear forecast per tag over DAILY bucketed counts
     // (the operator's own advice: forecast aggregated series, not raw
     // ticks — and the bucketing is what makes the feedback recurrence
@@ -1418,6 +1418,11 @@ object SparkEntry {
   private val lmLambda: Double = 0.7
 
   private val mixBudget: Long = 2000L
+  /** x_sample_temperature's flattening exponent — interpolated into
+    * BOTH the Spark call and the DuckDB oracle so the spec is defined
+    * once (the mixQuotaValues discipline).
+    */
+  private val mixAlpha: Double = 0.5
   private val mixWeights: Seq[(String, Double)] =
     Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
   private def mixQuotaValues: String = {
@@ -1753,9 +1758,9 @@ object SparkEntry {
         |        CAST(sum(length(text) - length(translate(text, ' ', '')) + 1) AS BIGINT) AS c
         |      FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
-        |w AS (SELECT source, round(pow(CAST(c AS DOUBLE) / t, 0.5), 10) AS w FROM cnt, tot),
+        |w AS (SELECT source, round(pow(CAST(c AS DOUBLE) / t, $mixAlpha), 10) AS w FROM cnt, tot),
         |ws AS (SELECT round(sum(w), 10) AS wsum FROM w),
-        |q AS (SELECT source, CAST(floor(2000 * w / wsum) AS BIGINT) AS quota FROM w, ws),
+        |q AS (SELECT source, CAST(floor($mixBudget * w / wsum) AS BIGINT) AS quota FROM w, ws),
         |d AS (SELECT source, doc_id,
         |        length(text) - length(translate(text, ' ', '')) + 1 AS nt FROM documents),
         |c2 AS (SELECT d.source, d.doc_id, d.nt, q.quota,

@@ -142,14 +142,15 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         throw new IllegalStateException(s"no ANN index committed at $root"))
       val st = state(base)
       // already-indexed ids drop from the delta (anti-join: corpus-side
-      // scan, batch-sized output — the DigestIndex.append shape). This
-      // is what makes a redelivered streaming micro-batch (annIngest is
-      // at-least-once) a no-op instead of committing DUPLICATE vec_ids,
-      // which would put the same id twice in every probe's top-k and
-      // break probeIvf's id-uniqueness contract. Deleted ids are NOT in
-      // the effective set, so re-appending after a takedown still works.
+      // scan, batch-sized output — the DigestIndex.append shape), and
+      // in-batch id repeats collapse (dropDuplicates — an at-least-once
+      // source can deliver the same row twice WITHIN one poll). Both
+      // protect probeIvf's id-uniqueness contract: a duplicate vec_id
+      // would appear twice in every probe's top-k. Deleted ids are NOT
+      // in the effective set, so re-appending after a takedown works.
       val vectors = delta.select(col(idCol).cast("long").as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("v"))
+        .dropDuplicates("vec_id")
         .join(st.vectors.select(col("vec_id")), Seq("vec_id"), "left_anti")
 
       vectors.sortWithinPartitions(col("vec_id"))
@@ -157,6 +158,13 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       // re-READ the written file so the anti-joined subtree runs once,
       // with durable materialization (the MinHashIndex.stageDelta move)
       val stored = spark.read.parquet(staging.resolve("vectors").toString)
+      // a fully-redelivered trigger empties the delta: SKIP the commit
+      // rather than publish it — a zero-row partitionBy write leaves
+      // v<N>/lsh with no parquet files at all, and the next
+      // spark.read.parquet of the chain would fail UNABLE_TO_INFER_
+      // SCHEMA, bricking every later read of the store
+      if (stored.isEmpty)
+        throw Versioned.SkipCommit("empty delta — every id already indexed")
 
       writeLshPostings(stored, st.lsh, staging)
 

@@ -109,10 +109,18 @@ object Sampling {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha out of [0,1]")
     def round10(x: Double): Double =
       BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val counts = docs.groupBy(col(groupCol))
+    // null group keys can't carry a share (and would NPE the driver
+    // sort); an all-null-text source sums to null — count it as 0
+    // tokens rather than crash (the repo's degrade-never-crash edge
+    // contract)
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(sum(graft.functions.TextFunctions.wsTokenCount(col(textCol))).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toSeq.sortBy(_._1)
     require(counts.nonEmpty, "temperatureMix: empty corpus")
+    require(counts.exists(_._2 > 0), "temperatureMix: corpus has no tokens")
     val total = counts.map(_._2).sum.toDouble
     val w = counts.map { case (g, c) => (g, round10(math.pow(c / total, alpha))) }
     val wsum = round10(w.map(_._2).sum)

@@ -85,6 +85,16 @@ private[graft] object Versioned {
     * silently dropping one writer's delta. Returns the committed
     * version.
     */
+  /** Thrown by a `stage` callback to abandon its commit cleanly (e.g.
+    * an incremental append whose delta turned out empty — committing
+    * it would at best grow the chain with empty dirs and at worst
+    * write component layouts that can't be re-read, like a
+    * zero-row dynamic-partition parquet dir). [[commitWithRetry]]
+    * catches it, discards the staging dir and returns the pinned base
+    * version as if the no-op had committed.
+    */
+  final case class SkipCommit(reason: String) extends RuntimeException(reason)
+
   def commitWithRetry(root: Path, manifestName: String, maxAttempts: Int = 5)
                      (stage: (Option[Long], Long, Path) => Unit): Long = {
     var attempt = 0
@@ -108,6 +118,10 @@ private[graft] object Versioned {
         try {
           stage(base, slot, staging)
           publish(root, staging, slot)
+        } catch {
+          case SkipCommit(_) =>
+            return base.getOrElse(throw new IllegalStateException(
+              s"stage at $root skipped its commit but no base version exists"))
         } finally graft.Fs.deleteTree(staging, swallow = true)
       if (published) return slot
       attempt += 1

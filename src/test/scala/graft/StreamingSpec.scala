@@ -168,8 +168,13 @@ class StreamingSpec extends SparkSpec {
       // them or every probe would return duplicate top-k entries
       mem.addData(asData(slice(200L, 300L)): _*)
       q.processAllAvailable()
+      // a FULLY-redelivered trigger: the delta empties, so append must
+      // SKIP its commit — publishing it would write a zero-row
+      // partitionBy lsh dir that bricks every later read of the store
+      mem.addData(asData(slice(200L, 250L)): _*)
+      q.processAllAvailable()
     } finally q.stop()
-    assert(streamed.versions == Seq(0L, 1L, 2L)) // base + one per micro-batch
+    assert(streamed.versions == Seq(0L, 1L, 2L)) // base + one per REAL delta
 
     val full = new AnnIndexStore(spark,
       java.nio.file.Files.createTempDirectory("graft-ann-full").toString)
