@@ -42,7 +42,7 @@ object Explain {
       "x_corpus_report", "x_decontaminate_by_source",
       "x_group_percentiles_approx", "x_dedup_incremental_neardup",
       "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
-      "x_corpus_stats_incremental", "x_sample_temperature")
+      "x_corpus_stats_incremental", "x_sample_temperature", "x_quality_drift")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -667,6 +667,15 @@ object SparkEntry {
     "x_sample_token_budget" -> ((s, dir) =>
       graft.operators.Sampling.tokenBudgetSample(Tables.documents(s, dir),
         budgetTokens = mixBudget, weights = mixWeights)),
+    // ---- quality-distribution drift (PSI) between the ingested
+    // history (doc_id < 250) and a new snapshot — the admit-or-
+    // investigate monitor a pipeline runs per crawl; add-one-smoothed
+    // band proportions, one ln, everything else exact integers
+    "x_quality_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Quality.drift(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
     // ---- temperature-reweighted mixture: weights derived from the
     // corpus's OWN token shares, w = share^0.5 — the multilingual-
     // pretraining rebalancing (flattens the head toward the tail).
@@ -1750,6 +1759,23 @@ object SparkEntry {
         |      FROM d JOIN q USING (source))
         |SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens FROM c
         |WHERE cb < quota ORDER BY source, doc_id""".stripMargin,
+    "x_quality_drift" ->
+      s"""WITH refd AS (SELECT least(CAST(floor(${qualitySqlExpr("text")} * 10) AS BIGINT), 9) AS band
+        |      FROM documents WHERE doc_id < 250),
+        |newd AS (SELECT least(CAST(floor(${qualitySqlExpr("text")} * 10) AS BIGINT), 9) AS band
+        |      FROM documents WHERE doc_id >= 250),
+        |refc AS (SELECT band, count(*) AS nr FROM refd WHERE band IS NOT NULL GROUP BY band),
+        |newc AS (SELECT band, count(*) AS nn FROM newd WHERE band IS NOT NULL GROUP BY band),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS band),
+        |j AS (SELECT s.band, coalesce(rc.nr, 0) AS n_ref, coalesce(nc.nn, 0) AS n_new
+        |      FROM spine s LEFT JOIN refc rc USING (band) LEFT JOIN newc nc USING (band)),
+        |p AS (SELECT band, n_ref, n_new,
+        |        (CAST(n_ref AS DOUBLE) + 1) / (CAST(sum(n_ref) OVER () AS DOUBLE) + 10) AS pr,
+        |        (CAST(n_new AS DOUBLE) + 1) / (CAST(sum(n_new) OVER () AS DOUBLE) + 10) AS pn
+        |      FROM j)
+        |SELECT band, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new,
+        |  round((pn - pr) * ln(pn / pr), 4) AS psi
+        |FROM p ORDER BY band""".stripMargin,
     // derived-weight mixture: counts exact; weights and their sum round
     // to 10 decimals in BOTH engines (DuckDB round = half away from
     // zero = HALF_UP for positives), so the quota arithmetic replays

@@ -121,4 +121,51 @@ object Quality {
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
       .orderBy(col("decile"))
   }
+
+  /** Population-stability drift of the quality-score distribution
+    * between a REFERENCE corpus and a NEW batch — the per-ingest
+    * monitor a pipeline runs before admitting a crawl snapshot (PSI
+    * reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    * investigate). Per band `b` of `bins` fixed-width score bands
+    * (the score lives in [0,1]):
+    * `psi_b = (p_new − p_ref) · ln(p_new / p_ref)` with add-one
+    * smoothing `p = (n_b + 1) / (N + bins)` so an empty band
+    * contributes a finite term instead of ±∞; identical band counts
+    * give exactly 0.0. Engine-replayable: counts are exact, the
+    * proportions are single IEEE divisions of exact integers, and the
+    * one `ln` rounds away cross-libm ulps at 4 decimals. Null-text
+    * docs have no score and no band. Each side pays ONE partial-agg
+    * scan into `bins` groups; everything after is a bins-row frame
+    * (the totals ride a whole-frame window over those rows — no extra
+    * pass over either corpus). Returns (band, n_ref, n_new, psi)
+    * ordered by band; total PSI = Σ psi.
+    */
+  def drift(reference: DataFrame, batch: DataFrame, bins: Int = 10,
+            textCol: String = "text"): DataFrame = {
+    require(bins >= 2, s"drift: bins=$bins must be >= 2")
+    val spark = reference.sparkSession
+    def banded(df: DataFrame, as: String): DataFrame =
+      df.select(least(
+          floor(graft.functions.TextFunctions.qualityScore(col(textCol)) * bins),
+          lit(bins - 1)).cast("long").as("band"))
+        .filter(col("band").isNotNull)
+        .groupBy(col("band")).agg(count(lit(1)).as(as))
+    val spine = spark.range(bins).select(col("id").as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    spine
+      .join(banded(reference, "n_ref"), Seq("band"), "left")
+      .join(banded(batch, "n_new"), Seq("band"), "left")
+      .na.fill(0L, Seq("n_ref", "n_new"))
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tn", sum(col("n_new")).over(w))
+      .withColumn("__pr",
+        (col("n_ref") + 1).cast("double") / (col("__tr") + bins).cast("double"))
+      .withColumn("__pn",
+        (col("n_new") + 1).cast("double") / (col("__tn") + bins).cast("double"))
+      .select(col("band"), col("n_ref"), col("n_new"),
+        round((col("__pn") - col("__pr")) * log(col("__pn") / col("__pr")), 4)
+          .as("psi"))
+      .orderBy(col("band"))
+  }
 }

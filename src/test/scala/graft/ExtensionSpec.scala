@@ -167,6 +167,23 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("quality drift: identical corpora give PSI exactly 0; a degraded batch trips the gate") {
+    import graft.operators.Quality
+    val fluent = "the a of " + (1 to 38).map(i => s"w$i").mkString(" ")
+    // varied-but-decent reference: scores spread over the upper bands
+    val ref = (1L to 40L).map(i =>
+      (i, fluent.split(" ").take(10 + (i % 30).toInt).mkString(" "))).toDF("doc_id", "text")
+    val same = Quality.drift(ref, ref).collect()
+    // complete 10-band spine; equal counts make every contribution
+    // EXACTLY zero (p_new == p_ref bit-for-bit under the same smoothing)
+    assert(same.length == 10 && same.forall(_.getDouble(3) == 0.0))
+    // a degraded snapshot (short spammy docs — scores collapse to the
+    // bottom bands) must trip the investigate threshold
+    val degraded = (1L to 40L).map(i => (i, "spam spam")).toDF("doc_id", "text")
+    val psi = Quality.drift(ref, degraded).collect().map(_.getDouble(3)).sum
+    assert(psi > 0.25, s"total PSI $psi should exceed the action threshold")
+  }
+
   test("temperature mix: α=0 is uniform, α=1 natural shares; flattening is monotone in α") {
     import graft.operators.Sampling
     def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
