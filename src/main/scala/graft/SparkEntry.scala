@@ -1760,12 +1760,16 @@ object SparkEntry {
         |SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens FROM c
         |WHERE cb < quota ORDER BY source, doc_id""".stripMargin,
     "x_quality_drift" ->
-      s"""WITH refd AS (SELECT least(CAST(floor(${qualitySqlExpr("text")} * 10) AS BIGINT), 9) AS band
-        |      FROM documents WHERE doc_id < 250),
-        |newd AS (SELECT least(CAST(floor(${qualitySqlExpr("text")} * 10) AS BIGINT), 9) AS band
-        |      FROM documents WHERE doc_id >= 250),
-        |refc AS (SELECT band, count(*) AS nr FROM refd WHERE band IS NOT NULL GROUP BY band),
-        |newc AS (SELECT band, count(*) AS nn FROM newd WHERE band IS NOT NULL GROUP BY band),
+      s"""WITH refq AS (SELECT ${qualitySqlExpr("text")} AS q FROM documents
+        |      WHERE doc_id < 250 AND length(text) > 0),
+        |newq AS (SELECT ${qualitySqlExpr("text")} AS q FROM documents
+        |      WHERE doc_id >= 250 AND length(text) > 0),
+        |refd AS (SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS band
+        |      FROM refq WHERE q IS NOT NULL),
+        |newd AS (SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS band
+        |      FROM newq WHERE q IS NOT NULL),
+        |refc AS (SELECT band, count(*) AS nr FROM refd GROUP BY band),
+        |newc AS (SELECT band, count(*) AS nn FROM newd GROUP BY band),
         |spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS band),
         |j AS (SELECT s.band, coalesce(rc.nr, 0) AS n_ref, coalesce(nc.nn, 0) AS n_new
         |      FROM spine s LEFT JOIN refc rc USING (band) LEFT JOIN newc nc USING (band)),

@@ -133,8 +133,8 @@ object Quality {
     * contributes a finite term instead of ±∞; identical band counts
     * give exactly 0.0. Engine-replayable: counts are exact, the
     * proportions are single IEEE divisions of exact integers, and the
-    * one `ln` rounds away cross-libm ulps at 4 decimals. Null-text
-    * docs have no score and no band. Each side pays ONE partial-agg
+    * one `ln` rounds away cross-libm ulps at 4 decimals. Null- and
+    * empty-text docs have no score and no band. Each side pays ONE partial-agg
     * scan into `bins` groups; everything after is a bins-row frame
     * (the totals ride a whole-frame window over those rows — no extra
     * pass over either corpus). Returns (band, n_ref, n_new, psi)
@@ -145,14 +145,25 @@ object Quality {
     require(bins >= 2, s"drift: bins=$bins must be >= 2")
     val spark = reference.sparkSession
     def banded(df: DataFrame, as: String): DataFrame =
-      df.select(least(
-          floor(graft.functions.TextFunctions.qualityScore(col(textCol)) * bins),
-          lit(bins - 1)).cast("long").as("band"))
-        .filter(col("band").isNotNull)
+      df
+        // null/empty text has no quality score and must carry NO band:
+        // the length guard runs BEFORE scoring (empty text would hit
+        // qualityScore's 0/0 punct ratio — an ANSI arithmetic error,
+        // not a null), and the score-nullity filter runs BEFORE
+        // least(), which SKIPS nulls in both engines — unguarded,
+        // least(floor(null*bins), bins-1) files scoreless docs into
+        // the TOP band, masking exactly the degraded-snapshot shape
+        // this monitor exists to catch
+        .filter(length(col(textCol)) > 0)
+        .select(graft.functions.TextFunctions.qualityScore(col(textCol)).as("__q"))
+        .filter(col("__q").isNotNull)
+        .select(least(floor(col("__q") * bins), lit(bins - 1))
+          .cast("long").as("band"))
         .groupBy(col("band")).agg(count(lit(1)).as(as))
     val spine = spark.range(bins).select(col("id").as("band"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     spine
       .join(banded(reference, "n_ref"), Seq("band"), "left")
       .join(banded(batch, "n_new"), Seq("band"), "left")

@@ -170,13 +170,19 @@ class ExtensionSpec extends SparkSpec {
   test("quality drift: identical corpora give PSI exactly 0; a degraded batch trips the gate") {
     import graft.operators.Quality
     val fluent = "the a of " + (1 to 38).map(i => s"w$i").mkString(" ")
-    // varied-but-decent reference: scores spread over the upper bands
+    // varied reference: 10-39-token docs score lenFactor = toks/100 =
+    // 0.10-0.39, spreading mass over bands 1-3
     val ref = (1L to 40L).map(i =>
       (i, fluent.split(" ").take(10 + (i % 30).toInt).mkString(" "))).toDF("doc_id", "text")
-    val same = Quality.drift(ref, ref).collect()
+    // null/empty-text docs score null — they must carry NO band (not
+    // silently file into the top band via null-skipping least())
+    val withJunk = ref.unionByName(
+      Seq((98L, null.asInstanceOf[String]), (99L, "")).toDF("doc_id", "text"))
+    val same = Quality.drift(withJunk, withJunk).collect()
     // complete 10-band spine; equal counts make every contribution
     // EXACTLY zero (p_new == p_ref bit-for-bit under the same smoothing)
     assert(same.length == 10 && same.forall(_.getDouble(3) == 0.0))
+    assert(same.map(_.getLong(1)).sum == 40L) // the 2 junk docs excluded
     // a degraded snapshot (short spammy docs — scores collapse to the
     // bottom bands) must trip the investigate threshold
     val degraded = (1L to 40L).map(i => (i, "spam spam")).toDF("doc_id", "text")
