@@ -54,11 +54,15 @@ object Materialize {
         // skip the re-assert only when BOTH our memo matches AND the
         // context still points inside our dir — foreign code calling
         // setCheckpointDir directly would otherwise silently divert
-        // every later checkpoint (getCheckpointDir is the
-        // scheme-qualified `<dir>/<UUID>`, hence containment, not
-        // equality)
+        // every later checkpoint. getCheckpointDir is the
+        // scheme-qualified `<dir>/<UUID>`, so the containment test is
+        // a PATH-COMPONENT prefix (scheme stripped, trailing "/"
+        // appended): a bare substring match would false-positive on a
+        // sibling dir sharing a prefix (/tmp/ckpt vs /tmp/ckpt2) and
+        // silently divert checkpoints into the foreign directory
         val already = dir == lastSetDir.get(sc) &&
-          sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/")))
+          sc.getCheckpointDir.exists(cp =>
+            pathOf(cp).startsWith(pathOf(dir).stripSuffix("/") + "/"))
         if (!already) {
           sc.setCheckpointDir(dir)
           lastSetDir.put(sc, dir)
@@ -67,6 +71,16 @@ object Materialize {
       case None => df.localCheckpoint()
     }
   }
+
+  /** The path component of a possibly scheme-qualified location
+    * (`file:/a/b` and `hdfs://host/a/b` both → `/a/b`; an unparseable
+    * or scheme-less string is its own path).
+    */
+  private def pathOf(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch { case _: java.net.URISyntaxException => s }
 
   /** Trigger-scoped materialization for UNBOUNDED streaming loops:
     * always `localCheckpoint`, even when [[ConfKey]] is set. Reliable

@@ -73,6 +73,18 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
   /** Index a new batch incrementally: sign ONLY the batch under the
     * pinned params, commit a version whose manifest = the base's
     * directories + the delta directories. History is never re-signed.
+    *
+    * Redelivery-idempotent (the [[DigestIndex.append]] /
+    * [[AnnIndexStore.append]] contract): in-batch id repeats collapse
+    * and already-indexed ids drop via an anti-join against the base
+    * chain's effective id set, so `append(b); append(b)` commits
+    * nothing the second time and `write(c); append(d)` probes equal to
+    * `write(c ∪ d)` for OVERLAPPING ids too, not just disjoint ones.
+    * Without the guard a replayed at-least-once trigger would store
+    * duplicate sigs rows, and [[neardupe]]'s signature rejoin would
+    * fan out into duplicated (batch_id, index_id) candidate rows.
+    * Deleted ids are NOT in the effective set ([[sigs]] replays
+    * tombstones), so re-appending after a takedown indexes afresh.
     */
   def append(docs: DataFrame,
              textCol: String = "text", idCol: String = "doc_id"): Long = synchronized {
@@ -81,7 +93,17 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no minhash index committed at $root"))
       val st = state(base)
-      stageDelta(docs, st.params, textCol, idCol, staging)
+      val fresh = docs.dropDuplicates(idCol)
+        .join(sigs(Some(base)).select(col("id").as("__indexed_id")),
+          col(idCol) === col("__indexed_id"), "left_anti")
+      // a fully-redelivered batch empties the delta: SKIP the commit —
+      // publishing it would grow the chain with zero-row parquet dirs
+      // that later chain reads can't re-read (no files to infer a
+      // schema from). The emptiness probe is batch-scale: the batch
+      // anti-joins the indexed-id scan, never the reverse.
+      if (fresh.isEmpty)
+        throw Versioned.SkipCommit("empty delta — every id already indexed")
+      stageDelta(fresh, st.params, textCol, idCol, staging)
       Files.writeString(staging.resolve("params.json"), st.params.toJson)
       Files.writeString(staging.resolve("manifest.txt"),
         (st.manifest ++ Seq(s"v$slot/sigs", s"v$slot/postings"))

@@ -106,8 +106,16 @@ object Quality {
   def scoreDeciles(docs: DataFrame, buckets: Int = 10,
                    textCol: String = "text", approx: Boolean = false): DataFrame = {
     require(buckets >= 2, s"scoreDeciles: buckets=$buckets must be >= 2")
-    val scored = docs.select(
-      graft.functions.TextFunctions.qualityScore(col(textCol)).as("q"))
+    // the [[drift]] guards: empty text would hit qualityScore's 0/0
+    // punct ratio (an ANSI arithmetic error), and a null score carries
+    // no band — unfiltered, an all-null corpus would aggregate into a
+    // single decile=null row instead of the empty distribution the
+    // empty-corpus contract promises (aggregate over the null cuts
+    // array yields a null band, not zero rows)
+    val scored = docs
+      .filter(length(col(textCol)) > 0)
+      .select(graft.functions.TextFunctions.qualityScore(col(textCol)).as("q"))
+      .filter(col("q").isNotNull)
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     val pctFn = if (approx) "approx_percentile" else "percentile"
     val cuts = scored.agg(

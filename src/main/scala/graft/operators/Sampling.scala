@@ -112,9 +112,12 @@ object Sampling {
     // null group keys can't carry a share (and would NPE the driver
     // sort); an all-null-text source sums to null — count it as 0
     // tokens rather than crash (the repo's degrade-never-crash edge
-    // contract)
+    // contract). The group key reads as STRING (cast in the aggregate,
+    // not getString — a non-string source column would
+    // ClassCastException the driver map); [[budgetCut]] joins on the
+    // same cast, so any group type works end to end.
     val counts = docs.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol))
+      .groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(sum(graft.functions.TextFunctions.wsTokenCount(col(textCol))).as("c"))
       .collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
@@ -122,7 +125,13 @@ object Sampling {
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     require(counts.exists(_._2 > 0), "temperatureMix: corpus has no tokens")
     val total = counts.map(_._2).sum.toDouble
-    val w = counts.map { case (g, c) => (g, round10(math.pow(c / total, alpha))) }
+    // zero-token sources drop BEFORE weighting: they contribute no
+    // share at alpha > 0 anyway (0^α = 0), but at alpha = 0 the IEEE
+    // convention pow(0,0) = 1 would grant a token-less source a full
+    // uniform quota — and its zero-token docs would then ALL pass the
+    // exclusive-cumsum cut
+    val w = counts.filter(_._2 > 0)
+      .map { case (g, c) => (g, round10(math.pow(c / total, alpha))) }
     val wsum = round10(w.map(_._2).sum)
     budgetCut(docs, w.map { case (g, wv) =>
       (g, math.floor(budgetTokens * wv / wsum).toLong)
@@ -142,7 +151,10 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(pseudoOrder(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(groupCol), col(idCol),
+    // quota keys are strings by construction — cast the doc side to
+    // match so a non-string group column joins on its canonical string
+    // form instead of relying on implicit cross-type coercion
+    docs.select(col(groupCol).cast("string").as(groupCol), col(idCol),
         graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
       .join(broadcast(q), groupCol)
       .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

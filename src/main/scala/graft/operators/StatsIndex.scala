@@ -96,17 +96,50 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
   def append(docs: DataFrame, textCol: String = "text",
              sourceCol: String = "source", tag: Option[String] = None): Long = synchronized {
     requireCommitted()
-    tag.flatMap(t => versions.find(v => tagOf(v).contains(t))) match {
+    // fast path only — skips the staging cost when the tag is already
+    // on disk. The CORRECTNESS guard is the re-check inside the stage
+    // callback below: a check out here alone is check-then-act, and
+    // two processes replaying the same tagged trigger concurrently
+    // could both miss and both commit, double-counting the batch's
+    // partials into the additive sums forever.
+    tag.flatMap(taggedVersion) match {
       case Some(seen) => seen
       case None =>
-        Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
-          val base = baseOpt.getOrElse(
-            throw new IllegalStateException(s"no stats index committed at $root"))
-          stage(docs, textCol, sourceCol, lgKOf(base), slot, staging,
-            chain = manifestDirs(base), tag = tag)
-        }
+        var seenInStage = Option.empty[Long]
+        val committed =
+          Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+            val base = baseOpt.getOrElse(
+              throw new IllegalStateException(s"no stats index committed at $root"))
+            onStageEnter()
+            // authoritative tag re-check, serialized by the slot CAS:
+            // for a rival's same-tag commit to be missed here it must
+            // publish AFTER this listing — but then it holds a slot
+            // this attempt's snapshot didn't see, so this attempt's
+            // own publish either collides on the same slot or targets
+            // one the rival's commit proves occupied; either way the
+            // rename fails and the rebase-retry re-runs this check
+            // against the rival's published tag. No interleaving
+            // commits the tag twice.
+            tag.flatMap(taggedVersion).foreach { dup =>
+              seenInStage = Some(dup)
+              throw Versioned.SkipCommit(s"tag already committed as v$dup")
+            }
+            stage(docs, textCol, sourceCol, lgKOf(base), slot, staging,
+              chain = manifestDirs(base), tag = tag)
+          }
+        seenInStage.getOrElse(committed)
     }
   }
+
+  /** Test seam: invoked at the top of each append commit attempt,
+    * BEFORE the tag re-check — lets a spec interleave a rival's
+    * same-tag commit into the exact window the check-then-act race
+    * lived in.
+    */
+  private[graft] var onStageEnter: () => Unit = () => ()
+
+  private def taggedVersion(t: String): Option[Long] =
+    versions.find(v => tagOf(v).contains(t))
 
   private def stage(docs: DataFrame, textCol: String, sourceCol: String,
                     lgK: Int, slot: Long, staging: Path,

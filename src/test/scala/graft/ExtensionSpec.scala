@@ -216,6 +216,29 @@ class ExtensionSpec extends SparkSpec {
     assert(uni("a") <= mid("a") && mid("a") <= nat("a"))
   }
 
+  test("temperature mix: non-string group keys work; zero-token sources get no quota at any α") {
+    import graft.operators.Sampling
+    // integer group column: the aggregate reads it as its canonical
+    // string form instead of ClassCastException-ing the driver map
+    val intGroups = Seq((1L, 7, "a b c"), (2L, 8, "d e")).toDF("doc_id", "source", "text")
+    val got = Sampling.temperatureMix(intGroups, budgetTokens = 100L, alpha = 0.5,
+      groupCol = "source").collect()
+    assert(got.map(_.getString(0)).toSet == Set("7", "8"))
+    // a source with only null-text (zero-token — wsTokenCount("") is 1,
+    // so empty strings don't qualify) docs: at α=0 the IEEE pow(0,0)=1
+    // convention would otherwise grant it a full uniform quota that
+    // its token-less docs all pass — it must get NOTHING, and the real
+    // sources must split the budget as if it didn't exist
+    val withDead = Seq((1L, "a", "x y z"), (2L, "b", "p q"),
+        (3L, "dead", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    Seq(0.0, 0.5, 1.0).foreach { alpha =>
+      val out = Sampling.temperatureMix(withDead, budgetTokens = 10L, alpha = alpha)
+        .collect()
+      assert(!out.map(_.getString(0)).contains("dead"), s"alpha=$alpha")
+    }
+  }
+
   test("edge behavior: empty corpus / absent terms / zero vectors degrade, never crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.dupNgramFraction(empty).count() == 0L)

@@ -49,4 +49,34 @@ class MaterializeSpec extends SparkSpec {
       Fs.deleteTree(java.nio.file.Paths.get(ckptDir), swallow = true)
     }
   }
+
+  test("a foreign checkpoint dir sharing a name prefix is re-asserted, not mistaken for ours") {
+    // configured /X/ckpt, foreign setCheckpointDir(/X/ckpt2): the old
+    // substring containment ('/X/ckpt2/UUID' contains '/X/ckpt') would
+    // skip the re-assert and silently divert reliable checkpoints into
+    // the foreign dir; the component-prefix test must catch it
+    val ours = Files.createTempDirectory("graft-ckpt-a")
+    val foreign = java.nio.file.Paths.get(ours.toString + "2")
+    Files.createDirectories(foreign)
+    val s2 = spark.newSession()
+    s2.conf.set(Materialize.ConfKey, ours.toString)
+    try {
+      import s2.implicits._
+      // prime the memo: after this, lastSetDir == ours, so only the
+      // containment test stands between a foreign redirect and a
+      // silent skip — exactly the false-positive window
+      Materialize.checkpoint(Seq((1L, "a")).toDF("id", "t")).count()
+      s2.sparkContext.setCheckpointDir(foreign.toString) // foreign code ran
+      Materialize.checkpoint(Seq((2L, "b")).toDF("id", "t")).count()
+      // the re-assert must have pointed the context back inside OUR dir
+      val cp = s2.sparkContext.getCheckpointDir.get
+      assert(new java.net.URI(cp).getPath.startsWith(ours.toString + "/"),
+        s"checkpoint dir $cp not under $ours")
+    } finally {
+      s2.conf.unset(Materialize.ConfKey)
+      // restore the shared context's checkpoint state for sibling suites
+      Fs.deleteTree(ours, swallow = true)
+      Fs.deleteTree(foreign, swallow = true)
+    }
+  }
 }

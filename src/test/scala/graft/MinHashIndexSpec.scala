@@ -121,6 +121,33 @@ class MinHashIndexSpec extends SparkSpec {
     assert(folded.map(_._2).toSet == Set(0L, 1L))
   }
 
+  test("append is redelivery-idempotent: double-append commits nothing, overlap deltas only the new ids") {
+    val p = Files.createTempDirectory("graft-mh8").toString
+    val idx = new MinHashIndex(spark, p)
+    idx.write(base)
+    val v1 = idx.append(batch)
+    assert(v1 == 1L)
+    val probeBatch = mk(2L -> A, 12L -> D)
+    val once = pairs(idx.neardupe(probeBatch))
+    // raw double-append (no streaming wrapper guarding it): returns
+    // the base version, commits NO new version, stores no dup sigs
+    assert(idx.append(batch) == v1)
+    assert(idx.versions == Seq(0L, 1L))
+    assert(idx.sigs().count() == 6L) // 3 base + 3 batch, each once
+    assert(pairs(idx.neardupe(probeBatch)) == once)
+    // partial overlap + an in-batch id repeat: only the genuinely new
+    // id is signed into the delta
+    val v2 = idx.append(mk(11L -> B.replace("twenty", "thirty"), 30L -> C, 30L -> C))
+    assert(spark.read.parquet(s"$p/v$v2/sigs").count() == 1L)
+    assert(idx.sigs().count() == 7L)
+    // overlap-append probe-equal to a one-shot build over the id union
+    val p2 = Files.createTempDirectory("graft-mh9").toString
+    new MinHashIndex(spark, p2).write(base.unionByName(batch).unionByName(mk(30L -> C)))
+    val fresh = spark.newSession()
+    assert(pairs(new MinHashIndex(fresh, p).neardupe(probeBatch)) ==
+      pairs(new MinHashIndex(fresh, p2).neardupe(probeBatch)))
+  }
+
   test("neardupe before write fails loudly; same-id rows are redeliveries, not near-dups") {
     val p = Files.createTempDirectory("graft-mh5").toString
     val idx = new MinHashIndex(spark, p)

@@ -60,11 +60,21 @@ class PackFreqSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-negative"))
   }
 
-  test("scoreDeciles: empty corpus => empty report, not an NPE") {
+  test("scoreDeciles: empty and scoreless corpora => empty report, not an NPE or a null band") {
     import graft.operators.Quality
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Quality.scoreDeciles(empty).count() == 0L)
     assert(Quality.scoreDeciles(empty, approx = true).count() == 0L)
+    // a corpus whose every doc is scoreless (null/empty text) is the
+    // same degenerate distribution: the empty report again — not one
+    // decile=null row swallowing every doc (aggregate over the null
+    // cuts array banding to null), and not an ANSI 0/0 error from
+    // scoring empty text
+    val scoreless = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    assert(Quality.scoreDeciles(scoreless).count() == 0L)
+    // mixed corpus: the scoreless docs are excluded, the scored counted
+    val mixed = scoreless.union(Seq((3L, "alpha beta gamma")).toDF("doc_id", "text"))
+    assert(Quality.scoreDeciles(mixed).collect().map(_.getLong(1)).sum == 1L)
   }
 
   test("scoreDeciles(approx) tracks the exact report within sketch tolerance on the fixture") {

@@ -83,4 +83,26 @@ class StatsIndexSpec extends SparkSpec {
     val books = ix.report().collect().find(_.getString(0) == "books").get
     assert(books.getLong(1) == 2L) // b1's + b2's, each ONCE
   }
+
+  test("same-tag appends interleaved across writers commit exactly once (the check-then-act race)") {
+    val p = Files.createTempDirectory("graft-stats6").toString
+    val a = new StatsIndex(spark, p)
+    val b = new StatsIndex(spark, p) // second writer, same store (cross-process shape)
+    a.write(b1)
+    // the rival lands its same-tag commit in the exact window between
+    // A's outer fast-path lookup (which misses — nothing tagged yet)
+    // and A's own commit: the onStageEnter seam fires inside A's
+    // commit attempt, before the authoritative re-check
+    var rival = -1L
+    a.onStageEnter = () => if (rival < 0) rival = b.append(b2, tag = Some("trig-7"))
+    val got = a.append(b2, tag = Some("trig-7"))
+    assert(rival == 1L && got == rival) // A returned the rival's version
+    assert(a.versions == Seq(0L, 1L))   // ONE tagged commit, not two
+    // and the sums counted the batch once — identical to a one-shot
+    // build over the union, from a fresh session
+    val p2 = Files.createTempDirectory("graft-stats7").toString
+    new StatsIndex(spark, p2).write(b1.unionByName(b2))
+    val fresh = spark.newSession()
+    assert(rows(new StatsIndex(fresh, p)) == rows(new StatsIndex(fresh, p2)))
+  }
 }
