@@ -13,18 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   - small join sides are BroadcastHashJoin under AQE
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("graft.cacheTables", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else Seq(
+  /** The audited flagship-query list — shared with PlanAuditSpec,
+    * which re-asserts this checklist mechanically on every `sbt test`
+    * (the bench's noise floor would hide a plan regression; the plan
+    * text doesn't flap).
+    */
+  val audited: Seq[String] = Seq(
       "a1_count_all", "a3_tag_collect", "g6_group_tag_avg",
       "o1_l1_topk_recent", "s1_insert_conflict_check", "x_ann_topk_brute",
       "x_decontaminate", "x_gapfill_minutes", "x_sample_quota",
@@ -43,6 +37,19 @@ object Explain {
       "x_group_percentiles_approx", "x_dedup_incremental_neardup",
       "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
       "x_corpus_stats_incremental", "x_sample_temperature", "x_quality_drift")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("graft.cacheTables", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else audited
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

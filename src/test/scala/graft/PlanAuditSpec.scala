@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import scala.collection.concurrent.TrieMap
+
+/** The `graft.Explain` plan checklist as a mechanical gate: the bench's
+  * run-to-run noise floor (±30% under ambient load) can hide a plan
+  * regression for rounds, but the plan TEXT doesn't flap — so the
+  * properties the manual audit checks are asserted here on every
+  * `sbt test`:
+  *
+  *   - no `CartesianProduct` anywhere in the audited list except the
+  *     two LABELED brute-force recall baselines,
+  *   - filtered scans reach parquet with non-empty `PushedFilters`,
+  *   - top-k paths use `TakeOrderedAndProject` (k rows per partition),
+  *     never a global `Sort` + `Limit` (whole-corpus sort).
+  *
+  * Plans are compiled with table caching OFF — the plan shape a real
+  * cluster runs against parquet — at sf0.001 (plan text is
+  * scale-invariant; query CONSTRUCTION may build driver-side state
+  * like index fixtures, so the small fixture keeps the suite fast).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val uncached = {
+    val s = spark.newSession()
+    s.conf.set("graft.cacheTables", "false")
+    s
+  }
+
+  private val planCache = TrieMap.empty[String, String]
+  private def planOf(name: String): String =
+    planCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(uncached, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+
+  /** Queries whose correctness DEPENDS on an all-pairs comparison —
+    * the ground-truth baselines the approximate paths are recall-gated
+    * against. Everything else in the audited list must be join- or
+    * aggregation-shaped.
+    */
+  private val bruteForceBaselines = Set("x_ann_topk_brute", "x_neardup_embed_brute")
+
+  test("no CartesianProduct outside the labeled brute-force baselines") {
+    val offenders = (Explain.audited.filterNot(bruteForceBaselines) ++
+      // not in the Explain list but plan-audited here all the same:
+      // the LSH/embedding near-dup paths must never degenerate to
+      // all-pairs — being bucketed IS their design claim
+      Seq("x_dedup_minhash_lsh", "x_neardup_embed_lsh", "x_ann_topk_lsh",
+        "x_ann_topk_ivf", "x_ann_topk_int8"))
+      .filter(n => planOf(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"cartesian product leaked into: ${offenders.mkString(", ")}")
+  }
+
+  test("filtered scans push their predicates into the parquet scan") {
+    // each of these filters a base table; the scan node must carry a
+    // non-empty PushedFilters list (empty => the filter runs as a
+    // post-scan Filter over every row group — at 100 TB that is the
+    // difference between reading a slice and reading the table)
+    val filtered = Seq("a3_tag_collect", "a2_range_collect",
+      "f1_gt_le_collect", "ts2_li_range_topk", "g11_scalar_filtered_sum")
+    filtered.foreach { n =>
+      assert("""PushedFilters: \[[A-Z]""".r.findFirstIn(planOf(n)).nonEmpty,
+        s"$n: no non-empty PushedFilters in plan")
+    }
+  }
+
+  test("top-k paths use TakeOrderedAndProject, not a global sort") {
+    val topk = Seq("o1_l1_topk_recent", "ts2_li_range_topk",
+      "x_search_bm25", "x_heavy_hitters")
+    topk.foreach { n =>
+      assert(planOf(n).contains("TakeOrderedAndProject"),
+        s"$n: expected TakeOrderedAndProject in plan")
+    }
+  }
+}
