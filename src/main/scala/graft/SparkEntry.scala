@@ -175,6 +175,53 @@ object SparkEntry {
       new graft.operators.MinHashIndex(s, p)
     }
 
+  /** Deterministic WARC fixture (x_source_warc's input): one plain
+    * `.warc` with 26 well-formed records — one of whose payloads
+    * embeds a fake record boundary, which Content-Length framing must
+    * carry straight through — a garbage run spliced between records
+    * (exercising resync-and-quarantine), and a byte-identical `.gz`
+    * twin (the Common-Crawl transport). Written ONCE per JVM; all
+    * content is literal, so every pass and every engine sees the same
+    * bytes.
+    */
+  private val warcFixturePath =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  sys.addShutdownHook {
+    Option(warcFixturePath.get()).foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def warcFixtureFor(): String = warcFixturePath.synchronized {
+    Option(warcFixturePath.get()).getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-warc-fixture")
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      def rec(i: Int, wtype: String, body: String) =
+        (wtype, s"http://example.org/page/$i", f"2024-01-${i % 28 + 1}%02dT00:00:00Z",
+          if (wtype == "response") "text/html" else "application/warc-fields",
+          body.getBytes(iso))
+      val head = (0 until 20).map(i =>
+        rec(i, "response", s"<html>doc $i ${"lorem ipsum " * (i + 1)}</html>")) :+
+        // a payload embedding a fake boundary: framing is by
+        // Content-Length, so this must stay ONE record
+        rec(20, "response", "binary-ish\r\n\r\nWARC/1.0\r\nnot a header") :+
+        rec(21, "request", "GET / HTTP/1.1")
+      val tail = (22 until 26).map(i => rec(i, "metadata", s"fetch-ms: $i"))
+      val h = dir.resolve("head.tmp"); val t = dir.resolve("tail.tmp")
+      graft.sources.Warc.writeFixture(h, head)
+      graft.sources.Warc.writeFixture(t, tail)
+      val plain = dir.resolve("sample.warc")
+      java.nio.file.Files.write(plain,
+        java.nio.file.Files.readAllBytes(h) ++
+          "this is not a warc record\r\njust noise\r\n".getBytes(iso) ++
+          java.nio.file.Files.readAllBytes(t))
+      java.nio.file.Files.delete(h); java.nio.file.Files.delete(t)
+      graft.sources.Warc.gzipFixture(plain, dir.resolve("sample.warc.gz"))
+      warcFixturePath.set(dir.toString)
+      dir.toString
+    }
+  }
+
   // WEAK session keys (same rationale as annStores): a strong key would
   // pin every short-lived session for the JVM's life. Catalog entries
   // are per-name (session-scoped names below) and die with the catalog.
@@ -1267,6 +1314,24 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           round(col("brightness"), 4).as("brightness"))
         .orderBy(col("media_id"))
+    }),
+    // ---- WARC ingestion (ISO 28500, the Common-Crawl container):
+    // per-type record counts + payload volume off the deterministic
+    // fixture (plain + gzip twin — both transports through one read),
+    // with the quarantine tally as its own row. Rows-only: a binary
+    // record splitter has no DuckDB-expressible oracle; WarcSpec holds
+    // the byte-exact contract.
+    "x_source_warc" -> ((s, _) => {
+      val (recs, quar) = graft.sources.Warc.readWithQuarantine(
+        s, warcFixtureFor() + "/sample.warc*")
+      recs.groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("payload_bytes"),
+          countDistinct(col("url")).as("n_urls"))
+        .unionByName(quar.agg(count(lit(1)).as("n_records"))
+          .select(lit("__quarantined").as("warc_type"), col("n_records"),
+            lit(0L).as("payload_bytes"), lit(0L).as("n_urls")))
+        .orderBy(col("warc_type"))
     }),
   )
 
