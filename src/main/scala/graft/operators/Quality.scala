@@ -149,32 +149,52 @@ object Quality {
     * ordered by band; total PSI = Σ psi.
     */
   def drift(reference: DataFrame, batch: DataFrame, bins: Int = 10,
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    driftFromCounts(bandCounts(reference, bins, textCol, "n_ref"),
+      bandCounts(batch, bins, textCol, "n_new"), bins)
+
+  /** Exact per-band doc counts of a corpus's quality scores — the
+    * partial [[drift]] consumes, and the ONLY corpus-scale work in the
+    * monitor (one partial-agg scan into ≤ bins groups). Persisting
+    * this frame IS persisting a reference distribution
+    * ([[DriftRef]]), since the PSI frame below is a pure bins-row
+    * computation over two of them.
+    */
+  private[graft] def bandCounts(df: DataFrame, bins: Int,
+                                textCol: String, as: String): DataFrame =
+    df
+      // null/empty text has no quality score and must carry NO band:
+      // the length guard runs BEFORE scoring (empty text would hit
+      // qualityScore's 0/0 punct ratio — an ANSI arithmetic error,
+      // not a null), and the score-nullity filter runs BEFORE
+      // least(), which SKIPS nulls in both engines — unguarded,
+      // least(floor(null*bins), bins-1) files scoreless docs into
+      // the TOP band, masking exactly the degraded-snapshot shape
+      // this monitor exists to catch
+      .filter(length(col(textCol)) > 0)
+      .select(graft.functions.TextFunctions.qualityScore(col(textCol)).as("__q"))
+      .filter(col("__q").isNotNull)
+      .select(least(floor(col("__q") * bins), lit(bins - 1))
+        .cast("long").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as(as))
+
+  /** The PSI frame from two band-count partials ((band, n_ref) and
+    * (band, n_new)) — a bins-row computation, no corpus access. Shared
+    * by the one-shot [[drift]] and the persisted-reference path
+    * ([[DriftRef.psi]]), so the streaming monitor can NOT drift from
+    * the oracle-checked batch semantics: both literally run this.
+    */
+  private[graft] def driftFromCounts(refCounts: DataFrame, newCounts: DataFrame,
+                                     bins: Int): DataFrame = {
     require(bins >= 2, s"drift: bins=$bins must be >= 2")
-    val spark = reference.sparkSession
-    def banded(df: DataFrame, as: String): DataFrame =
-      df
-        // null/empty text has no quality score and must carry NO band:
-        // the length guard runs BEFORE scoring (empty text would hit
-        // qualityScore's 0/0 punct ratio — an ANSI arithmetic error,
-        // not a null), and the score-nullity filter runs BEFORE
-        // least(), which SKIPS nulls in both engines — unguarded,
-        // least(floor(null*bins), bins-1) files scoreless docs into
-        // the TOP band, masking exactly the degraded-snapshot shape
-        // this monitor exists to catch
-        .filter(length(col(textCol)) > 0)
-        .select(graft.functions.TextFunctions.qualityScore(col(textCol)).as("__q"))
-        .filter(col("__q").isNotNull)
-        .select(least(floor(col("__q") * bins), lit(bins - 1))
-          .cast("long").as("band"))
-        .groupBy(col("band")).agg(count(lit(1)).as(as))
+    val spark = refCounts.sparkSession
     val spine = spark.range(bins).select(col("id").as("band"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     spine
-      .join(banded(reference, "n_ref"), Seq("band"), "left")
-      .join(banded(batch, "n_new"), Seq("band"), "left")
+      .join(refCounts, Seq("band"), "left")
+      .join(newCounts, Seq("band"), "left")
       .na.fill(0L, Seq("n_ref", "n_new"))
       .withColumn("__tr", sum(col("n_ref")).over(w))
       .withColumn("__tn", sum(col("n_new")).over(w))

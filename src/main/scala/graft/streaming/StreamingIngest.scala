@@ -327,6 +327,29 @@ object StreamingIngest {
         writeBatch(graft.operators.Contamination.scrub(batch, evalSet, n, maxOverlap))
     }
 
+  /** Streaming quality-drift monitor: every micro-batch is PSI'd
+    * against a PERSISTED reference band snapshot
+    * ([[graft.operators.DriftRef]] — the reference corpus banded once
+    * at snapshot time, never per trigger) and the bins-row report is
+    * handed to `onReport` — the admit/alert hook a pipeline wires to
+    * its gating or paging. The batch operator is the semantics
+    * (the [[decontaminatedIngest]] reasoning): [[graft.operators
+    * .DriftRef.psi]] runs literally the same banding + PSI frame as
+    * the oracle-checked `Quality.drift`, so the streaming monitor
+    * cannot diverge from the batch one. Stateless across triggers
+    * (a batch's drift depends only on itself and the snapshot) — no
+    * watermark, no state store; per-trigger cost is one banding scan
+    * over the batch. Empty micro-batches report nothing (a PSI of
+    * nothing-against-reference is noise, not signal).
+    */
+  def driftIngest(docs: DataFrame, ref: graft.operators.DriftRef,
+                  textCol: String = "text")
+                 (onReport: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) onReport(batchId, ref.psi(batch, textCol))
+    }
+
   /** Streaming frequent tokens: a global Misra-Gries aggregation over
     * the token stream, state = ONE capacity-bounded summary regardless
     * of stream length or vocabulary (contrast a streaming

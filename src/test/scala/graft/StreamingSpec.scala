@@ -146,6 +146,36 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming drift monitor: each trigger's report == the batch operator on that batch") {
+    import graft.operators.{DriftRef, Quality}
+    val refCorpus = (0 until 40)
+      .map(i => (i.toLong, s"reference doc $i plain words ${"x " * (i % 7)}"))
+      .toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-drift-stream").toString
+    val store = new DriftRef(spark, p)
+    store.write(refCorpus)
+    val b1 = Seq((100L, "fresh batch one normal words here"),
+      (101L, "more ordinary content flowing in"))
+    val b2 = Seq((200L, "spam spam"), (201L, "spam spam"), (202L, "spam spam"))
+    val mem = MemoryStream[(Long, String)]
+    val reports = scala.collection.mutable.Map.empty[Long, Seq[org.apache.spark.sql.Row]]
+    val q = StreamingIngest.driftIngest(
+      mem.toDF().toDF("doc_id", "text"), store) { (id, rep) =>
+      reports.synchronized { reports(id) = rep.collect().toSeq }
+    }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // stream == batch, per trigger: each report is exactly the
+    // oracle-checked operator on that micro-batch
+    assert(reports.size == 2)
+    assert(reports(0L) == Quality.drift(refCorpus, b1.toDF("doc_id", "text")).collect().toSeq)
+    assert(reports(1L) == Quality.drift(refCorpus, b2.toDF("doc_id", "text")).collect().toSeq)
+    // and the degraded batch actually trips the investigate threshold
+    assert(reports(1L).map(_.getDouble(3)).sum > 0.25)
+  }
+
   test("streaming ANN maintenance: appended micro-batches probe identically to a full build") {
     import graft.operators.AnnIndexStore
     import graft.operators.AnnIndexStore.{IvfParams, LshParams}
