@@ -799,6 +799,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       annStore(s, dir).probeIvf(emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
     }),
+    // ---- similarity search: IVF-PQ — same pruned lists, candidates
+    // scored off m one-byte codes via a per-query ADC table (~32× less
+    // candidate I/O; rows-only; recall-gated vs brute in AnnIndexSpec)
+    "x_ann_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      annStore(s, dir).probePq(emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    }),
     // ---- pricing summary (TPC-H Q1 shape): the canonical columnar-agg
     // workload. Exact sums via SCALED INTEGERS ([[scaledSum]]): the
     // monetary columns carry fixed 2/4-decimal precision, so

@@ -78,11 +78,12 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     currentVersion.getOrElse(
       throw new IllegalStateException(s"no ANN index committed at $root"))
 
-  /** Build BOTH index structures over `corpus` and commit them as one
-    * new version. Returns the committed version number.
+  /** Build ALL index structures over `corpus` — LSH postings, IVF
+    * lists, and the IVF-PQ coded lists — and commit them as one new
+    * version. Returns the committed version number.
     */
   def write(corpus: DataFrame, lsh: LshParams = LshParams(),
-            ivf: IvfParams = IvfParams(),
+            ivf: IvfParams = IvfParams(), pq: PqParams = PqParams(),
             vecCol: String = "embedding", idCol: String = "vec_id"): Long = synchronized {
     Versioned.commitWithRetry(root, "manifest.json") { (_, slot, staging) =>
       // ids are canonically LONG on disk (callers may pass int ids; the
@@ -113,9 +114,20 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .sortWithinPartitions(col("cent_id"))
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
 
-      writeParams(staging, lsh, ivf)
+      // IVF-PQ: the same pruned-list shape as ivf/, but candidates ship
+      // as m one-byte codes + a precomputed reconstruction norm instead
+      // of dim floats (~32× less candidate I/O — at 100 TB, postings in
+      // the page cache vs not). Codebooks are trained HERE and pinned
+      // with the version like the centroids; appends encode under them.
+      val cb = Pq.train(canon, pq.m, pq.ksub, pq.iters, ivf.dim, vecCol, idCol)
+      writePqLists(Pq.encode(canon, cb, vecCol, idCol),
+        spark.read.parquet(staging.resolve("ivf").toString), staging)
+      writeCodebooks(cb, staging)
+
+      writeParams(staging, lsh, ivf, pq)
       val own = Manifest(Seq(s"v$slot/vectors"), Seq(s"v$slot/lsh"),
-        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"))
+        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"),
+        Seq(s"v$slot/pq"), Seq(s"v$slot/pq_codebooks"))
       Files.writeString(staging.resolve("manifest.json"), own.toJson)
     }
   }
@@ -176,12 +188,22 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .sortWithinPartitions(col("cent_id"))
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
 
-      writeParams(staging, st.lsh, st.ivf)
+      // encode the delta under the PINNED codebooks (they don't move,
+      // like the centroids) — batch-scale; cent ids reuse the staged
+      // ivf assignment just written
+      st.codebooks.foreach { cb =>
+        writePqLists(Pq.encode(stored, cb, "v", "vec_id"),
+          spark.read.parquet(staging.resolve("ivf").toString), staging)
+      }
+
+      writeParams(staging, st.lsh, st.ivf, st.pq)
       val m = Manifest(
         st.manifest.vectors :+ s"v$slot/vectors",
         st.manifest.lsh :+ s"v$slot/lsh",
         st.manifest.ivf :+ s"v$slot/ivf",
-        st.manifest.centroids) // reused verbatim — no new centroid files
+        st.manifest.centroids, // reused verbatim — no new centroid files
+        if (st.codebooks.isDefined) st.manifest.pq :+ s"v$slot/pq" else st.manifest.pq,
+        st.manifest.pqBooks)   // reused verbatim — codebooks pinned
       Files.writeString(staging.resolve("manifest.json"), m.toJson)
     }
   }
@@ -210,11 +232,13 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .join(st.vectors.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .coalesce(1)
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("tombstones").toString)
-      writeParams(staging, st.lsh, st.ivf)
+      writeParams(staging, st.lsh, st.ivf, st.pq)
       val t = s"v$slot/tombstones"
       Files.writeString(staging.resolve("manifest.json"),
         Manifest(st.manifest.vectors :+ t, st.manifest.lsh :+ t,
-          st.manifest.ivf :+ t, st.manifest.centroids).toJson)
+          st.manifest.ivf :+ t, st.manifest.centroids,
+          if (st.codebooks.isDefined) st.manifest.pq :+ t else st.manifest.pq,
+          st.manifest.pqBooks).toJson)
     }
   }
 
@@ -226,10 +250,36 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       .write.mode(SaveMode.ErrorIfExists).partitionBy("tbl")
       .parquet(dir.resolve("lsh").toString)
 
-  private def writeParams(dir: Path, lsh: LshParams, ivf: IvfParams): Unit =
+  /** The PQ component: (cent_id, vec_id, code, recon_norm) — the ivf/
+    * list layout with codes in place of vectors, so probes prune by
+    * cent_id identically and read ~32× fewer candidate bytes.
+    */
+  private def writePqLists(codes: DataFrame, assigned: DataFrame, dir: Path): Unit =
+    assigned.select(col("cent_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .select(col("cent_id"), col("vec_id"), col("code"), col("recon_norm"))
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("pq").toString)
+
+  /** Codebooks as (m, k, cw) rows — self-describing (shape recovered
+    * from the rows), tiny (m·ksub rows), version-pinned like the
+    * centroids.
+    */
+  private def writeCodebooks(cb: Pq.Codebooks, dir: Path): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (cw, k) => (mi, k, cw) }
+    }.toDF("m", "k", "cw")
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dir.resolve("pq_codebooks").toString)
+  }
+
+  private def writeParams(dir: Path, lsh: LshParams, ivf: IvfParams, pq: PqParams): Unit =
     Files.writeString(dir.resolve("params.json"),
       s"""{"tables":${lsh.tables},"planes":${lsh.planes},"lsh_dim":${lsh.dim},""" +
-        s""""nlist":${ivf.nlist},"refine_iters":${ivf.refineIters},"ivf_dim":${ivf.dim}}""")
+        s""""nlist":${ivf.nlist},"refine_iters":${ivf.refineIters},"ivf_dim":${ivf.dim},""" +
+        s""""pq_m":${pq.m},"pq_ksub":${pq.ksub},"pq_iters":${pq.iters}}""")
 
   /** Probe state that is immutable once a version commits: parsed
     * params, the manifest, the DataFrame handles over its (possibly
@@ -239,9 +289,11 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     * were previously paid per call.
     */
   private final case class VersionState(lsh: LshParams, ivf: IvfParams,
-                                        manifest: Manifest, vectors: DataFrame,
-                                        lshPostings: DataFrame, ivfLists: DataFrame,
-                                        centroids: DataFrame)
+                                        pq: PqParams, manifest: Manifest,
+                                        vectors: DataFrame, lshPostings: DataFrame,
+                                        ivfLists: DataFrame, centroids: DataFrame,
+                                        pqLists: Option[DataFrame],
+                                        codebooks: Option[Pq.Codebooks])
 
   private val stateCache = TrieMap.empty[Long, VersionState]
 
@@ -251,10 +303,11 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   private def loadState(version: Long): VersionState = {
     val verDir = root.resolve(s"v$version")
     val txt = Files.readString(verDir.resolve("params.json"))
+    def numOpt(key: String): Option[Int] =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
     def num(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(txt)
-        .getOrElse(throw new IllegalStateException(s"params.json missing $key"))
-        .group(1).toInt
+      numOpt(key).getOrElse(
+        throw new IllegalStateException(s"params.json missing $key"))
     val m = Manifest.read(verDir, version)
     // component chains replay in manifest order ([[Versioned
     // .replayChain]]: data dirs union, tombstone entries subtract from
@@ -271,9 +324,21 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     val centsDisk = spark.read.parquet(
       m.centroids.map(root.resolve(_).toString): _*)
     val cents = localDf(centsDisk.collect(), centsDisk.schema)
+    // codebooks: m·ksub rows, version-pinned; shape recovered from the
+    // rows themselves (pre-PQ versions simply have no pq dirs)
+    val books = if (m.pqBooks.isEmpty) None else Some {
+      val rows = spark.read.parquet(m.pqBooks.map(root.resolve(_).toString): _*)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      val mCount = rows.map(_._1).max + 1
+      Pq.Codebooks(mCount, rows.head._3.length,
+        (0 until mCount).map(mi => rows.filter(_._1 == mi).sortBy(_._2).map(_._3).toSeq))
+    }
     VersionState(LshParams(num("tables"), num("planes"), num("lsh_dim")),
       IvfParams(num("nlist"), num("refine_iters"), num("ivf_dim")),
-      m, fold(m.vectors), fold(m.lsh), fold(m.ivf), cents)
+      PqParams(numOpt("pq_m").getOrElse(16), numOpt("pq_ksub").getOrElse(64),
+        numOpt("pq_iters").getOrElse(3)),
+      m, fold(m.vectors), fold(m.lsh), fold(m.ivf), cents,
+      if (m.pq.isEmpty) None else Some(fold(m.pq)), books)
   }
 
   /** A driver-local DataFrame (LocalRelation): joins that broadcast it
@@ -358,6 +423,80 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
     Similarity.rankTopK(cand, k)
   }
 
+  /** Approximate top-k by IVF-PQ: the same nprobe-pruned inverted-list
+    * scan as [[probeIvf]], but candidates are scored straight off
+    * their m one-byte codes with a per-query ADC lookup table
+    * ([[Pq.adcCosine]]) — ~16× less candidate I/O than the
+    * full-vector lists and no reconstruction — then the top
+    * `refine`·k ADC survivors per query are re-scored EXACTLY against
+    * the id-sorted vectors table (the FAISS refine step: an id-join
+    * touching refine·k·|queries| rows, row-group-skipped — negligible
+    * I/O that recovers the quantization's ranking error; `refine = 0`
+    * returns raw ADC scores). Recall bounds live in AnnIndexSpec
+    * (like the int8 path's). The LUT is built driver-side from the
+    * version-pinned codebooks — m·ksub doubles per query, riding the
+    * same broadcast as the probe rows.
+    */
+  def probePq(queries: DataFrame, k: Int = 5, nprobe: Int = 4, refine: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val st = state(pinVersion())
+    val cb = st.codebooks.getOrElse(throw new IllegalStateException(
+      s"version at $root predates the PQ component — rebuild with write()"))
+    val lists = st.pqLists.get // present whenever codebooks are
+    val probesDisk = Similarity.nearestCentroids(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv")),
+      st.centroids, "query_id", "qv", nprobe)
+    val pRows = probesDisk.collect()
+    // per query: the ADC dot-product LUT and |q| — driver-side, tiny
+    val lutRows = pRows.map { r =>
+      val q = r.getSeq[Double](r.fieldIndex("qv")).toSeq
+      org.apache.spark.sql.Row(r.getAs[Long]("cent_id"), r.getAs[Long]("query_id"),
+        Pq.lookupTable(q, cb), math.sqrt(q.iterator.map(x => x * x).sum))
+    }
+    import org.apache.spark.sql.types._
+    val probes = localDf(lutRows, StructType(Seq(
+      StructField("cent_id", LongType), StructField("query_id", LongType),
+      StructField("lut", ArrayType(ArrayType(DoubleType))),
+      StructField("qnorm", DoubleType))))
+    val centIds = pRows.map(_.getAs[Long]("cent_id")).distinct.toSeq
+    val shortlist = math.max(k, refine * k)
+    val cand = lists.filter(col("cent_id").isin(centIds: _*)) // row-group skipping
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        round(Pq.adcCosine(col("lut"), col("code"), col("recon_norm"), col("qnorm")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val top = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= (if (refine > 0) shortlist else k))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    if (refine <= 0) {
+      // raw ADC ranking (codes only, no vector reads)
+      top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("score"))
+        .repartition(1)
+        .sortWithinPartitions(col("query_id"), col("rank"))
+    } else {
+      // exact re-rank of the ADC shortlist: one (query_id, qv) row per
+      // query from the already-collected probe rows, candidates
+      // broadcast against the sorted vectors table
+      val qVec = localDf(
+        pRows.groupBy(_.getAs[Long]("query_id")).map(_._2.head).toArray
+          .map(r => org.apache.spark.sql.Row(r.getAs[Long]("query_id"),
+            r.getSeq[Double](r.fieldIndex("qv")))),
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("qv", ArrayType(DoubleType)))))
+      val withVec = st.vectors.join(
+        broadcast(top.drop("score").join(qVec, Seq("query_id"))), Seq("vec_id"))
+      Similarity.rankTopK(withVec, k)
+    }
+  }
+
   /** Rewrite the CURRENT version's (possibly many-directory) append
     * chain into ONE fresh directory per component and commit it as a
     * new version. Pure I/O: postings, inverted lists and vectors are
@@ -390,9 +529,16 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf").toString)
       st.centroids.coalesce(1)
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("ivf_centroids").toString)
-      writeParams(staging, st.lsh, st.ivf)
+      st.pqLists.foreach(_.repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("pq").toString))
+      st.codebooks.foreach(writeCodebooks(_, staging))
+      writeParams(staging, st.lsh, st.ivf, st.pq)
+      val hasPq = st.codebooks.isDefined
       val own = Manifest(Seq(s"v$slot/vectors"), Seq(s"v$slot/lsh"),
-        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"))
+        Seq(s"v$slot/ivf"), Seq(s"v$slot/ivf_centroids"),
+        if (hasPq) Seq(s"v$slot/pq") else Seq.empty,
+        if (hasPq) Seq(s"v$slot/pq_codebooks") else Seq.empty)
       Files.writeString(staging.resolve("manifest.json"), own.toJson)
     }
   }
@@ -422,7 +568,8 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         // probeability would leak a corpus-scale copy forever
         val probeable = Files.exists(dir.resolve("manifest.json")) ||
           Files.exists(dir.resolve("params.json"))
-        Seq("vectors", "lsh", "ivf", "ivf_centroids", "tombstones")
+        Seq("vectors", "lsh", "ivf", "ivf_centroids", "pq", "pq_codebooks",
+            "tombstones")
           .filterNot(c => live.contains(s"v$v/$c"))
           .foreach(c => graft.Fs.deleteTree(dir.resolve(c)))
         Files.deleteIfExists(dir.resolve("manifest.json"))
@@ -446,6 +593,15 @@ object AnnIndexStore {
   final case class LshParams(tables: Int = 32, planes: Int = 6, dim: Int = 64)
   /** IVF build parameters (see [[Similarity.buildIvfIndex]]). */
   final case class IvfParams(nlist: Int = 32, refineIters: Int = 1, dim: Int = 64)
+  /** PQ build parameters (see [[Pq.train]]): m sub-spaces (must divide
+    * the IVF dim), ksub codewords each (≤128 — tinyint codes), Lloyd
+    * iterations. The defaults (16 sub-spaces × 4 dims, 64 codewords)
+    * are the recall-gated operating point on the synthetic fixture —
+    * near-uniform embeddings are PQ's worst case, needing finer
+    * sub-spaces than structured real-world vectors would; still 16
+    * bytes per 64-float vector (16×).
+    */
+  final case class PqParams(m: Int = 16, ksub: Int = 64, iters: Int = 3)
 
   /** The root-relative data directories composing one committed
     * version. Written at commit time; versions older than the manifest
@@ -459,12 +615,15 @@ object AnnIndexStore {
     * would either resurrect the old copy or hide the new one).
     */
   private[operators] final case class Manifest(vectors: Seq[String], lsh: Seq[String],
-                                               ivf: Seq[String], centroids: Seq[String]) {
-    def allDirs: Seq[String] = vectors ++ lsh ++ ivf ++ centroids
+                                               ivf: Seq[String], centroids: Seq[String],
+                                               pq: Seq[String] = Seq.empty,
+                                               pqBooks: Seq[String] = Seq.empty) {
+    def allDirs: Seq[String] = vectors ++ lsh ++ ivf ++ centroids ++ pq ++ pqBooks
     def toJson: String = {
       def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
       s"""{"vectors":${arr(vectors)},"lsh":${arr(lsh)},""" +
-        s""""ivf":${arr(ivf)},"ivf_centroids":${arr(centroids)}}"""
+        s""""ivf":${arr(ivf)},"ivf_centroids":${arr(centroids)},""" +
+        s""""pq":${arr(pq)},"pq_codebooks":${arr(pqBooks)}}"""
     }
   }
 
@@ -476,12 +635,18 @@ object AnnIndexStore {
           Seq(s"v$version/ivf"), Seq(s"v$version/ivf_centroids"))
       else {
         val txt = Files.readString(mf)
-        def dirs(key: String): Seq[String] =
+        def dirsOpt(key: String): Option[Seq[String]] =
           s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(txt)
-            .getOrElse(throw new IllegalStateException(s"manifest.json missing $key"))
-            .group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty)
-        Manifest(dirs("vectors"), dirs("lsh"), dirs("ivf"), dirs("ivf_centroids"))
+            .map(_.group(1).split(",").toSeq
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        def dirs(key: String): Seq[String] =
+          dirsOpt(key).getOrElse(
+            throw new IllegalStateException(s"manifest.json missing $key"))
+        // pq keys are OPTIONAL: manifests written before the PQ
+        // component simply have no coded lists (probePq names that)
+        Manifest(dirs("vectors"), dirs("lsh"), dirs("ivf"), dirs("ivf_centroids"),
+          dirsOpt("pq").getOrElse(Seq.empty),
+          dirsOpt("pq_codebooks").getOrElse(Seq.empty))
       }
     }
   }

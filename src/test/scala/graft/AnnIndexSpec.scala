@@ -44,6 +44,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(ivfDisk == ivfMem)
   }
 
+  test("IVF-PQ: recall gates vs brute and vs the full-vector probe; fresh-session parity; delete/append maintain the coded lists") {
+    val path = Files.createTempDirectory("graft-ann-pq").toString
+    val store = new AnnIndexStore(spark, path)
+    store.write(emb)
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    // quantization loss ALONE (nprobe = nlist scans every list, so IVF
+    // pruning is exact): recall vs brute is the VERDICT gate
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val pqFull = pairs(store.probePq(queries, k = 5, nprobe = 32))
+    val fullRecall = pqFull.intersect(brute).size.toDouble / brute.size
+    info(f"pq top-5 recall vs brute (nprobe=nlist): $fullRecall%.3f (n=${brute.size})")
+    assert(fullRecall >= 0.85, f"PQ recall regressed: $fullRecall%.3f")
+
+    // at the production operating point (nprobe=8, x_ann_topk_pq's),
+    // PQ should track the full-vector IVF probe — the pruning is
+    // identical, only the scoring is quantized
+    val ivf8 = pairs(store.probeIvf(queries, k = 5, nprobe = 8))
+    val pq8 = pairs(store.probePq(queries, k = 5, nprobe = 8))
+    val trackRecall = pq8.intersect(ivf8).size.toDouble / ivf8.size
+    info(f"pq top-5 agreement vs ivf (nprobe=8): $trackRecall%.3f")
+    assert(trackRecall >= 0.85, f"PQ/IVF agreement regressed: $trackRecall%.3f")
+
+    // fresh session: codes, codebooks and centroids all come off disk
+    val fresh = new AnnIndexStore(spark.newSession(), path)
+    assert(rows(fresh.probePq(queries, k = 5, nprobe = 8)) ==
+      rows(store.probePq(queries, k = 5, nprobe = 8)))
+
+    // takedown: a probed id vanishes from the PQ probe; re-appending
+    // its vector (encoded under the PINNED codebooks) brings it back
+    val victim = store.probePq(queries, k = 1, nprobe = 8)
+      .collect().head.getLong(2)
+    store.delete(Seq(victim).toDF("vec_id"))
+    assert(!store.probePq(queries, k = 5, nprobe = 32).collect()
+      .map(_.getLong(2)).contains(victim))
+    store.append(emb.filter($"vec_id" === victim))
+    assert(store.probePq(queries, k = 5, nprobe = 32).collect()
+      .map(_.getLong(2)).contains(victim))
+  }
+
   test("index versions: rebuild commits a new version; vacuum reaps superseded ones") {
     val path = Files.createTempDirectory("graft-ann-v").toString
     val store = new AnnIndexStore(spark, path)

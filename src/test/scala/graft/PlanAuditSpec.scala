@@ -49,7 +49,7 @@ class PlanAuditSpec extends SparkSpec {
       // the LSH/embedding near-dup paths must never degenerate to
       // all-pairs — being bucketed IS their design claim
       Seq("x_dedup_minhash_lsh", "x_neardup_embed_lsh", "x_ann_topk_lsh",
-        "x_ann_topk_ivf", "x_ann_topk_int8"))
+        "x_ann_topk_ivf", "x_ann_topk_int8", "x_ann_topk_pq"))
       .filter(n => planOf(n).contains("CartesianProduct"))
     assert(offenders.isEmpty,
       s"cartesian product leaked into: ${offenders.mkString(", ")}")
