@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{ClusterIndex, Dedup}
+import java.nio.file.Files
+
+/** Incremental duplicate-cluster maintenance: merging a batch's edges
+  * into the stored assignment must be BIT-IDENTICAL to one-shot
+  * connected components over the union of all edges — min-id labels
+  * are canonical, so there is no "modulo relabeling" escape hatch.
+  */
+class ClusterIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  private def assignRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  // history: {1,2,3} (chain), {10,11}, {20} singleton-self
+  private val e1 = edges(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 20L)
+
+  test("append == one-shot CC over the edge union, including cross-batch merges of existing clusters") {
+    val p = Files.createTempDirectory("graft-ci1").toString
+    val ix = new ClusterIndex(spark, p)
+    assert(ix.write(e1) == 0L)
+    // batch: new docs 30/31 join cluster {10,11}; new pair {40,41};
+    // and an edge MERGING existing clusters {1,2,3} and {10,11}
+    val e2 = edges(30L -> 10L, 30L -> 31L, 40L -> 41L, 3L -> 11L)
+    assert(ix.append(e2) == 1L)
+    val oneShot = assignRows(Dedup.connectedComponents(e1.unionByName(e2)))
+    assert(assignRows(ix.assignment()) == oneShot)
+    // fresh session reads the same fold off disk
+    assert(assignRows(new ClusterIndex(spark.newSession(), p).assignment()) == oneShot)
+    // survivors mirror the one-shot helper
+    assert(ix.survivors().collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Dedup.clusterSurvivors(e1.unionByName(e2))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // batch cost on disk: v1's assign dir holds ONLY the new ids
+    assert(spark.read.parquet(s"$p/v1/assign").count() == 4L) // 30,31,40,41
+  }
+
+  test("chained merges resolve transitively through the remap chain; compact folds it; vacuum reaps") {
+    val p = Files.createTempDirectory("graft-ci2").toString
+    val ix = new ClusterIndex(spark, p)
+    ix.write(e1)
+    val e2 = edges(30L -> 10L)            // 30 joins {10,11}
+    val e3 = edges(10L -> 2L, 50L -> 51L) // then {10,11,30} merges into {1,2,3}
+    ix.append(e2)
+    ix.append(e3)
+    val oneShot = assignRows(Dedup.connectedComponents(
+      e1.unionByName(e2).unionByName(e3)))
+    assert(assignRows(ix.assignment()) == oneShot)
+    // {1,2,3,10,11,30} all label 1 after the transitive merge
+    assert(assignRows(ix.assignment()).filter(_._1 == 30L).head._2 == 1L)
+    val v = ix.compact()
+    assert(assignRows(new ClusterIndex(spark.newSession(), p).assignment()) == oneShot)
+    ix.vacuum(0)
+    assert(ix.versions == Seq(v))
+    assert(assignRows(ix.assignment()) == oneShot)
+  }
+
+  test("no-op and edgeless batches commit nothing; append before write fails loudly") {
+    val p = Files.createTempDirectory("graft-ci3").toString
+    val ix = new ClusterIndex(spark, p)
+    intercept[IllegalStateException](ix.append(e1))
+    val v0 = ix.write(e1)
+    // edges entirely inside one existing cluster: nothing changes
+    assert(ix.append(edges(1L -> 3L)) == v0)
+    // empty batch: nothing
+    assert(ix.append(edges()) == v0)
+    assert(ix.versions == Seq(0L))
+    assert(assignRows(ix.assignment()) == assignRows(Dedup.connectedComponents(e1)))
+  }
+}
