@@ -22,7 +22,26 @@ import scala.collection.concurrent.TrieMap
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  /** A PRIVATE COPY of the fixture dir: Spark's CacheManager is
+    * SparkContext-wide and substitutes an InMemoryRelation for ANY
+    * later plan over a path some other suite already cached (hiding
+    * the scan node and its PushedFilters — this spec would then flap
+    * with suite order). A distinct path means distinct relations, so
+    * the plans audited here are genuine parquet scans regardless of
+    * what ran before.
+    */
+  private lazy val sfDir = {
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val dst = java.nio.file.Files.createTempDirectory("graft-planaudit-sf")
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+    dst.toString
+  }
 
   private lazy val uncached = {
     val s = spark.newSession()
