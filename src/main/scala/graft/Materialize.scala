@@ -74,13 +74,22 @@ object Materialize {
 
   /** The path component of a possibly scheme-qualified location
     * (`file:/a/b` and `hdfs://host/a/b` both → `/a/b`; an unparseable
-    * or scheme-less string is its own path).
+    * or scheme-less string is its own path). A RELATIVE result is
+    * resolved against the working directory — Spark resolves a
+    * relative setCheckpointDir the same way, and without this a
+    * relative configured dir would never prefix-match the
+    * scheme-qualified absolute getCheckpointDir, re-asserting (and
+    * minting a fresh UUID subdir) on every call.
     */
-  private def pathOf(s: String): String =
-    try {
-      val p = new java.net.URI(s).getPath
-      if (p == null || p.isEmpty) s else p
-    } catch { case _: java.net.URISyntaxException => s }
+  private def pathOf(s: String): String = {
+    val p0 =
+      try {
+        val p = new java.net.URI(s).getPath
+        if (p == null || p.isEmpty) s else p
+      } catch { case _: java.net.URISyntaxException => s }
+    if (p0.startsWith("/")) p0
+    else java.nio.file.Paths.get(p0).toAbsolutePath.normalize.toString
+  }
 
   /** Trigger-scoped materialization for UNBOUNDED streaming loops:
     * always `localCheckpoint`, even when [[ConfKey]] is set. Reliable

@@ -87,8 +87,14 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
             vecCol: String = "embedding", idCol: String = "vec_id"): Long = synchronized {
     Versioned.commitWithRetry(root, "manifest.json") { (_, slot, staging) =>
       // ids are canonically LONG on disk (callers may pass int ids; the
-      // probes extract them driver-side as longs)
+      // probes extract them driver-side as longs) and UNIQUE — the same
+      // in-batch dedup append() applies: a duplicate id would put two
+      // rows in every probe's top-k, and worse, Pq.encode's per-id code
+      // assembly would fold both copies into one 2m-length code whose
+      // probe-time LUT lookups run off the end (an ANSI error killing
+      // every later probePq)
       val canon = corpus.withColumn(idCol, col(idCol).cast("long"))
+        .dropDuplicates(idCol)
       val vectors = canon.select(col(idCol).as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("v"))
 
@@ -449,24 +455,32 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
         Similarity.asDouble(col(vecCol)).as("qv")),
       st.centroids, "query_id", "qv", nprobe)
     val pRows = probesDisk.collect()
-    // per query: the ADC dot-product LUT and |q| — driver-side, tiny
-    val lutRows = pRows.map { r =>
-      val q = r.getSeq[Double](r.fieldIndex("qv")).toSeq
-      org.apache.spark.sql.Row(r.getAs[Long]("cent_id"), r.getAs[Long]("query_id"),
-        Pq.lookupTable(q, cb), math.sqrt(q.iterator.map(x => x * x).sum))
-    }
     import org.apache.spark.sql.types._
-    val probes = localDf(lutRows, StructType(Seq(
-      StructField("cent_id", LongType), StructField("query_id", LongType),
-      StructField("lut", ArrayType(ArrayType(DoubleType))),
-      StructField("qnorm", DoubleType))))
+    // the (cent_id, query_id) probe pairs carry NOTHING wide; the ADC
+    // LUT and |q| live in a per-QUERY relation joined after the list
+    // scan — building them per probe row would ship nprobe duplicate
+    // m·ksub tables per query through the broadcast
+    val probes = localDf(pRows.map(r =>
+      org.apache.spark.sql.Row(r.getAs[Long]("cent_id"), r.getAs[Long]("query_id"))),
+      StructType(Seq(StructField("cent_id", LongType),
+        StructField("query_id", LongType))))
+    val luts = localDf(
+      pRows.groupBy(_.getAs[Long]("query_id")).map(_._2.head).toArray.map { r =>
+        val q = r.getSeq[Double](r.fieldIndex("qv")).toSeq
+        org.apache.spark.sql.Row(r.getAs[Long]("query_id"),
+          Pq.lookupTable(q, cb), math.sqrt(q.iterator.map(x => x * x).sum))
+      },
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))),
+        StructField("qnorm", DoubleType))))
     val centIds = pRows.map(_.getAs[Long]("cent_id")).distinct.toSeq
-    val shortlist = math.max(k, refine * k)
     val cand = lists.filter(col("cent_id").isin(centIds: _*)) // row-group skipping
       .join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .withColumn("score",
         round(Pq.adcCosine(col("lut"), col("code"), col("recon_norm"), col("qnorm")), 4))
+    val shortlist = math.max(k, refine * k)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     val top = cand.withColumn("rank", row_number().over(w))

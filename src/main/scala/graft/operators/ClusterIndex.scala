@@ -89,38 +89,45 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
     Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no cluster index committed at $root"))
-      val cur = assignment(Some(base))
-      val p = pairs.select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
+      // the batch's (possibly expensive — minhashPairs, neardupe)
+      // pair pipeline runs ONCE: trigger-scoped materialization feeds
+      // the emptiness probe, both rep joins, and CC
+      val p = graft.Materialize.ephemeral(
+        pairs.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b")))
       if (p.isEmpty) throw Versioned.SkipCommit("no edges in batch")
       // endpoint -> current representative (itself when unassigned).
-      // The edge side is batch-scale: broadcast it against the
-      // assignment scan, never the reverse.
+      // The edge side is batch-scale: broadcast it against the ONE
+      // assignment-chain scan this append pays (the semi-join prunes
+      // it to batch-sized output); `was_assigned` rides along so the
+      // new-id and moved-label splits below need no further chain scan
       val ids = graft.Materialize.ephemeral(
         p.select(col("id_a").as("id")).unionAll(p.select(col("id_b").as("id")))
           .distinct())
       val reps = graft.Materialize.ephemeral(
-        ids.join(cur.join(broadcast(ids), Seq("id"), "left_semi"),
+        ids.join(assignment(Some(base)).join(broadcast(ids), Seq("id"), "left_semi"),
             Seq("id"), "left")
-          .select(col("id"), coalesce(col("component"), col("id")).as("rep")))
+          .select(col("id"), coalesce(col("component"), col("id")).as("rep"),
+            col("component").isNotNull.as("was_assigned")))
       val repEdges = p
-        .join(reps.withColumnRenamed("id", "id_a").withColumnRenamed("rep", "rep_a"), "id_a")
-        .join(reps.withColumnRenamed("id", "id_b").withColumnRenamed("rep", "rep_b"), "id_b")
+        .join(reps.select(col("id").as("id_a"), col("rep").as("rep_a")), "id_a")
+        .join(reps.select(col("id").as("id_b"), col("rep").as("rep_b")), "id_b")
         .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
       // CC over representatives: min-id labels => merged components get
       // exactly the label a one-shot over the union would
       val merged = graft.Materialize.ephemeral(
         Dedup.connectedComponents(repEdges)
           .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp"))
-      // OLD labels that moved: rep was an existing component != new one
+      // OLD labels that moved: an assigned endpoint's rep IS a stored
+      // component label, so `was_assigned` identifies them for free
       val touched = graft.Materialize.ephemeral(
-        merged.join(cur.select(col("component")).distinct()
-            .withColumnRenamed("component", "rep"), Seq("rep"), "left_semi")
+        merged.join(reps.filter(col("was_assigned")).select(col("rep")).distinct(),
+            Seq("rep"), "left_semi")
           .filter(col("rep") =!= col("new_comp"))
           .select(col("rep").as("component"), col("new_comp").as("new_component")))
       // NEW ids: batch endpoints with no stored assignment
       val newAssign = graft.Materialize.ephemeral(reps
-        .join(cur.select(col("id")), Seq("id"), "left_anti")
+        .filter(!col("was_assigned"))
         .join(merged, Seq("rep"))
         .select(col("id"), col("new_comp").as("component")))
       // each delta dir is written ONLY when non-empty and listed in

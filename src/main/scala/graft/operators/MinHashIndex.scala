@@ -93,9 +93,14 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no minhash index committed at $root"))
       val st = state(base)
-      val fresh = docs.dropDuplicates(idCol)
+      // materialized ONCE (trigger-scoped): the anti-join scans the
+      // full sigs chain, and without this both the emptiness probe
+      // and stageDelta's two writes would re-run it — the same
+      // double-evaluation AnnIndexStore.append avoids with its
+      // write-then-re-read move
+      val fresh = graft.Materialize.ephemeral(docs.dropDuplicates(idCol)
         .join(sigs(Some(base)).select(col("id").as("__indexed_id")),
-          col(idCol) === col("__indexed_id"), "left_anti")
+          col(idCol) === col("__indexed_id"), "left_anti"))
       // a fully-redelivered batch empties the delta: SKIP the commit —
       // publishing it would grow the chain with zero-row parquet dirs
       // that later chain reads can't re-read (no files to infer a

@@ -57,13 +57,18 @@ object Warc {
     readWithQuarantine(spark, path, maxPayloadBytes)._1
 
   /** Read `path` as (records, quarantine): quarantine rows are
-    * (file, offset, reason) — truncated headers/payloads, missing
-    * Content-Length, payloads over `maxPayloadBytes` (skipped, never
-    * buffered), non-WARC bytes where a version line was expected.
-    * After a malformed record the parser resyncs by scanning for the
-    * next version line, so one torn record quarantines itself, not
-    * the rest of its file. Both frames derive from the one binaryFile
-    * scan (two passes, like the JSONL split).
+    * (file, offset, reason) — truncated headers/payloads, missing or
+    * negative Content-Length, payloads over `maxPayloadBytes`
+    * (skipped, never buffered), non-WARC bytes where a version line
+    * was expected. After a malformed record the parser resyncs by
+    * scanning for the next version line, so one torn record costs ONE
+    * quarantine row, not the rest of its file — with one honest
+    * caveat: a record whose LENGTH is unreadable cannot have its
+    * payload skipped precisely, so the resync scan may stop early at
+    * payload bytes that look like a version line and read what
+    * follows as records (inherent to the format; a correct length is
+    * what delimits payload bytes). Both frames derive from the one
+    * binaryFile scan (two passes, like the JSONL split).
     */
   def readWithQuarantine(spark: SparkSession, path: String,
                          maxPayloadBytes: Long = 64L << 20): (DataFrame, DataFrame) = {
@@ -106,6 +111,13 @@ object Warc {
     def nextLine(): Unit = { lineStart = cur.pos; line = cur.readLine() }
     nextLine()
     var desyncAt = -1L // first offset of an unrecognized byte run, if any
+    var pendingReason: String = null // why the run began, when known
+    def emitDesync(): Unit = if (desyncAt >= 0) {
+      quarantine(desyncAt,
+        Option(pendingReason).getOrElse("skipped non-WARC bytes (resync)"))
+      desyncAt = -1L
+      pendingReason = null
+    }
     while (line != null) {
       if (line.isEmpty) nextLine() // inter-record CRLFs
       else if (!line.startsWith("WARC/")) {
@@ -115,10 +127,7 @@ object Warc {
         if (desyncAt < 0) desyncAt = lineStart
         nextLine()
       } else {
-        if (desyncAt >= 0) {
-          quarantine(desyncAt, "skipped non-WARC bytes (resync)")
-          desyncAt = -1L
-        }
+        emitDesync()
         val recordStart = lineStart
         // headers to the blank line
         val headers = scala.collection.mutable.Map.empty[String, String]
@@ -133,16 +142,29 @@ object Warc {
           nextLine()
         }
         if (line == null) truncated = true
+        // a NEGATIVE length is as unusable as a missing one (and would
+        // otherwise reach readN/skipN as a crash or a cursor
+        // corruption); both fall to the resync path below
         val clen = headers.get("content-length").flatMap(_.toLongOption)
+          .filter(_ >= 0)
         if (truncated) quarantine(recordStart, "truncated record header")
         else if (clen.isEmpty) {
-          // can't locate the record's end without a length — resync
-          quarantine(recordStart, "missing or invalid Content-Length")
+          // can't locate the record's end without a usable length: the
+          // skipped run (this record's un-skippable payload included)
+          // coalesces into ONE quarantine row via the resync scanner
+          // (pendingReason) — payload bytes that happen to look like a
+          // version line can still end the run early; that heuristic
+          // is the price of a torn length, documented on the class
+          pendingReason = "missing or invalid Content-Length (resync)"
+          desyncAt = recordStart
         } else if (malformed) {
           // stay synced (length known): skip the payload, quarantine
           cur.skipN(clen.get)
           quarantine(recordStart, "malformed header line")
-        } else if (clen.get > maxPayload) {
+        } else if (clen.get > maxPayload || clen.get > Int.MaxValue - 8L) {
+          // over the caller's cap — or over what a byte array can hold
+          // at all (readN's Int length would wrap if a caller raised
+          // the Long-typed cap past 2 GiB): skip, never buffer
           val skipped = cur.skipN(clen.get)
           if (skipped < clen.get) quarantine(recordStart, "truncated payload")
           else quarantine(recordStart,
@@ -159,7 +181,7 @@ object Warc {
         if (line != null) nextLine()
       }
     }
-    if (desyncAt >= 0) quarantine(desyncAt, "skipped non-WARC bytes (resync)")
+    emitDesync()
     out.toSeq
   }
 

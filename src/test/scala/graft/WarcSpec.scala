@@ -94,10 +94,25 @@ class WarcSpec extends SparkSpec {
     val mixed = dir.resolve("mixed.warc")
     Files.write(mixed, noLen ++ Files.readAllBytes(write(dir, "v.tmp", fixtureRecords.take(1))))
     val (r2, q2) = Warc.readWithQuarantine(spark, mixed.toString)
-    assert(q2.collect().map(_.getAs[String]("reason")).toSeq
-      .exists(_.contains("Content-Length")))
+    // ONE row for the whole torn record (header + unskippable payload
+    // coalesce into the resync run), not one per symptom
+    val q2rows = q2.collect()
+    assert(q2rows.length == 1 &&
+      q2rows.head.getAs[String]("reason").contains("Content-Length"))
     assert(r2.collect().map(_.getAs[String]("url")).toSeq
-      .contains("http://example.org/a")) // the valid record survived
+      == Seq("http://example.org/a")) // the valid record survived
+
+    // a NEGATIVE length is a quarantine, not a NegativeArraySizeException
+    // killing the task
+    val negLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: -7\r\n\r\nxxx\r\n\r\n").getBytes(ISO_8859_1)
+    val neg = dir.resolve("neg.warc")
+    Files.write(neg, negLen ++ Files.readAllBytes(dir.resolve("v.tmp")))
+    val (r3, q3) = Warc.readWithQuarantine(spark, neg.toString)
+    assert(q3.collect().map(_.getAs[String]("reason")).toSeq
+      .exists(_.contains("Content-Length")))
+    assert(r3.collect().map(_.getAs[String]("url")).toSeq
+      == Seq("http://example.org/a"))
   }
 
   test("payloads over the cap are skipped and quarantined; later records parse") {
