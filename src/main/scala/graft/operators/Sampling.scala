@@ -151,10 +151,18 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(pseudoOrder(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // quota keys are strings by construction — cast the doc side to
-    // match so a non-string group column joins on its canonical string
-    // form instead of relying on implicit cross-type coercion
-    docs.select(col(groupCol).cast("string").as(groupCol), col(idCol),
+    // quota keys are strings by construction — cast a NON-string group
+    // column to its canonical string form so the join never relies on
+    // implicit cross-type coercion. Conditional: a redundant cast on an
+    // already-string column is not free — it changes the join/window
+    // key expression, so Catalyst can no longer reuse an upstream
+    // exchange already partitioned on the raw column (measured as an
+    // extra corpus shuffle in the curation pipeline)
+    val gkey =
+      if (docs.schema(groupCol).dataType == org.apache.spark.sql.types.StringType)
+        col(groupCol)
+      else col(groupCol).cast("string").as(groupCol)
+    docs.select(gkey, col(idCol),
         graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
       .join(broadcast(q), groupCol)
       .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
