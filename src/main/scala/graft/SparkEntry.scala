@@ -1362,10 +1362,15 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 200000L)
           .withColumn("text", concat(col("text"), lit(" recrawl"))))
-      val cross = minhashIndexFor(s, dir).neardupe(batch, minEstJaccard = 0.5)
+      // ONE signing feeds both edge sources (the signature stage is
+      // the dominant cost; the index fixture is built under default
+      // Params(3, 64, 16), which these literals must match)
+      val sigs = graft.Materialize.ephemeral(
+        Dedup.minhashSignatures(batch, n = 3, k = 64))
+      val cross = minhashIndexFor(s, dir).neardupeSigned(sigs, minEstJaccard = 0.5)
         .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
-      val inBatch = Dedup.minhashPairs(batch,
-          n = 3, k = 64, bands = 16, minEstJaccard = 0.5)
+      val inBatch = Dedup.minhashPairsFromSignatures(sigs,
+          k = 64, bands = 16, minEstJaccard = 0.5)
         .select(col("id_a"), col("id_b"))
       val ix = clusterIndexFor(s, dir)
       ix.append(cross.unionByName(inBatch))

@@ -124,13 +124,26 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 64,
                    bands: Int = 16, minEstJaccard: Double = 0.5,
                    bucketCap: Int = 200,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     // signatures materialized ONCE (explode+64-agg is the expensive
     // stage); everything downstream joins back to this
-    val sigs = minhashSignatures(docs, n, k, textCol, idCol).graftCheckpoint()
+    minhashPairsFromSignatures(
+      minhashSignatures(docs, n, k, textCol, idCol).graftCheckpoint(),
+      k, bands, minEstJaccard, bucketCap)
 
+  /** [[minhashPairs]] from an ALREADY-COMPUTED, already-materialized
+    * (id, sig) signature frame — the entry point for callers that need
+    * the same batch's signatures more than once (an incremental ingest
+    * derives in-batch pairs AND an index probe from one signing; going
+    * through [[minhashPairs]] twice would re-run the explode+k-agg
+    * signature stage, the dominant cost). `k` must match the
+    * signatures' length.
+    */
+  def minhashPairsFromSignatures(sigs: DataFrame, k: Int = 64,
+                                 bands: Int = 16, minEstJaccard: Double = 0.5,
+                                 bucketCap: Int = 200): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
     // banded rows are NARROW — (id, band, band_hash) only. Carrying the
     // 64-long signatures through the banding shuffle, the checkpoint and
     // both self-join legs moved ~20× more bytes for the same pairs; the
@@ -152,7 +165,7 @@ object Dedup {
       System.err.println(s"[graft] minhashPairs: dropping ${overRows.length} LSH " +
         s"bucket(s) over bucketCap=$bucketCap " +
         s"(${overRows.map(_.getLong(2)).sum} banded rows) — pairs inside them are not compared")
-    val spark = docs.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
     val overDf = overRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
       .toDF("band", "band_hash")

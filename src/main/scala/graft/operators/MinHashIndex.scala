@@ -197,17 +197,41 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     // postings if a concurrent write() commits between the reads
     // (the AnnIndexStore pin contract)
     val pinned = pinVersion()
-    val st = state(pinned)
-    val p = st.params
-    val r = p.k / p.bands
+    val p = state(pinned).params
     // batch-only signature compute — the whole point of the index;
     // feeds both the banding join and the Jaccard-estimate rejoin.
     // ephemeral (localCheckpoint even in reliable mode): the subtree
     // is BATCH-scale and cheap to recompute by re-running the probe,
     // and probes run inside unbounded streaming loops (neardupIngest)
     // where reliable checkpoints leak one dir per trigger
-    val bSigs = graft.Materialize.ephemeral(
-      Dedup.minhashSignatures(batch, p.n, p.k, textCol, idCol))
+    probeSigned(pinned, graft.Materialize.ephemeral(
+      Dedup.minhashSignatures(batch, p.n, p.k, textCol, idCol)),
+      minEstJaccard, bucketCap)
+  }
+
+  /** The live version's pinned build parameters — what a caller must
+    * sign with to use [[neardupeSigned]].
+    */
+  def params: MinHashIndex.Params = state(pinVersion()).params
+
+  /** [[neardupe]] with the batch ALREADY signed (an (id, sig) frame
+    * from `Dedup.minhashSignatures` under THIS index's [[params]],
+    * materialized by the caller) — for ingest paths that need the same
+    * batch's signatures more than once (in-batch pairs + this probe
+    * from ONE signing; the signature stage is the probe's dominant
+    * cost). Contract: the signatures must match the live version's
+    * params — under a concurrent rebuild changing params this races,
+    * so signed probes assume the single-writer discipline the ingest
+    * wrappers already follow.
+    */
+  def neardupeSigned(bSigs: DataFrame, minEstJaccard: Double = 0.5,
+                     bucketCap: Int = 200): DataFrame =
+    probeSigned(pinVersion(), bSigs, minEstJaccard, bucketCap)
+
+  private def probeSigned(pinned: Long, bSigs: DataFrame,
+                          minEstJaccard: Double, bucketCap: Int): DataFrame = {
+    val p = state(pinned).params
+    val r = p.k / p.bands
     val bBanded = Dedup.bandedRows(bSigs, p.bands, r)
 
     // skew guard on the INDEX side, restricted to buckets the batch

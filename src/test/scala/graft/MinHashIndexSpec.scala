@@ -148,6 +148,23 @@ class MinHashIndexSpec extends SparkSpec {
       pairs(new MinHashIndex(fresh, p2).neardupe(probeBatch)))
   }
 
+  test("neardupeSigned on a precomputed signature frame == neardupe; pairs-from-sigs == pairs") {
+    val p = Files.createTempDirectory("graft-mh10").toString
+    val idx = new MinHashIndex(spark, p)
+    idx.write(base)
+    val prm = idx.params
+    assert(prm == MinHashIndex.Params(3, 64, 16))
+    val sigs = graft.Materialize.ephemeral(
+      Dedup.minhashSignatures(batch, prm.n, prm.k))
+    // the one-signing ingest composition must agree with the
+    // sign-internally paths bit for bit
+    assert(pairs(idx.neardupeSigned(sigs)) == pairs(idx.neardupe(batch)))
+    def pp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pp(Dedup.minhashPairsFromSignatures(sigs)) ==
+      pp(Dedup.minhashPairs(batch)))
+  }
+
   test("neardupe before write fails loudly; same-id rows are redeliveries, not near-dups") {
     val p = Files.createTempDirectory("graft-mh5").toString
     val idx = new MinHashIndex(spark, p)
