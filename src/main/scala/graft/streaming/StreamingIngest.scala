@@ -307,6 +307,56 @@ object StreamingIngest {
       }
     }
 
+  /** Streaming CLUSTER maintenance: the keep-everything complement of
+    * [[neardupIngest]] (which drops near-dups before its sink). Every
+    * micro-batch is signed ONCE; the signatures feed BOTH edge sources
+    * — in-batch pairs (`Dedup.minhashPairsFromSignatures`) and
+    * batch-vs-history hits (`MinHashIndex.neardupeSigned`) — whose
+    * union merges into the persisted [[graft.operators.ClusterIndex]]
+    * at batch cost, after which the batch itself is appended to the
+    * MinHash index as the next batches' history. All rows reach
+    * `writeBatch`; duplicate-cluster RESOLUTION happens later, at
+    * training-set construction, via `clusters.survivors()` — the
+    * streaming form of the `x_dedup_clusters_incremental` batch path,
+    * and exactly its semantics (ClusterIndexSpec's one-shot-equality
+    * law carries over because the edge sets coincide).
+    *
+    * Ordering is load-bearing for at-least-once delivery: sink first
+    * (the [[dedupIngest]] argument), then cluster edges, then the
+    * signature index LAST — the signature append is what makes a
+    * restart's redelivery anti-join drop the batch, so everything
+    * before it must already be durable; any crash earlier re-runs the
+    * whole trigger (idempotent: the sink by contract, the cluster
+    * merge because replayed edges change no assignments, the index
+    * append by its own anti-join). Empty micro-batches commit nothing.
+    */
+  def clusterIngest(docs: DataFrame, index: graft.operators.MinHashIndex,
+                    clusters: graft.operators.ClusterIndex,
+                    minEstJaccard: Double = 0.5,
+                    textCol: String = "text", idCol: String = "doc_id")
+                   (writeBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val fresh = graft.Materialize.ephemeral(batch.dropDuplicates(idCol)
+          .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti"))
+        if (!fresh.isEmpty) {
+          val p = index.params
+          val sigs = graft.Materialize.ephemeral(graft.operators.Dedup
+            .minhashSignatures(fresh, p.n, p.k, textCol, idCol))
+          val edges = index.neardupeSigned(sigs, minEstJaccard)
+            .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
+            .unionByName(graft.operators.Dedup
+              .minhashPairsFromSignatures(sigs, p.k, p.bands, minEstJaccard)
+              .select(col("id_a"), col("id_b")))
+          writeBatch(fresh) // sink first — see the ordering note above
+          clusters.append(edges)
+          index.append(fresh, textCol, idCol)
+          ()
+        }
+      }
+    }
+
   /** On-stream benchmark decontamination: every micro-batch of
     * documents is scrubbed against the STATIC eval set with the exact
     * batch operator ([[graft.operators.Contamination.scrub]] —

@@ -146,6 +146,56 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming cluster maintenance: streamed batches == one-shot clustering over everything seen") {
+    import graft.operators.{ClusterIndex, Dedup, MinHashIndex}
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val B = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val C = "red orange yellow green blue indigo violet white black brown " +
+      "pink gray maroon navy teal olive coral amber jade ruby"
+    val b0 = Seq(0L -> A, 10L -> B)
+    val b1 = Seq(1L -> A.replace("upsilon", "phi"), 20L -> C)
+    val b2 = Seq(11L -> B.replace("twenty", "thirty"),
+      2L -> A.replace("alpha", "omega"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+    val mp = java.nio.file.Files.createTempDirectory("graft-ci-stream-mh").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-ci-stream-cl").toString
+    val index = new MinHashIndex(spark, mp)
+    val clusters = new ClusterIndex(spark, cp)
+    index.write(df(b0))
+    clusters.write(Dedup.minhashPairs(df(b0)).select($"id_a", $"id_b"))
+
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.clusterIngest(
+      mem.toDF().toDF("doc_id", "text"), index, clusters) { batch =>
+      sunk.synchronized { sunk ++= batch.collect().map(_.getLong(0)) }
+    }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // redelivery: the same rows again are a no-op end to end
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // keep-everything contract: every fresh row reached the sink once
+    assert(sunk.sorted.toSeq == Seq(1L, 2L, 11L, 20L))
+    // the law: streamed assignment == one-shot CC over the union's
+    // pairs (edge sets coincide — in-batch pairs per trigger + probe
+    // hits vs history = the union's pairs split by arrival order)
+    val oneShot = Dedup.connectedComponents(
+      Dedup.minhashPairs(df(b0 ++ b1 ++ b2)).select($"id_a", $"id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(clusters.assignment().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == oneShot)
+    // survivor view: one keeper per near-dup family
+    val surv = clusters.survivors().collect().map(_.getLong(0)).toSet
+    assert(surv.contains(0L) && surv.contains(10L) && !surv.contains(1L)
+      && !surv.contains(2L) && !surv.contains(11L))
+  }
+
   test("streaming drift monitor: each trigger's report == the batch operator on that batch") {
     import graft.operators.{DriftRef, Quality}
     val refCorpus = (0 until 40)
