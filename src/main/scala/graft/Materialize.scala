@@ -38,6 +38,14 @@ object Materialize {
     */
   def checkpoint(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // inside a streaming trigger ([[inTriggerScope]]) EVERY
+    // materialization is trigger-scoped, including the ones buried in
+    // batch operators the trigger calls into (pair search, connected
+    // components) — reliable checkpoint files are not
+    // reference-cleaned, so an unbounded foreachBatch loop reaching a
+    // reliable site would grow the durable store by directories per
+    // trigger, forever
+    if (triggerScope.get) return df.localCheckpoint()
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir is SparkContext-global; re-assert when this
@@ -55,14 +63,18 @@ object Materialize {
         // context still points inside our dir — foreign code calling
         // setCheckpointDir directly would otherwise silently divert
         // every later checkpoint. getCheckpointDir is the
-        // scheme-qualified `<dir>/<UUID>`, so the containment test is
-        // a PATH-COMPONENT prefix (scheme stripped, trailing "/"
-        // appended): a bare substring match would false-positive on a
-        // sibling dir sharing a prefix (/tmp/ckpt vs /tmp/ckpt2) and
-        // silently divert checkpoints into the foreign directory
+        // fully-qualified `<dir>/<UUID>`, so the containment test
+        // qualifies OUR dir the same way setCheckpointDir does
+        // (scheme + authority + relative resolution against the
+        // dir's own filesystem — a raw string or JVM-cwd comparison
+        // breaks on clusters whose default FS isn't local) and then
+        // prefix-matches on the "/" boundary: a bare substring match
+        // would false-positive on a sibling dir sharing a prefix
+        // (/tmp/ckpt vs /tmp/ckpt2) and silently divert checkpoints
+        // into the foreign directory
         val already = dir == lastSetDir.get(sc) &&
           sc.getCheckpointDir.exists(cp =>
-            pathOf(cp).startsWith(pathOf(dir).stripSuffix("/") + "/"))
+            cp.startsWith(qualified(dir, sc).stripSuffix("/") + "/"))
         if (!already) {
           sc.setCheckpointDir(dir)
           lastSetDir.put(sc, dir)
@@ -72,23 +84,34 @@ object Materialize {
     }
   }
 
-  /** The path component of a possibly scheme-qualified location
-    * (`file:/a/b` and `hdfs://host/a/b` both → `/a/b`; an unparseable
-    * or scheme-less string is its own path). A RELATIVE result is
-    * resolved against the working directory — Spark resolves a
-    * relative setCheckpointDir the same way, and without this a
-    * relative configured dir would never prefix-match the
-    * scheme-qualified absolute getCheckpointDir, re-asserting (and
-    * minting a fresh UUID subdir) on every call.
+  /** `dir` fully qualified exactly as `setCheckpointDir` stores it:
+    * through the dir's own Hadoop filesystem (scheme + authority, and
+    * relative paths resolved against THAT filesystem's working
+    * directory — hdfs:/user/<u> on an HDFS default FS, not the JVM
+    * cwd). Falls back to the raw string if no filesystem resolves.
     */
-  private def pathOf(s: String): String = {
-    val p0 =
-      try {
-        val p = new java.net.URI(s).getPath
-        if (p == null || p.isEmpty) s else p
-      } catch { case _: java.net.URISyntaxException => s }
-    if (p0.startsWith("/")) p0
-    else java.nio.file.Paths.get(p0).toAbsolutePath.normalize.toString
+  private def qualified(dir: String, sc: org.apache.spark.SparkContext): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+    } catch { case _: Exception => dir }
+
+  private val triggerScope = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Run `f` with every [[checkpoint]] call demoted to
+    * trigger-scoped `localCheckpoint` — the streaming ingest wrappers
+    * wrap each foreachBatch body in this, so batch operators they
+    * call into (with reliable-checkpoint sites that are correct for
+    * batch jobs) cannot leak one durable directory per trigger.
+    * Thread-local: materialization decisions happen driver-side on
+    * the micro-batch thread.
+    */
+  def inTriggerScope[T](f: => T): T = {
+    val prev = triggerScope.get
+    triggerScope.set(true)
+    try f finally triggerScope.set(prev)
   }
 
   /** Trigger-scoped materialization for UNBOUNDED streaming loops:

@@ -1362,15 +1362,18 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 200000L)
           .withColumn("text", concat(col("text"), lit(" recrawl"))))
-      // ONE signing feeds both edge sources (the signature stage is
-      // the dominant cost; the index fixture is built under default
-      // Params(3, 64, 16), which these literals must match)
+      // ONE signing feeds both edge sources, under the INDEX's pinned
+      // params (hard-coded literals would silently band under the
+      // wrong parameters if the fixture build ever changed — the
+      // exact mismatch the params accessor exists to prevent)
+      val idx = minhashIndexFor(s, dir)
+      val prm = idx.params
       val sigs = graft.Materialize.ephemeral(
-        Dedup.minhashSignatures(batch, n = 3, k = 64))
-      val cross = minhashIndexFor(s, dir).neardupeSigned(sigs, minEstJaccard = 0.5)
+        Dedup.minhashSignatures(batch, prm.n, prm.k))
+      val cross = idx.neardupeSigned(sigs, minEstJaccard = 0.5)
         .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
       val inBatch = Dedup.minhashPairsFromSignatures(sigs,
-          k = 64, bands = 16, minEstJaccard = 0.5)
+          k = prm.k, bands = prm.bands, minEstJaccard = 0.5)
         .select(col("id_a"), col("id_b"))
       val ix = clusterIndexFor(s, dir)
       ix.append(cross.unionByName(inBatch))

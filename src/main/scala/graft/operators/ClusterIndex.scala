@@ -90,9 +90,11 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no cluster index committed at $root"))
       // the batch's (possibly expensive — minhashPairs, neardupe)
-      // pair pipeline runs ONCE: trigger-scoped materialization feeds
-      // the emptiness probe, both rep joins, and CC
-      val p = graft.Materialize.ephemeral(
+      // pair pipeline runs ONCE: the materialization feeds the
+      // emptiness probe, both rep joins, and CC (reliable under a
+      // configured checkpoint dir for batch appends; streaming loops
+      // demote it via Materialize.inTriggerScope)
+      val p = graft.Materialize.checkpoint(
         pairs.select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b")))
       if (p.isEmpty) throw Versioned.SkipCommit("no edges in batch")
@@ -101,10 +103,10 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       // assignment-chain scan this append pays (the semi-join prunes
       // it to batch-sized output); `was_assigned` rides along so the
       // new-id and moved-label splits below need no further chain scan
-      val ids = graft.Materialize.ephemeral(
+      val ids = graft.Materialize.checkpoint(
         p.select(col("id_a").as("id")).unionAll(p.select(col("id_b").as("id")))
           .distinct())
-      val reps = graft.Materialize.ephemeral(
+      val reps = graft.Materialize.checkpoint(
         ids.join(assignment(Some(base)).join(broadcast(ids), Seq("id"), "left_semi"),
             Seq("id"), "left")
           .select(col("id"), coalesce(col("component"), col("id")).as("rep"),
@@ -115,18 +117,18 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
         .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
       // CC over representatives: min-id labels => merged components get
       // exactly the label a one-shot over the union would
-      val merged = graft.Materialize.ephemeral(
+      val merged = graft.Materialize.checkpoint(
         Dedup.connectedComponents(repEdges)
           .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp"))
       // OLD labels that moved: an assigned endpoint's rep IS a stored
       // component label, so `was_assigned` identifies them for free
-      val touched = graft.Materialize.ephemeral(
+      val touched = graft.Materialize.checkpoint(
         merged.join(reps.filter(col("was_assigned")).select(col("rep")).distinct(),
             Seq("rep"), "left_semi")
           .filter(col("rep") =!= col("new_comp"))
           .select(col("rep").as("component"), col("new_comp").as("new_component")))
       // NEW ids: batch endpoints with no stored assignment
-      val newAssign = graft.Materialize.ephemeral(reps
+      val newAssign = graft.Materialize.checkpoint(reps
         .filter(!col("was_assigned"))
         .join(merged, Seq("rep"))
         .select(col("id"), col("new_comp").as("component")))

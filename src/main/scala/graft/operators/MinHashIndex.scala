@@ -93,12 +93,15 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
       val base = baseOpt.getOrElse(
         throw new IllegalStateException(s"no minhash index committed at $root"))
       val st = state(base)
-      // materialized ONCE (trigger-scoped): the anti-join scans the
+      // materialized ONCE (mode-appropriate: reliable when
+      // graft.checkpointDir is set and this is a batch append,
+      // demoted to trigger-scoped inside streaming loops — the
+      // Materialize.inTriggerScope contract): the anti-join scans the
       // full sigs chain, and without this both the emptiness probe
       // and stageDelta's two writes would re-run it — the same
       // double-evaluation AnnIndexStore.append avoids with its
       // write-then-re-read move
-      val fresh = graft.Materialize.ephemeral(docs.dropDuplicates(idCol)
+      val fresh = graft.Materialize.checkpoint(docs.dropDuplicates(idCol)
         .join(sigs(Some(base)).select(col("id").as("__indexed_id")),
           col(idCol) === col("__indexed_id"), "left_anti"))
       // a fully-redelivered batch empties the delta: SKIP the commit —
@@ -122,9 +125,15 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     * materialization instead of a lineage checkpoint.
     */
   private def stageDelta(docs: DataFrame, params: Params,
-                         textCol: String, idCol: String, staging: Path): Unit = {
+                         textCol: String, idCol: String, staging: Path): Unit =
+    stageDeltaFromSigs(
+      Dedup.minhashSignatures(docs, params.n, params.k, textCol, idCol),
+      params, staging)
+
+  private def stageDeltaFromSigs(sigFrame: DataFrame, params: Params,
+                                 staging: Path): Unit = {
     val r = params.k / params.bands
-    Dedup.minhashSignatures(docs, params.n, params.k, textCol, idCol)
+    sigFrame
       .repartition(col("id")).sortWithinPartitions(col("id"))
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("sigs").toString)
     val stored = spark.read.parquet(staging.resolve("sigs").toString)
@@ -200,19 +209,46 @@ final class MinHashIndex(spark: SparkSession, pathStr: String) {
     val p = state(pinned).params
     // batch-only signature compute — the whole point of the index;
     // feeds both the banding join and the Jaccard-estimate rejoin.
-    // ephemeral (localCheckpoint even in reliable mode): the subtree
-    // is BATCH-scale and cheap to recompute by re-running the probe,
-    // and probes run inside unbounded streaming loops (neardupIngest)
-    // where reliable checkpoints leak one dir per trigger
-    probeSigned(pinned, graft.Materialize.ephemeral(
+    // Mode-appropriate materialization: reliable under a configured
+    // checkpoint dir for batch probes; inside streaming loops
+    // (neardupIngest) the trigger scope demotes it to localCheckpoint
+    // so reliable dirs can't leak one per trigger
+    probeSigned(pinned, graft.Materialize.checkpoint(
       Dedup.minhashSignatures(batch, p.n, p.k, textCol, idCol)),
       minEstJaccard, bucketCap)
   }
 
   /** The live version's pinned build parameters — what a caller must
-    * sign with to use [[neardupeSigned]].
+    * sign with to use [[neardupeSigned]] / [[appendSigned]].
     */
   def params: MinHashIndex.Params = state(pinVersion()).params
+
+  /** [[append]] with the batch ALREADY signed under this index's
+    * [[params]] (the [[neardupeSigned]] move applied to indexing): an
+    * ingest trigger that signed its batch once for the edge sources
+    * hands the same frame here instead of paying the explode+k-agg
+    * signature stage a second time. The redelivery-idempotence
+    * invariant is preserved with id-only work — in-batch id repeats
+    * collapse and already-indexed ids anti-join out of the SIGNATURE
+    * frame (narrow: no text, no re-signing); empty delta SkipCommits.
+    */
+  def appendSigned(bSigs: DataFrame): Long = synchronized {
+    pinVersion() // fail fast before staging anything
+    Versioned.commitWithRetry(root, "manifest.txt") { (baseOpt, slot, staging) =>
+      val base = baseOpt.getOrElse(
+        throw new IllegalStateException(s"no minhash index committed at $root"))
+      val st = state(base)
+      val fresh = graft.Materialize.checkpoint(bSigs.dropDuplicates("id")
+        .join(sigs(Some(base)).select(col("id")), Seq("id"), "left_anti"))
+      if (fresh.isEmpty)
+        throw Versioned.SkipCommit("empty delta — every id already indexed")
+      stageDeltaFromSigs(fresh, st.params, staging)
+      Files.writeString(staging.resolve("params.json"), st.params.toJson)
+      Files.writeString(staging.resolve("manifest.txt"),
+        (st.manifest ++ Seq(s"v$slot/sigs", s"v$slot/postings"))
+          .mkString("", "\n", "\n"))
+    }
+  }
 
   /** [[neardupe]] with the batch ALREADY signed (an (id, sig) frame
     * from `Dedup.minhashSignatures` under THIS index's [[params]],

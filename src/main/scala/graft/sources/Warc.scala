@@ -164,11 +164,14 @@ object Warc {
         } else if (clen.get > maxPayload || clen.get > Int.MaxValue - 8L) {
           // over the caller's cap — or over what a byte array can hold
           // at all (readN's Int length would wrap if a caller raised
-          // the Long-typed cap past 2 GiB): skip, never buffer
+          // the Long-typed cap past 2 GiB): skip, never buffer. The
+          // reason names whichever limit actually applied.
           val skipped = cur.skipN(clen.get)
           if (skipped < clen.get) quarantine(recordStart, "truncated payload")
-          else quarantine(recordStart,
+          else if (clen.get > maxPayload) quarantine(recordStart,
             s"payload ${clen.get} bytes exceeds cap $maxPayload")
+          else quarantine(recordStart,
+            s"payload ${clen.get} bytes exceeds the single-buffer limit")
         } else {
           val payload = cur.readN(clen.get.toInt)
           if (payload == null) quarantine(recordStart, "truncated payload")

@@ -149,7 +149,7 @@ object StreamingIngest {
     */
   def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       val spark = batch.sparkSession
       import spark.implicits._
       val fresh = batch.dropDuplicates("timestamp", "tag")
@@ -159,7 +159,7 @@ object StreamingIngest {
         store.insert(fresh).left.foreach(e =>
           throw new IllegalStateException(e.message))
       }
-    }
+    }}
 
   /** Content-digest exact dedup on a DOCUMENT stream — the streaming
     * form of [[graft.operators.Dedup.exactByDigest]]: a doc whose text
@@ -195,9 +195,9 @@ object StreamingIngest {
   def annIngest(vectors: DataFrame, store: graft.operators.AnnIndexStore,
                 vecCol: String = "embedding", idCol: String = "vec_id")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
-    }
+    }}
 
   /** Streaming exact-dedup ingest against a persisted
     * [[graft.operators.DigestIndex]] — the FOREVER-exact path
@@ -218,7 +218,7 @@ object StreamingIngest {
                   textCol: String = "text")
                  (writeBatch: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         // trigger-scoped materialization: consumed by isEmpty, the
         // sink AND the append
@@ -230,7 +230,7 @@ object StreamingIngest {
           ()
         }
       }
-    }
+    }}
 
   /** Streaming maintenance of a persisted [[graft.operators
     * .StatsIndex]]: each micro-batch commits its per-source partial
@@ -243,7 +243,7 @@ object StreamingIngest {
                   textCol: String = "text", sourceCol: String = "source",
                   streamTag: String = "stats")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) => graft.Materialize.inTriggerScope {
       // foreachBatch is at-least-once: the tag makes a replayed
       // trigger's append a no-op instead of double-counting its
       // partials into the additive sums forever. streamTag scopes the
@@ -252,7 +252,7 @@ object StreamingIngest {
         index.append(batch, textCol, sourceCol,
           tag = Some(s"$streamTag-$batchId")); ()
       }
-    }
+    }}
 
   /** Streaming near-dup-filtered ingest against a persisted
     * [[graft.operators.MinHashIndex]]: each micro-batch (1) drops rows
@@ -285,7 +285,7 @@ object StreamingIngest {
                     textCol: String = "text", idCol: String = "doc_id")
                    (writeBatch: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         // materialized (trigger-scoped — Materialize.ephemeral, never
         // reliable checkpoints: those leak per trigger, unbounded):
@@ -305,7 +305,7 @@ object StreamingIngest {
           ()
         }
       }
-    }
+    }}
 
   /** Streaming CLUSTER maintenance: the keep-everything complement of
     * [[neardupIngest]] (which drops near-dups before its sink). Every
@@ -336,7 +336,7 @@ object StreamingIngest {
                     textCol: String = "text", idCol: String = "doc_id")
                    (writeBatch: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         val fresh = graft.Materialize.ephemeral(batch.dropDuplicates(idCol)
           .join(index.sigs().select(col("id").as(idCol)), Seq(idCol), "left_anti"))
@@ -351,11 +351,13 @@ object StreamingIngest {
               .select(col("id_a"), col("id_b")))
           writeBatch(fresh) // sink first — see the ordering note above
           clusters.append(edges)
-          index.append(fresh, textCol, idCol)
+          // the SAME signatures index the batch — appendSigned skips
+          // the second explode+k-agg signing append() would pay
+          index.appendSigned(sigs)
           ()
         }
       }
-    }
+    }}
 
   /** On-stream benchmark decontamination: every micro-batch of
     * documents is scrubbed against the STATIC eval set with the exact
@@ -372,10 +374,10 @@ object StreamingIngest {
   def decontaminatedIngest(docs: DataFrame, evalSet: DataFrame, n: Int = 8,
                            maxOverlap: Double = 0.0)(writeBatch: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty)
         writeBatch(graft.operators.Contamination.scrub(batch, evalSet, n, maxOverlap))
-    }
+    }}
 
   /** Streaming quality-drift monitor: every micro-batch is PSI'd
     * against a PERSISTED reference band snapshot
@@ -396,9 +398,9 @@ object StreamingIngest {
                   textCol: String = "text")
                  (onReport: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) onReport(batchId, ref.psi(batch, textCol))
-    }
+    }}
 
   /** Streaming frequent tokens: a global Misra-Gries aggregation over
     * the token stream, state = ONE capacity-bounded summary regardless

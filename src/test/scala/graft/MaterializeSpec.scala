@@ -50,6 +50,32 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("inTriggerScope demotes every checkpoint to local — nothing lands in the reliable dir") {
+    // the streaming-loop guarantee: batch operators with reliable
+    // materialization sites (pair search, connected components) run
+    // inside foreachBatch without leaking one durable dir per trigger
+    val ckptDir = Files.createTempDirectory("graft-ckpt-trig")
+    val s2 = spark.newSession()
+    s2.conf.set(Materialize.ConfKey, ckptDir.toString)
+    try {
+      import s2.implicits._
+      val out = Materialize.inTriggerScope {
+        // a transitively-reliable site: dupNgramFraction graftCheckpoints
+        graft.operators.Dedup.dupNgramFraction({
+          import s2.implicits._
+          Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h")).toDF("doc_id", "text")
+        }, n = 5).count()
+      }
+      assert(out == 2L)
+      val walked = Files.walk(ckptDir)
+      val nFiles = try walked.filter(Files.isRegularFile(_)).count() finally walked.close()
+      assert(nFiles == 0L, s"reliable checkpoint leaked into $ckptDir inside trigger scope")
+    } finally {
+      s2.conf.unset(Materialize.ConfKey)
+      Fs.deleteTree(ckptDir, swallow = true)
+    }
+  }
+
   test("a foreign checkpoint dir sharing a name prefix is re-asserted, not mistaken for ours") {
     // configured /X/ckpt, foreign setCheckpointDir(/X/ckpt2): the old
     // substring containment ('/X/ckpt2/UUID' contains '/X/ckpt') would

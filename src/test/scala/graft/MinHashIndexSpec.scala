@@ -165,6 +165,26 @@ class MinHashIndexSpec extends SparkSpec {
       pp(Dedup.minhashPairs(batch)))
   }
 
+  test("appendSigned == append: probe-equal, delta-sized, and redelivery-idempotent") {
+    val p1 = Files.createTempDirectory("graft-mh11").toString
+    val p2 = Files.createTempDirectory("graft-mh12").toString
+    val viaDocs = new MinHashIndex(spark, p1)
+    val viaSigs = new MinHashIndex(spark, p2)
+    viaDocs.write(base); viaSigs.write(base)
+    viaDocs.append(batch)
+    val prm = viaSigs.params
+    val sigs = graft.Materialize.ephemeral(
+      Dedup.minhashSignatures(batch, prm.n, prm.k))
+    assert(viaSigs.appendSigned(sigs) == 1L)
+    val probe = mk(2L -> A, 12L -> D)
+    assert(pairs(viaSigs.neardupe(probe)) == pairs(viaDocs.neardupe(probe)))
+    assert(spark.read.parquet(s"$p2/v1/sigs").count() == 3L)
+    // redelivered signatures commit nothing (the id-only guard)
+    assert(viaSigs.appendSigned(sigs) == 1L)
+    assert(viaSigs.versions == Seq(0L, 1L))
+    assert(viaSigs.sigs().count() == 6L)
+  }
+
   test("neardupe before write fails loudly; same-id rows are redeliveries, not near-dups") {
     val p = Files.createTempDirectory("graft-mh5").toString
     val idx = new MinHashIndex(spark, p)
