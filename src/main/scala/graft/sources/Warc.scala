@@ -100,8 +100,8 @@ object Warc {
     * binaryFile scan already holds the file's bytes, so buffering its
     * parsed records adds nothing asymptotic.
     */
-  private def parseStream(file: String, in: InputStream,
-                          maxPayload: Long): Seq[Parsed] = {
+  private[graft] def parseStream(file: String, in: InputStream,
+                                 maxPayload: Long): Seq[Parsed] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Parsed]
     val cur = new Cursor(in)
     def quarantine(off: Long, reason: String): Unit =
