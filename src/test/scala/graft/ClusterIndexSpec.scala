@@ -59,6 +59,29 @@ class ClusterIndexSpec extends SparkSpec {
     assert(assignRows(ix.assignment()) == oneShot)
   }
 
+  test("randomized: arbitrary edge sets split across arbitrary appends == one-shot (seeded)") {
+    // the exactness law under adversarial shapes a hand fixture can't
+    // cover: random multigraphs (self-loops, repeated edges, chains
+    // that merge across batch boundaries) split into 1-4 appends must
+    // reproduce one-shot CC bit for bit. Seeded — replays identically.
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = 20 + rnd.nextInt(60)
+      val all = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = all.grouped(math.max(1, all.size / nBatches)).toSeq
+      val p = Files.createTempDirectory(s"graft-ci-rand$trial").toString
+      val ix = new ClusterIndex(spark, p)
+      ix.write(edges(batches.head: _*))
+      batches.tail.foreach(b => ix.append(edges(b: _*)))
+      assert(assignRows(ix.assignment()) ==
+        assignRows(Dedup.connectedComponents(edges(all: _*))),
+        s"trial $trial diverged (nodes=$nNodes edges=$nEdges batches=${batches.size})")
+    }
+  }
+
   test("no-op and edgeless batches commit nothing; append before write fails loudly") {
     val p = Files.createTempDirectory("graft-ci3").toString
     val ix = new ClusterIndex(spark, p)
