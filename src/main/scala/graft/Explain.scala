@@ -37,7 +37,8 @@ object Explain {
       "x_group_percentiles_approx", "x_dedup_incremental_neardup",
       "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
       "x_corpus_stats_incremental", "x_sample_temperature", "x_quality_drift",
-      "x_dedup_clusters_incremental", "x_source_warc")
+      "x_dedup_clusters_incremental", "x_source_warc",
+      "x_domain_stats", "x_domain_caps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

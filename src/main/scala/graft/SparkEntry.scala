@@ -203,6 +203,20 @@ object SparkEntry {
       new graft.operators.ClusterIndex(s, p)
     }
 
+  /** Deterministic URL column over the documents table (the
+    * x_domain_* inputs): host = w{doc_id%23}.{source}.{tld} with the
+    * tld cycling through single- and multi-part suffixes, so the
+    * registrable domain is {source}.{tld} by construction — an
+    * SQL-derivable ground truth for the Spark-side parse+PSL
+    * heuristic.
+    */
+  private def synthUrl: org.apache.spark.sql.Column =
+    concat(lit("http://w"), pmod(col("doc_id"), lit(23)).cast("string"),
+      lit("."), col("source"), lit("."),
+      element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "net")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string"))
+
   /** Deterministic WARC fixture (x_source_warc's input): one plain
     * `.warc` with 26 well-formed records — one of whose payloads
     * embeds a fake record boundary, which Content-Length framing must
@@ -1379,6 +1393,22 @@ object SparkEntry {
       ix.append(cross.unionByName(inBatch))
       ix.survivors()
     }),
+    // ---- per-domain curation: registrable-domain extraction over a
+    // deterministic URL column synthesized from the documents table —
+    // chosen so the suffix-heuristic OUTPUT is independently derivable
+    // in SQL (domain == source.tld by construction), making both
+    // queries hash-checked oracles of the parse+PSL logic rather than
+    // rows-only demos
+    "x_domain_stats" -> ((s, dir) =>
+      graft.operators.Domains.domainStats(
+        Tables.documents(s, dir).withColumn("url", synthUrl))),
+    // per-domain cap (the RefinedWeb-style anti-boilerplate quota):
+    // kept ids replay cross-engine because the per-domain order is
+    // pseudoOrder's modular arithmetic, not RNG
+    "x_domain_caps" -> ((s, dir) =>
+      graft.operators.Domains.capPerDomain(
+          Tables.documents(s, dir).withColumn("url", synthUrl), cap = 10)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
     // ---- WARC ingestion (ISO 28500, the Common-Crawl container):
     // per-type record counts + payload volume off the deterministic
     // fixture (plain + gzip twin — both transports through one read),
@@ -1655,6 +1685,17 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 - 43200000 AS window_start FROM $FROM t2
          |) u GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
+    "x_domain_stats" ->
+      """SELECT source || '.' || list_extract(['com','co.uk','org','com.au','net'], CAST(doc_id % 5 AS INT) + 1) AS domain,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT doc_id % 23) AS n_hosts
+        |FROM documents GROUP BY 1 ORDER BY domain""".stripMargin,
+    "x_domain_caps" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY source || '.' || list_extract(['com','co.uk','org','com.au','net'], CAST(doc_id % 5 AS INT) + 1)
+        |    ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "x_text_stats" ->
       s"""SELECT doc_id,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
