@@ -13,6 +13,16 @@ import org.apache.spark.sql.SparkSession
   * that `count()` would skip) without driver-side collection.
   */
 object Bench {
+  /** Exception head — class + first line of message. The driver's
+    * artifact capture is tail-truncated (BENCH_r06 stored a stack
+    * mid-frame with the root cause cut off), so failures must be
+    * reported in ONE short line and again inside the JSON itself. */
+  private def errHead(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("").linesIterator
+      .find(_.nonEmpty).getOrElse("").take(300)
+    s"${e.getClass.getSimpleName}: $msg"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,12 +35,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: materialize the cached views the queries read
+    // untimed warmup: materialize the cached views the queries read.
+    // Every warmup is guarded — a broken base view must surface as
+    // per-query error entries in the JSON below, not as an uncaught
+    // crash that leaves the round with rc=1 and no diagnostics (the
+    // round-6 artifact: a fixture schema change failed `Tables.ts`
+    // here, mid-stacktrace tail, no timings captured).
     Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
       try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    Tables.ts(spark, sfDir).count()
+    try Tables.ts(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ts-view warmup failed: ${errHead(e)}")
+    }
 
     def exec(name: String): Unit = SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
@@ -43,9 +61,11 @@ object Bench {
       * is immune to one contaminated pass, and the (min, max) spread is
       * reported so a noisy run is visible in the JSON itself.
       */
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runMedian(name: String): (Double, Double, Double) = {
       try exec(name) catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed: ${errHead(e)}")
+        errors(name) = errHead(e)
         return (-1.0, -1.0, -1.0)
       }
       val times = (0 until 3).map { _ =>
@@ -81,12 +101,27 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvg = osBean.getSystemLoadAverage // -1.0 where unsupported
     val nCpus = osBean.getAvailableProcessors
-    val diag = s""""load_avg":$loadAvg,"n_cpus":$nCpus"""
+    // failed queries ship their exception head INSIDE the JSON line —
+    // a failing round then still parses, names the query, and carries
+    // the root cause, instead of the round-6 shape (rc=1, parsed=null,
+    // tail starting mid-stack-frame)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val diag = s""""load_avg":$loadAvg,"n_cpus":$nCpus,"n_errors":${errors.size},"errors":$errJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}""")
     // compact summary LAST: the full line above fronts its headline, so
     // a tail-truncated capture (round-4 driver artifact) loses the
     // total — this line survives any tail grab
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},$diag,"sf":"$sfDir"}""")
     spark.stop()
+    // truthful exit status: timings were printed either way, but a
+    // round with failed queries must not read as passing evidence
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

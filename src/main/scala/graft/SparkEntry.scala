@@ -303,8 +303,9 @@ object SparkEntry {
     * projection can't diverge between them.
     */
   private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-      expr("ts div 1000000").cast("long").as("t"), col("event_type"), col("value"))
+    val ev0 = Tables.events(s, dir)
+    val e = ev0.select(col("event_id"), col("user_id"),
+      Tables.tsMillis(ev0).as("t"), col("event_type"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("t"), col("value"))
     val errors = e.filter(col("event_type") === "error")
@@ -929,7 +930,7 @@ object SparkEntry {
     "x_sessions" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("user_id"),
-          timestamp_millis(expr("ts div 1000000").cast("long")).as("event_time"),
+          timestamp_millis(Tables.tsMillis(Tables.events(s, dir))).as("event_time"),
           col("value"))
         .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
         .agg(count(lit(1)).cast("double").as("cnt"),
@@ -966,14 +967,14 @@ object SparkEntry {
     // (conditional-min chain per user — no per-user event lists)
     "x_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"),
-        expr("ts div 1000000").cast("long").as("t"), col("event_type"))
+        Tables.tsMillis(Tables.events(s, dir)).as("t"), col("event_type"))
       graft.operators.Funnel.funnel(e, Seq("view", "click", "purchase"))
     }),
     // ---- cohort retention: weekly cohorts by first event, distinct
     // active users per (cohort, week offset)
     "x_retention_cohorts" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"),
-        expr("ts div 1000000").cast("long").as("t"))
+        Tables.tsMillis(Tables.events(s, dir)).as("t"))
       graft.operators.Funnel.retentionCohorts(e)
     }),
     // ---- autocorrelation at lags 1..5 per series (seasonality /
@@ -1328,7 +1329,7 @@ object SparkEntry {
     // join would be broadcast-nested-loop)
     "x_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000000").cast("long").as("t"), col("value"))
+        Tables.tsMillis(Tables.events(s, dir)).as("t"), col("value"))
       val intervals = ev.groupBy(col("user_id"))
         .agg(min(col("t")).as("w_start"))
         .withColumn("w_end", col("w_start") + lit(7200000L))

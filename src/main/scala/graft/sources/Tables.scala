@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 import scala.collection.concurrent.TrieMap
 
 /** Central reader/cache for the driver-provided parquet tables
@@ -26,8 +27,11 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = (spark, dir, name)
     cache.getOrElseUpdate(key, {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      // (micros) cannot hold; read it as a Long nanos column instead.
+      // Some fixture generations write events.ts as parquet
+      // TIMESTAMP(NANOS), which Spark's TimestampType (micros) cannot
+      // hold; this conf reads that variant as a Long nanos column.
+      // Micros fixtures are unaffected (they read as TIMESTAMP_NTZ) —
+      // [[tsMillis]] adapts to whichever shape arrived.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (cachingEnabled(spark)) df.cache() else df
@@ -45,6 +49,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Epoch-millis projection of an events-shaped frame's `ts` column,
+    * adaptive to how the fixture was physically written:
+    *   - LONG        → Long epoch nanos (nanosAsLong read of
+    *                   TIMESTAMP(NANOS)); integer `div` keeps full
+    *                   precision (double division loses bits > 2^53)
+    *   - TIMESTAMP / TIMESTAMP_NTZ → micros; under the UTC session the
+    *                   NTZ→LTZ cast is an identity and `unix_millis`
+    *                   truncates to millis
+    * Both floor like DuckDB `epoch_ms` for these positive epochs, so
+    * oracle SQL stays `epoch_ms(ts)` either way.
+    */
+  def tsMillis(df: DataFrame): Column = tsMillis(df.schema("ts").dataType)
+
+  /** Schema-level variant for callers that only hold a `StructType`
+    * (e.g. a streaming read, where the frame is built from a declared
+    * schema rather than an eager parquet scan). */
+  def tsMillis(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000000").cast("long")
+    case TimestampType | TimestampNTZType => unix_millis(col("ts").cast("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected LONG nanos or TIMESTAMP)")
+  }
+
   /** The canonical TS store view (FIXTURES.md §4): the `events` fixture
     * projected onto the reference's record
     * (reference server/src/Repository/Model.hs:77-82):
@@ -57,11 +84,9 @@ object Tables {
   def ts(spark: SparkSession, dir: String): DataFrame = {
     val key = (spark, dir, "__ts_view__")
     cache.getOrElseUpdate(key, {
-      // `ts` reads as Long nanos (nanosAsLong); integer `div` keeps full
-      // precision (a double division would lose bits above 2^53) and
-      // floors like DuckDB's epoch_ms for these positive epochs.
-      val df = events(spark, dir).select(
-        expr("ts div 1000000").cast("long").as("timestamp"),
+      val ev = events(spark, dir)
+      val df = ev.select(
+        tsMillis(ev).as("timestamp"),
         col("event_type").as("tag"),
         col("value"))
       if (cachingEnabled(spark)) df.cache() else df

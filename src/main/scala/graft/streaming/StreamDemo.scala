@@ -35,7 +35,7 @@ object StreamDemo {
 
     val stream = spark.readStream.schema(schema)
       .parquet(s"$work/in")
-      .select(expr("ts div 1000000").cast("long").as("timestamp"),
+      .select(graft.sources.Tables.tsMillis(schema("ts").dataType).as("timestamp"),
         col("event_type").as("tag"), col("value"))
 
     val agg = StreamingIngest.tumblingAgg(stream, "1 day", "1 hour")

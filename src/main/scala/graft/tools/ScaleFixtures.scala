@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic end-to-end: ids shift by computed offsets, the
   * permutation keys are xxhash64 — no RNG, so two runs produce
-  * byte-comparable corpora. The `ts` column is written as LONG nanos
-  * (Spark cannot write parquet TIMESTAMP(NANOS)); every reader already
-  * treats it as Long nanos via `nanosAsLong`, so `ts div 1000000`
-  * behaves identically.
+  * byte-comparable corpora. The `ts` column is copied verbatim in
+  * whatever physical shape the source fixture used (LONG nanos under
+  * `nanosAsLong`, or TIMESTAMP micros); every reader adapts via
+  * [[graft.sources.Tables.tsMillis]], so both shapes behave
+  * identically downstream.
   */
 object ScaleFixtures {
   def main(args: Array[String]): Unit = {
@@ -70,8 +71,8 @@ object ScaleFixtures {
       .repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    // ---- events: fresh event/user ids, same timestamps (ts stays the
-    // Long nanos the readers expect)
+    // ---- events: fresh event/user ids, same timestamps (ts copied
+    // verbatim in the source fixture's physical shape)
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     val Array(evSpan, userSpan) = events
       .agg(max(col("event_id")), max(col("user_id"))).head() match {
