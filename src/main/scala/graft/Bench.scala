@@ -34,6 +34,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var warmupError: Option[String] = None
 
     // untimed warmup: materialize the cached views the queries read.
     // Every warmup is guarded — a broken base view must surface as
@@ -45,9 +46,14 @@ object Bench {
       try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // warmup failure also lands in the errors map under a reserved key:
+    // the per-query failures it causes downstream are symptoms; the one
+    // root-cause line must be INSIDE the parseable JSON, not only on
+    // stderr (which the driver's capture may truncate away).
     try Tables.ts(spark, sfDir).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] ts-view warmup failed: ${errHead(e)}")
+      warmupError = Some(errHead(e))
     }
 
     def exec(name: String): Unit = SparkEntry.queries(name)(spark, sfDir)
@@ -62,19 +68,27 @@ object Bench {
       * reported so a noisy run is visible in the JSON itself.
       */
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    warmupError.foreach(errors("__ts_warmup__") = _)
     def runMedian(name: String): (Double, Double, Double) = {
-      try exec(name) catch { case e: Throwable =>
+      // EVERY exec is guarded, not only the untimed first pass: a flaky
+      // failure (OOM, executor loss) that passes warmup but dies in a
+      // timed pass must still ship the JSON line + its error entry, not
+      // crash main with rc=1 and zero diagnostics (the round-6 shape
+      // this reporting exists to prevent).
+      try {
+        exec(name)
+        val times = (0 until 3).map { _ =>
+          System.gc() // don't bill one pass for its predecessor's garbage
+          val t0 = System.nanoTime()
+          exec(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (times(1), times(0), times(2))
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${errHead(e)}")
         errors(name) = errHead(e)
-        return (-1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0)
       }
-      val times = (0 until 3).map { _ =>
-        System.gc() // don't bill one pass for its predecessor's garbage
-        val t0 = System.nanoTime()
-        exec(name)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (times(1), times(0), times(2))
     }
 
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (the driver
@@ -115,10 +129,56 @@ object Bench {
       .mkString("{", ",", "}")
     val diag = s""""load_avg":$loadAvg,"n_cpus":$nCpus,"n_errors":${errors.size},"errors":$errJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}""")
-    // compact summary LAST: the full line above fronts its headline, so
-    // a tail-truncated capture (round-4 driver artifact) loses the
-    // total — this line survives any tail grab
+    // The driver's artifact capture is tail-truncated (BENCH_r07 kept
+    // only ~36 of 127 per-query numbers, cut from the FRONT of the
+    // long line above). Cross-round per-query regression analysis
+    // needs the full map, so it also goes to a stable file that the
+    // end-of-round snapshot commits.
+    val perQueryJson =
+      s"""{"metric":"perquery","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_perquery.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        perQueryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] perquery file write failed: ${errHead(e)}")
+    }
+    // compact summary lines LAST — the slot that survives any tail
+    // grab (round-4 lesson). First the totals, then the headline
+    // per-query content: top-10 slowest this run, plus the worst
+    // regressions vs the committed baseline (bench_baseline.json,
+    // refreshed each round from target/bench_perquery.json) so a
+    // perf cliff is visible even if only the final line survives.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},$diag,"sf":"$sfDir"}""")
+    val medians = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
+    val slowest = medians.sortBy(-_._2).take(10)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // the baseline is the previous round's perquery file; pull its
+      // "queries" map with a tolerant scan (no fixed key order assumed)
+      val qsec = txt.indexOf("\"queries\":{")
+      if (qsec < 0) Map.empty
+      else {
+        val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
+        raw""""([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val regressions = medians.flatMap { case (k, med) =>
+      baseline.get(k).collect {
+        // floor small absolute times: a 0.05→0.12 s jitter is not a
+        // regression signal worth the last-line budget
+        case base if base > 0 && med > 0.2 && med / base >= 1.25 =>
+          k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.sortBy(-_._2).take(5)
+    def numMap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"baseline_found":${baseline.nonEmpty},"sf":"$sfDir"}""")
     spark.stop()
     // truthful exit status: timings were printed either way, but a
     // round with failed queries must not read as passing evidence

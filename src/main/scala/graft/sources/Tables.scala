@@ -34,8 +34,40 @@ object Tables {
       // [[tsMillis]] adapts to whichever shape arrived.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Fixture physical types have drifted between rounds before
+      // (round 6: LONG nanos → TIMESTAMP micros). The TIMESTAMP arm of
+      // [[tsMillis]] is shape-safe, but a LONG column is trusted to be
+      // NANOS — a LONG-millis/micros generation would silently corrupt
+      // every timestamp by 10^6/10^3. Guard at read time, once per
+      // cache entry, on a bounded sample (one row-group even at 100 TB).
+      if (name == "events" && df.schema.fieldNames.contains("ts") &&
+          df.schema("ts").dataType == LongType)
+        assertLongTsIsNanos(df, s"$dir/$name.parquet")
       if (cachingEnabled(spark)) df.cache() else df
     })
+  }
+
+  /** Magnitude guard for LONG `ts` columns: after the nanos→millis
+    * projection the observed epochs must land in a plausible millis
+    * window (the fixtures span 2024+; [1.6e12, 2.1e12] ≈ 2020-09 →
+    * 2036-07). A LONG-micros fixture would project to ~1.7e9 and a
+    * LONG-millis one to ~1.7e6 — both fail loudly here instead of
+    * silently corrupting every downstream timestamp.
+    */
+  private[graft] def assertLongTsIsNanos(df: DataFrame, path: String): Unit = {
+    val row = df.limit(10000)
+      .agg(min(expr("ts div 1000000")), max(expr("ts div 1000000"))).head()
+    if (!row.isNullAt(0)) {
+      val (lo, hi) = (row.getLong(0), row.getLong(1))
+      val (winLo, winHi) = (1600000000000L, 2100000000000L)
+      if (lo < winLo || hi > winHi) throw new IllegalStateException(
+        s"events.ts at $path is LONG but not plausibly epoch NANOS: " +
+          s"after `div 1e6` the sampled range is [$lo, $hi] millis, outside " +
+          s"[$winLo, $winHi] (2020-09..2036-07). The fixture was likely " +
+          "written as LONG millis or micros; fix Tables.tsMillis's LongType " +
+          "arm or regenerate the fixture — refusing to read silently-corrupt " +
+          "timestamps.")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

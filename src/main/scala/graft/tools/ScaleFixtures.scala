@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic end-to-end: ids shift by computed offsets, the
   * permutation keys are xxhash64 — no RNG, so two runs produce
-  * byte-comparable corpora. The `ts` column is copied verbatim in
-  * whatever physical shape the source fixture used (LONG nanos under
-  * `nanosAsLong`, or TIMESTAMP micros); every reader adapts via
-  * [[graft.sources.Tables.tsMillis]], so both shapes behave
-  * identically downstream.
+  * byte-comparable corpora. The `ts` column's VALUES are copied
+  * verbatim, but not necessarily its physical type: a TIMESTAMP(NANOS)
+  * source is read under `nanosAsLong` and therefore REWRITTEN as plain
+  * INT64 epoch nanos (the nanos logical annotation is dropped); a
+  * TIMESTAMP-micros source round-trips as timestamp. Spark readers
+  * adapt to either shape via [[graft.sources.Tables.tsMillis]], but a
+  * DuckDB oracle over a scaled-from-nanos output would resolve
+  * `epoch_ms(ts)` to the BIGINT overload (millis→timestamp
+  * CONSTRUCTOR, not a projection) and silently produce wrong values —
+  * scaled fixtures are soak inputs, NOT oracle inputs (FIXTURES.md).
   */
 object ScaleFixtures {
   def main(args: Array[String]): Unit = {

@@ -235,4 +235,21 @@ class PackFreqSpec extends SparkSpec {
     assert(bounded.toSeq == Seq(("a", 0L, 2.0), ("a", 1L, 2.5), ("a", 2L, 5.0),
       ("b", 0L, 1.0)))
   }
+
+  test("d2_distinct_approx tracks d1_distinct_exact within the HLL rsd bound") {
+    // the one rows-only CORRECTNESS query that had no property gate
+    // tying it to its exact twin (round-7 verdict #4): run both
+    // SparkEntry entries on the fixture and gate the sketch at 3×rsd
+    // (approx_count_distinct's default rsd = 0.05 is a standard
+    // deviation — 3σ = 15% relative error, generous but regression-
+    // catching: an off-by-10× bug is 60σ out)
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("d1_distinct_exact")(spark, dir)
+      .head().getDouble(1) // n_values
+    val approx = SparkEntry.queries("d2_distinct_approx")(spark, dir)
+      .head().getDouble(0) // approx_values
+    assert(exact > 0, s"fixture has no distinct values? exact=$exact")
+    val relErr = math.abs(approx - exact) / exact
+    assert(relErr <= 0.15, s"approx=$approx vs exact=$exact: relErr=$relErr > 0.15")
+  }
 }
