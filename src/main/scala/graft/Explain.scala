@@ -38,7 +38,12 @@ object Explain {
       "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
       "x_corpus_stats_incremental", "x_sample_temperature", "x_quality_drift",
       "x_dedup_clusters_incremental", "x_source_warc",
-      "x_domain_stats", "x_domain_caps")
+      "x_domain_stats", "x_domain_caps",
+      // windowed/session/ordered-join family: exactly where an
+      // accidental global sort or a single-partition window collapse
+      // would hide (round-7 verdict #5)
+      "w1_tumbling_window_1d", "w2_sliding_window", "x_sessions",
+      "x_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -80,10 +80,43 @@ class PlanAuditSpec extends SparkSpec {
     // post-scan Filter over every row group — at 100 TB that is the
     // difference between reading a slice and reading the table)
     val filtered = Seq("a3_tag_collect", "a2_range_collect",
-      "f1_gt_le_collect", "ts2_li_range_topk", "g11_scalar_filtered_sum")
+      "f1_gt_le_collect", "ts2_li_range_topk", "g11_scalar_filtered_sum",
+      // as-of sides are event_type slices; the EqualTo must reach parquet
+      "x_asof_join")
     filtered.foreach { n =>
       assert("""PushedFilters: \[[A-Z]""".r.findFirstIn(planOf(n)).nonEmpty,
         s"$n: no non-empty PushedFilters in plan")
+    }
+  }
+
+  test("window/session/asof plans stay keyed-parallel with one output sort") {
+    // session windows, sliding windows and the as-of join are exactly
+    // where state explosion hides: an empty window partition spec or a
+    // lost clustering compiles to Exchange SinglePartition (the whole
+    // corpus through one task), and a misplaced orderBy adds a second
+    // global range-sort. Pin the shape:
+    //   - exactly ONE hashpartitioning exchange (the keyed shuffle; the
+    //     as-of join's two Window ops must REUSE it, not re-exchange),
+    //   - exactly ONE rangepartitioning exchange (the deterministic
+    //     output sort the oracle hash-compare requires),
+    //   - no SinglePartition anywhere.
+    val windowed = Seq("w1_tumbling_window_1d", "w2_sliding_window",
+      "x_sessions", "x_asof_join")
+    windowed.foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("SinglePartition"),
+        s"$n: single-partition exchange — a window/session stage collapsed to one task")
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx == 1, s"$n: $hashEx hash exchanges (expected 1 keyed shuffle)")
+      val rangeEx = "rangepartitioning\\(".r.findAllIn(p).size
+      assert(rangeEx == 1,
+        s"$n: $rangeEx range exchanges (expected only the output sort)")
+    }
+    // the grouped-window aggregations must combine map-side: a missing
+    // partial aggregate ships every raw row through the shuffle
+    Seq("w1_tumbling_window_1d", "w2_sliding_window", "x_sessions").foreach { n =>
+      assert(planOf(n).contains("partial_count"),
+        s"$n: no partial aggregation before the shuffle")
     }
   }
 
