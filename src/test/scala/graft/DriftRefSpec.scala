@@ -48,6 +48,29 @@ class DriftRefSpec extends SparkSpec {
     intercept[Exception](store.psi(batch, version = Some(0L)).collect())
   }
 
+  test("pinned reader survives refresh + retention vacuum; 0-retention vacuum fails it loudly") {
+    // same vacuum contract as the other Versioned stores (round-7
+    // verdict #8): a refresh deletes nothing, a retention-window
+    // vacuum spares the superseded-but-recent snapshot (the concurrent
+    // reader's grace window), and only a 0-retention reap makes it
+    // unprobeable — loudly, never as silently-wrong PSI.
+    val p = Files.createTempDirectory("graft-drift4").toString
+    val store = new DriftRef(spark, p)
+    store.write(ref, bins = 5)
+    val pinned = store.psi(batch, version = Some(0L)).collect().toSeq
+    val ref2 = corpus(0 until 40, i => s"refreshed corpus $i ${"w " * (i % 4).toInt}")
+    assert(store.write(ref2, bins = 5) == 1L)
+    // refresh deleted nothing — the pinned snapshot answers identically
+    assert(store.psi(batch, version = Some(0L)).collect().toSeq == pinned)
+    assert(store.vacuum(retentionMs = 3600000L) == 0)
+    assert(store.psi(batch, version = Some(0L)).collect().toSeq == pinned)
+    assert(store.vacuum(0) == 1)
+    intercept[Exception](store.psi(batch, version = Some(0L)).collect())
+    // the current snapshot is untouched
+    assert(store.psi(batch).collect().toSeq ==
+      Quality.drift(ref2, batch, bins = 5).collect().toSeq)
+  }
+
   test("psi before any snapshot fails loudly; degenerate bins rejected") {
     val p = Files.createTempDirectory("graft-drift3").toString
     val store = new DriftRef(spark, p)
