@@ -1428,6 +1428,28 @@ object SparkEntry {
             lit(0L).as("payload_bytes"), lit(0L).as("n_urls")))
         .orderBy(col("warc_type"))
     }),
+    // ---- WARC → curation pipeline: the real entry point of a
+    // Common-Crawl-style corpus — container split, payload decode,
+    // tag-strip text extraction, exact dedup (collapses the gz twin's
+    // byte-identical records), then the token/quality/langid stats of
+    // the curation report. HASH-CHECKED: the fixture payloads are
+    // literal, so the oracle reconstructs the post-extraction texts in
+    // pure SQL (generate_series + repeat) and recomputes the same
+    // report — fully independent of the Spark run.
+    "x_pipeline_warc" -> ((s, _) => {
+      val recs = graft.sources.Warc.read(s, warcFixtureFor() + "/sample.warc*")
+      recs.filter(col("warc_type") === "response")
+        .select(regexp_replace(decode(col("payload"), "ISO-8859-1"),
+          "<[^>]*>", "").as("text"))
+        .dropDuplicates("text")
+        .agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          sum(TextFunctions.wsTokenCount(col("text"))).cast("double").as("total_tokens"),
+          sum(length(col("text"))).cast("double").as("total_chars"),
+          sum(TextFunctions.punctCount(col("text"))).cast("double").as("total_punct"),
+          round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
+          countDistinct(TextFunctions.langId(col("text"))).cast("double").as("n_langs"))
+    }),
   )
 
   /** Shared dense-grid CTE chain (DuckDB) mirroring [[denseGrid]] — the
@@ -1734,6 +1756,31 @@ object SparkEntry {
         |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
+    // full reconstruction of the WARC fixture's response payloads
+    // (literal content — SparkEntry.warcFixtureFor): 20 generated
+    // lorem docs + the fake-boundary record, tag-stripped and deduped
+    // (the gz twin contributes only byte-identical duplicates), then
+    // the same curation stats recomputed in pure SQL
+    "x_pipeline_warc" ->
+      s"""WITH resp AS (
+        |  SELECT '<html>doc ' || i || ' ' || repeat('lorem ipsum ', CAST(i + 1 AS INT)) || '</html>' AS raw
+        |  FROM generate_series(0, 19) t(i)
+        |  UNION ALL
+        |  SELECT 'binary-ish' || chr(13) || chr(10) || chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10) || 'not a header'
+        |), docs AS (
+        |  SELECT DISTINCT regexp_replace(raw, '<[^>]*>', '', 'g') AS text FROM resp
+        |)
+        |SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS DOUBLE) AS total_tokens,
+        |  CAST(sum(length(text)) AS DOUBLE) AS total_chars,
+        |  CAST(sum(length(text) - length(translate(text, '.,!?;:', ''))) AS DOUBLE) AS total_punct,
+        |  round(avg(${qualitySqlExpr("text")}), 4) AS avg_quality,
+        |  CAST(count(DISTINCT (CASE
+        |    WHEN ${stopHitsSql("text", graft.functions.TextFunctions.EN_STOP)} >= ${stopHitsSql("text", graft.functions.TextFunctions.ES_STOP)}
+        |     AND ${stopHitsSql("text", graft.functions.TextFunctions.EN_STOP)} >= ${stopHitsSql("text", graft.functions.TextFunctions.FR_STOP)} THEN 'en'
+        |    WHEN ${stopHitsSql("text", graft.functions.TextFunctions.ES_STOP)} >= ${stopHitsSql("text", graft.functions.TextFunctions.FR_STOP)} THEN 'es'
+        |    ELSE 'fr' END)) AS DOUBLE) AS n_langs
+        |FROM docs""".stripMargin,
     "x_dedup_exact_digest" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
         |  CAST(count(*) AS DOUBLE) AS dup_count
