@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft.operators.{AnnIndexStore, ClusterIndex, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured soak for the round-6 stores (SCALE.md's "asserted, then
+  * measured" rule — the 10× fixture soak covers the query surface;
+  * this covers the incremental-store cost model):
+  *
+  *  1. ClusterIndex APPEND-COST FLATNESS: a chain of B appends, each a
+  *     constant-size edge batch, against a history that grows B×. The
+  *     design claim is per-append cost = CC over the BATCH plus one
+  *     streaming scan of the assignment chain — so append time must
+  *     grow far slower than history (and the whole chain must land in
+  *     the same order of magnitude as ONE one-shot build over the
+  *     union, which is what a naive daily re-cluster would pay
+  *     PER DAY).
+  *
+  *  2. IVF-PQ CANDIDATE I/O: on-disk bytes of the version's candidate
+  *     tables — pq codes vs int8-quantized vs full-vector inverted
+  *     lists — plus median probe latencies. The design claim is the
+  *     candidate scan ships m one-byte codes instead of d floats.
+  *
+  * Prints one human-readable block; numbers are pasted into SCALE.md.
+  */
+object StoreSoak {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- 1. ClusterIndex append-cost flatness --------------------
+    // B constant-size batches: each links its own id block in chains
+    // of ~4 (7919 is coprime to the block) and back-links 10% of ids
+    // to the PREVIOUS batch — so appends keep merging into history's
+    // clusters (the expensive path: remaps, not just fresh labels).
+    val B = 10
+    val E = 2000
+    def batchEdges(b: Int): DataFrame = {
+      val base = b.toLong * E
+      val own = (0 until E).map(i =>
+        (base + i, base + (i * 7919) % E))
+      val back = if (b == 0) Seq.empty
+        else (0 until E / 10).map(i => (base + i, base - E + i))
+      (own ++ back).toDF("id_a", "id_b")
+    }
+    val ciDir = java.nio.file.Files.createTempDirectory("soak-ci").toString
+    val ci = new ClusterIndex(spark, ciDir)
+    val (_, tWrite0) = timed(ci.write(batchEdges(0)))
+    val appendTimes = (1 until B).map { b =>
+      val (_, t) = timed(ci.append(batchEdges(b)))
+      t
+    }
+    val union = (0 until B).map(batchEdges).reduce(_ unionByName _)
+    val ciOne = new ClusterIndex(spark,
+      java.nio.file.Files.createTempDirectory("soak-ci-one").toString)
+    val (_, tOneShot) = timed(ciOne.write(union))
+    // sanity: incremental == one-shot (the ClusterIndexSpec law, here
+    // just row-count checked to keep the soak fast)
+    val nInc = ci.assignment().count()
+    val nOne = ciOne.assignment().count()
+    println(f"[soak] cluster: write0=$tWrite0%.2fs appends(s)=${appendTimes.map(t => f"$t%.2f").mkString(",")}")
+    println(f"[soak] cluster: first3=${appendTimes.take(3).sorted.apply(1)}%.2fs last3=${appendTimes.takeRight(3).sorted.apply(1)}%.2fs " +
+      f"flatness=${appendTimes.takeRight(3).sorted.apply(1) / appendTimes.take(3).sorted.apply(1)}%.2fx " +
+      f"oneShot=$tOneShot%.2fs chainTotal=${appendTimes.sum + tWrite0}%.2fs rowsInc=$nInc rowsOne=$nOne")
+
+    // ---- 2. IVF-PQ candidate I/O + probe latency -----------------
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val annDir = java.nio.file.Files.createTempDirectory("soak-ann")
+    val store = new AnnIndexStore(spark, annDir.toString)
+    store.write(emb)
+    val v0 = annDir.resolve("v0")
+    val bytesVectors = dirBytes(v0.resolve("vectors"))
+    val bytesIvf = dirBytes(v0.resolve("ivf"))
+    val bytesPq = dirBytes(v0.resolve("pq"))
+    // int8 comparison point: the same corpus quantized and written the
+    // same way (snappy parquet)
+    val int8Dir = java.nio.file.Files.createTempDirectory("soak-int8")
+    Similarity.quantizeInt8(emb).write.mode("overwrite")
+      .parquet(int8Dir.resolve("int8").toString)
+    val bytesInt8 = dirBytes(int8Dir.resolve("int8"))
+    val queries = emb.filter(col("vec_id") < 10)
+    def median3(f: => Unit): Double = {
+      f // warm
+      (0 until 3).map { _ => val (_, t) = timed(f); t }.sorted.apply(1)
+    }
+    val tIvf = median3(store.probeIvf(queries, k = 5, nprobe = 8)
+      .write.mode("overwrite").format("noop").save())
+    val tPq = median3(store.probePq(queries, k = 5, nprobe = 8)
+      .write.mode("overwrite").format("noop").save())
+    val tPqRaw = median3(store.probePq(queries, k = 5, nprobe = 8, refine = 0)
+      .write.mode("overwrite").format("noop").save())
+    println(f"[soak] ann bytes: vectors=$bytesVectors ivf=$bytesIvf int8=$bytesInt8 pq=$bytesPq " +
+      f"ivf/pq=${bytesIvf.toDouble / bytesPq}%.1fx int8/pq=${bytesInt8.toDouble / bytesPq}%.1fx")
+    println(f"[soak] ann probe medians: ivf=$tIvf%.2fs pq(refine)=$tPq%.2fs pq(raw)=$tPqRaw%.2fs")
+
+    spark.stop()
+  }
+}
