@@ -139,7 +139,23 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
   private[graft] var onStageEnter: () => Unit = () => ()
 
   private def taggedVersion(t: String): Option[Long] =
-    versions.find(v => tagOf(v).contains(t))
+    versions.find(v => tagsOf(v).contains(t))
+
+  /** ALL tags a version answers for: its own append tag (tag.txt)
+    * plus any tags a [[compact]] folded forward (tags.txt). Without
+    * the folded set, compact-then-vacuum would erase the idempotence
+    * record of every batch in the chain, and an at-least-once replay
+    * of the most recent trigger would double-count its partials into
+    * the additive sums forever.
+    */
+  private def tagsOf(version: Long): Set[String] = {
+    val f = root.resolve(s"v$version").resolve("tags.txt")
+    val folded =
+      if (Files.exists(f))
+        Files.readString(f).split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    folded ++ tagOf(version)
+  }
 
   private def stage(docs: DataFrame, textCol: String, sourceCol: String,
                     lgK: Int, slot: Long, staging: Path,
@@ -205,6 +221,17 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
         .repartition(1)
         .write.mode(SaveMode.ErrorIfExists).parquet(staging.resolve("stats").toString)
       Files.writeString(staging.resolve("lgk.txt"), s"${lgKOf(base)}\n")
+      // fold every tag on disk forward (tag.txt appends + earlier
+      // compacts' tags.txt): the compacted version must keep answering
+      // taggedVersion() for the whole folded history, or the replay
+      // guard dies with the vacuumed chain. Over-remembering is safe —
+      // a tag only ever suppresses a byte-identical replayed batch.
+      // Cost: one short line per tagged append, ~3 MB per 100k
+      // triggers — noise next to the data.
+      val folded = versions.filter(_ <= base).flatMap(tagsOf).distinct
+      if (folded.nonEmpty)
+        Files.writeString(staging.resolve("tags.txt"),
+          folded.mkString("", "\n", "\n"))
       Files.writeString(staging.resolve("manifest.txt"), s"v$slot/stats\n")
     }
   }
@@ -228,7 +255,12 @@ final class StatsIndex(spark: SparkSession, pathStr: String) {
           graft.Fs.deleteTree(dir.resolve("stats"))
         Files.deleteIfExists(dir.resolve("manifest.txt"))
         Files.deleteIfExists(dir.resolve("lgk.txt"))
+        // tag files go with the version: a compact folded them into
+        // the live version's tags.txt; vacuum WITHOUT a compact only
+        // reaps versions past the retention window, which is the
+        // documented replay horizon
         Files.deleteIfExists(dir.resolve("tag.txt"))
+        Files.deleteIfExists(dir.resolve("tags.txt"))
         val children = Files.list(dir)
         val empty = try !children.iterator().hasNext finally children.close()
         if (empty) Files.delete(dir)

@@ -28,6 +28,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** Per-query maintenance cadence for the persisted index stores:
+    * every `every`-th non-empty trigger is "due", at which point the
+    * ingest folds the store's append chain ([[graft.operators
+    * .Versioned]]-style `compact()`) and reaps superseded versions
+    * (`vacuum(retention)`). Without a cadence a long-running stream
+    * grows its chain one delta directory per trigger — the
+    * ClusterIndex read fold pays one broadcast remap join PER dir, so
+    * 10k triggers means 10k joins in every assignment read; compaction
+    * is what keeps read cost a function of DATA, not of ingest
+    * history. The counter is per-started-query and in-memory: a
+    * restart resets the cadence, never the data (compaction is
+    * idempotent I/O, not semantics), and maintenance runs AFTER the
+    * trigger's own append, so the sink-first crash-window ordering
+    * argument is untouched — a crash mid-compact just leaves the
+    * pre-compact version live and its staging dir for the stale reap.
+    */
+  private final class Cadence(every: Int) {
+    require(every >= 0, s"compactEvery=$every must be >= 0 (0 disables)")
+    private val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    def due(): Boolean = every > 0 && n.incrementAndGet() % every == 0
+  }
+
   /** Adds `event_time` (TimestampType) derived from the Long
     * epoch-millis `timestamp` column.
     */
@@ -193,11 +215,17 @@ object StreamingIngest {
     * Returns the ready-to-start writer.
     */
   def annIngest(vectors: DataFrame, store: graft.operators.AnnIndexStore,
-                vecCol: String = "embedding", idCol: String = "vec_id")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
-      if (!batch.isEmpty) { store.append(batch, vecCol, idCol); () }
+      if (!batch.isEmpty) {
+        store.append(batch, vecCol, idCol)
+        if (cadence.due()) { store.compact(); store.vacuum(vacuumRetentionMs); () }
+      }
     }}
+  }
 
   /** Streaming exact-dedup ingest against a persisted
     * [[graft.operators.DigestIndex]] — the FOREVER-exact path
@@ -215,9 +243,11 @@ object StreamingIngest {
     * nothing.
     */
   def dedupIngest(docs: DataFrame, index: graft.operators.DigestIndex,
-                  textCol: String = "text")
+                  textCol: String = "text", compactEvery: Int = 0,
+                  vacuumRetentionMs: Long = 3600000L)
                  (writeBatch: DataFrame => Unit = _ => ())
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         // trigger-scoped materialization: consumed by isEmpty, the
@@ -227,10 +257,11 @@ object StreamingIngest {
         if (!survivors.isEmpty) {
           writeBatch(survivors) // sink first — see the ordering note above
           index.append(survivors, textCol)
-          ()
+          if (cadence.due()) { index.compact(); index.vacuum(vacuumRetentionMs); () }
         }
       }
     }}
+  }
 
   /** Streaming maintenance of a persisted [[graft.operators
     * .StatsIndex]]: each micro-batch commits its per-source partial
@@ -241,8 +272,10 @@ object StreamingIngest {
     */
   def statsIngest(docs: DataFrame, index: graft.operators.StatsIndex,
                   textCol: String = "text", sourceCol: String = "source",
-                  streamTag: String = "stats")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                  streamTag: String = "stats", compactEvery: Int = 0,
+                  vacuumRetentionMs: Long = 3600000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) => graft.Materialize.inTriggerScope {
       // foreachBatch is at-least-once: the tag makes a replayed
       // trigger's append a no-op instead of double-counting its
@@ -250,9 +283,11 @@ object StreamingIngest {
       // ids — give each query writing one index its own value.
       if (!batch.isEmpty) {
         index.append(batch, textCol, sourceCol,
-          tag = Some(s"$streamTag-$batchId")); ()
+          tag = Some(s"$streamTag-$batchId"))
+        if (cadence.due()) { index.compact(); index.vacuum(vacuumRetentionMs); () }
       }
     }}
+  }
 
   /** Streaming near-dup-filtered ingest against a persisted
     * [[graft.operators.MinHashIndex]]: each micro-batch (1) drops rows
@@ -282,9 +317,11 @@ object StreamingIngest {
     */
   def neardupIngest(docs: DataFrame, index: graft.operators.MinHashIndex,
                     minEstJaccard: Double = 0.5,
-                    textCol: String = "text", idCol: String = "doc_id")
+                    textCol: String = "text", idCol: String = "doc_id",
+                    compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
                    (writeBatch: DataFrame => Unit = _ => ())
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         // materialized (trigger-scoped — Materialize.ephemeral, never
@@ -302,10 +339,11 @@ object StreamingIngest {
         if (!survivors.isEmpty) {
           writeBatch(survivors) // sink first — see the ordering note above
           index.append(survivors, textCol, idCol)
-          ()
+          if (cadence.due()) { index.compact(); index.vacuum(vacuumRetentionMs); () }
         }
       }
     }}
+  }
 
   /** Streaming CLUSTER maintenance: the keep-everything complement of
     * [[neardupIngest]] (which drops near-dups before its sink). Every
@@ -333,9 +371,11 @@ object StreamingIngest {
   def clusterIngest(docs: DataFrame, index: graft.operators.MinHashIndex,
                     clusters: graft.operators.ClusterIndex,
                     minEstJaccard: Double = 0.5,
-                    textCol: String = "text", idCol: String = "doc_id")
+                    textCol: String = "text", idCol: String = "doc_id",
+                    compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
                    (writeBatch: DataFrame => Unit = _ => ())
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       if (!batch.isEmpty) {
         val fresh = graft.Materialize.ephemeral(batch.dropDuplicates(idCol)
@@ -354,10 +394,17 @@ object StreamingIngest {
           // the SAME signatures index the batch — appendSigned skips
           // the second explode+k-agg signing append() would pay
           index.appendSigned(sigs)
-          ()
+          if (cadence.due()) {
+            // both stores fold on the same cadence: the cluster read
+            // cost grows a remap JOIN per trigger, the sig chain a
+            // directory per trigger
+            clusters.compact(); clusters.vacuum(vacuumRetentionMs)
+            index.compact(); index.vacuum(vacuumRetentionMs); ()
+          }
         }
       }
     }}
+  }
 
   /** On-stream benchmark decontamination: every micro-batch of
     * documents is scrubbed against the STATIC eval set with the exact

@@ -84,6 +84,32 @@ class StatsIndexSpec extends SparkSpec {
     assert(books.getLong(1) == 2L) // b1's + b2's, each ONCE
   }
 
+  test("tags survive compact + vacuum: a replayed batch still commits nothing") {
+    // the cadenced-maintenance hazard: compact folds the chain to one
+    // untagged dir and vacuum deletes the reaped versions' tag files —
+    // without tags.txt folding, the replay guard would die with the
+    // chain and an at-least-once redelivery would double-count forever
+    val p = Files.createTempDirectory("graft-stats8").toString
+    val ix = new StatsIndex(spark, p)
+    ix.write(b1)
+    ix.append(b2, tag = Some("stats-1"))
+    val before = rows(ix)
+    val vC = ix.compact()
+    assert(ix.vacuum(0) >= 1) // the tagged version itself is reaped
+    // replay of the tagged batch: still suppressed, report unmoved
+    assert(ix.append(b2, tag = Some("stats-1")) == vC)
+    assert(rows(ix) == before)
+    // a SECOND compact folds tags.txt forward transitively
+    ix.append(docs((7L, "wiki", "nine ten")), tag = Some("stats-2"))
+    ix.compact()
+    ix.vacuum(0)
+    val after = rows(ix)
+    assert(ix.append(b2, tag = Some("stats-1")) == ix.currentVersion.get)
+    assert(ix.append(docs((7L, "wiki", "nine ten")), tag = Some("stats-2"))
+      == ix.currentVersion.get)
+    assert(rows(ix) == after)
+  }
+
   test("same-tag appends interleaved across writers commit exactly once (the check-then-act race)") {
     val p = Files.createTempDirectory("graft-stats6").toString
     val a = new StatsIndex(spark, p)
