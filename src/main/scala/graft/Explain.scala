@@ -38,6 +38,7 @@ object Explain {
       "x_forecast_holt", "x_quality_deciles_approx", "x_dedup_delete",
       "x_corpus_stats_incremental", "x_sample_temperature", "x_quality_drift",
       "x_dedup_clusters_incremental", "x_source_warc", "x_pipeline_warc",
+      "x_dedup_semantic",
       "x_domain_stats", "x_domain_caps",
       // windowed/session/ordered-join family: exactly where an
       // accidental global sort or a single-partition window collapse

@@ -707,6 +707,16 @@ object SparkEntry {
     "x_neardup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(
         Tables.embeddings(s, dir).filter(col("vec_id") < 200), minCosine = 0.35)),
+    // ---- SemDeDup-style semantic dedup (arXiv:2303.09540): k-means-
+    // bucketed within-cluster near-dup pairs → connected components →
+    // one survivor per semantic family. Rows-only (k-means has no SQL
+    // oracle); precision-1-by-construction + recall gated vs brute in
+    // ExtensionSpec
+    "x_dedup_semantic" -> ((s, dir) =>
+      Dedup.clusterSurvivors(
+        Similarity.cosineNearDupSemantic(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 200),
+          minCosine = 0.35, k = 8))),
     // ---- sequence packing: concat-and-chunk the corpus token stream
     // into 512-token training sequences (distributed two-phase prefix
     // sum — no single-partition global window)

@@ -316,6 +316,54 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (published method: Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): k-means-bucket
+    * the embedding space, then compare vectors only WITHIN a cluster —
+    * the candidate space drops from |corpus|² to Σ|cluster|², clusters
+    * are the unit of parallelism, and cross-cluster near-dups are
+    * deliberately out of scope (the method's documented recall trade;
+    * [[cosineNearDupLsh]] is the recall-tunable alternative, this one
+    * needs no bucket tables and reuses the corpus-organization
+    * clustering a pipeline often already pays for). Within-cluster
+    * pairs are EXACTLY verified, so the output is a strict subset of
+    * [[cosineNearDupBrute]]'s pairs — precision 1 by construction,
+    * recall gated in tests.
+    *
+    * Skew guard: any cluster past `maxClusterSize` is sub-split by id
+    * hash, so one degenerate embedding region cannot go quadratic —
+    * the same bounded-bucket move as MinHash's `bucketCap`, trading
+    * further recall only on pathological corpora.
+    */
+  def cosineNearDupSemantic(corpus: DataFrame, minCosine: Double,
+                            k: Int = 8, iters: Int = 2, dim: Int = 64,
+                            maxClusterSize: Int = 10000,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    require(maxClusterSize >= 2,
+      s"cosineNearDupSemantic: maxClusterSize=$maxClusterSize must be >= 2")
+    val assigned = buildIvfIndex(corpus, nlist = k, refineIters = iters,
+        dim = dim, vecCol = vecCol, idCol = idCol)
+      .assigned.select(col("vec_id").as("id"), col("cent_id").as("cluster"))
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(assigned, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val sub = c.withColumn("__sub",
+        pmod(xxhash64(col("id")),
+          greatest(lit(1L), ceil(count(lit(1)).over(w) /
+            lit(maxClusterSize.toDouble)).cast("long"))).cast("int"))
+      .graftCheckpoint() // clustering + sub-split computed once, both legs
+    val a = sub.select(col("cluster"), col("__sub"), col("id").as("id_a"), col("v").as("va"))
+    val b = sub.select(col("cluster"), col("__sub"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cluster", "__sub"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding near-dup via LSH buckets + exact verify — the scale path
     * for [[cosineNearDupBrute]].
     */

@@ -521,6 +521,54 @@ class ExtensionSpec extends SparkSpec {
     assert(dupRecall >= 0.60, f"LSH near-dup recall regressed: $dupRecall%.3f")
   }
 
+  test("semantic dedup (SemDeDup): subset-exact, twins co-cluster, skew guard bounded") {
+    // within-cluster pairs are EXACTLY verified, so on any corpus the
+    // output is a strict subset of brute's pairs — precision 1 by
+    // construction; the fixture's weak pairs (no cosine >= 0.5 exists
+    // in it) also document the method's recall trade at low thresholds
+    val sub = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    def dupPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = dupPairs(Similarity.cosineNearDupBrute(sub, minCosine = 0.35))
+    val sem = dupPairs(Similarity.cosineNearDupSemantic(sub, minCosine = 0.35, k = 8))
+    assert(sem.subsetOf(brute), "a semantic pair not confirmed by brute — exact verify broken")
+    info(f"semantic near-dup fixture recall at t=0.35: ${sem.size.toDouble / brute.size}%.3f (n=${brute.size})")
+
+    // the method's OPERATING point — strong duplicates (SemDeDup runs
+    // at cosine ~0.95+): twin vectors sit ~0 apart, so cosine k-means
+    // cannot split them and recall must be ~1. 60 near-orthogonal
+    // Gaussian bases (deterministic per-id seed) + one perturbed twin
+    // each.
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val bases = (0 until 60).map(i => (i.toLong, vec(i)))
+    val twins = bases.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => if (d == 0) x + 0.01f else x }) }
+    val corpus = (bases ++ twins).toDF("vec_id", "embedding")
+    val bruteT = dupPairs(Similarity.cosineNearDupBrute(corpus, minCosine = 0.99))
+    assert(bruteT.size == 60, s"twin corpus ground truth off: ${bruteT.size}")
+    val semT = dupPairs(Similarity.cosineNearDupSemantic(corpus, minCosine = 0.99, k = 4))
+    assert(semT.subsetOf(bruteT))
+    val recallT = semT.intersect(bruteT).size.toDouble / bruteT.size
+    info(f"semantic near-dup twin recall at t=0.99: $recallT%.3f")
+    assert(recallT >= 0.9, f"SemDeDup twin recall regressed: $recallT%.3f")
+
+    // skew guard: a sub-split small enough to shear clusters must stay
+    // subset-exact and keep finding the twins that land together
+    val capped = dupPairs(Similarity.cosineNearDupSemantic(
+      corpus, minCosine = 0.99, k = 4, maxClusterSize = 8))
+    assert(capped.subsetOf(bruteT))
+
+    // survivors: one keeper per twin family, keeper is the min id
+    val surv = graft.operators.Dedup.clusterSurvivors(
+      Similarity.cosineNearDupSemantic(corpus, minCosine = 0.99, k = 4))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(surv.forall { case (keep, size) => keep < 1000L && size == 2.0 })
+  }
+
   test("decontamination: overlap flagged and scrubbed; clean docs pass") {
     import graft.operators.Contamination
     val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
