@@ -354,6 +354,14 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
+  /** The ids indexed by a version (`vec_id` column, tombstones
+    * applied) — the redelivery-guard anti-join side for streaming
+    * ingest (one id column off the sorted vectors chain; column
+    * pruning keeps the scan narrow).
+    */
+  def indexedIds(version: Option[Long] = None): DataFrame =
+    state(version.getOrElse(pinVersion())).vectors.select(col("vec_id"))
+
   /** Approximate top-k by LSH against the persisted index. Only the
     * query batch is hashed; the postings scan is pruned to the buckets
     * the queries land in.

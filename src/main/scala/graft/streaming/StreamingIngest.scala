@@ -345,6 +345,55 @@ object StreamingIngest {
     }}
   }
 
+  /** Streaming EMBEDDING near-dup ingest — the semantic-dedup form of
+    * [[neardupIngest]] (incremental SemDeDup: a new doc semantically
+    * duplicating ANY indexed doc is dropped at batch cost): each
+    * micro-batch (1) drops rows whose id is already indexed
+    * (redelivery idempotence — [[graft.operators.AnnIndexStore
+    * .indexedIds]] anti-join, the same restart-is-a-no-op move as the
+    * MinHash path), (2) probes the remaining rows' embeddings against
+    * the persisted ANN index and drops rows whose nearest indexed
+    * neighbor scores ≥ `minCosine` (IVF-pruned inverted-list probes —
+    * nprobe/nlist of the corpus, never a corpus scan), then (3) hands
+    * the survivors to `writeBatch` and ONLY THEN (4) appends them as
+    * an incremental index version — the sink-first ordering and the
+    * maintenance cadence exactly as [[neardupIngest]]. WITHIN-batch
+    * semantic dups are deliberately not dropped here (they arrive
+    * together; [[graft.operators.Similarity.cosineNearDupSemantic]] is
+    * the in-corpus batch tool) — cross-BATCH dedup against everything
+    * ever indexed is this op's contract. Recall is the IVF probe's
+    * (gated in AnnIndexSpec); a missed near-dup admits a duplicate,
+    * never corrupts state. Empty micro-batches commit nothing.
+    */
+  def embedNeardupIngest(vectors: DataFrame, store: graft.operators.AnnIndexStore,
+                         minCosine: Double, nprobe: Int = 8,
+                         vecCol: String = "embedding", idCol: String = "vec_id",
+                         compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
+                        (writeBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
+      if (!batch.isEmpty) {
+        val fresh = graft.Materialize.ephemeral(batch.dropDuplicates(idCol)
+          .join(store.indexedIds().withColumnRenamed("vec_id", idCol),
+            Seq(idCol), "left_anti"))
+        if (!fresh.isEmpty) {
+          val hits = store.probeIvf(fresh, k = 1, nprobe = nprobe,
+              vecCol = vecCol, idCol = idCol)
+            .filter(col("score") >= minCosine)
+            .select(col("query_id").as(idCol)).distinct()
+          val survivors = graft.Materialize.ephemeral(
+            fresh.join(hits, Seq(idCol), "left_anti"))
+          if (!survivors.isEmpty) {
+            writeBatch(survivors) // sink first — the neardupIngest argument
+            store.append(survivors, vecCol, idCol)
+            if (cadence.due()) { store.compact(); store.vacuum(vacuumRetentionMs); () }
+          }
+        }
+      }
+    }}
+  }
+
   /** Streaming CLUSTER maintenance: the keep-everything complement of
     * [[neardupIngest]] (which drops near-dups before its sink). Every
     * micro-batch is signed ONCE; the signatures feed BOTH edge sources

@@ -305,6 +305,55 @@ class StreamingSpec extends SparkSpec {
       == Seq(0L, 10L, 20L))
   }
 
+  test("streaming embedding near-dup ingest: cross-batch semantic dups dropped; restart redelivery no-op") {
+    import graft.operators.AnnIndexStore
+    import graft.operators.AnnIndexStore.{IvfParams, LshParams}
+    // deterministic near-orthogonal bases + near-identical twins (the
+    // ExtensionSpec SemDeDup corpus): twins score ~1.0, others ~0
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    def twin(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, d) => if (d == 0) x + 0.01f else x }
+    val bases = (0 until 40).map(i => (i.toLong, vec(i)))
+    val store = new AnnIndexStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-embdedup-idx").toString)
+    store.write(bases.toDF("vec_id", "embedding"),
+      LshParams(8, 4, 64), IvfParams(8, 1, 64))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-embdedup-ckpt").toString
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, Array[Float])]
+    def start() = StreamingIngest.embedNeardupIngest(
+        mem.toDF().toDF("vec_id", "embedding"), store, minCosine = 0.95) { b =>
+        sunk.synchronized { sunk ++= b.select($"vec_id").collect().map(_.getLong(0)) }
+      }.option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // 1003 semantically duplicates indexed base 3 (drop); 500 is novel
+      mem.addData((1003L, twin(bases(3)._2)), (500L, vec(907)))
+      q1.processAllAvailable()
+      // cross-batch: 1500 duplicates 500, which the PREVIOUS trigger
+      // indexed — only the persisted index can know that
+      mem.addData((1500L, twin(vec(907))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sunk.sorted.toSeq == Seq(500L))
+    // restart against the same checkpoint: the source redelivers an
+    // already-indexed id alongside a new novel vector
+    val q2 = start()
+    try {
+      mem.addData((500L, vec(907)), (600L, vec(911)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk.sorted.toSeq == Seq(500L, 600L))
+    // the index holds exactly bases + survivors, each id once
+    val ids = store.indexedIds().collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == ((0L until 40L) ++ Seq(500L, 600L)).sorted,
+      s"index diverged: ${ids.sorted.mkString(",")}")
+    assert(ids.length == ids.distinct.length)
+  }
+
   test("streaming ingest into the store: idempotent under redelivery") {
     import graft.engine.TimeSeriesStore
     val store = new TimeSeriesStore(spark,
