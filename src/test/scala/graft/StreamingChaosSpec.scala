@@ -158,6 +158,55 @@ class StreamingChaosSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length, "duplicate signature rows after replay")
   }
 
+  test("embedNeardupIngest: crash between sink and index append, restart converges") {
+    import graft.operators.AnnIndexStore
+    import graft.operators.AnnIndexStore.{IvfParams, LshParams}
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    def twin(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, d) => if (d == 0) x + 0.01f else x }
+    val bases = (0 until 40).map(i => (i.toLong, vec(i)))
+    val store = new AnnIndexStore(spark, tmp("chaos-emb-idx"))
+    store.write(bases.toDF("vec_id", "embedding"),
+      LshParams(8, 4, 64), IvfParams(8, 1, 64))
+    val ckpt = tmp("chaos-emb-ckpt")
+    val sink = new ChaosSink
+    val mem = MemoryStream[(Long, Array[Float])]
+    def start() = StreamingIngest.embedNeardupIngest(
+        mem.toDF().toDF("vec_id", "embedding"), store, minCosine = 0.95) { b =>
+        sink.deliver(b.select($"vec_id").collect().map(_.getLong(0)).toSeq)
+        sink.maybeCrash()
+      }.option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      sink.crashNext = true
+      // 1003 semantically duplicates indexed base 3 (drops); 500 is
+      // novel (survives to the sink, dies before the append)
+      mem.addData((1003L, twin(bases(3)._2)), (500L, vec(907)))
+      intercept[Exception](q1.processAllAvailable())
+    } finally try q1.stop() catch { case _: Throwable => () }
+    assert(sink.sunk.toSeq == Seq(500L))
+    assert(store.indexedIds().count() == 40,
+      "500 must NOT be indexed yet — the crash landed before append")
+
+    val q2 = start()
+    try {
+      // replay of (1003, 500), then 1500 ~ 500 — a semantic dup of the
+      // REPLAYED batch's survivor, provable only if the replayed append
+      // landed
+      mem.addData((1500L, twin(vec(907))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // 500 delivered twice (replay), never lost; 1003 and 1500 never
+    assert(sink.sunk.sorted.toSeq == Seq(500L, 500L))
+    val ids = store.indexedIds().collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == ((0L until 40L) :+ 500L).sorted, s"index diverged")
+    assert(ids.length == ids.distinct.length, "duplicate index rows after replay")
+  }
+
   test("clusterIngest: crashes in BOTH windows (pre-append, mid-append), restart converges") {
     import graft.operators.{ClusterIndex, Dedup, MinHashIndex}
     val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
