@@ -1766,6 +1766,34 @@ object SparkEntry {
         |deduped AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(q, doc_id) AS q FROM kept GROUP BY text)
         |SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs, round(avg(q), 4) AS avg_q
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
+    // full reconstruction of the WARC fixture's record inventory
+    // (literal content — SparkEntry.warcFixtureFor): per-type record
+    // counts, payload byte volume (= Content-Length framing) and
+    // distinct urls, doubled by the byte-identical .gz twin transport
+    // (which doubles records but not the url set), plus the
+    // one-torn-garbage-run-per-file quarantine tally — all recomputed
+    // independently in SQL from the same literal spec
+    "x_source_warc" ->
+      """WITH recs AS (
+        |  SELECT 'response' AS warc_type, i,
+        |    length('<html>doc ' || i || ' ' || repeat('lorem ipsum ', CAST(i + 1 AS INT)) || '</html>') AS len
+        |  FROM generate_series(0, 19) t(i)
+        |  UNION ALL
+        |  SELECT 'response', 20, length('binary-ish' || chr(13) || chr(10) || chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10) || 'not a header')
+        |  UNION ALL
+        |  SELECT 'request', 21, length('GET / HTTP/1.1')
+        |  UNION ALL
+        |  SELECT 'metadata', i, length('fetch-ms: ' || i) FROM generate_series(22, 25) t(i)
+        |), both_files AS (
+        |  SELECT * FROM recs UNION ALL SELECT * FROM recs
+        |)
+        |SELECT warc_type, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(len) AS BIGINT) AS payload_bytes,
+        |  CAST(count(DISTINCT i) AS BIGINT) AS n_urls
+        |FROM both_files GROUP BY warc_type
+        |UNION ALL
+        |SELECT '__quarantined', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY warc_type""".stripMargin,
     // full reconstruction of the WARC fixture's response payloads
     // (literal content — SparkEntry.warcFixtureFor): 20 generated
     // lorem docs + the fake-boundary record, tag-stripped and deduped
