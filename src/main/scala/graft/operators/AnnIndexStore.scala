@@ -362,6 +362,33 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
   def indexedIds(version: Option[Long] = None): DataFrame =
     state(version.getOrElse(pinVersion())).vectors.select(col("vec_id"))
 
+  /** Batch-distributed near-dup detection: the distinct `query_id`s of
+    * `batch` rows whose cosine against ANY indexed vector inside their
+    * `nprobe` nearest inverted lists reaches `minCosine`. The probe*
+    * methods carry a small-query-batch contract (they COLLECT the
+    * probe rows driver-side to prune the list scan and broadcast the
+    * query side); this path is for corpus-sized batches — a whole
+    * streaming micro-batch — so it stays fully distributed: broadcast
+    * centroid ranking per batch row, then a cent_id-keyed shuffle join
+    * against the inverted lists (AQE handles a hot centroid). Same
+    * candidate set and 4-decimal rounding as `probeIvf(k=1)`, so the
+    * hit decision is identical (spec-pinned).
+    */
+  def neardupHits(batch: DataFrame, minCosine: Double, nprobe: Int = 4,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val st = state(pinVersion())
+    val probes = Similarity.nearestCentroids(
+      batch.select(col(idCol).cast("long").as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv")),
+      st.centroids, "query_id", "qv", nprobe)
+    st.ivfLists.join(probes, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cs", round(Similarity.cosine(col("qv"), col("v")), 4))
+      .filter(col("cs") >= minCosine)
+      .select(col("query_id")).distinct()
+  }
+
   /** Approximate top-k by LSH against the persisted index. Only the
     * query batch is hashed; the postings scan is pruned to the buckets
     * the queries land in.

@@ -378,10 +378,13 @@ object StreamingIngest {
           .join(store.indexedIds().withColumnRenamed("vec_id", idCol),
             Seq(idCol), "left_anti"))
         if (!fresh.isEmpty) {
-          val hits = store.probeIvf(fresh, k = 1, nprobe = nprobe,
+          // neardupHits, not probeIvf: the probe* methods collect their
+          // probe rows driver-side (small-query-batch contract) — a
+          // micro-batch can be corpus-sized, so the hit decision must
+          // stay fully distributed
+          val hits = store.neardupHits(fresh, minCosine, nprobe,
               vecCol = vecCol, idCol = idCol)
-            .filter(col("score") >= minCosine)
-            .select(col("query_id").as(idCol)).distinct()
+            .select(col("query_id").as(idCol))
           val survivors = graft.Materialize.ephemeral(
             fresh.join(hits, Seq(idCol), "left_anti"))
           if (!survivors.isEmpty) {

@@ -86,6 +86,27 @@ class AnnIndexSpec extends SparkSpec {
       .map(_.getLong(2)).contains(victim))
   }
 
+  test("neardupHits == probeIvf(k=1) hit decisions (distributed path, no driver collect)") {
+    // the streaming ingest's hit decision must be exactly the probe's:
+    // same candidate set (nprobe nearest inverted lists), same
+    // 4-decimal rounding — neardupHits just answers it without the
+    // probe*'s driver-side probe-row collect (whose small-query-batch
+    // contract a corpus-sized micro-batch would violate)
+    val path = Files.createTempDirectory("graft-ann-hits").toString
+    val store = new AnnIndexStore(spark, path)
+    store.write(emb.filter($"vec_id" >= 100), LshParams(8, 4, 64), IvfParams(16, 1, 64))
+    val batch = emb.filter($"vec_id" < 100)
+    Seq(0.2, 0.35, 0.5).foreach { tau =>
+      val viaProbe = store.probeIvf(batch, k = 1, nprobe = 4).collect()
+        .filter(_.getDouble(3) >= tau).map(_.getLong(0)).toSet
+      val viaHits = store.neardupHits(batch, minCosine = tau, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaHits == viaProbe,
+        s"tau=$tau: hits ${viaHits.size} != probe ${viaProbe.size}; " +
+          s"diff=${viaHits.diff(viaProbe) ++ viaProbe.diff(viaHits)}")
+    }
+  }
+
   test("index versions: rebuild commits a new version; vacuum reaps superseded ones") {
     val path = Files.createTempDirectory("graft-ann-v").toString
     val store = new AnnIndexStore(spark, path)
