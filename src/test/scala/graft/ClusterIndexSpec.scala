@@ -82,6 +82,35 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("deep chain: 30 appends with repeated cross-history merges == one-shot; compact mid-chain invisible") {
+    // the streaming-cadence scenario at depth: a long uncompacted
+    // chain folds one remap join per dir, and every remap must apply
+    // to everything EARLIER — a positional fold bug (remap applied to
+    // the wrong prefix, or transitivity broken across 30 links) only
+    // shows up past the 1-4-append shapes the randomized law covers.
+    // Each batch links a fresh chain of 3 ids and merges it into a
+    // PRIOR batch's cluster (round-robin over the 5 oldest), forcing
+    // remaps whose targets are themselves remapped later.
+    val p = Files.createTempDirectory("graft-ci-deep").toString
+    val ix = new ClusterIndex(spark, p)
+    def batch(b: Int): Seq[(Long, Long)] = {
+      val base = 100L * b
+      val own = Seq(base -> (base + 1), (base + 1) -> (base + 2))
+      if (b == 0) own
+      else own :+ (base -> (100L * (b % math.min(b, 5))))
+    }
+    ix.write(edges(batch(0): _*))
+    (1 until 30).foreach { b =>
+      ix.append(edges(batch(b): _*))
+      if (b == 15) ix.compact() // mid-chain fold must change nothing
+    }
+    val all = (0 until 30).flatMap(batch)
+    val oneShot = assignRows(Dedup.connectedComponents(edges(all: _*)))
+    assert(assignRows(ix.assignment()) == oneShot)
+    // and a fresh session reads the same chain identically
+    assert(assignRows(new ClusterIndex(spark.newSession(), p).assignment()) == oneShot)
+  }
+
   test("pinned reader survives compact + retention vacuum; 0-retention vacuum fails it loudly") {
     // the vacuum contract the older stores spec and the new ones must
     // share (round-7 verdict #8): a reader pinned to version N keeps

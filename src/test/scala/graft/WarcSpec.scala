@@ -62,6 +62,34 @@ class WarcSpec extends SparkSpec {
     assert(canon(dir.resolve("a.warc.gz").toString) == canon(plain.toString))
   }
 
+  test("multi-member gzip (one member per record — the Common-Crawl layout) parses fully") {
+    // real .warc.gz files are CONCATENATED per-record gzip members so
+    // readers can seek to member boundaries; the source's claim is
+    // that the JDK stream reads across members transparently — pin it,
+    // because a single-member-only reader would silently return just
+    // the FIRST record of every Common-Crawl file
+    val dir = Files.createTempDirectory("graft-warc-mm")
+    val out = new java.io.ByteArrayOutputStream()
+    fixtureRecords.zipWithIndex.foreach { case (r, i) =>
+      val tmp = dir.resolve(s"r$i.warc")
+      Warc.writeFixture(tmp, Seq(r))
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(Files.readAllBytes(tmp))
+      gz.finish() // member trailer only — the next record starts a new member
+    }
+    Files.write(dir.resolve("mm.warc.gz"), out.toByteArray)
+    val (recs, quar) = Warc.readWithQuarantine(spark, dir.resolve("mm.warc.gz").toString)
+    assert(quar.count() == 0L)
+    val rows = recs.orderBy("offset").collect()
+    assert(rows.length == fixtureRecords.length,
+      s"multi-member read returned ${rows.length} of ${fixtureRecords.length} records")
+    rows.zip(fixtureRecords).foreach { case (row, (wtype, url, _, _, payload)) =>
+      assert(row.getAs[String]("warc_type") == wtype)
+      assert(row.getAs[String]("url") == url)
+      assert(row.getAs[Array[Byte]]("payload").sameElements(payload))
+    }
+  }
+
   test("garbage between records: one quarantine row, the records after it still parse") {
     val dir = Files.createTempDirectory("graft-warc3")
     val h = write(dir, "h.tmp", fixtureRecords.take(2))
