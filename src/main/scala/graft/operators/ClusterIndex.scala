@@ -120,18 +120,18 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       val merged = graft.Materialize.checkpoint(
         Dedup.connectedComponents(repEdges)
           .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp"))
-      // OLD labels that moved: an assigned endpoint's rep IS a stored
-      // component label, so `was_assigned` identifies them for free
-      val touched = graft.Materialize.checkpoint(
-        merged.join(reps.filter(col("was_assigned")).select(col("rep")).distinct(),
-            Seq("rep"), "left_semi")
-          .filter(col("rep") =!= col("new_comp"))
-          .select(col("rep").as("component"), col("new_comp").as("new_component")))
-      // NEW ids: batch endpoints with no stored assignment
-      val newAssign = graft.Materialize.checkpoint(reps
+      // ONE rep⋈merged join feeds BOTH deltas (it is batch-sized — one
+      // row per batch endpoint): the moved OLD labels (an assigned
+      // endpoint's rep IS a stored component label, so `was_assigned`
+      // identifies them for free) and the NEW-id assignments
+      val joined = graft.Materialize.checkpoint(reps.join(merged, Seq("rep")))
+      val touched = joined
+        .filter(col("was_assigned") && col("rep") =!= col("new_comp"))
+        .select(col("rep").as("component"), col("new_comp").as("new_component"))
+        .distinct()
+      val newAssign = joined
         .filter(!col("was_assigned"))
-        .join(merged, Seq("rep"))
-        .select(col("id"), col("new_comp").as("component")))
+        .select(col("id"), col("new_comp").as("component"))
       // each delta dir is written ONLY when non-empty and listed in
       // the manifest accordingly (a zero-row parquet dir has no files
       // and would brick later chain reads); a batch whose edges all
