@@ -62,13 +62,12 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val bruteForceBaselines = Set("x_ann_topk_brute", "x_neardup_embed_brute")
 
-  test("no CartesianProduct outside the labeled brute-force baselines") {
-    val offenders = (Explain.audited.filterNot(bruteForceBaselines) ++
-      // not in the Explain list but plan-audited here all the same:
-      // the LSH/embedding near-dup paths must never degenerate to
-      // all-pairs — being bucketed IS their design claim
-      Seq("x_dedup_minhash_lsh", "x_neardup_embed_lsh", "x_ann_topk_lsh",
-        "x_ann_topk_ivf", "x_ann_topk_int8", "x_ann_topk_pq"))
+  test("no CartesianProduct in ANY query outside the labeled brute-force baselines") {
+    // EVERY driver-contract query compiles here (plan text only, no
+    // execution): a cartesian anywhere outside the two ground-truth
+    // baselines is a scale bug regardless of which audit list it is on
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bruteForceBaselines)
       .filter(n => planOf(n).contains("CartesianProduct"))
     assert(offenders.isEmpty,
       s"cartesian product leaked into: ${offenders.mkString(", ")}")
@@ -83,6 +82,9 @@ class PlanAuditSpec extends SparkSpec {
       "f1_gt_le_collect", "ts2_li_range_topk", "g11_scalar_filtered_sum",
       // as-of sides are event_type slices; the EqualTo must reach parquet
       "x_asof_join")
+    // (x_dedup_semantic's vec_id slice also pushes, but its pipeline
+    // materializes mid-construction — graftCheckpoint truncates the
+    // lineage, so the FINAL plan has no parquet scan to assert on)
     filtered.foreach { n =>
       assert("""PushedFilters: \[[A-Z]""".r.findFirstIn(planOf(n)).nonEmpty,
         s"$n: no non-empty PushedFilters in plan")
