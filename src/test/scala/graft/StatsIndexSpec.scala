@@ -72,6 +72,34 @@ class StatsIndexSpec extends SparkSpec {
     intercept[IllegalStateException](new StatsIndex(spark, p).append(b1))
   }
 
+  test("card sketch estimates track exact distincts on the driver fixture (x_corpus_stats_card gate)") {
+    // the bench/correctness query is report() over the documents
+    // fixture; tie its HLL columns to the EXACT distinct counts there
+    // (lgK=12 => rsd ~1.6%; gate at 5% — an lgK/seeding/union
+    // regression is tens of sigma out, fixture noise is zero)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Files.createTempDirectory("graft-stats-fixture").toString
+    val ix = new StatsIndex(spark, p)
+    ix.write(docs)
+    val card = ix.report().collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    val exact = docs
+      .select(col("source"), sha2(col("text"), 256).as("d"),
+        explode_outer(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("d")).as("dd"), countDistinct(col("t")).as("dt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(card.keySet == exact.keySet)
+    card.foreach { case (src, (estDocs, estToks)) =>
+      val (exDocs, exToks) = exact(src)
+      assert(math.abs(estDocs - exDocs).toDouble / exDocs <= 0.05,
+        s"$src: distinct_docs_est=$estDocs vs exact=$exDocs")
+      assert(math.abs(estToks - exToks).toDouble / exToks <= 0.05,
+        s"$src: distinct_tokens_est=$estToks vs exact=$exToks")
+    }
+  }
+
   test("tagged append is idempotent: a redelivered batch commits nothing and counts once") {
     val p = Files.createTempDirectory("graft-stats5").toString
     val ix = new StatsIndex(spark, p)
