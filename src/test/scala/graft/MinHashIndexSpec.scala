@@ -61,6 +61,40 @@ class MinHashIndexSpec extends SparkSpec {
     assert(grown.map(h => (h._1, h._2)).toSet == Set((2L, 0L), (2L, 1L), (12L, 21L)))
   }
 
+  test("randomized: arbitrary corpora split across arbitrary appends probe-equal to a full rebuild (seeded)") {
+    // the ClusterIndexSpec randomized law, signature-index edition:
+    // hashing is literal-seeded and deterministic, so HOWEVER a corpus
+    // is split into appends, probing the grown chain must equal
+    // probing a one-shot build bit for bit — random token soups
+    // (shared vocab => incidental near-dups, dups, singletons) across
+    // 1-3 appends, probed with mutated copies of random corpus docs.
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (A + " " + B + " " + C + " " + D).split(" ")
+    (1 to 3).foreach { trial =>
+      val nDocs = 20 + rnd.nextInt(30)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val batches = docs.grouped(math.max(1, docs.size / (1 + rnd.nextInt(3)))).toSeq
+      val p1 = Files.createTempDirectory(s"graft-mh-rand$trial").toString
+      val inc = new MinHashIndex(spark, p1)
+      inc.write(mk(batches.head: _*))
+      batches.tail.foreach(b => inc.append(mk(b: _*)))
+      val p2 = Files.createTempDirectory(s"graft-mh-rand-full$trial").toString
+      new MinHashIndex(spark, p2).write(mk(docs: _*))
+      val probes = mk((0 until 5).map { j =>
+        val (_, t) = docs(rnd.nextInt(nDocs))
+        (1000L + j, t.replaceFirst("\\S+", "mutated"))
+      }: _*)
+      val got = pairs(inc.neardupe(probes, minEstJaccard = 0.3)).sorted
+      val want = pairs(new MinHashIndex(spark, p2)
+        .neardupe(probes, minEstJaccard = 0.3)).sorted
+      assert(got == want,
+        s"trial $trial diverged (docs=$nDocs batches=${batches.size})")
+    }
+  }
+
   test("probe candidates agree with the one-shot minhashPairs cross-boundary pairs") {
     // same hashing, same banding, same threshold => the index probe
     // must find exactly minhashPairs' pairs that cross the
