@@ -37,6 +37,35 @@ class DigestIndexSpec extends SparkSpec {
     assert(idx.versions == Seq(0L, 1L, 2L))
   }
 
+  test("randomized: arbitrary corpora split across arbitrary appends dedupe-equal to a one-shot build (seeded)") {
+    // random short texts over a tiny alphabet (dense duplicate rate —
+    // dups within a batch, across batches, and against history all
+    // occur) split across 1-4 appends: the dedupe DECISION for any
+    // probe batch must equal a one-shot build's, and the stored digest
+    // set must be exactly the corpus's distinct texts
+    val rnd = new scala.util.Random(20260814L)
+    def text(): String = Seq.fill(2 + rnd.nextInt(3))(('a' + rnd.nextInt(4)).toChar)
+      .mkString(" ")
+    (1 to 3).foreach { trial =>
+      val corpus = (0 until 30 + rnd.nextInt(30)).map(i => (i.toLong, text()))
+      val batches = corpus.grouped(math.max(1, corpus.size / (1 + rnd.nextInt(4)))).toSeq
+      val inc = new DigestIndex(spark,
+        Files.createTempDirectory(s"graft-dg-rand$trial").toString)
+      inc.write(docs(batches.head: _*))
+      batches.tail.foreach(b => inc.append(docs(b: _*)))
+      val full = new DigestIndex(spark,
+        Files.createTempDirectory(s"graft-dg-rand-full$trial").toString)
+      full.write(docs(corpus: _*))
+      assert(inc.digests().collect().map(_.getString(0)).sorted.toSeq ==
+        full.digests().collect().map(_.getString(0)).sorted.toSeq,
+        s"trial $trial: stored digest sets diverged")
+      val probe = docs((0 until 10).map(j => (500L + j, text())): _*)
+      assert(inc.dedupe(probe).collect().map(_.getLong(0)).sorted.toSeq ==
+        full.dedupe(probe).collect().map(_.getLong(0)).sorted.toSeq,
+        s"trial $trial: dedupe decisions diverged")
+    }
+  }
+
   test("compact folds the chain into one dir; vacuum spares referenced dirs, reaps after compact") {
     val path = Files.createTempDirectory("graft-digest3").toString
     val idx = new DigestIndex(spark, path)

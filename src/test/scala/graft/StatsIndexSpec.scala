@@ -72,6 +72,31 @@ class StatsIndexSpec extends SparkSpec {
     intercept[IllegalStateException](new StatsIndex(spark, p).append(b1))
   }
 
+  test("randomized: arbitrary corpora split across arbitrary appends report-equal to a one-shot build (seeded)") {
+    // additive columns merge exactly and HLL unions are register-wise
+    // associative, so HOWEVER a corpus splits into appends the merged
+    // report must be BIT-identical to a one-shot build — random docs
+    // over few sources/tokens (dense dups; null-free) across 1-4 splits
+    val rnd = new scala.util.Random(20260814L)
+    val sources = Seq("web", "books", "wiki")
+    def text(): String = Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(6)).toChar)
+      .mkString(" ")
+    (1 to 3).foreach { trial =>
+      val corpus = (0 until 20 + rnd.nextInt(40))
+        .map(i => (i.toLong, sources(rnd.nextInt(sources.length)), text()))
+      val batches = corpus.grouped(math.max(1, corpus.size / (1 + rnd.nextInt(4)))).toSeq
+      val inc = new StatsIndex(spark,
+        Files.createTempDirectory(s"graft-st-rand$trial").toString)
+      inc.write(docs(batches.head: _*))
+      batches.tail.foreach(b => inc.append(docs(b: _*)))
+      val full = new StatsIndex(spark,
+        Files.createTempDirectory(s"graft-st-rand-full$trial").toString)
+      full.write(docs(corpus: _*))
+      assert(rows(inc) == rows(full),
+        s"trial $trial diverged (docs=${corpus.size} batches=${batches.size})")
+    }
+  }
+
   test("card sketch estimates track exact distincts on the driver fixture (x_corpus_stats_card gate)") {
     // the bench/correctness query is report() over the documents
     // fixture; tie its HLL columns to the EXACT distinct counts there
