@@ -86,6 +86,35 @@ class AnnIndexSpec extends SparkSpec {
       .map(_.getLong(2)).contains(victim))
   }
 
+  test("randomized: arbitrary vector sets split across arbitrary appends probeLsh-equal to a full rebuild (seeded)") {
+    // LSH hyperplanes are literal-seeded (data-independent), so the
+    // grown chain must probe BIT-identically to a one-shot build no
+    // matter how the corpus split into appends. (IVF centroids are
+    // data-dependent by design — a full rebuild retrains them — so the
+    // exact-equality law is LSH's; IVF's laws are the pinned-params
+    // append equality and the recall gates.)
+    val rnd = new scala.util.Random(20260814L)
+    val all = emb.filter($"vec_id" < 300).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    (1 to 2).foreach { trial =>
+      val n = 150 + rnd.nextInt(100)
+      val corpus = rnd.shuffle(all.toSeq).take(n)
+      val batches = corpus.grouped(math.max(1, corpus.size / (1 + rnd.nextInt(4)))).toSeq
+      val inc = new AnnIndexStore(spark,
+        Files.createTempDirectory(s"graft-ann-rand$trial").toString)
+      inc.write(batches.head.toDF("vec_id", "embedding"),
+        LshParams(8, 4, 64), IvfParams(8, 1, 64))
+      batches.tail.foreach(b => inc.append(b.toDF("vec_id", "embedding")))
+      val full = new AnnIndexStore(spark,
+        Files.createTempDirectory(s"graft-ann-rand-full$trial").toString)
+      full.write(corpus.toDF("vec_id", "embedding"),
+        LshParams(8, 4, 64), IvfParams(8, 1, 64))
+      val queries = emb.filter($"vec_id" >= 400 && $"vec_id" < 405)
+      assert(rows(inc.probeLsh(queries, k = 5)) == rows(full.probeLsh(queries, k = 5)),
+        s"trial $trial diverged (n=$n batches=${batches.size})")
+    }
+  }
+
   test("neardupHits == probeIvf(k=1) hit decisions (distributed path, no driver collect)") {
     // the streaming ingest's hit decision must be exactly the probe's:
     // same candidate set (nprobe nearest inverted lists), same
