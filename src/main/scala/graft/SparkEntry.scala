@@ -106,6 +106,23 @@ object SparkEntry {
         graft.operators.Bpe.learnMerges(Tables.documents(s, dir), numMerges = 16))
     }
 
+  /** Trained quality-classifier model per sf dir (train-once/apply-many
+    * like the tokenizer): labels distill the heuristic qualityScore at
+    * its 0.4 cut — the production pattern (cheap heuristic/LLM labels
+    * bootstrap a learnable filter that then scores scan-stage).
+    */
+  private val qualityModels = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.QualityModel.Model]
+
+  private def qualityModelFor(s: SparkSession, dir: String): graft.operators.QualityModel.Model =
+    qualityModels.synchronized {
+      qualityModels.getOrElseUpdate(dir, {
+        val docs = Tables.documents(s, dir).withColumn("label",
+          (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.4).cast("int"))
+        graft.operators.QualityModel.train(docs, "label")
+      })
+    }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -866,6 +883,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       annStore(s, dir).probeIvf(emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
     }),
+    // ---- JL random projection as a candidate generator: coarse
+    // top-100 in the 32-dim projected space (the scan reads half the
+    // floats), exact full-dim rescore of candidates only, top-5
+    // (rows-only; recall ≥0.6 vs brute gated in ProjectionSpec)
+    "x_ann_topk_projected" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // ---- similarity search: IVF-PQ — same pruned lists, candidates
     // scored off m one-byte codes via a per-query ADC table (~32× less
     // candidate I/O; rows-only; recall-gated vs brute in AnnIndexSpec)
@@ -1348,6 +1373,30 @@ object SparkEntry {
     // token totals via the codegen'd scan-stage encoder (no oracle —
     // encode is the iterative codec; distributed == reference encoder
     // law in BpeSpec, plus the compression-direction gate)
+    // ---- trained quality filter, evaluation: confusion counts of the
+    // learned logistic classifier vs its own training labels (integer
+    // outputs; rows-only — 20 GD iterations aren't SQL; accuracy and
+    // reference-parity gates live in QualityModelSpec)
+    "x_quality_classifier_eval" -> ((s, dir) => {
+      val model = qualityModelFor(s, dir)
+      val docs = Tables.documents(s, dir).withColumn("label",
+        (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.4).cast("int"))
+      graft.operators.QualityModel.confusion(docs, "label", model)
+    }),
+    // ---- trained quality filter, apply side: per-source admit counts
+    // under the scan-stage scorer (weights ride the plan as a literal —
+    // no join, no shuffle, no model server)
+    "x_quality_classifier_score" -> ((s, dir) => {
+      val model = qualityModelFor(s, dir)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.operators.QualityModel.score(col("text"), model).as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("p") >= 0.5).cast("long")).as("n_admitted"),
+          round(avg(col("p")), 3).as("avg_score"))
+        .orderBy(col("source"))
+    }),
     "x_bpe_encode_stats" -> ((s, dir) => {
       import graft.operators.Bpe
       Bpe.register(s)
@@ -1361,6 +1410,18 @@ object SparkEntry {
           sum(col("n_bpe")).as("bpe_tokens"),
           sum(col("n_ws")).as("ws_tokens"))
         .orderBy(col("source"))
+    }),
+    // ---- tokenizer → packer integration: pack the corpus into
+    // fixed-capacity training sequences by the LEARNED BPE tokenizer's
+    // counts — the packer's prefix sum is token-definition-agnostic,
+    // so the real tokenizer slots in where the oracle-checkable
+    // whitespace count sat (rows-only; conservation law in BpeSpec)
+    "x_pipeline_tokenize_pack" -> ((s, dir) => {
+      import graft.operators.{Bpe, Pack}
+      Bpe.register(s)
+      val merges = bpeMergesFor(s, dir)
+      Pack.packSequencesBy(Tables.documents(s, dir),
+        size(Bpe.encode(col("text"), merges)).cast("long"), capacity = 2048)
     }),
     // ---- interpolated bigram LM: word-order-aware fluency signal
     // (separates shuffled token soup from fluent text — same unigram

@@ -42,10 +42,20 @@ object Pack {
     * .wsTokenCount]]) so the oracle can replay them exactly.
     */
   def packSequences(docs: DataFrame, capacity: Long,
-                    targetBuckets: Int = 256): DataFrame = {
+                    targetBuckets: Int = 256): DataFrame =
+    packSequencesBy(docs,
+      TextFunctions.wsTokenCount(col("text")), capacity, targetBuckets)
+
+  /** [[packSequences]] under a caller-supplied token-count column —
+    * the seam a REAL tokenizer plugs into (x_pipeline_tokenize_pack
+    * packs by the learned BPE tokenizer's counts via [[graft.operators
+    * .Bpe.encode]]); the prefix-sum machinery is token-definition-
+    * agnostic, so the plan shape is identical. */
+  def packSequencesBy(docs: DataFrame, tokenCount: org.apache.spark.sql.Column,
+                      capacity: Long, targetBuckets: Int = 256): DataFrame = {
     require(capacity > 0, s"packSequences: capacity=$capacity must be > 0")
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
-      TextFunctions.wsTokenCount(col("text")).cast("long").as("toks"))
+      tokenCount.cast("long").as("toks"))
     withOffsets(d, targetBuckets) match {
       case None => emptyStats(docs.sparkSession)
       case Some(placed) =>

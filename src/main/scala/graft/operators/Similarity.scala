@@ -144,6 +144,68 @@ object Similarity {
       if ((splitmix64((t.toLong << 40) | (p.toLong << 20) | j) & 1L) == 1L) 1.0 else -1.0
     }))
 
+  /** Achlioptas random projection dim → outDim:
+    * `y_o = (1/√outDim) Σ_j s_oj · x_j` with signs `s_oj ∈ {±1}` from
+    * splitmix64 (a seed namespace disjoint from the LSH tables'). The
+    * Johnson-Lindenstrauss guarantee: pairwise inner products survive
+    * within ~1/√outDim, so 64→16 floats buys 4× less vector I/O for
+    * every downstream candidate scan/rescore at a bounded, spec-gated
+    * recall cost. Scan-stage only; the matrix is a plan literal — no
+    * stored model, same projection on every run and cluster. The
+    * transform lambda holds ONE fold (evaluated per output dim), so
+    * codegen size is O(1), not O(outDim).
+    */
+  def randomProject(emb: DataFrame, outDim: Int, dim: Int = 64,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"randomProject: outDim $outDim must be in [1, $dim]")
+    val signs: Seq[Seq[Double]] = (0 until outDim).map(o => (0 until dim).map { j =>
+      if ((splitmix64((0x9a7dL << 44) | (o.toLong << 22) | j) & 1L) == 1L) 1.0 else -1.0
+    })
+    val signsLit = typedlit(signs)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val checked = emb.filter(coalesce(
+      assert_true(size(col(vecCol)) === dim,
+        concat(lit(s"randomProject dim mismatch: expected $dim, got "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")))),
+      lit(true)))
+    checked.select(col(idCol).as("vec_id"),
+      transform(sequence(lit(1), lit(outDim)), o =>
+        aggregate(
+          zip_with(asDouble(col(vecCol)), element_at(signsLit, o), (x, s) => x * s),
+          lit(0.0), (acc, y) => acc + y) * lit(scale)).as("embedding"))
+  }
+
+  /** Project-then-rescore top-k: coarse top-`candidates` in the
+    * [[randomProject]]ed space (the scan that reads outDim floats per
+    * row — 4× less I/O at 64→16), then exact full-dimension cosine on
+    * ONLY those candidates, cut at k. This is the honest way to spend
+    * the projection's I/O saving: reduced-space distortion
+    * (~1/√outDim) is too coarse to rank a near-random corpus's top-5
+    * directly (measured — ProjectionSpec), but as a CANDIDATE
+    * generator it confines the full-vector reads to candidates/corpus
+    * of the data, and the final ranking is exact over what it sees.
+    * At 100 TB the coarse stage is itself served by an ANN index over
+    * the projected vectors (same AnnIndexStore machinery, 4× smaller);
+    * recall is gated in ProjectionSpec (≥0.6 at outDim=32,
+    * candidates=100 on the adversarially-uniform fixture — real
+    * embedding corpora cluster, which JL preserves far better).
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    outDim: Int = 32, candidates: Int = 100, dim: Int = 64,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val pc = randomProject(corpus, outDim, dim, vecCol, idCol)
+    val pq = randomProject(queries, outDim, dim, vecCol, idCol)
+    val coarse = bruteForceTopK(pc, pq, candidates)
+      .select(col("query_id"), col("vec_id"))
+    val cf = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val qf = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cand = coarse.join(cf, "vec_id").join(broadcast(qf), "query_id")
+    rankTopK(cand, k)
+  }
+
   /** Explode the table dimension into ROWS first, then compute only P
     * sign-bit folds per row against the literal sign matrix. The
     * alternative — T×P folds in one projection — produces a generated

@@ -478,6 +478,29 @@ object StreamingIngest {
         writeBatch(graft.operators.Contamination.scrub(batch, evalSet, n, maxOverlap))
     }}
 
+  /** Streaming quality-filter ingest: each micro-batch is scored by
+    * the TRAINED classifier's scan-stage column ([[graft.operators
+    * .QualityModel.score]] — weights ride the plan as a literal) and
+    * docs at or above `threshold` are admitted to the sink. Stateless
+    * across triggers (a doc's score depends only on itself and the
+    * frozen model) — no watermark, no state store; the batch operator
+    * IS the streaming semantics (the [[decontaminatedIngest]]
+    * reasoning), so the spec-gated batch scorer can't drift from the
+    * streamed one. Model refreshes are a REDEPLOY (new literal, new
+    * query), which is the auditable behavior a curation gate wants —
+    * no silent mid-stream model drift.
+    */
+  def qualityFilterIngest(docs: DataFrame,
+                          model: graft.operators.QualityModel.Model,
+                          threshold: Double = 0.5, textCol: String = "text")
+                         (writeBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
+      if (!batch.isEmpty)
+        writeBatch(batch.filter(
+          graft.operators.QualityModel.score(col(textCol), model) >= threshold))
+    }}
+
   /** Streaming quality-drift monitor: every micro-batch is PSI'd
     * against a PERSISTED reference band snapshot
     * ([[graft.operators.DriftRef]] — the reference corpus banded once

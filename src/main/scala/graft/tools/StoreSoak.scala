@@ -117,6 +117,22 @@ object StoreSoak {
       f"ivf/pq=${bytesIvf.toDouble / bytesPq}%.1fx int8/pq=${bytesInt8.toDouble / bytesPq}%.1fx")
     println(f"[soak] ann probe medians: ivf=$tIvf%.2fs pq(refine)=$tPq%.2fs pq(raw)=$tPqRaw%.2fs")
 
+    // ---- 3. Classifier training cost: full-batch vs mini-batch ----
+    // Same iteration budget; the design claim is per-iteration cost
+    // drops ~k× under batches=k (each pass scans 1/k of the corpus)
+    // while the scoring scan stays O(corpus) regardless of training
+    // mode. Labels are the heuristic cut the production query uses.
+    import graft.operators.QualityModel
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").withColumn("label",
+      (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.4).cast("int"))
+    val iters = 12
+    val (mFull, tFull) = timed(QualityModel.train(docs, "label", iters = iters))
+    val (_, tMini) = timed(QualityModel.train(docs, "label", iters = iters, batches = 4))
+    val tScore = median3(docs.select(QualityModel.score(col("text"), mFull).as("p"))
+      .write.mode("overwrite").format("noop").save())
+    println(f"[soak] classifier: iters=$iters full=$tFull%.2fs mini(b=4)=$tMini%.2fs " +
+      f"full/mini=${tFull / tMini}%.2fx scoreScan=$tScore%.2fs")
+
     spark.stop()
   }
 }

@@ -119,6 +119,20 @@ class BpeSpec extends SparkSpec {
     assert(merges.forall(_.cnt >= 2L))
   }
 
+  test("packing by BPE counts conserves tokens and fills every non-final sequence") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val merges = Bpe.learnMerges(docs, numMerges = 8)
+    Bpe.register(spark)
+    val bpeCount = size(Bpe.encode(col("text"), merges)).cast("long")
+    val cap = 512L
+    val seqs = graft.operators.Pack.packSequencesBy(docs, bpeCount, cap).collect()
+    val total = docs.select(sum(bpeCount)).head().getLong(0)
+    assert(seqs.map(_.getAs[Long]("n_tokens")).sum == total) // conservation
+    // every sequence but the last is exactly full
+    seqs.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == cap))
+    assert(seqs.last.getAs[Long]("n_tokens") <= cap)
+  }
+
   test("mergeOnce is greedy leftmost non-overlapping ('aaaa' under (a,a) → [aa, aa])") {
     assert(Bpe.mergeOnce(Vector("a", "a", "a", "a"), "a", "a") == Vector("aa", "aa"))
     assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))

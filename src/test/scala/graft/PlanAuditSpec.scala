@@ -124,7 +124,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("top-k paths use TakeOrderedAndProject, not a global sort") {
     val topk = Seq("o1_l1_topk_recent", "ts2_li_range_topk",
-      "x_search_bm25", "x_heavy_hitters")
+      "x_search_bm25", "x_heavy_hitters",
+      // the fused ranking and the pair-count argmax both end in
+      // orderBy+limit — a global sort here would total-order the
+      // fusion/vocab table instead of heap-cutting it
+      "x_search_hybrid_rrf", "x_bpe_pair_counts")
     topk.foreach { n =>
       assert(planOf(n).contains("TakeOrderedAndProject"),
         s"$n: expected TakeOrderedAndProject in plan")
