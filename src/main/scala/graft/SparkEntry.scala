@@ -841,6 +841,11 @@ object SparkEntry {
     "x_cluster_balanced_sample" -> ((s, dir) =>
       graft.operators.Clustering.balancedSample(Tables.embeddings(s, dir),
         k = 8, perCluster = 10)),
+    // ---- MMR diverse exemplar selection: greedy k=12 maximizing
+    // λ·rel − (1−λ)·max-cos-to-selected (rows-only; exact-vs-reference
+    // and diversity laws in MmrSpec)
+    "x_sample_mmr" -> ((s, dir) =>
+      graft.operators.Mmr.mmrSelect(Tables.embeddings(s, dir), k = 12)),
     // ---- similarity search: exact cosine top-5 for 10 query vectors
     "x_ann_topk_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

@@ -62,3 +62,69 @@ object Clustering {
       "cluster", idCol, perCluster)
       .orderBy(col("cluster"), col(idCol))
 }
+
+/** Greedy maximal-marginal-relevance selection (Carbonell/Goldstein,
+  * SIGIR'98) over the embedding space — diverse exemplar mining: pick
+  * k rows maximizing `λ·relevance − (1−λ)·max-cosine-to-selected`,
+  * the data-selection move that stops a dominant crawl template from
+  * filling the whole sample even when it also scores highest.
+  *
+  * Plan shape: k greedy rounds; each is ONE corpus scan computing the
+  * marginal score against the ≤k already-selected vectors (a plan
+  * LITERAL — selections are k·dim doubles, driver state O(k·dim)),
+  * then a 1-row argmax collect. Never pairwise: cost is k scans, not
+  * n². At 100 TB the scan narrows the same way balancedSample does —
+  * run per cluster/partition of a k-means organization and merge the
+  * per-region exemplars.
+  *
+  * Determinism: scores round to 6 decimals BEFORE the argmax with
+  * vec_id tie-break; the driver reference replays bit-equal
+  * (MmrSpec).
+  */
+object Mmr {
+  import graft.functions.VectorFunctions
+  import org.apache.spark.sql.Column
+
+  /** Select k rows; `rel` is the relevance column (default 1.0 —
+    * pure diversity / max-min-style selection). Returns
+    * (rank, vec_id, score) in selection order. */
+  def mmrSelect(emb: DataFrame, k: Int, lambda: Double = 0.5,
+                rel: Column = lit(1.0), dim: Int = 64,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    import graft.Materialize.MaterializeOps
+    require(k >= 1, s"mmrSelect: k=$k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrSelect: lambda=$lambda")
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("v"),
+        round(rel.cast("double"), 6).as("rel"))
+      .graftCheckpoint() // scanned k times — truncate upstream lineage
+    var selected = Vector.empty[(Long, Seq[Double], Double)] // (id, vec, score)
+    var exhausted = false
+    while (selected.length < k && !exhausted) {
+      val selIds = selected.map(_._1)
+      val marginal =
+        if (selected.isEmpty) round(lit(lambda) * col("rel"), 6)
+        else {
+          val selLit = typedlit(selected.map(_._2))
+          val maxSim = aggregate(selLit, lit(-1.0),
+            (acc, s) => greatest(acc, VectorFunctions.cosineSim(col("v"), s)))
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim, 6)
+        }
+      val top = base.filter(if (selIds.isEmpty) lit(true)
+          else !col("vec_id").isin(selIds: _*))
+        .select(col("vec_id"), col("v"), marginal.as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1).collect() // ONE row per round
+      if (top.isEmpty) exhausted = true
+      else selected :+= ((top(0).getLong(0), top(0).getSeq[Double](1),
+        top(0).getDouble(2)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), r) => (r.toLong, id, s) }
+      .toDF("rank", "vec_id", "score")
+  }
+}
