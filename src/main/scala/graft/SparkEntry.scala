@@ -841,6 +841,24 @@ object SparkEntry {
     "x_cluster_balanced_sample" -> ((s, dir) =>
       graft.operators.Clustering.balancedSample(Tables.embeddings(s, dir),
         k = 8, perCluster = 10)),
+    // ---- sliding-window chunking (RAG/embedding prep): 64-token
+    // windows every 48 tokens, md5 witness per chunk keeps the dump
+    // small while pinning the exact text
+    "x_text_chunks" -> ((s, dir) =>
+      graft.operators.Chunker.chunk(
+        Tables.documents(s, dir).filter(col("doc_id") < 50),
+        chunkTokens = 64, strideTokens = 48)
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          col("n_toks"), md5(col("chunk")).as("h"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    // ---- dataloader sharding: epoch-1 corpus split into 4 disjoint
+    // worker shards, each in its replayable permutation order
+    "x_epoch_shards" -> ((s, dir) =>
+      graft.operators.Sampling.epochShards(
+        Tables.documents(s, dir).select(col("doc_id")).filter(col("doc_id") < 100),
+        "doc_id", lit(1L), nShards = 4)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))),
     // ---- MMR diverse exemplar selection: greedy k=12 maximizing
     // λ·rel − (1−λ)·max-cos-to-selected (rows-only; exact-vs-reference
     // and diversity laws in MmrSpec)
@@ -2235,6 +2253,27 @@ object SparkEntry {
         |      FROM s, unnest(range(1, len(syms))) AS t(i))
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
+    "x_text_chunks" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS tok_start,
+        |       least(64, n - chunk_id * 48) AS n_toks,
+        |       md5(array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |           least(chunk_id * 48 + 64, n)), ' ')) AS h
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_epoch_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |        ((doc_id % 1000000007) * 2654435761 + (1 % 1000000007) * 40503) % 1000000007 AS kk
+        |      FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, kk, kk % 4 AS shard FROM k)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "x_lm_bigram_nll" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),

@@ -35,6 +35,26 @@ object Sampling {
     ((id % lit(1000000007L)) * lit(2654435761L) +
       (epoch % lit(1000000007L)) * lit(40503L)) % lit(1000000007L)
 
+  /** Dataloader sharding for one epoch: shard = permutation key mod
+    * `nShards`, position = rank within the shard under that same key —
+    * so N dataloader workers each read a disjoint slice in a stable
+    * order, a restarted run replays epoch k EXACTLY, and (epoch, id) →
+    * (shard, pos) is pure arithmetic with no stored state (the
+    * [[epochOrder]] contract extended to the sharded reader). One
+    * shuffle: the per-shard window; the key is the only extra column
+    * shipped. The key is non-negative by construction, so `%` == pmod
+    * and the DuckDB oracle mirrors it verbatim.
+    */
+  def epochShards(df: DataFrame, idCol: String, epoch: Column,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1, s"epochShards: nShards=$nShards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", epochOrder(col(idCol), epoch))
+      .withColumn("shard", (col("__k") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__k")
+  }
+
   /** Keep (up to) `quota` rows per group, chosen in [[pseudoOrder]] —
     * the mixture-weighting primitive. One shuffle (the window on the
     * group key); groups smaller than the quota pass through whole.
