@@ -1514,6 +1514,23 @@ object SparkEntry {
           round(col("brightness"), 4).as("brightness"))
         .orderBy(col("media_id"))
     }),
+    // ---- multimodal near-dup: perceptual-hash (aHash) the media
+    // column (real decode where payloads are images, deterministic
+    // stub fold otherwise), then Hamming-banded pair detection — a
+    // recrawl batch duplicating 50 payloads under new ids must pair
+    // with the originals (rows-only; hash laws + real-PNG invariance
+    // in PhashSpec)
+    "x_multimodal_phash_dups" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.syntheticMedia(docs)
+      val recrawl = Multimodal.syntheticMedia(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 300000L))
+      Multimodal.phashNearDup(
+          Multimodal.imageHashes(media.unionByName(recrawl)).toDF(),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- incremental duplicate-cluster maintenance: the batch's
     // near-dup edges (in-batch pairs + batch-vs-history hits off the
     // persisted MinHash index) merge into the STORED assignment at

@@ -153,6 +153,107 @@ object Multimodal {
     batchedDecode(media, batchSize)(decodeOne)
   }
 
+  final case class ImageHash(media_id: Long, phash: Long)
+
+  /** 64-bit average hash (aHash) of a decoded image: the 8×8 grid of
+    * block-mean luminances, each bit = cell above the grid's own mean.
+    * Block averaging is explicit integer-bounded arithmetic (no AWT
+    * rescale call), so the hash is deterministic across JVMs and — by
+    * construction — INVARIANT under pixel-replication upscaling
+    * (spec-pinned): the scaled recrawl of an image hashes identically.
+    */
+  private[graft] def aHashFromImage(im: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val cells = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = im.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = if (n == 0) 0.0 else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Deterministic stub hash for non-image payloads: a byte fold mixed
+    * through splitmix64 — equal payloads get equal hashes (so the
+    * dedup semantics survive on the synthetic fixture), unequal ones
+    * scatter. */
+  private[graft] def aHashStub(m: MediaFile): Long = {
+    var hsh = 0L
+    var i = 0
+    while (i < m.payload.length) {
+      hsh = hsh * 31L + (m.payload(i) & 0xffL)
+      i += 1
+    }
+    var z = hsh + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Batched perceptual hashing: real aHash where the payload decodes,
+    * stub fold otherwise — total, never job-failing. */
+  def imageHashes(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    batchedDecode(media, batchSize) { m =>
+      val real = if (looksLikeImage(m.payload))
+        (try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload)))
+        catch { case scala.util.control.NonFatal(_) => None })
+          .map(aHashFromImage)
+      else None
+      ImageHash(m.media_id, real.getOrElse(aHashStub(m)))
+    }
+  }
+
+  /** Near-duplicate images by perceptual-hash Hamming distance: the
+    * 64-bit hash splits into four 16-bit chunk bands (the SimHash
+    * pigeonhole — any pair within Hamming distance 3 shares at least
+    * one band EXACTLY, so candidates come from a chunk equi-join, and
+    * `bit_count(xor)` verifies before the pair dedup). Guaranteed
+    * recall for `maxHamming` ≤ 3 with these 4 bands; beyond that the
+    * band join is a recall/cost trade (same caveat as SimHash,
+    * spec-documented). Never all-pairs: candidate space = Σ bucket².
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("v")))
+    val chunks = hashes.select(col("media_id"), col("phash"),
+        explode(array(bands: _*)).as("c"))
+      .select(col("media_id"), col("phash"), col("c.band"), col("c.v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Resize plan: target dimensions preserving aspect ratio against a
     * bounding box — pure integer arithmetic on metadata, decode-free
     * (the real resample happens in the codec stage).
