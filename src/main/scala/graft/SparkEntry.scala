@@ -1531,6 +1531,30 @@ object SparkEntry {
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- audio near-dup off REAL decoded WAVs: 8 synthesized tones
+    // each re-ingested at half gain under a new id — the gain-invariant
+    // energy-envelope fingerprint must pair every copy with its
+    // original and nothing else (rows-only; invariance laws and the
+    // WAV synthesis are spec'd in PhashSpec)
+    "x_multimodal_audio_dups" -> ((s, _) => {
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.MediaFile
+      import s.implicits._
+      val seeds = Seq(0x5a5a5a5a5a5a5a5aL, 0x0f0f0f0f0f0f0f0fL,
+        0x3c3c3c3c3c3c3c3cL, 0x66aa66aa66aa66aaL, 0x1248124812481248L,
+        0xf00ff00ff00ff00fL, 0x5555aaaa5555aaaaL, 0x7e7e7e7e7e7e7e7eL)
+      val media = seeds.zipWithIndex.flatMap { case (seed, i) =>
+        Seq(MediaFile(i.toLong, "audio", Multimodal.synthWav(seed), "orig"),
+          MediaFile(i.toLong + 1000L, "audio",
+            Multimodal.synthWav(seed, gainShift = 1), "recrawl"))
+      } ++ Seq(0xdeadbeefcafeL, 0x123456789abcL).zipWithIndex.map { case (seed, i) =>
+        MediaFile(i.toLong + 2000L, "audio", Multimodal.synthWav(seed), "single")
+      }
+      Multimodal.phashNearDup(
+          Multimodal.audioHashes(media.toDS()).toDF()
+            .withColumnRenamed("fp", "phash"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- incremental duplicate-cluster maintenance: the batch's
     // near-dup edges (in-batch pairs + batch-vs-history hits off the
     // persisted MinHash index) merge into the STORED assignment at

@@ -302,7 +302,13 @@ object Multimodal {
     * layouts outside that set, so the caller falls back to the stub
     * instead of poisoning the batch.
     */
-  private[graft] def decodeOneAudioJdk(m: MediaFile): Option[AudioFeatures] =
+  /** Decoded PCM access without per-sample boxing: sample count across
+    * channels, an Int => Double accessor (both specialized — no
+    * allocation per sample), rate, channels. None for layouts outside
+    * signed/unsigned 8/16-bit PCM. Shared by the feature decode and
+    * the envelope fingerprint so the two can't drift.
+    */
+  private def pcmAccess(m: MediaFile): Option[(Int, Int => Double, Float, Int)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(m.payload))
@@ -317,30 +323,113 @@ object Multimodal {
           val bytes = in.readAllBytes()
           val bytesPerSample = bits / 8
           val nAll = bytes.length / bytesPerSample // samples across channels
-          var i = 0
-          var sq = 0.0
-          while (i < nAll) { // while-loop, matching the decode hot-path
-            val off = i * bytesPerSample // perf story (no boxed map/sum)
+          val bigEndian = fmt.isBigEndian
+          val sampleAt: Int => Double = { i =>
+            val off = i * bytesPerSample
             val raw =
               if (bits == 8) { if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128 }
               else {
-                val (b0, b1) = if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                val (b0, b1) = if (bigEndian) (bytes(off), bytes(off + 1))
                   else (bytes(off + 1), bytes(off))
                 val s = ((b0 & 0xff) << 8) | (b1 & 0xff)
                 if (signed) s.toShort.toInt else s - 32768
               }
-            val x = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
-            sq += x * x
-            i += 1
+            raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
           }
-          val frames = if (fmt.getChannels > 0) nAll / fmt.getChannels else nAll
-          val rate = fmt.getSampleRate.toDouble
-          Some(AudioFeatures(m.media_id, rate.toInt, frames,
-            if (rate > 0) frames / rate else 0.0,
-            if (nAll == 0) 0.0 else math.sqrt(sq / nAll)))
+          Some((nAll, sampleAt, fmt.getSampleRate, fmt.getChannels))
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def decodeOneAudioJdk(m: MediaFile): Option[AudioFeatures] =
+    pcmAccess(m).map { case (nAll, sampleAt, rateF, channels) =>
+      var i = 0
+      var sq = 0.0
+      while (i < nAll) { // while-loop, matching the decode hot-path
+        val x = sampleAt(i) // perf story (no boxed map/sum)
+        sq += x * x
+        i += 1
+      }
+      val frames = if (channels > 0) nAll / channels else nAll
+      val rate = rateF.toDouble
+      AudioFeatures(m.media_id, rate.toInt, frames,
+        if (rate > 0) frames / rate else 0.0,
+        if (nAll == 0) 0.0 else math.sqrt(sq / nAll))
+    }
+
+  final case class AudioHash(media_id: Long, fp: Long)
+
+  /** 64-bit energy-envelope fingerprint: the stream splits into 64
+    * equal time segments, bit i = segment i's energy above the track's
+    * mean segment energy. GAIN-INVARIANT by construction (a uniform
+    * volume change scales every segment and the mean equally —
+    * spec-pinned on a real WAV) and exactly invariant under
+    * sample-replication resampling, the audio analogs of the image
+    * hash's rescale law. One pass, no sample materialization beyond
+    * the decoded buffer. */
+  private[graft] def audioEnvelopeJdk(m: MediaFile): Option[Long] =
+    pcmAccess(m).flatMap { case (nAll, sampleAt, _, _) =>
+      if (nAll < 64) None // too short to envelope — stub covers it
+      else {
+        val energy = new Array[Double](64)
+        var i = 0
+        while (i < nAll) {
+          val x = sampleAt(i)
+          // integer segment index: i*64/n, monotone, exact
+          energy((i.toLong * 64L / nAll).toInt min 63) += x * x
+          i += 1
+        }
+        val mean = energy.sum / 64.0
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (energy(b) > mean) bits |= (1L << b)
+          b += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Deterministic 16-bit mono WAV synthesis (specs + driver-contract
+    * fixture): a square tone whose per-segment loud/quiet ENVELOPE is
+    * `seed`'s bit pattern (bit of segment i ⇒ loud), so distinct seeds
+    * produce distinct energy envelopes and the same seed at a
+    * different `gainShift` (amplitudes are powers of two — right
+    * shifts are exact) produces the same envelope at lower volume.
+    */
+  def synthWav(seed: Long, n: Int = 6400, gainShift: Int = 0): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val seg = (i.toLong * 64L / n).toInt
+      val loud = ((seed >> seg) & 1L) == 1L
+      val base = if ((i / 16) % 2 == 0) 8192 else -8192 // square carrier
+      val amp = if (loud) base else base / 8
+      val v = amp >> gainShift
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally in.close()
+    bos.toByteArray
+  }
+
+  /** Batched audio fingerprinting: real envelope hash where the
+    * payload decodes, the deterministic byte-fold stub otherwise —
+    * total, never job-failing ([[aHashStub]]'s contract). */
+  def audioHashes(media: Dataset[MediaFile], batchSize: Int = 256): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    batchedDecode(media, batchSize) { m =>
+      val real = if (looksLikeAudio(m.payload)) audioEnvelopeJdk(m) else None
+      AudioHash(m.media_id, real.getOrElse(aHashStub(m)))
+    }
+  }
 
   /** STUB fallback — stands in for codecs beyond the JDK's WAV/AIFF
     * (same contract as [[decodeOneStub]]): a production build swaps ONLY

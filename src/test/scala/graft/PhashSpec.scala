@@ -69,6 +69,39 @@ class PhashSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("audio envelope fingerprint: gain- and replication-invariant on real WAVs, seeds differ") {
+    import spark.implicits._
+    val seed = 0x5a5a1234abcdL
+    val base = Multimodal.synthWav(seed)
+    val half = Multimodal.synthWav(seed, gainShift = 2)
+    val other = Multimodal.synthWav(0x0f0f9876fedcL)
+    // sample-replication "resample": decode base, repeat each 16-bit
+    // sample twice, rewrap as WAV (n divisible by 64 keeps segment
+    // boundaries pair-aligned, so the envelope is EXACTLY preserved)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val pcm = in.readAllBytes(); in.close()
+    val rep = new Array[Byte](pcm.length * 2)
+    for (i <- 0 until pcm.length / 2) {
+      rep(4 * i) = pcm(2 * i); rep(4 * i + 1) = pcm(2 * i + 1)
+      rep(4 * i + 2) = pcm(2 * i); rep(4 * i + 3) = pcm(2 * i + 1)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val repIn = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(rep), fmt, (pcm.length / 2) * 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(repIn,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      MediaFile(0L, "audio", base, "s"), MediaFile(1L, "audio", half, "s"),
+      MediaFile(2L, "audio", other, "s"), MediaFile(3L, "audio", bos.toByteArray, "s"))
+      .toDS()
+    val hs = Multimodal.audioHashes(media).collect().sortBy(_.media_id)
+    assert(hs(0).fp == hs(1).fp, "half-gain copy must fingerprint identically")
+    assert(hs(0).fp == hs(3).fp, "replication-resampled copy must fingerprint identically")
+    assert(hs(0).fp != hs(2).fp, "different envelope must not collide")
+  }
+
   test("recrawl detection on the fixture: 50 duplicated payloads pair with their originals") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticMedia(docs)
