@@ -106,6 +106,31 @@ object SparkEntry {
         graft.operators.Bpe.learnMerges(Tables.documents(s, dir), numMerges = 16))
     }
 
+  /** Perceptual-hash index per sf dir (x_dedup_incremental_phash's
+    * history side): media hashes of doc_id < 250 indexed ONCE per JVM,
+    * probed by every pass — the amortization the incremental index
+    * exists for.
+    */
+  private val phashIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    phashIndexPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def phashIndexFor(s: SparkSession, dir: String): graft.operators.PhashIndex =
+    phashIndexPaths.synchronized {
+      val p = phashIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-phash-idx").toString
+        new graft.operators.PhashIndex(s, tmp).write(
+          graft.operators.Multimodal.imageHashes(graft.operators.Multimodal
+            .syntheticMedia(Tables.documents(s, dir).filter(col("doc_id") < 250))).toDF())
+        tmp
+      })
+      new graft.operators.PhashIndex(s, p)
+    }
+
   /** Trained quality-classifier model per sf dir (train-once/apply-many
     * like the tokenizer): labels distill the heuristic qualityScore at
     * its 0.4 cut — the production pattern (cheap heuristic/LLM labels
@@ -1530,6 +1555,21 @@ object SparkEntry {
           Multimodal.imageHashes(media.unionByName(recrawl)).toDF(),
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- incremental multimodal dedup: a media batch (new docs + 50
+    // recrawled payloads) probed against the PERSISTED perceptual-hash
+    // index at batch cost — every recrawl must hit its original
+    // (rows-only; family laws in PhashIndexSpec + StreamingChaosSpec)
+    "x_dedup_incremental_phash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 300000L))
+      phashIndexFor(s, dir)
+        .probe(Multimodal.imageHashes(Multimodal.syntheticMedia(batch)).toDF(),
+          maxHamming = 3)
+        .orderBy(col("batch_id"), col("index_id"))
     }),
     // ---- audio near-dup off REAL decoded WAVs: 8 synthesized tones
     // each re-ingested at half gain under a new id — the gain-invariant

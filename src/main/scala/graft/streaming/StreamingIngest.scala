@@ -263,6 +263,40 @@ object StreamingIngest {
     }}
   }
 
+  /** Streaming multimodal near-dup ingest against a persisted
+    * [[graft.operators.PhashIndex]]: each micro-batch of (media_id,
+    * phash) rows drops in-batch hash duplicates, then rows within
+    * `maxHamming` of ANYTHING ever indexed, hands the survivors to
+    * `writeBatch` and ONLY THEN appends their hashes — the
+    * [[dedupIngest]] sink-first ordering, same at-least-once argument:
+    * a crash between sink and append re-runs the trigger (hashes not
+    * yet indexed → same survivors, idempotent sink re-invoked); a
+    * crash after the append re-runs into an all-dropped batch whose
+    * delivery already happened, and the id-keyed append anti-join
+    * makes the re-append a no-op. Hash upstream with
+    * [[graft.operators.Multimodal.imageHashes]]/[[graft.operators
+    * .Multimodal.audioHashes]] — this ingest sees 8-byte hashes, never
+    * media bytes.
+    */
+  def phashIngest(hashes: DataFrame, index: graft.operators.PhashIndex,
+                  maxHamming: Int = 3, compactEvery: Int = 0,
+                  vacuumRetentionMs: Long = 3600000L)
+                 (writeBatch: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
+    hashes.writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
+      if (!batch.isEmpty) {
+        val survivors = graft.Materialize.ephemeral(
+          index.dedupe(batch.dropDuplicates("phash"), maxHamming))
+        if (!survivors.isEmpty) {
+          writeBatch(survivors) // sink first — see the ordering note above
+          index.append(survivors)
+          if (cadence.due()) { index.compact(); index.vacuum(vacuumRetentionMs); () }
+        }
+      }
+    }}
+  }
+
   /** Streaming maintenance of a persisted [[graft.operators
     * .StatsIndex]]: each micro-batch commits its per-source partial
     * rows (batch-scale aggregation, |sources| stored rows), so the

@@ -116,6 +116,52 @@ class StreamingChaosSpec extends SparkSpec {
     assert(index.dedupe(Seq((99L, "third unique")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("phashIngest: crash between sink and hash append, restart converges") {
+    import graft.operators.PhashIndex
+    val base = 0x0123456789abcdefL
+    val index = new PhashIndex(spark, tmp("chaos-phash-idx"))
+    index.write(Seq((0L, base)).toDF("media_id", "phash"))
+    val ckpt = tmp("chaos-phash-ckpt")
+    val sink = new ChaosSink
+    val mem = MemoryStream[(Long, Long)]
+    def start() = StreamingIngest.phashIngest(
+        mem.toDF().toDF("media_id", "phash"), index) { b =>
+        sink.deliver(b.select($"media_id").collect().map(_.getLong(0)).toSeq)
+        sink.maybeCrash()
+      }.option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      mem.addData((1L, ~base), (2L, 0x5555aaaa5555aaaaL))
+      q1.processAllAvailable() // clean trigger
+      sink.crashNext = true
+      // 3 is novel; 4 is within hamming 1 of the base image (must drop)
+      mem.addData((3L, 0x00ff00ff00ff00ffL), (4L, base ^ 0x1L))
+      intercept[Exception](q1.processAllAvailable()) // dies post-sink
+    } finally stopAndAwait(q1)
+    // the crashed trigger delivered 3 but never indexed it
+    assert(sink.sunk.count(_ == 3L) == 1)
+    assert(index.dedupe(Seq((99L, 0x00ff00ff00ff00ffL)).toDF("media_id", "phash"))
+      .count() == 1, "3 must NOT be indexed yet — the crash landed before append")
+
+    val q2 = start()
+    try {
+      mem.addData((5L, 0x0f0f0f0ff0f0f0f0L))
+      q2.processAllAvailable()
+    } finally stopAndAwait(q2)
+    // no lost media: every novel hash reached the sink; 4 never did
+    assert(sink.sunk.contains(3L) && sink.sunk.contains(5L) && !sink.sunk.contains(4L))
+    assert(sink.sunk.count(_ == 3L) == 2) // replay re-delivered, allowed
+    // indexed ONCE: replay's append anti-joined the already-landed id
+    val ids = index.postings().select($"media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 5L))
+    val nRows = index.postings().count()
+    assert(nRows == ids.size * 4L, s"duplicate posting rows: $nRows")
+    // near-dup of the base still drops after all the chaos
+    assert(index.dedupe(Seq((99L, base ^ 0x2L)).toDF("media_id", "phash")).count() == 0)
+  }
+
   test("neardupIngest: crash between sink and signature append, restart converges") {
     import graft.operators.MinHashIndex
     val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
