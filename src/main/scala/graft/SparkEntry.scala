@@ -866,6 +866,14 @@ object SparkEntry {
     "x_cluster_balanced_sample" -> ((s, dir) =>
       graft.operators.Clustering.balancedSample(Tables.embeddings(s, dir),
         k = 8, perCluster = 10)),
+    // ---- line-level boilerplate removal (CCNet paragraph dedup):
+    // drop lines appearing in >= 2 distinct docs, rebuild the text in
+    // order; md5 witness per rewritten doc
+    "x_text_line_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.dropBoilerplateLines(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy(col("doc_id"))),
     // ---- sliding-window chunking (RAG/embedding prep): 64-token
     // windows every 48 tokens, md5 witness per chunk keeps the dump
     // small while pinning the exact text
@@ -2334,6 +2342,22 @@ object SparkEntry {
         |      FROM s, unnest(range(1, len(syms))) AS t(i))
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
+    "x_text_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, i AS pos, ls[i] AS line
+        |      FROM d, unnest(range(1, len(ls) + 1)) AS t(i)),
+        |b AS (SELECT md5(line) AS h FROM l WHERE len(line) > 0
+        |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |      WHERE md5(line) NOT IN (SELECT h FROM b)),
+        |r AS (SELECT doc_id, count(*) AS n_lines_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS text
+        |      FROM k GROUP BY 1),
+        |n AS (SELECT doc_id, len(ls) AS n_lines FROM d)
+        |SELECT n.doc_id, md5(coalesce(r.text, '')) AS h,
+        |       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+        |       CAST(n.n_lines - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+        |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x_text_chunks" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
         |           FROM documents WHERE doc_id < 50),

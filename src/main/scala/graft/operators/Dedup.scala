@@ -626,4 +626,48 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Line-level boilerplate removal (the CCNet paragraph-dedup move):
+    * drop every line whose md5 digest appears in at least `minDocFreq`
+    * DISTINCT documents — navigation chrome, cookie banners and
+    * licence footers repeat across pages; prose does not. Returns one
+    * row per input doc: the rewritten text (surviving lines joined in
+    * original order) plus kept/dropped counts — a doc whose every line
+    * is boilerplate survives with empty text (the caller's length
+    * filter is the right place to drop it, not a silent row loss
+    * here).
+    *
+    * Plan shape: line explode → md5-keyed doc-frequency aggregate
+    * (32-hex digests shuffle, never line text — the [[dupNgramFraction]]
+    * rule) → broadcast-able boilerplate set anti-joins the lines →
+    * per-doc ordered array_sort fold rebuilds the text. Two shuffles
+    * (digest agg, per-doc regroup), both key-sized.
+    */
+  def dropBoilerplateLines(docs: DataFrame, minDocFreq: Int = 2,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2, s"dropBoilerplateLines: minDocFreq=$minDocFreq " +
+      "must be >= 2 (1 would drop every non-empty line)")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+      .withColumn("h", md5(col("ln")))
+    val boiler = lines.filter(length(col("ln")) > 0)
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("h"))
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_sort(collect_list(struct(col("pos"), col("ln")))).as("ls"))
+      .select(col(idCol), col("n_lines_kept"),
+        concat_ws("\n", transform(col("ls"), s => s.getField("ln"))).as("text"))
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_dropped"))
+  }
 }

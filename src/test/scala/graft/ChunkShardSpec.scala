@@ -64,6 +64,34 @@ class ChunkShardSpec extends SparkSpec {
     }
   }
 
+  test("dropBoilerplateLines: shared footers drop, prose survives in order, thresholds hold") {
+    import spark.implicits._
+    val footer = "(c) example corp all rights reserved"
+    val nav = "home products about contact"
+    val docs = Seq(
+      (0L, s"unique prose alpha\n$footer\nmore alpha prose"),
+      (1L, s"$nav\nunique prose beta\n$footer"),
+      (2L, s"$nav\n$footer"), // all boilerplate
+      (3L, "entirely unique document gamma")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropBoilerplateLines(docs, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // no silent row loss
+    assert(out(0).getString(1) == "unique prose alpha\nmore alpha prose")
+    assert(out(1).getString(1) == "unique prose beta")
+    assert(out(2).getString(1) == "" && out(2).getAs[Long]("n_lines_kept") == 0L)
+    assert(out(3).getString(1) == "entirely unique document gamma")
+    assert(out(0).getAs[Long]("n_lines_dropped") == 1L)
+    assert(out(2).getAs[Long]("n_lines_dropped") == 2L)
+    // footer shared by only 2 docs survives a minDocFreq=4 threshold
+    val loose = graft.operators.Dedup.dropBoilerplateLines(docs, minDocFreq = 4)
+      .orderBy("doc_id").collect()
+    assert(loose.forall(_.getAs[Long]("n_lines_dropped") == 0L))
+    // minDocFreq=1 would drop every line — rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dropBoilerplateLines(docs, minDocFreq = 1)
+    }
+  }
+
   test("epochShards: disjoint + complete, contiguous positions, epoch changes the order") {
     val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"))
     val n = docs.count()
