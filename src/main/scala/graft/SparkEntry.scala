@@ -266,12 +266,14 @@ object SparkEntry {
     * SQL-derivable ground truth for the Spark-side parse+PSL
     * heuristic.
     */
-  private def synthUrl: org.apache.spark.sql.Column =
-    concat(lit("http://w"), pmod(col("doc_id"), lit(23)).cast("string"),
+  private def synthUrl: org.apache.spark.sql.Column = synthUrlFor(col("doc_id"))
+
+  private def synthUrlFor(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("http://w"), pmod(id, lit(23)).cast("string"),
       lit("."), col("source"), lit("."),
       element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "net")),
-        (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
-      lit("/p/"), col("doc_id").cast("string"))
+        (pmod(id, lit(5)) + 1).cast("int")),
+      lit("/p/"), id.cast("string"))
 
   /** Deterministic WARC fixture (x_source_warc's input): one plain
     * `.warc` with 26 well-formed records — one of whose payloads
@@ -866,6 +868,32 @@ object SparkEntry {
     "x_cluster_balanced_sample" -> ((s, dir) =>
       graft.operators.Clustering.balancedSample(Tables.embeddings(s, dir),
         k = 8, perCluster = 10)),
+    // ---- URL canonicalization dedup: even/odd doc pairs carry the
+    // SAME page as messy variants (uppercased scheme, tracking params,
+    // permuted query, fragment) — canonical forms must collide and
+    // keep the min id (full SQL oracle mirrors the canonicalizer)
+    "x_url_canonical_dedup" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val baseId = col("doc_id") - pmod(col("doc_id"), lit(2))
+      // the whole URL derives from baseId (NOT per-row source — the
+      // odd twin must land on the SAME page as its even base)
+      val url0 = concat(lit("http://w"), pmod(baseId, lit(23)).cast("string"),
+        lit(".s"), pmod(baseId, lit(17)).cast("string"),
+        element_at(typedlit(Seq(".com", ".co.uk", ".org", ".com.au", ".net")),
+          (pmod(baseId, lit(5)) + 1).cast("int")),
+        lit("/p/"), baseId.cast("string"))
+      val url = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(url0, lit("?a=1&b=2")))
+        .otherwise(concat(
+          regexp_replace(url0, "^http://w", "HTTP://W"),
+          lit("?utm_source=feed&b=2&a=1#frag")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), UrlFunctions.canonicalize(url).as("curl"))
+        .groupBy(col("curl"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy(col("keep_id"))
+    }),
     // ---- line-level boilerplate removal (CCNet paragraph dedup):
     // drop lines appearing in >= 2 distinct docs, rebuild the text in
     // order; md5 witness per rewritten doc
@@ -2342,6 +2370,34 @@ object SparkEntry {
         |      FROM s, unnest(range(1, len(syms))) AS t(i))
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
+    "x_url_canonical_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |        'http://w' || CAST((doc_id - doc_id % 2) % 23 AS VARCHAR)
+        |          || '.s' || CAST((doc_id - doc_id % 2) % 17 AS VARCHAR)
+        |          || list_extract(['.com','.co.uk','.org','.com.au','.net'],
+        |               CAST((doc_id - doc_id % 2) % 5 AS INT) + 1)
+        |          || '/p/' || CAST(doc_id - doc_id % 2 AS VARCHAR) AS url0
+        |      FROM documents),
+        |u AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN url0 || '?a=1&b=2'
+        |        ELSE regexp_replace(url0, '^http://w', 'HTTP://W') || '?utm_source=feed&b=2&a=1#frag'
+        |      END AS url FROM u0),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |c2 AS (SELECT doc_id,
+        |        regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS head,
+        |        regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS tail
+        |      FROM c1),
+        |c3 AS (SELECT doc_id,
+        |        regexp_replace(regexp_replace(lower(head), '^(http://[^:/]*):80$', '\1'),
+        |          '^(https://[^:/]*):443$', '\1') AS headnp,
+        |        regexp_replace(tail, '\?.*$', '') AS path,
+        |        list_sort(list_filter(string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+        |          p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) AS ps
+        |      FROM c2),
+        |c AS (SELECT doc_id, headnp || CASE WHEN len(ps) > 0
+        |        THEN path || '?' || array_to_string(ps, '&') ELSE path END AS curl
+        |      FROM c3)
+        |SELECT curl, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
+        |FROM c GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "x_text_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
         |l AS (SELECT doc_id, i AS pos, ls[i] AS line

@@ -53,4 +53,39 @@ object UrlFunctions {
 
   /** [[registrableDomainOfHost]] of the URL's host. */
   def registrableDomain(url: Column): Column = registrableDomainOfHost(host(url))
+
+  /** Canonical URL form for crawl-frontier / recrawl dedup — the same
+    * page fetched as `HTTP://Host/p?utm_source=feed&b=2&a=1#top` and
+    * `http://host/p?a=1&b=2` must compare equal:
+    *   - fragment dropped (never sent to the server),
+    *   - scheme+host lowercased (case-insensitive by RFC 3986),
+    *   - default ports stripped (`:80` http, `:443` https),
+    *   - tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `ref` — the attribution noise that makes every social share a
+    *     "different" URL),
+    *   - remaining query parameters sorted (order is almost never
+    *     semantic; sorting collapses permutations).
+    * Path case and trailing slashes are PRESERVED — both can be
+    * semantic, and a canonicalizer that merges distinct pages is worse
+    * than one that misses a duplicate. Pure regex + array Column
+    * algebra (RE2-shared syntax), mirrored verbatim by the DuckDB
+    * oracle; idempotent (spec-pinned).
+    */
+  def canonicalize(url: Column): Column = {
+    val schemeHost = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, schemeHost, 0)
+    val tail = regexp_replace(noFrag, schemeHost, "")
+    val headNoPort = regexp_replace(
+      regexp_replace(lower(head), "^(http://[^:/]*):80$", "$1"),
+      "^(https://[^:/]*):443$", "$1")
+    val path = regexp_replace(tail, "\\?.*$", "")
+    val qs = regexp_extract(tail, "\\?(.*)$", 1)
+    val params = filter(split(qs, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
+    val sorted = array_sort(params)
+    concat(headNoPort,
+      when(size(sorted) > 0, concat(path, lit("?"), array_join(sorted, "&")))
+        .otherwise(path))
+  }
 }

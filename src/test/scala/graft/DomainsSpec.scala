@@ -56,4 +56,28 @@ class DomainsSpec extends SparkSpec {
     assert(Domains.capPerDomain(small, cap = 7).count() == 2L)
     intercept[IllegalArgumentException](Domains.capPerDomain(small, cap = 0))
   }
+
+  test("canonicalize: case/port/tracking/fragment/param-order all normalize; path case survives") {
+    import graft.functions.UrlFunctions
+    val urls = Seq(
+      (0L, "HTTP://Example.COM:80/Path/One?utm_source=x&b=2&a=1#frag"),
+      (1L, "http://example.com/Path/One?a=1&b=2"),
+      (2L, "https://Example.com:443/p?ref=tw&fbclid=z&gclid=q"),
+      (3L, "https://example.com/p"),
+      (4L, "http://example.com/path/one"), // path CASE differs from 0/1 — distinct
+      (5L, "http://example.com/q?a=1&a=0") // duplicate keys keep both, sorted
+    ).toDF("doc_id", "url")
+    val got = urls.select($"doc_id", UrlFunctions.canonicalize($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "http://example.com/Path/One?a=1&b=2")
+    assert(got(0L) == got(1L))
+    assert(got(2L) == got(3L))
+    assert(got(4L) != got(0L))
+    assert(got(5L) == "http://example.com/q?a=0&a=1")
+    // idempotence: canonical of canonical is a fixed point
+    val twice = urls.select(UrlFunctions.canonicalize(
+        UrlFunctions.canonicalize($"url")).as("c2"),
+      UrlFunctions.canonicalize($"url").as("c1")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
 }
