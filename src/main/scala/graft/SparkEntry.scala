@@ -1178,6 +1178,25 @@ object SparkEntry {
         .agg(count(lit(1)).cast("double").as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
+    // ---- vocabulary coverage / OOV-rate curve: share of corpus
+    // tokens a top-k vocab covers, per candidate k — the tokenizer
+    // budget diagnostic. Each k is a TakeOrdered over the VOCAB (never
+    // a global sort), the token count aggregate runs once
+    "x_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val counts = graft.Materialize.ephemeral(
+        graft.operators.Bpe.wordVocab(Tables.documents(s, dir)))
+      val total = counts.agg(sum(col("freq"))).head().getLong(0)
+      val rows = Seq(5, 10, 20, 40).map { k =>
+        val covered = counts.orderBy(col("freq").desc, col("word"))
+          .limit(k).agg(sum(col("freq"))).head().getLong(0)
+        (k.toLong, covered, total,
+          BigDecimal(covered.toDouble / total)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      rows.toDF("k", "covered_tokens", "total_tokens", "coverage")
+        .orderBy(col("k"))
+    }),
     // ---- per-group percentiles: the grouped form of d3
     "x_group_percentiles" -> ((s, dir) =>
       Tables.ts(s, dir)
@@ -2511,6 +2530,19 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS DOUBLE) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "x_vocab_coverage" ->
+      """WITH w AS (SELECT tok AS word, count(*) AS freq
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |           WHERE len(tok) > 0 GROUP BY 1),
+        |r AS (SELECT word, freq,
+        |        row_number() OVER (ORDER BY freq DESC, word) AS rnk FROM w),
+        |t AS (SELECT sum(freq) AS total FROM w),
+        |ks AS (SELECT unnest([5, 10, 20, 40]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST((SELECT sum(freq) FROM r WHERE rnk <= k) AS BIGINT) AS covered_tokens,
+        |       CAST(t.total AS BIGINT) AS total_tokens,
+        |       round((SELECT sum(freq) FROM r WHERE rnk <= k) / CAST(t.total AS DOUBLE), 6) AS coverage
+        |FROM ks, t ORDER BY k""".stripMargin,
     // exact top-k is the oracle; the Spark side reaches it through the
     // MG-candidates + recount plan, which is exact while the k-th count
     // clears the N/(capacity+1) retention bound (trivially true here:
