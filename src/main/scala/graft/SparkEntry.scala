@@ -1096,6 +1096,38 @@ object SparkEntry {
     // score is cross-engine exact)
     "x_anomaly_zscore" -> ((s, dir) =>
       graft.operators.GapFill.anomalies(denseGrid(s, dir), window = 30, threshold = 2.0)),
+    // ---- time-weighted average per tag (LOCF weighting over the
+    // irregular sample spacing — the TimescaleDB time_weight shape);
+    // int128 scaled-integer numerator => hash-exact at any row count
+    "x_time_weighted_avg" -> ((s, dir) =>
+      graft.operators.TsAnalytics.timeWeightedAvg(Tables.ts(s, dir))),
+    // ---- OHLC daily bars per tag (market-data downsample): pure
+    // min/max/arg-min/arg-max selections, unrounded exact compare
+    "x_ohlc_daily" -> ((s, dir) =>
+      graft.operators.TsAnalytics.ohlc(Tables.ts(s, dir), bucketMs = 86400000L)),
+    // ---- pairwise cross-tag correlation of hourly activity, aligned
+    // on a dense hourly grid over the full range (all 5 tags => 10
+    // pairs; equi-join on bucket, NOT a cartesian)
+    "x_corr_pairs" -> ((s, dir) =>
+      graft.operators.TsAnalytics.corrPairs(
+        graft.operators.GapFill.bucketCounts(Tables.ts(s, dir),
+          bucketMs = 3600000L, sorted = false))),
+    // ---- PromQL-style counter rate with reset detection over a
+    // deterministic synthetic counter (per-tag running scaled sum mod
+    // 1e6 => every wrap exercises the reset arithmetic); all-integer
+    // until the final /100 => hash-exact
+    "x_counter_rate" -> ((s, dir) =>
+      graft.operators.TsAnalytics.counterRate(
+        graft.operators.TsAnalytics.syntheticCounter(Tables.ts(s, dir),
+          wrap = 1000000L))),
+    // ---- linear-interpolation gap fill (TimescaleDB interpolate())
+    // over one day of minute buckets: empty buckets get the line
+    // between the nearest observed neighbors; edges stay sentinel −1
+    "x_interp_linear" -> ((s, dir) =>
+      graft.operators.TsAnalytics.interpolateLinear(
+        Tables.ts(s, dir)
+          .filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L),
+        bucketMs = 60000L)),
     // ---- funnel: strictly-ordered view→click→purchase progression
     // (conditional-min chain per user — no per-user event lists)
     "x_funnel" -> ((s, dir) => {
@@ -2737,6 +2769,104 @@ object SparkEntry {
         |SELECT tag, bucket_start, cnt,
         |       cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY tag ORDER BY bucket_start), 0) AS delta
         |FROM dense ORDER BY tag, bucket_start""".stripMargin),
+    // LOCF time-weighted average: lead() spacing per tag, exact
+    // HUGEINT numerator (mirrors the int128 sum), one double division
+    // in the same operand order as the Spark side
+    "x_time_weighted_avg" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |s AS (SELECT tag, value,
+        |        lead(t) OVER (PARTITION BY tag ORDER BY t) - t AS dt FROM t)
+        |SELECT tag,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dt) AS DOUBLE)
+        |        / 100.0 / CAST(sum(dt) AS DOUBLE), 4) AS twa,
+        |  count(*) + 1 AS n_points,
+        |  CAST(sum(dt) AS BIGINT) AS span_ms
+        |FROM s WHERE dt IS NOT NULL GROUP BY tag ORDER BY tag""".stripMargin,
+    // OHLC: arg_min/arg_max mirror min_by/max_by (per-tag timestamps
+    // are unique, so the selection is well-defined); no rounding —
+    // pure selections and exact min/max on the raw doubles
+    "x_ohlc_daily" ->
+      s"""SELECT tag, ("timestamp" // 86400000) * 86400000 AS bucket_start,
+        |  arg_min(value, "timestamp") AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, "timestamp") AS close,
+        |  count(*) AS n_ticks
+        |FROM $FROM f GROUP BY 1, 2 ORDER BY tag, bucket_start""".stripMargin,
+    // cross-tag correlation on the dense HOURLY grid over the full
+    // range (same grid construction as denseGridSql, hourly + no tag
+    // filter); Pearson r spelled covar/(sd*sd) to mirror the Spark
+    // side's ANSI-safe form exactly; rounds to 4 like every co-moment
+    // fold here
+    "x_corr_pairs" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 3600000 AS bucket FROM $FROM f),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |dense AS (SELECT g.tag, g.bucket * 3600000 AS bucket_start,
+        |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+        |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)
+        |SELECT a.tag AS tag_a, b2.tag AS tag_b,
+        |  round(covar_samp(a.cnt, b2.cnt)
+        |        / NULLIF(stddev_samp(a.cnt) * stddev_samp(b2.cnt), 0), 4) AS r,
+        |  count(*) AS n_buckets
+        |FROM dense a JOIN dense b2 ON a.bucket_start = b2.bucket_start
+        |                          AND a.tag < b2.tag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // synthetic counter (running scaled sum mod 1e6) + PromQL reset
+    // arithmetic, all integer until the final /100 — the window frames
+    // are spelled ROWS UNBOUNDED PRECEDING to match Spark's exactly
+    "x_counter_rate" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag,
+        |  CAST(sum(CASE WHEN counter >= prev THEN counter - prev
+        |                ELSE counter END) AS DOUBLE) / 100.0 AS total_increase,
+        |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  count(*) + 1 AS n_points
+        |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY tag""".stripMargin,
+    // linear interpolation: same marked-window (pb/nb) + join-back
+    // formulation as the Spark side; ALL value arithmetic in scaled
+    // integers (1e-4 units, half-up = floor((2·num+den)/(2·den)) on
+    // the positive fixture) because float round(x,4) is not
+    // cross-engine stable within an ulp of a .00005 boundary — the
+    // only doubles are the final exact /10000 casts => bit-identical
+    "x_interp_linear" ->
+      s"""WITH t AS (SELECT tag, "timestamp" // 60000 AS bucket, value FROM $FROM f
+        |           WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 86400000L}),
+        |obs AS (SELECT tag, bucket,
+        |          (2 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 100
+        |           + count(*)) // (2 * count(*)) AS v
+        |        FROM t GROUP BY 1, 2),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+        |tags AS (SELECT DISTINCT tag FROM t),
+        |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+        |dense AS (SELECT g.tag, g.bucket, obs.v
+        |          FROM grid g LEFT JOIN obs ON g.tag = obs.tag AND g.bucket = obs.bucket),
+        |m AS (SELECT tag, bucket, v,
+        |        max(CASE WHEN v IS NOT NULL THEN bucket END)
+        |          OVER (PARTITION BY tag ORDER BY bucket
+        |                ROWS UNBOUNDED PRECEDING) AS pb,
+        |        min(CASE WHEN v IS NOT NULL THEN bucket END)
+        |          OVER (PARTITION BY tag ORDER BY bucket
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |      FROM dense)
+        |SELECT m.tag, m.bucket * 60000 AS bucket_start,
+        |  CASE WHEN m.v IS NOT NULL THEN 'obs'
+        |       WHEN m.pb IS NULL OR m.nb IS NULL THEN 'edge'
+        |       ELSE 'interp' END AS src,
+        |  CAST(coalesce(m.v,
+        |    CASE WHEN m.pb IS NOT NULL AND m.nb IS NOT NULL THEN
+        |      (2 * (p.v * (m.nb - m.bucket) + n.v * (m.bucket - m.pb))
+        |       + (m.nb - m.pb)) // (2 * (m.nb - m.pb))
+        |    END, -10000) AS DOUBLE) / 10000.0 AS val
+        |FROM m LEFT JOIN obs p ON m.tag = p.tag AND m.pb = p.bucket
+        |       LEFT JOIN obs n ON m.tag = n.tag AND m.nb = n.bucket
+        |ORDER BY m.tag, bucket_start""".stripMargin,
     // the Holt (level, trend) feedback recurrence replayed as a DuckDB
     // RECURSIVE CTE — one iteration per daily bucket (~30/tag), every
     // input integer-exact and every weight a binary-exact double, so

@@ -122,6 +122,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("TS analytics pack stays keyed-parallel (one tag shuffle, one output sort)") {
+    // time-weighted avg and counter rate are window-then-aggregate on
+    // the same tag key: the groupBy must REUSE the window's hash
+    // exchange (a second exchange would re-shuffle the corpus), the
+    // output sort is the only range exchange, and nothing collapses to
+    // a single partition. OHLC is one (tag, bucket) hash aggregate.
+    Seq("x_time_weighted_avg", "x_counter_rate", "x_ohlc_daily").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("SinglePartition"),
+        s"$n: single-partition exchange — a keyed stage collapsed to one task")
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx == 1, s"$n: $hashEx hash exchanges (expected 1 keyed shuffle)")
+      val rangeEx = "rangepartitioning\\(".r.findAllIn(p).size
+      assert(rangeEx == 1,
+        s"$n: $rangeEx range exchanges (expected only the output sort)")
+      assert(p.contains("partial_"),
+        s"$n: no partial aggregation before the shuffle")
+    }
+    // the dense-grid consumers (corr pairs, linear interpolation) may
+    // keep AT MOST one single-partition exchange: the 1-row
+    // global-bounds aggregate the grid is built from (a broadcast-side
+    // plan can elide even that from the explain text). More means a
+    // keyed stage collapsed; the global cartesian gate covers the joins.
+    Seq("x_corr_pairs", "x_interp_linear").foreach { n =>
+      val single = "Exchange SinglePartition".r.findAllIn(planOf(n)).size
+      assert(single <= 1,
+        s"$n: $single SinglePartition exchanges (expected at most the 1-row bounds agg)")
+    }
+  }
+
   test("top-k paths use TakeOrderedAndProject, not a global sort") {
     val topk = Seq("o1_l1_topk_recent", "ts2_li_range_topk",
       "x_search_bm25", "x_heavy_hitters",

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.TsAnalytics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the classic-TSDB analytics pack
+  * ([[graft.operators.TsAnalytics]]): time-weighted average, OHLC bars,
+  * cross-series correlation, counter rate with resets, and linear
+  * interpolation. Each fixture is small enough to verify on paper; the
+  * sf-fixture cross-engine laws are the DuckDB oracles in SparkEntry.
+  */
+class TsAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("timestamp", "tag", "value")
+
+  test("timeWeightedAvg: LOCF weighting, last point weightless, <2-point tags dropped") {
+    // a: 1.0 held for 10ms, then 3.0 for 30ms => (10 + 90) / 40 = 2.5
+    // b: single point => dropped
+    val df = TsAnalytics.timeWeightedAvg(ts(
+      (0L, "a", 1.0), (10L, "a", 3.0), (40L, "a", 7.0),
+      (5L, "b", 99.0)))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 2.5, 3L, 40L)))
+  }
+
+  test("timeWeightedAvg: equals plain avg under uniform spacing") {
+    val even = (0 until 10).map(i => (i * 100L, "u", (i + 1).toDouble))
+    val twa = TsAnalytics.timeWeightedAvg(ts(even: _*))
+      .select("twa").as[Double].head()
+    // uniform spacing weights the first 9 values equally: avg(1..9) = 5
+    assert(twa == 5.0)
+  }
+
+  test("ohlc: open/close pick by timestamp, high/low by value") {
+    val df = TsAnalytics.ohlc(ts(
+      (10L, "a", 5.0), (20L, "a", 9.0), (30L, "a", 1.0), (40L, "a", 4.0),
+      (110L, "a", 2.0), (10L, "b", 7.0)), bucketMs = 100L)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 5.0, 9.0, 1.0, 4.0, 4L),
+      ("a", 100L, 2.0, 2.0, 2.0, 2.0, 1L),
+      ("b", 0L, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("corrPairs: perfectly correlated and anti-correlated series") {
+    val dense = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0),
+      ("b", 0L, 2.0), ("b", 1L, 4.0), ("b", 2L, 6.0),
+      ("c", 0L, 3.0), ("c", 1L, 2.0), ("c", 2L, 1.0)
+    ).toDF("tag", "bucket_start", "cnt")
+    val rows = TsAnalytics.corrPairs(dense).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("a", "b", 1.0, 3L), ("a", "c", -1.0, 3L), ("b", "c", -1.0, 3L)))
+  }
+
+  test("corrPairs: constant series yields null r, not NaN") {
+    val dense = Seq(
+      ("a", 0L, 1.0), ("a", 1L, 2.0),
+      ("k", 0L, 5.0), ("k", 1L, 5.0)
+    ).toDF("tag", "bucket_start", "cnt")
+    val r = TsAnalytics.corrPairs(dense).collect()
+    assert(r.length == 1 && r(0).isNullAt(2))
+  }
+
+  test("counterRate: increases sum across resets the PromQL way") {
+    // counter: 10 -> 40 (inc 30) -> 5 (reset, inc 5) -> 25 (inc 20)
+    val counter = Seq(
+      ("a", 0L, 1000L), ("a", 1L, 4000L), ("a", 2L, 500L), ("a", 3L, 2500L)
+    ).toDF("tag", "timestamp", "counter")
+    val rows = TsAnalytics.counterRate(counter).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 55.0, 1L, 4L)))
+  }
+
+  test("syntheticCounter wraps exactly at the modulus and counterRate sees each wrap as a reset") {
+    // scaled running sum: 600, 1200, 1800 with wrap 1000 =>
+    // counters 600, 200, 800 => one reset; increases 200 + 600 = 800
+    val df = TsAnalytics.counterRate(TsAnalytics.syntheticCounter(
+      ts((0L, "a", 6.0), (1L, "a", 6.0), (2L, "a", 6.0)), wrap = 1000L))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 8.0, 1L, 3L)))
+  }
+
+  test("interpolateLinear: fills interior gaps on the line, leaves edges sentinel") {
+    // tag a observed at buckets 1 (v=2) and 4 (v=8); grid bounds from
+    // the input are buckets 0..4 (tag b observed at 0 and 4).
+    // a: bucket 0 edge (-1), 1 obs 2.0, 2 interp 4.0, 3 interp 6.0, 4 obs 8.0
+    val df = TsAnalytics.interpolateLinear(ts(
+      (10L, "a", 2.0), (40L, "a", 8.0),
+      (0L, "b", 1.0), (45L, "b", 3.0)), bucketMs = 10L)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.filter(_._1 == "a").toSeq == Seq(
+      ("a", 0L, "edge", -1.0), ("a", 10L, "obs", 2.0),
+      ("a", 20L, "interp", 4.0), ("a", 30L, "interp", 6.0),
+      ("a", 40L, "obs", 8.0)))
+    // b: linear between bucket 0 (1.0) and bucket 4 (3.0)
+    assert(rows.filter(_._1 == "b").toSeq == Seq(
+      ("b", 0L, "obs", 1.0), ("b", 10L, "interp", 1.5),
+      ("b", 20L, "interp", 2.0), ("b", 30L, "interp", 2.5),
+      ("b", 40L, "obs", 3.0)))
+  }
+
+  test("interpolateLinear: multi-row buckets average exactly before interpolation") {
+    // bucket 0 holds 1.0 and 2.0 => obs mean 1.5; bucket 2 holds 3.5
+    val df = TsAnalytics.interpolateLinear(ts(
+      (0L, "a", 1.0), (5L, "a", 2.0), (25L, "a", 3.5)), bucketMs = 10L)
+    val rows = df.collect().map(r =>
+      (r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (0L, "obs", 1.5), (10L, "interp", 2.5), (20L, "obs", 3.5)))
+  }
+}
