@@ -1128,6 +1128,21 @@ object SparkEntry {
         Tables.ts(s, dir)
           .filter(col("timestamp") >= T1 && col("timestamp") < T1 + 86400000L),
         bucketMs = 60000L)),
+    // ---- STL-lite seasonal decomposition of DAILY activity per tag:
+    // centered 7-day trend, day-of-week seasonal, residual — scaled-
+    // integer trend, single mirrored IEEE divisions elsewhere
+    "x_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.TsAnalytics.seasonalDecompose(
+        graft.operators.GapFill.bucketCounts(Tables.ts(s, dir),
+          bucketMs = 86400000L, sorted = false),
+        bucketMs = 86400000L, period = 7, halfWin = 3)),
+    // ---- CUSUM changepoint (first-split): per tag the |prefix-sum of
+    // deviations| peak over daily counts, with the two segment means
+    "x_cusum_change" -> ((s, dir) =>
+      graft.operators.TsAnalytics.cusumChange(
+        graft.operators.GapFill.bucketCounts(Tables.ts(s, dir),
+          bucketMs = 86400000L, sorted = false),
+        bucketMs = 86400000L)),
     // ---- funnel: strictly-ordered view→click→purchase progression
     // (conditional-min chain per user — no per-user event lists)
     "x_funnel" -> ((s, dir) => {
@@ -1783,6 +1798,20 @@ object SparkEntry {
       |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
       |dense AS (SELECT g.tag, g.bucket * 60000 AS bucket_start,
       |                 CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+      |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)""".stripMargin
+
+  /** Daily twin of [[denseGridSql]]: the full-range all-tag dense
+    * DAILY count grid (c as BIGINT — the seasonal/CUSUM oracles do
+    * integer arithmetic on it).
+    */
+  private def dailyDenseSql: String =
+    s"""WITH t AS (SELECT tag, "timestamp" // 86400000 AS bucket FROM $FROM f),
+      |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM t),
+      |tags AS (SELECT DISTINCT tag FROM t),
+      |grid AS (SELECT tag, unnest(range(lo, hi + 1)) AS bucket FROM tags, b),
+      |c AS (SELECT tag, bucket, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |dense AS (SELECT g.tag, g.bucket,
+      |                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS c
       |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)""".stripMargin
 
   /** Shared oracle fragments for the PII/normalization queries — ONE
@@ -2867,6 +2896,68 @@ object SparkEntry {
         |FROM m LEFT JOIN obs p ON m.tag = p.tag AND m.pb = p.bucket
         |       LEFT JOIN obs n ON m.tag = n.tag AND m.nb = n.bucket
         |ORDER BY m.tag, bucket_start""".stripMargin,
+    // STL-lite decomposition on the dense DAILY grid: trend rounds
+    // half-up in integer space (positive, so // == Spark div); the
+    // detrended values go negative, so seasonal/residual stay single
+    // IEEE divisions of exact integers in mirrored operand order
+    "x_seasonal_decompose" -> (
+      dailyDenseSql + s""",
+        |trended AS (SELECT tag, bucket, c, c * 10000 AS c4,
+        |    sum(c * 10000) OVER w7 AS s_win, count(*) OVER w7 AS n_win
+        |  FROM dense
+        |  WINDOW w7 AS (PARTITION BY tag ORDER BY bucket
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dd AS (SELECT tag, bucket, c, c4,
+        |    (2 * s_win + 7) // (2 * 7) AS t4,
+        |    c4 - ((2 * s_win + 7) // (2 * 7)) AS det4,
+        |    bucket % 7 AS phase
+        |  FROM trended WHERE n_win = 7),
+        |seas AS (SELECT tag, phase,
+        |    CAST(sum(det4) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 10000.0 AS seasonal
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT dd.tag, dd.bucket * 86400000 AS bucket_start,
+        |  CAST(dd.c AS DOUBLE) AS cnt,
+        |  CAST(dd.t4 AS DOUBLE) / 10000.0 AS trend,
+        |  seas.seasonal,
+        |  CAST(dd.det4 AS DOUBLE) / 10000.0 - seas.seasonal AS residual
+        |FROM dd JOIN seas ON dd.tag = seas.tag AND dd.phase = seas.phase
+        |ORDER BY dd.tag, bucket_start""".stripMargin),
+    // CUSUM first-split: integer prefix sums of deviations from the
+    // half-up integer mean; peak row by min-bucket tie-break; empty
+    // segments coalesce to the same -1 sentinel as the Spark side
+    "x_cusum_change" -> (
+      dailyDenseSql + s""",
+        |wm AS (SELECT tag, bucket, c,
+        |    (2 * sum(c * 10000) OVER (PARTITION BY tag)
+        |     + count(*) OVER (PARTITION BY tag))
+        |    // (2 * count(*) OVER (PARTITION BY tag)) AS mean4
+        |  FROM dense),
+        |s AS (SELECT tag, bucket, c, mean4,
+        |    sum(c * 10000 - mean4) OVER (PARTITION BY tag ORDER BY bucket
+        |                                 ROWS UNBOUNDED PRECEDING) AS s4
+        |  FROM wm),
+        |peak AS (SELECT tag, max(abs(s4)) AS peak4 FROM s GROUP BY 1),
+        |change AS (SELECT s.tag, min(bucket) AS cb, min(mean4) AS mean4,
+        |    min(peak.peak4) AS peak4
+        |  FROM s JOIN peak ON s.tag = peak.tag AND abs(s.s4) = peak.peak4
+        |  GROUP BY 1),
+        |seg AS (SELECT s.tag,
+        |    sum(CASE WHEN s.bucket <= change.cb THEN s.c END) AS lsum,
+        |    sum(CASE WHEN s.bucket <= change.cb THEN 1 END) AS ln,
+        |    sum(CASE WHEN s.bucket > change.cb THEN s.c END) AS rsum,
+        |    sum(CASE WHEN s.bucket > change.cb THEN 1 END) AS rn,
+        |    count(*) AS n_points
+        |  FROM s JOIN change ON s.tag = change.tag GROUP BY 1)
+        |SELECT change.tag, change.cb * 86400000 AS change_bucket_start,
+        |  CAST(sc.s4 AS DOUBLE) / 10000.0 AS s_at_change,
+        |  CAST(change.peak4 AS DOUBLE) / 10000.0 AS peak_abs_s,
+        |  CAST(change.mean4 AS DOUBLE) / 10000.0 AS mean,
+        |  coalesce(CAST(seg.lsum AS DOUBLE) / CAST(seg.ln AS DOUBLE), -1.0) AS left_mean,
+        |  coalesce(CAST(seg.rsum AS DOUBLE) / CAST(seg.rn AS DOUBLE), -1.0) AS right_mean,
+        |  seg.n_points
+        |FROM change JOIN seg ON change.tag = seg.tag
+        |JOIN s sc ON sc.tag = change.tag AND sc.bucket = change.cb
+        |ORDER BY change.tag""".stripMargin),
     // the Holt (level, trend) feedback recurrence replayed as a DuckDB
     // RECURSIVE CTE — one iteration per daily bucket (~30/tag), every
     // input integer-exact and every weight a binary-exact double, so

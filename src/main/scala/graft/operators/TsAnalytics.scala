@@ -144,6 +144,120 @@ object TsAnalytics {
       .orderBy(col("tag"))
   }
 
+  /** Classical seasonal decomposition (the moving-average STL-lite:
+    * trend / seasonal / residual) over a DENSE per-tag bucket-count
+    * grid:
+    *   trend_i    = centered (2·halfWin+1)-bucket moving average
+    *                (full windows only — series edges are dropped),
+    *   seasonal_p = mean of (cnt − trend) over each phase
+    *                p = bucket mod period,
+    *   residual_i = (cnt_i − trend_i) − seasonal_{phase(i)}.
+    *
+    * Exactness: counts are integers, so everything folds in scaled-
+    * integer space (1e-4 units). The trend rounds half-up via
+    * `floor((2·num+den)/(2·den))` — positive operands, where Spark
+    * `div` (truncate) and DuckDB `//` (floor) agree; the detrended
+    * values can be NEGATIVE, where those operators diverge, so the
+    * seasonal mean and residual stay as single IEEE divisions /
+    * subtractions of exact integers in mirrored operand order —
+    * deterministic without any float rounding.
+    *
+    * Scale shape: one tag-keyed window (trend), one (tag, phase)
+    * whole-partition window for the seasonal means (a groupBy + join
+    * back would recompute the entire upstream lineage for the second
+    * arm — the dense grid sits on a full-table aggregation), one
+    * output sort. The input flows through ONCE.
+    */
+  def seasonalDecompose(dense: DataFrame, bucketMs: Long, period: Int,
+                        halfWin: Int): DataFrame = {
+    val win = 2 * halfWin + 1
+    val w = Window.partitionBy(col("tag")).orderBy(col("bucket"))
+      .rowsBetween(-halfWin, halfWin)
+    val wPhase = Window.partitionBy(col("tag"), col("phase"))
+    val based = dense.select(col("tag"),
+      expr(s"bucket_start div $bucketMs").as("bucket"),
+      col("cnt").cast("long").as("c"))
+    based
+      .withColumn("c4", col("c") * 10000L)
+      .withColumn("s_win", sum(col("c4")).over(w))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .filter(col("n_win") === win) // centered MA needs the full window
+      .withColumn("t4", expr(s"(2 * s_win + $win) div (2 * $win)"))
+      .withColumn("det4", col("c4") - col("t4"))
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+      .withColumn("seasonal",
+        sum(col("det4")).over(wPhase).cast("double")
+          / count(lit(1)).over(wPhase).cast("double") / 10000.0)
+      .select(col("tag"), (col("bucket") * bucketMs).as("bucket_start"),
+        col("c").cast("double").as("cnt"),
+        (col("t4").cast("double") / 10000.0).as("trend"),
+        col("seasonal"),
+        ((col("det4").cast("double") / 10000.0) - col("seasonal")).as("residual"))
+      .orderBy(col("tag"), col("bucket_start"))
+  }
+
+  /** CUSUM changepoint detection (first-split segmentation): per tag,
+    * the cumulative sum of deviations from the series mean
+    *   S_i = Σ_{j≤i} (cnt_j − mean)
+    * peaks (in |S|) at the most likely single change point. Output per
+    * tag: the change bucket (earliest on ties), S there, the mean, and
+    * the two segment means — the evidence a monitoring stack alerts
+    * on. All arithmetic integer in 1e-4 units (the mean rounds half-up
+    * over positive operands; S and the segment sums stay exact), so
+    * the compare is hash-exact.
+    *
+    * Scale shape: ONE pass — tag-keyed windows derive the mean, the
+    * prefix sums, the |S| peak and the change bucket as per-row
+    * constants, then a single per-tag aggregate folds the segments.
+    * (A join-back formulation would recompute the upstream dense grid
+    * — a full-table aggregation — once per arm; measured 1.3 s vs
+    * ~0.4 s at sf0.1.) Nothing leaves the tag partitioning until the
+    * final 5-row sort.
+    */
+  def cusumChange(dense: DataFrame, bucketMs: Long): DataFrame = {
+    val wTag = Window.partitionBy(col("tag"))
+    val wCum = Window.partitionBy(col("tag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.select(col("tag"),
+        expr(s"bucket_start div $bucketMs").as("bucket"),
+        col("cnt").cast("long").as("c"))
+      // half-up mean in 1e-4 units via unbounded tag windows (same
+      // key as the cumulative window — one shuffle serves all)
+      .withColumn("mean4", expr(
+        "(2 * sum(c * 10000) OVER (PARTITION BY tag) + count(1) OVER (PARTITION BY tag)) div (2 * count(1) OVER (PARTITION BY tag))"))
+      .withColumn("s4", sum(col("c") * 10000L - col("mean4")).over(wCum))
+      .withColumn("peak4", max(abs(col("s4"))).over(wTag))
+      .withColumn("cb",
+        min(when(abs(col("s4")) === col("peak4"), col("bucket"))).over(wTag))
+      .groupBy(col("tag"))
+      .agg(
+        min(col("cb")).as("cb"),
+        // S at the change bucket; mean4/peak4 are per-tag constants —
+        // min() is their deterministic representative
+        min(when(col("bucket") === col("cb"), col("s4"))).as("s4c"),
+        min(col("mean4")).as("mean4"), min(col("peak4")).as("peak4"),
+        // segment folds (change bucket closes the left segment,
+        // matching S's prefix convention)
+        sum(when(col("bucket") <= col("cb"), col("c"))).as("lsum"),
+        sum(when(col("bucket") <= col("cb"), 1L)).as("ln"),
+        sum(when(col("bucket") > col("cb"), col("c"))).as("rsum"),
+        sum(when(col("bucket") > col("cb"), 1L)).as("rn"),
+        count(lit(1)).as("n_points"))
+      .select(col("tag"), (col("cb") * bucketMs).as("change_bucket_start"),
+        (col("s4c").cast("double") / 10000.0).as("s_at_change"),
+        (col("peak4").cast("double") / 10000.0).as("peak_abs_s"),
+        (col("mean4").cast("double") / 10000.0).as("mean"),
+        // a segment can be empty when the peak sits at a series end;
+        // its conditional sums are then NULL (no ANSI /0 — NULL
+        // propagates) and the sentinel mirrors the oracle's coalesce
+        coalesce(col("lsum").cast("double") / col("ln").cast("double"), lit(-1.0))
+          .as("left_mean"),
+        coalesce(col("rsum").cast("double") / col("rn").cast("double"), lit(-1.0))
+          .as("right_mean"),
+        col("n_points"))
+      .orderBy(col("tag"))
+  }
+
   /** Linear interpolation of missing buckets (the TimescaleDB
     * `interpolate()` gap-fill, vs [[GapFill.bucketCounts]]'s zero-fill):
     * per tag, bucket the series to its mean VALUE (exact scaled-integer

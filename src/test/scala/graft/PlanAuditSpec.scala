@@ -145,7 +145,8 @@ class PlanAuditSpec extends SparkSpec {
     // global-bounds aggregate the grid is built from (a broadcast-side
     // plan can elide even that from the explain text). More means a
     // keyed stage collapsed; the global cartesian gate covers the joins.
-    Seq("x_corr_pairs", "x_interp_linear").foreach { n =>
+    Seq("x_corr_pairs", "x_interp_linear", "x_seasonal_decompose",
+        "x_cusum_change").foreach { n =>
       val single = "Exchange SinglePartition".r.findAllIn(planOf(n)).size
       assert(single <= 1,
         s"$n: $single SinglePartition exchanges (expected at most the 1-row bounds agg)")

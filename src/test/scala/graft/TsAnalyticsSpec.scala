@@ -108,6 +108,61 @@ class TsAnalyticsSpec extends SparkSpec {
       ("b", 40L, "obs", 3.0)))
   }
 
+  test("seasonalDecompose: alternating series splits into flat residuals") {
+    // period 2, halfWin 1 over cnt [1,3,1,3,1,3]: every full-window
+    // trend is 5/3 or 7/3, the phase means absorb ALL the deviation,
+    // so residuals are exactly 0 (same doubles subtracted)
+    val dense = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 3.0), ("a", 20L, 1.0),
+      ("a", 30L, 3.0), ("a", 40L, 1.0), ("a", 50L, 3.0)
+    ).toDF("tag", "bucket_start", "cnt")
+    val rows = TsAnalytics.seasonalDecompose(dense, bucketMs = 10L,
+      period = 2, halfWin = 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (10L, 3.0, 1.6667, 1.3333, 0.0),
+      (20L, 1.0, 2.3333, -1.3333, 0.0),
+      (30L, 3.0, 1.6667, 1.3333, 0.0),
+      (40L, 1.0, 2.3333, -1.3333, 0.0)))
+  }
+
+  test("seasonalDecompose: edges without a full centered window are dropped") {
+    val dense = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0))
+      .toDF("tag", "bucket_start", "cnt")
+    val rows = TsAnalytics.seasonalDecompose(dense, bucketMs = 10L,
+      period = 2, halfWin = 1).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L))
+    assert(rows(0).getDouble(3) == 2.0) // trend = (1+2+3)/3
+  }
+
+  test("cusumChange: peak |S| locates the level shift, segment means bracket it") {
+    // cnt [1,1,5,5]: mean 3, S = [-2,-4,-2,0] => change closes at
+    // bucket 1, left mean 1, right mean 5
+    val dense = Seq(
+      ("a", 0L, 1.0), ("a", 10L, 1.0), ("a", 20L, 5.0), ("a", 30L, 5.0)
+    ).toDF("tag", "bucket_start", "cnt")
+    val rows = TsAnalytics.cusumChange(dense, bucketMs = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    assert(rows.toSeq == Seq(("a", 10L, -4.0, 4.0, 3.0, 1.0, 5.0, 4L)))
+  }
+
+  test("cusumChange: ties break to the earliest bucket; empty right segment is sentinel") {
+    // two tags: "t" has |S| tied (peak 1 at buckets 0) — earliest wins;
+    // "one" is a single point, so the right segment is empty => -1
+    val dense = Seq(
+      ("t", 0L, 2.0), ("t", 10L, 4.0),
+      ("one", 0L, 7.0)
+    ).toDF("tag", "bucket_start", "cnt")
+    val rows = TsAnalytics.cusumChange(dense, bucketMs = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    assert(rows.toSeq == Seq(
+      ("one", 0L, 0.0, 7.0, -1.0, 1L),
+      ("t", 0L, -1.0, 2.0, 4.0, 2L)))
+  }
+
   test("interpolateLinear: multi-row buckets average exactly before interpolation") {
     // bucket 0 holds 1.0 and 2.0 => obs mean 1.5; bucket 2 holds 3.5
     val df = TsAnalytics.interpolateLinear(ts(
