@@ -859,6 +859,28 @@ object SparkEntry {
       graft.operators.Forecast.holtLinear(daily.as[graft.model.TS],
         alpha = 0.5, beta = 0.25, horizon = 5)
     }),
+    // ---- additive Holt-Winters (level+trend+weekly seasonal) over
+    // the same daily series: binary-exact weights + integer counts =>
+    // the fold replays bit-for-bit in the recursive-CTE oracle
+    "x_forecast_hw" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.ts(s, dir)
+        .groupBy(col("tag"),
+          (expr("timestamp div 86400000") * 86400000L).as("timestamp"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.Forecast.holtWinters(daily.as[graft.model.TS],
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = 7, horizon = 7)
+    }),
+    // ---- LTTB downsample of the dense minute grid (visualization
+    // shape preservation; no oracle — the per-bucket argmax feedback
+    // recurrence has no recursive-CTE form; spec-gated against an
+    // independent sequential reference)
+    "x_downsample_lttb" -> ((s, dir) => {
+      import s.implicits._
+      val grid = denseGrid(s, dir).select(col("bucket_start").as("timestamp"),
+        col("tag"), col("cnt").as("value"))
+      graft.operators.Downsample.lttb(grid.as[graft.model.TS], threshold = 100)
+    }),
     // ---- k-means corpus profile: sizes + mean norm per embedding
     // cluster (no oracle — iterative float averages are engine-specific)
     "x_cluster_profile" -> ((s, dir) =>
@@ -1813,6 +1835,64 @@ object SparkEntry {
       |dense AS (SELECT g.tag, g.bucket,
       |                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS c
       |          FROM grid g LEFT JOIN c ON g.tag = c.tag AND g.bucket = c.bucket)""".stripMargin
+
+  /** The Holt-Winters oracle: a recursive CTE folding (level, trend,
+    * seas LIST) per tag over the daily series, with the new level
+    * inlined wherever it is consumed (recursive terms cannot name
+    * intermediates) via the [[hwLvl]] fragment.
+    */
+  private def hwOracleSql: String = {
+    val D = "CAST(0.5 AS DOUBLE)"
+    val Q = "CAST(0.25 AS DOUBLE)"
+    val TQ = "CAST(0.75 AS DOUBLE)"
+    val ph = "((i - 1) % 7) + 1" // 1-based seasonal slot of element i
+    val sOld = s"seas[$ph]"
+    // level' = alpha*(y_i - sOld) + (1-alpha)*(level + trend)
+    val lvl = s"($D * (ys[i] - $sOld) + $D * (level + trend))"
+    s"""WITH RECURSIVE base AS (
+      |  SELECT tag, ("timestamp" // 86400000) * 86400000 AS day_ts,
+      |         CAST(count(*) AS DOUBLE) AS value
+      |  FROM $FROM t GROUP BY 1, 2
+      |),
+      |series AS (
+      |  SELECT tag, list(value ORDER BY day_ts) AS ys
+      |  FROM base GROUP BY tag HAVING count(*) >= 14
+      |),
+      |init AS (
+      |  SELECT tag, ys,
+      |    (ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6] + ys[7]) / 7 AS mean1,
+      |    (ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13] + ys[14]) / 7 AS mean2
+      |  FROM series
+      |),
+      |fold AS (
+      |  SELECT tag, ys, 8 AS i, mean1 AS level, (mean2 - mean1) / 7 AS trend,
+      |         [ys[1] - mean1, ys[2] - mean1, ys[3] - mean1, ys[4] - mean1,
+      |          ys[5] - mean1, ys[6] - mean1, ys[7] - mean1] AS seas
+      |  FROM init
+      |  UNION ALL
+      |  SELECT tag, ys, i + 1,
+      |    $lvl,
+      |    $Q * ($lvl - level) + $TQ * trend,
+      |    list_concat(list_concat(
+      |      list_slice(seas, 1, ($ph) - 1),
+      |      [$Q * (ys[i] - $lvl) + $TQ * $sOld]),
+      |      list_slice(seas, ($ph) + 1, 7))
+      |  FROM fold WHERE i <= len(ys)
+      |),
+      |final AS (SELECT tag, ys, level, trend, seas FROM fold WHERE i = len(ys) + 1),
+      |gapt AS (SELECT tag, day_ts - lag(day_ts) OVER (PARTITION BY tag ORDER BY day_ts) AS gap FROM base),
+      |gaps AS (SELECT tag, list_sort(list(gap)) AS gs FROM gapt WHERE gap IS NOT NULL GROUP BY tag),
+      |step AS (SELECT tag, CASE WHEN len(gs) % 2 = 1 THEN gs[len(gs)//2 + 1]
+      |                          ELSE (gs[len(gs)//2] + gs[len(gs)//2 + 1]) // 2 END AS step_ms FROM gaps),
+      |lastt AS (SELECT tag, max(day_ts) AS last_ts FROM base GROUP BY tag)
+      |SELECT f.tag, CAST(h.h AS BIGINT) AS step, l.last_ts + h.h * s.step_ms AS ts,
+      |       round(f.level + h.h * f.trend
+      |             + f.seas[((len(f.ys) + h.h - 1) % 7) + 1], 4) AS yhat
+      |FROM final f
+      |JOIN step s USING (tag) JOIN lastt l USING (tag)
+      |CROSS JOIN (SELECT range AS h FROM range(1, 8)) h
+      |ORDER BY tag, step""".stripMargin
+  }
 
   /** Shared oracle fragments for the PII/normalization queries — ONE
     * definition each (mirroring the factored Scala side), and the regex
@@ -3000,6 +3080,13 @@ object SparkEntry {
         |JOIN step s USING (tag) JOIN lastt l USING (tag)
         |CROSS JOIN (SELECT range AS h FROM range(1, 6)) h
         |ORDER BY tag, step""".stripMargin,
+    // additive Holt-Winters: the same recursive-CTE replay as
+    // x_forecast_holt, with the 7-slot seasonal state carried as a
+    // LIST column (rebuilt by slicing around the active phase each
+    // iteration). level' appears inlined in trend'/seas' — a recursive
+    // term cannot name intermediates. Every weight is a binary-exact
+    // double and the op order mirrors Forecast.holtWinters exactly.
+    "x_forecast_hw" -> hwOracleSql,
     "x_anomaly_zscore" -> (
       denseGridSql + """,
         |stats AS (SELECT tag, bucket_start, cnt,

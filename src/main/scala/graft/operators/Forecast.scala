@@ -72,6 +72,74 @@ object Forecast {
       .orderBy(col("tag"), col("step"))
   }
 
+  /** h-step-ahead additive Holt-Winters (triple exponential smoothing)
+    * forecasts per tag: level + trend + a `period`-slot seasonal
+    * component. The classic seasonal-metric forecaster (daily counts
+    * with a weekly cycle → period 7).
+    *
+    * Same execution shape and determinism contract as [[holtLinear]]:
+    * one groupByKey shuffle, a fixed-order sequential fold per series
+    * (feedback recurrence — not expressible as a window), outputs
+    * rounded to 4. With binary-exact weights and integer-valued inputs
+    * the fold replays bit-for-bit in any IEEE engine, which is what
+    * makes the DuckDB recursive-CTE oracle exact.
+    *
+    * Init (standard): level = mean of season 1, trend = (mean of
+    * season 2 − mean of season 1)/period, seasonal_j = y_j − level.
+    * Series shorter than 2·period emit nothing (no seasonal evidence).
+    * On a pure seasonal signal (pattern repeated, no drift) the
+    * recurrence is a FIXED POINT — level/trend/seasonals don't move
+    * and the forecast replays the pattern exactly — pinned in the
+    * spec.
+    */
+  def holtWinters(ts: Dataset[graft.model.TS], alpha: Double = 0.5,
+                  beta: Double = 0.25, gamma: Double = 0.25,
+                  period: Int = 7, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    require(beta >= 0 && beta <= 1, s"beta=$beta out of [0,1]")
+    require(gamma >= 0 && gamma <= 1, s"gamma=$gamma out of [0,1]")
+    require(period >= 2, s"period=$period must be >= 2")
+    require(horizon >= 1, s"horizon=$horizon must be >= 1")
+    val spark = ts.sparkSession
+    import spark.implicits._
+    ts.groupByKey(_.tag)
+      .flatMapGroups { (tag, rows) =>
+        val pts = rows.toArray.sortBy(_.timestamp)
+        val n = pts.length
+        if (n < 2 * period) Iterator.empty
+        else {
+          val ys = pts.map(_.value)
+          // left-to-right sums, mirrored by the oracle's explicit
+          // element additions — fold order is part of the contract
+          val mean1 = ys.take(period).sum / period
+          val mean2 = ys.slice(period, 2 * period).sum / period
+          var level = mean1
+          var trend = (mean2 - mean1) / period
+          val seas = Array.tabulate(period)(j => ys(j) - mean1)
+          (period until n).foreach { t =>
+            val phase = t % period
+            val sOld = seas(phase)
+            val newLevel = alpha * (ys(t) - sOld) + (1 - alpha) * (level + trend)
+            trend = beta * (newLevel - level) + (1 - beta) * trend
+            seas(phase) = gamma * (ys(t) - newLevel) + (1 - gamma) * sOld
+            level = newLevel
+          }
+          val gaps = pts.sliding(2).map(w => w(1).timestamp - w(0).timestamp).toArray.sorted
+          val stepMs =
+            if (gaps.length % 2 == 1) gaps(gaps.length / 2)
+            else (gaps(gaps.length / 2 - 1) + gaps(gaps.length / 2)) / 2
+          val last = pts.last.timestamp
+          (1 to horizon).iterator.map { h =>
+            val yhat = level + h * trend + seas((n + h - 1) % period)
+            (tag, h.toLong, last + h * stepMs,
+              BigDecimal(yhat).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+      .toDF("tag", "step", "ts", "yhat")
+      .orderBy(col("tag"), col("step"))
+  }
+
   /** Exponentially-weighted moving average over a BOUNDED trailing
     * frame of `frameRows` points per series: collect the frame
     * (`collect_list` over a rows-window), then fold it left with the

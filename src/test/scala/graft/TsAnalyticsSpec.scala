@@ -16,6 +16,64 @@ class TsAnalyticsSpec extends SparkSpec {
   private def ts(rows: (Long, String, Double)*): DataFrame =
     rows.toDF("timestamp", "tag", "value")
 
+  private def tsDs(rows: (Long, String, Double)*) =
+    rows.map(r => graft.model.TS(r._1, r._2, r._3)).toDS()
+
+  test("holtWinters: a pure seasonal signal is a fixed point — forecasts replay the pattern") {
+    // pattern [2,5,8] × 4 at spacing 10: level = mean = 5, trend = 0,
+    // seasonals (−3, 0, 3) never move, so every forecast step lands
+    // exactly on the next pattern value
+    val pts = (0 until 12).map(i =>
+      (i * 10L, "p", Seq(2.0, 5.0, 8.0)(i % 3)))
+    val rows = graft.operators.Forecast.holtWinters(tsDs(pts: _*),
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = 3, horizon = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 120L, 2.0), (2L, 130L, 5.0), (3L, 140L, 8.0)))
+  }
+
+  test("holtWinters: series shorter than two seasons emit nothing") {
+    val pts = (0 until 5).map(i => (i * 10L, "s", 1.0))
+    assert(graft.operators.Forecast.holtWinters(tsDs(pts: _*),
+      period = 3, horizon = 2).count() == 0)
+  }
+
+  test("lttb: short series pass through; long series keep endpoints and threshold size") {
+    import graft.operators.Downsample
+    val short = (0 until 5).map(i => (i * 10L, "a", i.toDouble))
+    assert(Downsample.lttb(tsDs(short: _*), threshold = 10).count() == 5)
+
+    // deterministic pseudo-noisy series, 200 points
+    val long = (0 until 200).map(i =>
+      (i * 10L, "b", ((i * 37) % 101).toDouble))
+    val kept = Downsample.lttb(tsDs(long: _*), threshold = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(kept.length == 20)
+    assert(kept.head == (0L, 0.0) && kept.last == (1990L, (199 * 37 % 101).toDouble))
+    // kept points are a time-ordered subsequence of the input
+    val input = long.map(p => (p._1, p._3)).toSet
+    assert(kept.forall(input.contains))
+    assert(kept.map(_._1).sorted.toSeq == kept.map(_._1).toSeq)
+  }
+
+  test("lttb: distributed result equals the sequential kernel; spike survives") {
+    import graft.operators.Downsample
+    val series = (0 until 100).map(i =>
+      (i * 10L, "k", if (i == 50) 500.0 else (i % 7).toDouble))
+    val dist = Downsample.lttb(tsDs(series: _*), threshold = 12)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = Downsample.lttbKernel(
+      series.map(p => (p._1, p._3)).toArray, 12).toSeq
+    assert(dist == ref)
+    assert(dist.contains((500L, 500.0)), "the spike point must survive LTTB")
+  }
+
+  test("lttb: hand-computed 5-point case picks the high-area interior point") {
+    import graft.operators.Downsample
+    val out = Downsample.lttbKernel(
+      Array((0L, 0.0), (1L, 10.0), (2L, 0.0), (3L, 0.0), (4L, 0.0)), 3)
+    assert(out.toSeq == Seq((0L, 0.0), (1L, 10.0), (4L, 0.0)))
+  }
+
   test("timeWeightedAvg: LOCF weighting, last point weightless, <2-point tags dropped") {
     // a: 1.0 held for 10ms, then 3.0 for 30ms => (10 + 90) / 40 = 2.5
     // b: single point => dropped
