@@ -80,6 +80,25 @@ object StreamingIngest {
       .select(unix_millis(col("window.start")).as("window_start"), col("tag"),
         col("cnt"), col("sum_val"), col("min_val"), col("max_val"))
 
+  /** Tumbling-window OHLC bars per tag on-stream (the streaming twin
+    * of [[graft.operators.TsAnalytics.ohlc]]): open/close picked by
+    * min_by/max_by over the event time — declarative aggregates, so
+    * the window state stays one row per (window, tag) regardless of
+    * tick volume. Same column contract as the batch operator.
+    */
+  def ohlcAgg(ts: DataFrame, window: String = "1 hour",
+              watermark: String = "10 minutes"): DataFrame =
+    withEventTime(ts)
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window), col("tag"))
+      .agg(min_by(col("value"), col("timestamp")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("timestamp")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(unix_millis(col("window.start")).as("bucket_start"), col("tag"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** Sliding-window aggregate per tag (window `size`, sliding every
     * `slide`).
     */

@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC == batch OHLC, and == the TsAnalytics batch operator") {
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.ohlcAgg(mem.toDF(), "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("t_ohlc")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .sortBy(t => (t._1, t._2))
+      val streamed = shape(spark.table("t_ohlc").collect())
+      val batch = shape(StreamingIngest.ohlcAgg(rows.toDF(), "1 minute", "0 seconds")
+        .collect())
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+      // the batch TsAnalytics operator over the same minute buckets
+      // produces the same bars (modulo its (tag, bucket) column order)
+      val viaBatchOp = graft.operators.TsAnalytics.ohlc(rows.toDF(), 60000L)
+        .collect()
+        .map(r => (r.getLong(1), r.getString(0), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.sameElements(viaBatchOp))
+    } finally q.stop()
+  }
+
   test("sliding windows: each row lands in size/slide windows") {
     val mem = MemoryStream[TS]
     val q = StreamingIngest.slidingAgg(mem.toDF(), "1 minute", "30 seconds", "0 seconds")
