@@ -434,6 +434,52 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   /** S4 — truncate (reference: DELETE with empty body). */
   def truncate(): Unit = this.synchronized { commit(Seq.empty, baseVersion()) }
 
+  /** Retention policy (the TimescaleDB `drop_chunks` / InfluxDB
+    * retention analogue): drop every day partition STRICTLY older than
+    * `cutoffMs`'s day bucket. Manifest-only — no data is read or
+    * rewritten, so the cost is O(manifest) regardless of how much
+    * history is dropped (at 100 TB this is the difference between a
+    * pointer update and a table rewrite). Day-granular by design, like
+    * chunk-granular drop_chunks: rows in the cutoff's own (partial)
+    * day survive. Dropped partitions stay readable via [[versionAsOf]]
+    * until [[vacuum]] reaps them. Returns the partition count dropped.
+    */
+  def dropDaysBefore(cutoffMs: Long): Int = this.synchronized {
+    val cutoffDay = Math.floorDiv(cutoffMs, 86400000L)
+    val base = baseVersion()
+    val entries = liveEntries()
+    val (drop, keep) = entries.partition(_.day < cutoffDay)
+    if (drop.nonEmpty) commit(keep, base)
+    drop.size
+  }
+
+  /** Current committed version number (−1 before the first commit). */
+  def version: Long = currentVersionNum
+
+  /** The live (segment, day) partition list — the manifest diff surface
+    * [[ContinuousAggregate]] uses to find changed days.
+    */
+  private[graft] def currentPartitions(): Seq[(String, Long)] =
+    liveEntries().map(e => (e.seg, e.day))
+
+  /** The (segment, day) partition list of a committed version; fails
+    * with the documented message when vacuum has reaped it (callers
+    * fall back to a full recompute).
+    */
+  private[graft] def partitionsAsOf(version: Long): Seq[(String, Long)] = {
+    val m = root.resolve(s"v$version.manifest")
+    require(Files.exists(m),
+      s"version $version not found (never committed, or removed by vacuum)")
+    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine)
+      .map(e => (e.seg, e.day))
+  }
+
+  /** Current snapshot restricted to the given day buckets (carries
+    * `g_day`) — the partition-scoped read an incremental refresh pays.
+    */
+  private[graft] def currentForDays(days: Set[Long]): DataFrame =
+    subset(liveEntries(), days)
+
   /** Live segment count (grows by 1 per insert until compaction). */
   def segmentCount: Int = liveEntries().map(_.seg).distinct.size
 
