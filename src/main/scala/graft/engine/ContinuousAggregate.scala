@@ -144,6 +144,73 @@ final class ContinuousAggregate(spark: SparkSession,
     RefreshStats(sv, newEntries.size, carried.size, full)
   }
 
+  /** Materialized-view query rewrite: answer an eligible
+    * [[graft.model.QueryModel]] from the rollup instead of the raw
+    * store — O(days × tags) rows scanned instead of O(events), the
+    * classic reason a TSDB maintains continuous aggregates at all.
+    *
+    * Eligible: scalar or group-by-tag aggregates (count/sum/min/max/
+    * avg — avg refolds as Σsum/Σcnt) whose timestamp bounds are DAY-
+    * ALIGNED `ge`/`lt` (or absent) and with no `tsEq` — exactly the
+    * queries whose answer is a function of whole day partitions.
+    * Everything else returns None and the caller compiles against the
+    * raw store. Result semantics replicate [[QueryEngine.compile]]
+    * row-for-row (mempty folds on empty input, the tagEq singleton
+    * fallback, canonical ordering, limit).
+    *
+    * Float caveat: Sum/Avg refold per-day partial sums, so low bits
+    * can differ from a raw fold — the same reassociation already
+    * inherent in ANY distributed aggregation (the raw path's partial
+    * aggregates reassociate too); exact for integer-valued series.
+    */
+  def answer(qm: graft.model.QueryModel): Option[DataFrame] = {
+    import graft.model._
+    val D = 86400000L
+    val aligned = qm.gt.isEmpty && qm.le.isEmpty && qm.tsEq.isEmpty &&
+      qm.ge.forall(_ % D == 0) && qm.lt.forall(_ % D == 0)
+    val shapeOk = qm.aggFunc.isDefined && (ResultShape.of(qm) match {
+      case ResultShape.Scalar | ResultShape.Grouped(GroupBy.Tag) => true
+      case _ => false
+    })
+    if (!aligned || !shapeOk) None
+    else {
+      val sliced = Seq(
+        qm.ge.map(v => col("g_day") >= v / D),
+        qm.lt.map(v => col("g_day") < v / D),
+        qm.tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(read())(_ filter _)
+      def rollAgg(a: Agg): org.apache.spark.sql.Column = a match {
+        case Agg.Count => coalesce(sum(col("cnt")), lit(0L)).cast("double")
+        case Agg.Sum   => coalesce(sum(col("sum_val")), lit(0.0))
+        // empty => NULL/NULL = NULL, same as a raw avg over no rows
+        case Agg.Avg   => sum(col("sum_val")) / sum(col("cnt"))
+        case Agg.Min   => coalesce(min(col("min_val")), lit(Double.PositiveInfinity))
+        case Agg.Max   => coalesce(max(col("max_val")), lit(Double.NegativeInfinity))
+      }
+      val a = qm.aggFunc.get
+      ResultShape.of(qm) match {
+        case ResultShape.Scalar =>
+          Some(sliced.agg(rollAgg(a).as("result")))
+        case _ =>
+          val grouped = sliced.groupBy(col("tag").as("grp"))
+            .agg(rollAgg(a).as("result"))
+          // same singleton-fallback law as QueryEngine.compile: with
+          // tagEq the group always exists, mempty-folded if empty
+          val withSingleton = qm.tagEq match {
+            case Some(t) =>
+              val fallback = spark.range(1)
+                .select(lit(t).as("grp"),
+                  lit(QueryEngine.emptyGroupValue(a)).as("result"))
+                .join(grouped, Seq("grp"), "left_anti")
+              grouped.unionAll(fallback)
+            case None => grouped
+          }
+          val ordered = withSingleton.orderBy(asc("grp"))
+          Some(qm.limit.fold(ordered)(ordered.limit))
+      }
+    }
+  }
+
   /** Snapshot read of the rollup: (g_day, tag, cnt, sum_val, min_val,
     * max_val). Day slices of stale segments are pruned at directory
     * level, same as the store's read.

@@ -78,7 +78,7 @@ object QueryEngine {
     * what the reference's monoid fold + `fromMaybe 0` (grouped avg,
     * Queries.hs:151) produce.
     */
-  private def emptyGroupValue(agg: Agg): Double = agg match {
+  private[engine] def emptyGroupValue(agg: Agg): Double = agg match {
     case Agg.Count | Agg.Sum | Agg.Avg => 0.0
     case Agg.Min => Double.PositiveInfinity
     case Agg.Max => Double.NegativeInfinity

@@ -188,7 +188,8 @@ object StreamingIngest {
     * streaming analogue of the reference's uniqueness rejection).
     * Returns the ready-to-start writer.
     */
-  def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore)
+  def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore,
+                    rollup: Option[graft.engine.ContinuousAggregate] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       val spark = batch.sparkSession
@@ -199,6 +200,12 @@ object StreamingIngest {
       if (!fresh.isEmpty) {
         store.insert(fresh).left.foreach(e =>
           throw new IllegalStateException(e.message))
+        // continuous-aggregate freshness rides the ingest trigger:
+        // refresh cost is O(this batch's days) (manifest diff), so
+        // per-trigger is the right cadence — and a crashed trigger
+        // re-runs it idempotently (an already-reflected store version
+        // is a no-op)
+        rollup.foreach(_.refresh())
       }
     }}
 

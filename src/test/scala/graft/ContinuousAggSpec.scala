@@ -84,6 +84,48 @@ class ContinuousAggSpec extends SparkSpec {
     assert(shape(agg.read()) == shape(recompute(st)))
   }
 
+  test("rollup rewrite: every eligible QueryModel answers identically to the raw compile") {
+    import graft.engine.QueryEngine
+    import graft.model._
+    val (st, agg) = fresh()
+    // integer values => per-day partial sums refold exactly, so the
+    // rollup answer must equal the raw answer bit-for-bit
+    st.insert((for (d <- 0L until 4L; i <- 0L until 3L; t <- Seq("a", "b"))
+      yield TS(day(d, i * 1000 + t.hashCode.abs % 7), t, (d * 10 + i).toDouble))
+      .distinct.toDS())
+    agg.refresh()
+    val aggs = Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min, Agg.Max)
+    val models =
+      aggs.map(a => QueryModel(aggFunc = Some(a))) ++                       // scalar, full
+      aggs.map(a => QueryModel(ge = Some(day(1)), lt = Some(day(3)),
+        aggFunc = Some(a))) ++                                              // scalar, day range
+      aggs.map(a => QueryModel(tagEq = Some("a"), aggFunc = Some(a))) ++    // scalar, tag slice
+      aggs.map(a => QueryModel(aggFunc = Some(a),
+        groupBy = Some(GroupBy.Tag))) ++                                    // grouped
+      aggs.map(a => QueryModel(ge = Some(day(2)), aggFunc = Some(a),
+        groupBy = Some(GroupBy.Tag), limit = Some(1))) ++                   // grouped + limit
+      // tagEq singleton over an EMPTY day range: the mempty-fold law
+      aggs.map(a => QueryModel(ge = Some(day(9)), lt = Some(day(10)),
+        tagEq = Some("a"), aggFunc = Some(a), groupBy = Some(GroupBy.Tag)))
+    models.foreach { qm =>
+      val viaRollup = agg.answer(qm)
+      assert(viaRollup.isDefined, s"expected rollup-answerable: $qm")
+      val got = viaRollup.get.collect().map(_.toSeq).toSeq
+      val want = QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq
+      assert(got == want, s"rollup answer diverged for $qm: got=$got want=$want")
+    }
+    // ineligible shapes fall through to the raw path
+    assert(agg.answer(QueryModel(tsEq = Some(day(1)),
+      aggFunc = Some(Agg.Count))).isEmpty)               // point lookup
+    assert(agg.answer(QueryModel(ge = Some(day(1) + 1),
+      aggFunc = Some(Agg.Count))).isEmpty)               // unaligned bound
+    assert(agg.answer(QueryModel(gt = Some(day(1)),
+      aggFunc = Some(Agg.Count))).isEmpty)               // gt (exclusive ms bound)
+    assert(agg.answer(QueryModel(aggFunc = Some(Agg.Count),
+      groupBy = Some(GroupBy.Timestamp))).isEmpty)       // ms-granular grouping
+    assert(agg.answer(QueryModel()).isEmpty)             // collect shape
+  }
+
   test("retention: dropDaysBefore is manifest-only, day-granular, time-travel-safe") {
     val (st, agg) = fresh()
     st.insert((0L until 4L).map(d => TS(day(d, 7), "a", d.toDouble)).toDS())

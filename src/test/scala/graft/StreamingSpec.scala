@@ -399,6 +399,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps the continuous aggregate fresh per trigger") {
+    import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+    import org.apache.spark.sql.functions._
+    val store = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cagg-ing-store").toString)
+    val agg = new ContinuousAggregate(spark, store,
+      java.nio.file.Files.createTempDirectory("graft-cagg-ing").toString)
+    val DAY = 86400000L
+    def recompute() = store.current().groupBy(col("g_day"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("g_day", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Some(agg)).start()
+    try {
+      mem.addData(TS(0L, "a", 1.0), TS(DAY, "b", 2.0))
+      q.processAllAvailable()
+      assert(shape(agg.read()) == shape(recompute()))
+      // second trigger touches one old day + one new day; the rollup
+      // follows without an explicit refresh call
+      mem.addData(TS(5L, "a", 3.0), TS(2 * DAY, "c", 4.0))
+      q.processAllAvailable()
+      assert(shape(agg.read()) == shape(recompute()))
+      // (d0,a) folds both rows into one; (d1,b) and (d2,c) one each
+      assert(agg.read().count() == 3)
+      assert(agg.read().filter(col("g_day") === 0L).select("cnt")
+        .collect().head.getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming ingest: restart from checkpoint is exactly-once; equals batch-built store") {
     import graft.engine.TimeSeriesStore
     val storeDir = java.nio.file.Files.createTempDirectory("graft-restart-store").toString
