@@ -148,6 +148,48 @@ object SparkEntry {
       })
     }
 
+  /** Continuous-aggregate fixture per sf dir: a real
+    * [[graft.engine.TimeSeriesStore]] loaded ONCE per JVM from the
+    * events fixture (temp dir; a deployment's store is durable), with
+    * its day×tag rollup ([[graft.engine.ContinuousAggregate]])
+    * refreshed to the store head. Every ts3_cagg_* query is answered
+    * FROM THE ROLLUP via the materialized-view rewrite
+    * (`ContinuousAggregate.answer`) — O(days × tags) rows scanned
+    * instead of O(events), the reason a TSDB maintains continuous
+    * aggregates. The DuckDB oracles aggregate the raw events directly,
+    * so a hash match proves rewrite == direct aggregation.
+    */
+  private val caggPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  sys.addShutdownHook {
+    caggPaths.values.foreach { case (st, agg) =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(st), swallow = true)
+      graft.Fs.deleteTree(java.nio.file.Paths.get(agg), swallow = true)
+    }
+  }
+
+  private def caggFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggPaths.synchronized {
+      val (stPath, aggPath) = caggPaths.getOrElseUpdate(dir, {
+        import s.implicits._
+        val stTmp = java.nio.file.Files.createTempDirectory("graft-cagg-store").toString
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rollup").toString
+        val st = new graft.engine.TimeSeriesStore(s, stTmp)
+        st.insert(Tables.ts(s, dir).as[TS]).left.foreach(errs =>
+          throw new IllegalStateException(
+            s"cagg fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
+        new graft.engine.ContinuousAggregate(s, st, aggTmp).refresh()
+        (stTmp, aggTmp)
+      })
+      new graft.engine.ContinuousAggregate(
+        s, new graft.engine.TimeSeriesStore(s, stPath), aggPath)
+    }
+
+  private def caggAnswer(s: SparkSession, dir: String, qm: QueryModel): DataFrame =
+    caggFor(s, dir).answer(qm).getOrElse(throw new IllegalStateException(
+      s"ts3 query no longer rollup-eligible — the rewrite gate regressed: $qm"))
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -609,6 +651,18 @@ object SparkEntry {
         QueryModel(ge = Some(820454400000L), lt = Some(883612800000L),
           aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Timestamp),
           limit = Some(500)))),
+    // ---- TS3: continuous-aggregate rewrite (beyond-reference): the
+    // SAME QueryModel shapes as G6/A1, answered from the persisted
+    // day×tag rollup instead of the raw store. The oracles aggregate
+    // raw events — hash match proves rewrite == direct aggregation.
+    "ts3_cagg_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(ge = Some(T1), lt = Some(T2),
+        aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
+    "ts3_cagg_group_tag_min" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag)))),
+    "ts3_cagg_scalar_sum" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Sum)))
+      .withColumn("result", round(col("result"), 4))),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2126,6 +2180,12 @@ object SparkEntry {
       s"""SELECT "timestamp", tag, value FROM ${Tables.tsLineitemOracleFrom} t WHERE "timestamp" >= 820454400000 AND "timestamp" < 883612800000 ORDER BY "timestamp" DESC, tag, value LIMIT 1000""",
     "ts2_li_group_ts_count" ->
       s"""SELECT "timestamp" AS grp, CAST(count(*) AS DOUBLE) AS result FROM ${Tables.tsLineitemOracleFrom} t WHERE "timestamp" >= 820454400000 AND "timestamp" < 883612800000 GROUP BY 1 ORDER BY grp LIMIT 500""",
+    "ts3_cagg_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_group_tag_min" ->
+      s"""SELECT tag AS grp, min(value) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_scalar_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE $range""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

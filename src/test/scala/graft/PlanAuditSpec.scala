@@ -153,6 +153,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ts3 cagg queries are answered from the rollup, never the raw store") {
+    // the rewrite's whole value is O(days × tags) rows instead of
+    // O(events): the compiled plan must scan ONLY the rollup segments
+    // (paths under the cagg fixture's rollup temp dir), never the
+    // store's event segments or the events fixture itself. A raw-path
+    // scan sneaking in here silently re-prices the query at corpus
+    // scale while still returning correct answers — exactly the
+    // regression plan text catches and results can't.
+    Seq("ts3_cagg_group_tag_count", "ts3_cagg_group_tag_min",
+        "ts3_cagg_scalar_sum").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("graft-cagg-rollup"),
+        s"$n: plan does not read the rollup segments")
+      assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
+        s"$n: plan reads the raw store — the rewrite fell through")
+    }
+  }
+
   test("top-k paths use TakeOrderedAndProject, not a global sort") {
     val topk = Seq("o1_l1_topk_recent", "ts2_li_range_topk",
       "x_search_bm25", "x_heavy_hitters",
