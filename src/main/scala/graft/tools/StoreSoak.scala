@@ -133,6 +133,53 @@ object StoreSoak {
     println(f"[soak] classifier: iters=$iters full=$tFull%.2fs mini(b=4)=$tMini%.2fs " +
       f"full/mini=${tFull / tMini}%.2fx scoreScan=$tScore%.2fs")
 
+    // ---- 4. Continuous-aggregate refresh-cost flatness ------------
+    // N daily ingests of constant size into a store whose history
+    // grows N×; after each, ONE rollup refresh. The design claim is
+    // refresh cost = O(changed days) — the manifest diff isolates the
+    // ingested day, so per-refresh time stays flat while a full
+    // recompute (what a view without incremental maintenance pays)
+    // grows with history. Also measures the rewrite payoff: the same
+    // group-by-tag aggregate answered from the rollup vs the raw store.
+    import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+    import graft.model.{Agg, GroupBy, QueryModel, TS}
+    val DAYMS = 86400000L
+    val rowsPerDay = 50000
+    // unique (timestamp, tag) by construction: timestamp = day + id
+    def dayBatch(d: Int) = spark.range(rowsPerDay).select(
+      (lit(d * DAYMS) + col("id")).as("timestamp"),
+      concat(lit("t"), (col("id") % 8).cast("string")).as("tag"),
+      ((col("id") % 1000) / 10.0).as("value")).as[TS]
+    val stDir = java.nio.file.Files.createTempDirectory("soak-cagg-store").toString
+    val st = new TimeSeriesStore(spark, stDir)
+    val cagg = new ContinuousAggregate(spark, st,
+      java.nio.file.Files.createTempDirectory("soak-cagg").toString)
+    val D = 10
+    val refreshTimes = (0 until D).map { d =>
+      st.insert(dayBatch(d)).left.foreach(e => sys.error(e.messages.mkString(";")))
+      val (stats, t) = timed(cagg.refresh())
+      assert(stats.recomputedDays == 1 && stats.carriedDays == d,
+        s"manifest diff missed: $stats")
+      t
+    }
+    // what a non-incremental view pays on the FINAL history, per refresh
+    val fresh = new ContinuousAggregate(spark, st,
+      java.nio.file.Files.createTempDirectory("soak-cagg-full").toString)
+    val (fullStats, tFullRecompute) = timed(fresh.refresh())
+    assert(fullStats.full && cagg.read().count() == fresh.read().count())
+    // rewrite payoff: same aggregate from the rollup vs the raw store
+    val qm = QueryModel(aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))
+    val tRollup = median3(cagg.answer(qm).get
+      .write.mode("overwrite").format("noop").save())
+    val tRaw = median3(graft.engine.QueryEngine.compile(
+        st.current().select(col("timestamp"), col("tag"), col("value")), qm)
+      .write.mode("overwrite").format("noop").save())
+    println(f"[soak] cagg: refreshes(s)=${refreshTimes.map(t => f"$t%.2f").mkString(",")}")
+    println(f"[soak] cagg: first3=${refreshTimes.take(3).sorted.apply(1)}%.2fs last3=${refreshTimes.takeRight(3).sorted.apply(1)}%.2fs " +
+      f"flatness=${refreshTimes.takeRight(3).sorted.apply(1) / refreshTimes.take(3).sorted.apply(1)}%.2fx " +
+      f"fullRecompute=$tFullRecompute%.2fs (history=${D}d x $rowsPerDay rows)")
+    println(f"[soak] cagg rewrite: rollupAnswer=$tRollup%.2fs rawAnswer=$tRaw%.2fs speedup=${tRaw / tRollup}%.1fx")
+
     spark.stop()
   }
 }
