@@ -159,35 +159,43 @@ object SparkEntry {
     * aggregates. The DuckDB oracles aggregate the raw events directly,
     * so a hash match proves rewrite == direct aggregation.
     */
-  private val caggPaths =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val caggStorePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val caggRollupPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
 
   sys.addShutdownHook {
-    caggPaths.values.foreach { case (st, agg) =>
-      graft.Fs.deleteTree(java.nio.file.Paths.get(st), swallow = true)
-      graft.Fs.deleteTree(java.nio.file.Paths.get(agg), swallow = true)
-    }
+    (caggStorePaths.values ++ caggRollupPaths.values).foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
   }
 
-  private def caggFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
-    caggPaths.synchronized {
-      val (stPath, aggPath) = caggPaths.getOrElseUpdate(dir, {
+  /** One store per sf dir; one rollup per (sf dir, bucket grain) —
+    * the daily and hourly caggs hang off the SAME store, like multiple
+    * materialized views over one hypertable. */
+  private def caggFor(s: SparkSession, dir: String,
+                      bucketMs: Long = 86400000L): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val stPath = caggStorePaths.getOrElseUpdate(dir, {
         import s.implicits._
         val stTmp = java.nio.file.Files.createTempDirectory("graft-cagg-store").toString
-        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rollup").toString
         val st = new graft.engine.TimeSeriesStore(s, stTmp)
         st.insert(Tables.ts(s, dir).as[TS]).left.foreach(errs =>
           throw new IllegalStateException(
             s"cagg fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
-        new graft.engine.ContinuousAggregate(s, st, aggTmp).refresh()
-        (stTmp, aggTmp)
+        stTmp
       })
-      new graft.engine.ContinuousAggregate(
-        s, new graft.engine.TimeSeriesStore(s, stPath), aggPath)
+      val st = new graft.engine.TimeSeriesStore(s, stPath)
+      val aggPath = caggRollupPaths.getOrElseUpdate((dir, bucketMs), {
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rollup").toString
+        new graft.engine.ContinuousAggregate(s, st, aggTmp, bucketMs).refresh()
+        aggTmp
+      })
+      new graft.engine.ContinuousAggregate(s, st, aggPath, bucketMs)
     }
 
-  private def caggAnswer(s: SparkSession, dir: String, qm: QueryModel): DataFrame =
-    caggFor(s, dir).answer(qm).getOrElse(throw new IllegalStateException(
+  private def caggAnswer(s: SparkSession, dir: String, qm: QueryModel,
+                         bucketMs: Long = 86400000L): DataFrame =
+    caggFor(s, dir, bucketMs).answer(qm).getOrElse(throw new IllegalStateException(
       s"ts3 query no longer rollup-eligible — the rewrite gate regressed: $qm"))
 
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
@@ -662,6 +670,16 @@ object SparkEntry {
       QueryModel(aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag)))),
     "ts3_cagg_scalar_sum" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Sum)))
+      .withColumn("result", round(col("result"), 4))),
+    // hourly-grain rollup over the SAME store: hour-aligned sub-day
+    // windows (T1+6h .. T1+30h) that the daily rollup cannot answer
+    "ts3_cagg_hourly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(ge = Some(T1 + 21600000L), lt = Some(T1 + 108000000L),
+        aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
+      bucketMs = 3600000L)),
+    "ts3_cagg_hourly_scalar_sum" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(ge = Some(T1 + 21600000L), lt = Some(T1 + 108000000L),
+        aggFunc = Some(Agg.Sum)), bucketMs = 3600000L)
       .withColumn("result", round(col("result"), 4))),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
@@ -2186,6 +2204,10 @@ object SparkEntry {
       s"""SELECT tag AS grp, min(value) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_scalar_sum" ->
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE $range""",
+    "ts3_cagg_hourly_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 21600000L} AND "timestamp" < ${T1 + 108000000L} GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_hourly_scalar_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 21600000L} AND "timestamp" < ${T1 + 108000000L}""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

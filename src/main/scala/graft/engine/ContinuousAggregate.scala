@@ -6,9 +6,17 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Continuous aggregate (the TimescaleDB continuous-aggregate /
-  * materialized-rollup analogue, beyond-reference): a per-(day, tag)
+  * materialized-rollup analogue, beyond-reference): a per-(bucket, tag)
   * rollup of a [[TimeSeriesStore]] — cnt / sum / min / max — kept
   * fresh INCREMENTALLY.
+  *
+  * `bucketMs` is the aggregation grain (Timescale's `time_bucket`
+  * width): day by default, any divisor of a day (e.g. hourly) for
+  * multi-resolution rollups. The DAY stays the refresh/storage unit
+  * regardless — manifests diff whole day partitions, so a bucket never
+  * straddles the incremental-recompute boundary (hence the divisor
+  * requirement), and an hourly rollup costs the same O(changed days)
+  * refresh as the daily one, just at 24× the stored rows.
   *
   * The refresh finds changed days by DIFFING THE STORE'S MANIFESTS
   * (the version it last reflected vs the current one): every store
@@ -29,7 +37,11 @@ import scala.jdk.CollectionConverters._
   * readers are snapshot-isolated via the immutable manifest chain.
   */
 final class ContinuousAggregate(spark: SparkSession,
-                                store: TimeSeriesStore, pathStr: String) {
+                                store: TimeSeriesStore, pathStr: String,
+                                bucketMs: Long = 86400000L) {
+  require(bucketMs > 0 && 86400000L % bucketMs == 0,
+    s"bucketMs=$bucketMs must be a positive divisor of a day — the day " +
+      "is the manifest-diff refresh unit, so a bucket must never straddle it")
 
   /** One refresh's outcome: how much work the incremental path saved. */
   final case class RefreshStats(storeVersion: Long, recomputedDays: Int,
@@ -76,6 +88,8 @@ final class ContinuousAggregate(spark: SparkSession,
   }
 
   private val aggSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket_start",
+      org.apache.spark.sql.types.LongType, nullable = false),
     org.apache.spark.sql.types.StructField("tag",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("cnt",
@@ -93,7 +107,9 @@ final class ContinuousAggregate(spark: SparkSession,
     * shared by the incremental and full paths so they cannot drift.
     */
   private def rollup(slice: DataFrame): DataFrame =
-    slice.groupBy(col("g_day"), col("tag"))
+    slice
+      .withColumn("bucket_start", expr(s"timestamp div $bucketMs") * bucketMs)
+      .groupBy(col("g_day"), col("bucket_start"), col("tag"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"))
 
@@ -150,9 +166,11 @@ final class ContinuousAggregate(spark: SparkSession,
     * classic reason a TSDB maintains continuous aggregates at all.
     *
     * Eligible: scalar or group-by-tag aggregates (count/sum/min/max/
-    * avg — avg refolds as Σsum/Σcnt) whose timestamp bounds are DAY-
-    * ALIGNED `ge`/`lt` (or absent) and with no `tsEq` — exactly the
-    * queries whose answer is a function of whole day partitions.
+    * avg — avg refolds as Σsum/Σcnt) whose timestamp bounds are
+    * BUCKET-ALIGNED `ge`/`lt` (or absent) and with no `tsEq` — exactly
+    * the queries whose answer is a function of whole buckets (an
+    * hourly rollup answers any hour-aligned window, the daily one only
+    * day-aligned windows).
     * Everything else returns None and the caller compiles against the
     * raw store. Result semantics replicate [[QueryEngine.compile]]
     * row-for-row (mempty folds on empty input, the tagEq singleton
@@ -167,16 +185,19 @@ final class ContinuousAggregate(spark: SparkSession,
     import graft.model._
     val D = 86400000L
     val aligned = qm.gt.isEmpty && qm.le.isEmpty && qm.tsEq.isEmpty &&
-      qm.ge.forall(_ % D == 0) && qm.lt.forall(_ % D == 0)
+      qm.ge.forall(_ % bucketMs == 0) && qm.lt.forall(_ % bucketMs == 0)
     val shapeOk = qm.aggFunc.isDefined && (ResultShape.of(qm) match {
       case ResultShape.Scalar | ResultShape.Grouped(GroupBy.Tag) => true
       case _ => false
     })
     if (!aligned || !shapeOk) None
     else {
+      // bucket_start bounds give exactness at the bucket grain; the
+      // derived g_day bounds add directory-level partition pruning (a
+      // bucket never straddles a day, so the day floor/ceil are safe)
       val sliced = Seq(
-        qm.ge.map(v => col("g_day") >= v / D),
-        qm.lt.map(v => col("g_day") < v / D),
+        qm.ge.map(v => col("bucket_start") >= v && col("g_day") >= v / D),
+        qm.lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / D),
         qm.tagEq.map(col("tag") === _)
       ).flatten.foldLeft(read())(_ filter _)
       def rollAgg(a: Agg): org.apache.spark.sql.Column = a match {
@@ -211,9 +232,9 @@ final class ContinuousAggregate(spark: SparkSession,
     }
   }
 
-  /** Snapshot read of the rollup: (g_day, tag, cnt, sum_val, min_val,
-    * max_val). Day slices of stale segments are pruned at directory
-    * level, same as the store's read.
+  /** Snapshot read of the rollup: (bucket_start, tag, cnt, sum_val,
+    * min_val, max_val, g_day). Day slices of stale segments are pruned
+    * at directory level, same as the store's read.
     */
   def read(): DataFrame = readState() match {
     case None | Some(State(_, Seq())) =>

@@ -126,6 +126,60 @@ class ContinuousAggSpec extends SparkSpec {
     assert(agg.answer(QueryModel()).isEmpty)             // collect shape
   }
 
+  test("hourly cagg: bucket grain below the day refresh unit, same incremental cost model") {
+    import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
+    import graft.model._
+    val HOUR = 3600000L
+    val st = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cagg-store-h").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      java.nio.file.Files.createTempDirectory("graft-cagg-h").toString,
+      bucketMs = HOUR)
+    // integer values spread over hours 0, 5, 23 of 3 days => refolds exact
+    st.insert((for (d <- 0L until 3L; h <- Seq(0L, 5L, 23L); t <- Seq("a", "b"))
+      yield TS(day(d, h * HOUR + t.hashCode.abs % 97), t, (d * 24 + h).toDouble))
+      .distinct.toDS())
+    val s0 = agg.refresh()
+    assert(s0.full && s0.recomputedDays == 3)
+    // rollup content: one row per (hour bucket, tag)
+    assert(agg.read().count() == 3 * 3 * 2)
+    // hour-aligned SUB-DAY windows are eligible and equal the raw
+    // compile — the resolution the daily rollup cannot answer
+    val aggsL = Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min, Agg.Max)
+    val models =
+      aggsL.map(a => QueryModel(ge = Some(day(0, 5 * HOUR)),
+        lt = Some(day(1, 6 * HOUR)), aggFunc = Some(a))) ++
+      aggsL.map(a => QueryModel(ge = Some(day(1, 23 * HOUR)),
+        aggFunc = Some(a), groupBy = Some(GroupBy.Tag))) ++
+      aggsL.map(a => QueryModel(lt = Some(day(2)), tagEq = Some("b"),
+        aggFunc = Some(a), groupBy = Some(GroupBy.Tag)))
+    models.foreach { qm =>
+      val viaRollup = agg.answer(qm)
+      assert(viaRollup.isDefined, s"expected hourly-rollup-answerable: $qm")
+      val got = viaRollup.get.collect().map(_.toSeq).toSeq
+      val want = QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq
+      assert(got == want, s"hourly rollup diverged for $qm: got=$got want=$want")
+    }
+    // sub-hour bound: ineligible at this grain
+    assert(agg.answer(QueryModel(ge = Some(day(0, HOUR / 2)),
+      aggFunc = Some(Agg.Count))).isEmpty)
+    // incremental refresh is still DAY-scoped: touching one hour
+    // recomputes that day only, carries the others
+    assert(st.insert(Seq(TS(day(1, 11 * HOUR), "c", 1.0)).toDS()).isRight)
+    val s1 = agg.refresh()
+    assert(!s1.full && s1.recomputedDays == 1 && s1.carriedDays == 2)
+    val want = st.current()
+      .groupBy((col("timestamp") / HOUR).cast("long") * HOUR, col("tag"))
+      .count().count()
+    assert(agg.read().count() == want)
+    // a bucket that straddles the day refresh unit is rejected loudly
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        java.nio.file.Files.createTempDirectory("graft-cagg-bad").toString,
+        bucketMs = 7 * HOUR)
+    }
+  }
+
   test("retention: dropDaysBefore is manifest-only, day-granular, time-travel-safe") {
     val (st, agg) = fresh()
     st.insert((0L until 4L).map(d => TS(day(d, 7), "a", d.toDouble)).toDS())
