@@ -681,6 +681,15 @@ object SparkEntry {
       QueryModel(ge = Some(T1 + 21600000L), lt = Some(T1 + 108000000L),
         aggFunc = Some(Agg.Sum)), bucketMs = 3600000L)
       .withColumn("result", round(col("result"), 4))),
+    // window refold: a 6-hour tumbling window answered from the hourly
+    // rollup (w1's shape at a grain the daily rollup cannot reach)
+    "ts3_cagg_window_6h" -> ((s, dir) =>
+      caggFor(s, dir, bucketMs = 3600000L).answerWindow(21600000L)
+        .getOrElse(throw new IllegalStateException(
+          "6h window no longer refoldable from the hourly rollup"))
+        .select(col("window_start"), col("tag"),
+          col("cnt").cast("double").as("cnt"),
+          round(col("sum_val"), 4).as("sum_val"))),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2208,6 +2217,8 @@ object SparkEntry {
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 21600000L} AND "timestamp" < ${T1 + 108000000L} GROUP BY tag ORDER BY grp""",
     "ts3_cagg_hourly_scalar_sum" ->
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 21600000L} AND "timestamp" < ${T1 + 108000000L}""",
+    "ts3_cagg_window_6h" ->
+      s"""SELECT ("timestamp" // 21600000) * 21600000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

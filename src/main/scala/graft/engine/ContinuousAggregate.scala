@@ -232,6 +232,30 @@ final class ContinuousAggregate(spark: SparkSession,
     }
   }
 
+  /** Tumbling-window aggregate answered by REFOLDING rollup buckets
+    * into coarser windows — the rollup-to-coarser-grain rewrite (an
+    * hourly rollup answers any N-hour tumbling window, the daily one
+    * any N-day window). Returns (window_start, tag, cnt, sum_val,
+    * min_val, max_val) in canonical (window_start, tag) order, equal
+    * to the same windowed aggregate computed from raw events (count/
+    * min/max exactly; sum refolds per-bucket partials — the same
+    * reassociation any distributed aggregation has).
+    *
+    * None when `widthMs` is not a positive multiple of the bucket
+    * grain (a window would straddle buckets) — the caller computes
+    * from the raw store instead.
+    */
+  def answerWindow(widthMs: Long): Option[DataFrame] =
+    if (widthMs <= 0 || widthMs % bucketMs != 0) None
+    else Some {
+      read()
+        .groupBy((expr(s"bucket_start div $widthMs") * widthMs).as("window_start"),
+          col("tag"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"),
+          min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+        .orderBy(asc("window_start"), asc("tag"))
+    }
+
   /** Snapshot read of the rollup: (bucket_start, tag, cnt, sum_val,
     * min_val, max_val, g_day). Day slices of stale segments are pruned
     * at directory level, same as the store's read.

@@ -178,6 +178,21 @@ class ContinuousAggSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-cagg-bad").toString,
         bucketMs = 7 * HOUR)
     }
+    // window refold: any multiple of the bucket grain is answerable
+    // from the rollup and equals the raw windowed aggregate
+    val W = 6 * HOUR
+    val viaRollup = agg.answerWindow(W).get
+      .collect().map(_.toSeq).toSeq
+    val raw = st.current()
+      .groupBy((expr(s"timestamp div $W") * W).as("window_start"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .orderBy(col("window_start"), col("tag"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaRollup == raw, s"window refold diverged: got=$viaRollup want=$raw")
+    // a window that straddles buckets falls through to the raw path
+    assert(agg.answerWindow(90 * 60000L).isEmpty)
+    assert(agg.answerWindow(0L).isEmpty)
   }
 
   test("retention: dropDaysBefore is manifest-only, day-granular, time-travel-safe") {

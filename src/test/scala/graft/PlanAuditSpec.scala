@@ -163,7 +163,7 @@ class PlanAuditSpec extends SparkSpec {
     // regression plan text catches and results can't.
     Seq("ts3_cagg_group_tag_count", "ts3_cagg_group_tag_min",
         "ts3_cagg_scalar_sum", "ts3_cagg_hourly_group_tag_count",
-        "ts3_cagg_hourly_scalar_sum").foreach { n =>
+        "ts3_cagg_hourly_scalar_sum", "ts3_cagg_window_6h").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
         s"$n: plan does not read the rollup segments")
