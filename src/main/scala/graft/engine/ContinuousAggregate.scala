@@ -21,7 +21,9 @@ import scala.jdk.CollectionConverters._
   * The refresh finds changed days by DIFFING THE STORE'S MANIFESTS
   * (the version it last reflected vs the current one): every store
   * mutation is partition-scoped, so a day's data changed iff its
-  * (segment, day) entry set changed. Only those days are re-aggregated
+  * CONTENT ID changed (entries carry content tokens that a store
+  * compact preserves — compaction moves bytes without touching them,
+  * so it recomputes nothing here). Only changed days are re-aggregated
   * (one pruned partition read each); every other day's rollup file is
   * carried forward by manifest pointer, byte-untouched — the same
   * Delta-style pointer-reuse the store itself uses. At 100 TB this is
@@ -29,8 +31,7 @@ import scala.jdk.CollectionConverters._
   * and costing O(history).
   *
   * Fallbacks are loud-to-cheap, never wrong: an unchanged version is a
-  * no-op; a reaped (vacuumed) old manifest or a store [[TimeSeriesStore
-  * .compact]] (which rewrites every entry) degrades to a full
+  * no-op; a reaped (vacuumed) old manifest degrades to a full
   * recompute — conservative, still correct.
   *
   * Single-writer per aggregate (like the store's mutation surface);
@@ -125,14 +126,17 @@ final class ContinuousAggregate(spark: SparkSession,
     if (prior.exists(_.storeVersion == sv))
       return RefreshStats(sv, 0, prior.get.entries.size, full = false)
 
-    // changed days via manifest diff; reaped history => full recompute
+    // changed days via CONTENT-ID manifest diff (a store compact moves
+    // bytes but carries content ids, so it recomputes nothing here);
+    // reaped history => full recompute
     val (changedDays, full) = prior match {
       case Some(st) =>
         try {
-          val oldParts = store.partitionsAsOf(st.storeVersion).toSet
-          val newParts = nowParts.toSet
-          val diff = (oldParts diff newParts) union (newParts diff oldParts)
-          (diff.map(_._2), false)
+          val oldC = store.contentByDayAsOf(st.storeVersion)
+          val newC = store.contentByDay()
+          val days = (oldC.keySet union newC.keySet)
+            .filter(d => oldC.get(d) != newC.get(d))
+          (days, false)
         } catch { case _: IllegalArgumentException => (nowDays, true) }
       case None => (nowDays, true)
     }
@@ -230,6 +234,79 @@ final class ContinuousAggregate(spark: SparkSession,
           Some(qm.limit.fold(ordered)(ordered.limit))
       }
     }
+  }
+
+  /** Live rollup segment count (grows by 1 per refresh that recomputed
+    * anything, until [[compact]]). */
+  private[graft] def segmentCount: Int =
+    readState().map(_.entries.map(_._1).distinct.size).getOrElse(0)
+
+  /** Merge all live entries into ONE segment — bounds the per-read
+    * union fan-in that otherwise grows by one delta segment per refresh
+    * (the OPTIMIZE analogue of [[TimeSeriesStore.compact]]; without it
+    * a year of per-trigger streaming refreshes makes every rollup read
+    * union thousands of dirs). Content and the reflected store version
+    * are unchanged; readers pinned to older manifests are unaffected
+    * (segments are immutable) until [[vacuum]] reaps their files.
+    */
+  def compact(): Unit = this.synchronized {
+    readState().foreach { st =>
+      if (st.entries.map(_._1).distinct.sizeIs > 1) {
+        val seg = s"r${ownVersion + 1L}"
+        read().write.partitionBy("g_day").parquet(root.resolve(seg).toString)
+        val days = Files.list(root.resolve(seg))
+        val written = try days.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("g_day=")).map(_.stripPrefix("g_day=").toLong)
+          .toSeq
+        finally days.close()
+        commit(st.storeVersion, written.map(d => (seg, d)))
+      }
+    }
+  }
+
+  /** Delete superseded manifests, unreachable rollup segments, and
+    * orphaned day partitions inside live segments — the same
+    * age-guarded reap semantics as [[TimeSeriesStore.vacuum]]: only
+    * paths older than now − `retentionMs` go, which protects an
+    * in-flight refresh's fresh segment and readers still holding
+    * recent pre-vacuum snapshots. Returns the number of paths removed.
+    */
+  def vacuum(retentionMs: Long = 3600000L): Int = this.synchronized {
+    require(retentionMs >= 0, s"vacuum: retentionMs=$retentionMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < cutoff
+    def listDir(p: Path): Seq[String] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    val liveBySeg = readState().map(_.entries).getOrElse(Seq.empty)
+      .groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => s"g_day=${e._2}").toSet
+      }
+    val curVersion = ownVersion
+    var removed = 0
+    def rmTree(p: Path): Unit = { graft.Fs.deleteTree(p); removed += 1 }
+    val segName = "^r\\d+$".r
+    listDir(root).foreach { name =>
+      if (segName.matches(name)) liveBySeg.get(name) match {
+        case None =>
+          if (oldEnough(root.resolve(name))) rmTree(root.resolve(name))
+        case Some(liveDays) =>
+          listDir(root.resolve(name))
+            .filter(d => d.startsWith("g_day=") && !liveDays.contains(d))
+            .map(d => root.resolve(name).resolve(d))
+            .filter(oldEnough)
+            .foreach(rmTree)
+      }
+      else if (name.endsWith(".manifest") &&
+        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion &&
+        oldEnough(root.resolve(name))) {
+        Files.delete(root.resolve(name))
+        removed += 1
+      }
+    }
+    removed
   }
 
   /** Tumbling-window aggregate answered by REFOLDING rollup buckets

@@ -59,10 +59,30 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
 
   private def currentPtr: Path = root.resolve("CURRENT")
 
-  /** One live partition: `seg/g_day=<day>`. */
-  private final case class Entry(seg: String, day: Long) {
+  /** One live partition: `seg/g_day=<day>`, plus a CONTENT token — the
+    * identity of the day's bytes, preserved across [[compact]] (which
+    * rewrites paths, not data). A data-writing commit leaves `content`
+    * empty (identity = the fresh segment name, serialized as the plain
+    * `seg/g_day=d` line); compaction emits `seg/g_day=d@<combined>`,
+    * carrying the pre-compact identity forward — so manifest-diff
+    * consumers ([[ContinuousAggregate]]) can tell MOVED from CHANGED
+    * and a compacted store doesn't degrade every rollup to a full
+    * recompute.
+    */
+  private final case class Entry(seg: String, day: Long, content: String = "") {
     def rel: String = s"$seg/g_day=$day"
+    def contentId: String = if (content.isEmpty) seg else content
+    def line: String =
+      if (content.isEmpty || content == seg) rel else s"$rel@$content"
   }
+
+  /** Canonical combined content id of a day spread over several entries
+    * (two same-day inserts, or prior combinations being re-compacted):
+    * flatten, dedupe, sort, join — so the id is independent of entry
+    * order and of how many compactions produced it.
+    */
+  private def canonicalContent(cs: Seq[String]): String =
+    cs.flatMap(_.split('+').toSeq).filter(_.nonEmpty).distinct.sorted.mkString("+")
 
   /** List a directory's immediate children (Files.list must be closed —
     * it holds a directory fd).
@@ -79,9 +99,14 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * "removed by vacuum" message as a missing manifest, not an opaque
     * NoSuchFileException from the directory walk.
     */
-  private def parseLine(line: String): Seq[Entry] = {
+  private def parseLine(line0: String): Seq[Entry] = {
+    // `seg/g_day=d@<content>` carries a compaction-preserved content id
+    val (line, content) = line0.indexOf('@') match {
+      case -1 => (line0, "")
+      case j  => (line0.substring(0, j), line0.substring(j + 1))
+    }
     val i = line.indexOf("/g_day=")
-    if (i > 0) Seq(Entry(line.substring(0, i), line.substring(i + 7).toLong))
+    if (i > 0) Seq(Entry(line.substring(0, i), line.substring(i + 7).toLong, content))
     else {
       require(Files.exists(root.resolve(line)),
         s"segment $line not found (removed by vacuum?)")
@@ -242,7 +267,7 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val target = root.resolve(name)
     val tmp = Files.createTempFile(root, ".tmp-manifest", "")
     try {
-      Files.writeString(tmp, entries.map(_.rel).mkString("\n"))
+      Files.writeString(tmp, entries.map(_.line).mkString("\n"))
       // the CAS itself is a hard-link creation, NOT a rename:
       // Files.move(ATOMIC_MOVE) maps to POSIX rename(2), which silently
       // REPLACES an existing target — it can never be put-if-absent.
@@ -462,18 +487,6 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   private[graft] def currentPartitions(): Seq[(String, Long)] =
     liveEntries().map(e => (e.seg, e.day))
 
-  /** The (segment, day) partition list of a committed version; fails
-    * with the documented message when vacuum has reaped it (callers
-    * fall back to a full recompute).
-    */
-  private[graft] def partitionsAsOf(version: Long): Seq[(String, Long)] = {
-    val m = root.resolve(s"v$version.manifest")
-    require(Files.exists(m),
-      s"version $version not found (never committed, or removed by vacuum)")
-    Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).flatMap(parseLine)
-      .map(e => (e.seg, e.day))
-  }
-
   /** Current snapshot restricted to the given day buckets (carries
     * `g_day`) — the partition-scoped read an incremental refresh pays.
     */
@@ -486,13 +499,41 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   /** Merge all live segments into one — bounds the per-read union fan-in
     * after many appends (the Delta/Iceberg OPTIMIZE analogue). Readers
     * holding older manifests are unaffected (segments are immutable).
+    * The new entries CARRY each day's content id forward (data moved,
+    * not changed), so a [[ContinuousAggregate]] refresh across a
+    * compaction recomputes nothing.
     */
   def compact(): Unit = this.synchronized {
     if (segmentCount > 1) {
       val base = baseVersion() // pinned BEFORE the state read (see commit)
-      commit(writeSegment(current()), base)
+      val combined = liveEntries().groupBy(_.day).map { case (d, es) =>
+        d -> canonicalContent(es.map(_.contentId))
+      }
+      commit(writeSegment(current()).map(e => e.copy(content = combined(e.day))),
+        base)
     }
   }
+
+  /** Per-day content map of the current version — the compaction-aware
+    * diff surface [[ContinuousAggregate]] uses: a day's data changed
+    * iff its content id changed (compaction moves bytes; ids carry).
+    */
+  private[graft] def contentByDay(): Map[Long, String] =
+    contentOf(liveEntries())
+
+  /** Same for a committed version; fails with the documented message
+    * when vacuum has reaped it (callers fall back to a full recompute).
+    */
+  private[graft] def contentByDayAsOf(version: Long): Map[Long, String] = {
+    val m = root.resolve(s"v$version.manifest")
+    require(Files.exists(m),
+      s"version $version not found (never committed, or removed by vacuum)")
+    contentOf(Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+      .flatMap(parseLine))
+  }
+
+  private def contentOf(es: Seq[Entry]): Map[Long, String] =
+    es.groupBy(_.day).map { case (d, g) => d -> canonicalContent(g.map(_.contentId)) }
 
   /** Delete paths unreferenced by the CURRENT manifest — unreachable
     * segment directories, orphaned day partitions inside live segments,

@@ -189,8 +189,10 @@ object StreamingIngest {
     * Returns the ready-to-start writer.
     */
   def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore,
-                    rollup: Option[graft.engine.ContinuousAggregate] = None)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                    rollup: Option[graft.engine.ContinuousAggregate] = None,
+                    compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cadence = new Cadence(compactEvery)
     ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       val spark = batch.sparkSession
       import spark.implicits._
@@ -206,8 +208,18 @@ object StreamingIngest {
         // re-runs it idempotently (an already-reflected store version
         // is a no-op)
         rollup.foreach(_.refresh())
+        // cadenced maintenance, AFTER the trigger's own work (same
+        // rationale as the index-ingest family): each insert adds a
+        // store segment and each refresh a rollup delta segment, so an
+        // unmaintained long-running ingest makes every read union one
+        // dir per trigger. Compaction is I/O-only — answers unchanged.
+        if (cadence.due()) {
+          store.compact(); store.vacuum(vacuumRetentionMs)
+          rollup.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
+        }
       }
     }}
+  }
 
   /** Content-digest exact dedup on a DOCUMENT stream — the streaming
     * form of [[graft.operators.Dedup.exactByDigest]]: a doc whose text

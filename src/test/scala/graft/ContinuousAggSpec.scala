@@ -73,15 +73,28 @@ class ContinuousAggSpec extends SparkSpec {
     assert(agg.read().select("g_day").as[Long].collect().toSet == Set(0L))
   }
 
-  test("cagg: store compact rewrites every entry => conservative full recompute, still exact") {
+  test("cagg: store compact carries content ids => refresh recomputes NOTHING, still exact") {
     val (st, agg) = fresh()
-    st.insert(Seq(TS(day(0), "a", 1.0)).toDS())
-    st.insert(Seq(TS(day(1), "b", 2.0)).toDS())
+    st.insert(Seq(TS(day(0), "a", 1.0), TS(day(0, 9), "a", 4.0)).toDS())
+    st.insert(Seq(TS(day(0, 5), "c", 3.0), TS(day(1), "b", 2.0)).toDS())
     agg.refresh()
+    // compaction moves bytes without changing them; the content tokens
+    // carried in the manifest let the diff tell MOVED from CHANGED
     st.compact()
     val s = agg.refresh()
-    assert(s.recomputedDays == 2 && s.carriedDays == 0)
+    assert(!s.full && s.recomputedDays == 0 && s.carriedDays == 2,
+      s"compact must be diff-invisible, got $s")
     assert(shape(agg.read()) == shape(recompute(st)))
+    // a REAL mutation after the compact is still day-scoped
+    assert(st.insert(Seq(TS(day(1, 7), "b", 9.0)).toDS()).isRight)
+    val s2 = agg.refresh()
+    assert(!s2.full && s2.recomputedDays == 1 && s2.carriedDays == 1)
+    assert(shape(agg.read()) == shape(recompute(st)))
+    // and a second compact (re-combining combined tokens) stays
+    // canonical: refresh after it again recomputes nothing
+    st.compact()
+    val s3 = agg.refresh()
+    assert(s3.recomputedDays == 0 && s3.carriedDays == 2, s"got $s3")
   }
 
   test("rollup rewrite: every eligible QueryModel answers identically to the raw compile") {
@@ -193,6 +206,33 @@ class ContinuousAggSpec extends SparkSpec {
     // a window that straddles buckets falls through to the raw path
     assert(agg.answerWindow(90 * 60000L).isEmpty)
     assert(agg.answerWindow(0L).isEmpty)
+  }
+
+  test("cagg rollup maintenance: compact bounds read fan-in; vacuum is age-guarded") {
+    val (st, agg) = fresh()
+    // one refresh per ingest => one delta segment per refresh, the
+    // fan-in growth a long-running per-trigger streaming refresh has
+    (0L until 4L).foreach { d =>
+      st.insert(Seq(TS(day(d), "a", d.toDouble)).toDS()); agg.refresh()
+    }
+    assert(agg.segmentCount == 4)
+    val before = shape(agg.read())
+    val pinned = agg.read()
+    agg.compact()
+    assert(agg.segmentCount == 1)
+    assert(shape(agg.read()) == before)
+    // compact kept the reflected store version: refresh is a no-op
+    assert(agg.refresh().recomputedDays == 0)
+    // age-guarded vacuum removes nothing fresh; a reader pinned to the
+    // pre-compact snapshot survives (segments are immutable)
+    assert(agg.vacuum() == 0)
+    assert(pinned.count() == before.size)
+    // zero-retention reaps superseded manifests and the old segments:
+    // the pinned pre-compact reader now fails loudly, never silently
+    // returning partial data; the current reader is unaffected
+    assert(agg.vacuum(0L) > 0)
+    intercept[Exception] { pinned.count() }
+    assert(shape(agg.read()) == before)
   }
 
   test("retention: dropDaysBefore is manifest-only, day-granular, time-travel-safe") {
