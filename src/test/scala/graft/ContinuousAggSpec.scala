@@ -208,6 +208,54 @@ class ContinuousAggSpec extends SparkSpec {
     assert(agg.answerWindow(0L).isEmpty)
   }
 
+  test("randomized law: refresh tracks arbitrary insert/update/delete/compact interleavings") {
+    // the house split-equivalence style: a deterministic random walk
+    // over the store's whole mutation surface, asserting after EVERY
+    // step that the incrementally-maintained rollup equals a
+    // from-scratch recompute — and that a compact-only step (data
+    // moved, content ids carried) recomputes zero days
+    val rnd = new scala.util.Random(20260814L)
+    val (st, agg) = fresh()
+    var nextId = 0L
+    (0 until 18).foreach { i =>
+      val op = rnd.nextInt(4)
+      op match {
+        case 0 =>
+          val rows = (0 to rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            TS(day(rnd.nextInt(5).toLong, nextId), s"t${rnd.nextInt(3)}",
+              rnd.nextInt(100).toDouble)
+          }
+          assert(st.insert(rows.toDS()).isRight)
+        case 1 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.update(
+              Seq(TS(k.getLong(0), k.getString(1), 999.0)).toDS()).isRight)
+          }
+        case 2 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.delete(
+              Seq(TSKey(k.getLong(0), k.getString(1))).toDS()).isRight)
+          }
+        case 3 =>
+          // the rollup is current here (refreshed after every step), so
+          // a compaction that actually committed must refresh for free
+          val v = st.version
+          st.compact()
+          if (st.version != v)
+            assert(agg.refresh().recomputedDays == 0,
+              s"compact-only refresh recomputed days at step $i")
+      }
+      agg.refresh()
+      assert(shape(agg.read()) == shape(recompute(st)),
+        s"rollup diverged from recompute at step $i (op $op)")
+    }
+  }
+
   test("cagg rollup maintenance: compact bounds read fan-in; vacuum is age-guarded") {
     val (st, agg) = fresh()
     // one refresh per ingest => one delta segment per refresh, the
