@@ -23,6 +23,26 @@ object Bench {
     s"${e.getClass.getSimpleName}: $msg"
   }
 
+  /** Parse a perquery-format baseline file: the per-query median map
+    * plus the run's load_avg. WHITESPACE-TOLERANT by spec — round 8's
+    * regression alarm died silently because the committed baseline had
+    * been pretty-printed while the scan demanded compact JSON.
+    * BenchBaselineSpec pins this against BOTH formats and against the
+    * committed bench_baseline.json itself.
+    */
+  private[graft] def parseBaseline(txt: String): (Map[String, Double], Option[Double]) = {
+    val qmap = raw""""queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty[String, Double]
+      case Some(m) =>
+        val body = txt.substring(m.end, txt.indexOf('}', m.end))
+        raw""""([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+    }
+    val load = raw""""load_avg"\s*:\s*(-?[0-9.eE+-]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    (qmap, load)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -154,31 +174,48 @@ object Bench {
     val medians = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
     val slowest = medians.sortBy(-_._2).take(10)
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
-    val baseline: Map[String, Double] = try {
-      val txt = new String(
+    val baselineExists = java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))
+    // the baseline is a previous round's perquery JSON. The parse is
+    // WHITESPACE-TOLERANT — round 8's alarm died silently because the
+    // committed file had been pretty-printed (`"queries": {`) while the
+    // old scan demanded the exact compact string, so every regression
+    // line since was vacuous evidence. Both the section marker and the
+    // entry regex now accept arbitrary spacing, and a file that EXISTS
+    // but parses to zero entries is reported loudly in the JSON rather
+    // than silently as baseline_found:false.
+    val (baseline, baselineLoad): (Map[String, Double], Option[Double]) = try {
+      parseBaseline(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      // the baseline is the previous round's perquery file; pull its
-      // "queries" map with a tolerant scan (no fixed key order assumed)
-      val qsec = txt.indexOf("\"queries\":{")
-      if (qsec < 0) Map.empty
-      else {
-        val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
-        raw""""([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
-    val regressions = medians.flatMap { case (k, med) =>
-      baseline.get(k).collect {
-        // floor small absolute times: a 0.05→0.12 s jitter is not a
-        // regression signal worth the last-line budget
-        case base if base > 0 && med > 0.2 && med / base >= 1.25 =>
-          k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
-    }.sortBy(-_._2).take(5)
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => (Map.empty, None) }
+    // run-ambient load is the dominant noise term (r8 vs baseline was a
+    // uniform 1.15× at load 1.9 vs 1.4): when the 1-min load averages
+    // differ by >= 1.0 the per-query ratios measure the machine, not
+    // the code, so the regression map is withheld and the JSON says WHY
+    // instead of shipping a silent empty map
+    val loadComparable = baselineLoad.forall(bl => math.abs(loadAvg - bl) < 1.0)
+    val baselineNote =
+      if (!baselineExists) "no baseline file"
+      else if (baseline.isEmpty)
+        s"LOUD WARNING: $baselinePath exists but parsed 0 query entries — format drift, fix the file or the parser"
+      else if (!loadComparable)
+        s"baseline-incomparable (load): run load_avg $loadAvg vs baseline ${baselineLoad.get}"
+      else "comparable"
+    if (baselineExists && baseline.isEmpty)
+      System.err.println(s"[bench] $baselineNote")
+    val regressions =
+      if (!loadComparable) Seq.empty
+      else medians.flatMap { case (k, med) =>
+        baseline.get(k).collect {
+          // floor small absolute times: a 0.05→0.12 s jitter is not a
+          // regression signal worth the last-line budget
+          case base if base > 0 && med > 0.2 && med / base >= 1.25 =>
+            k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }.sortBy(-_._2).take(5)
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"baseline_found":${baseline.nonEmpty},"sf":"$sfDir"}""")
+    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
     spark.stop()
     // truthful exit status: timings were printed either way, but a
     // round with failed queries must not read as passing evidence
