@@ -169,11 +169,8 @@ object SparkEntry {
       graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
   }
 
-  /** One store per sf dir; one rollup per (sf dir, bucket grain) —
-    * the daily and hourly caggs hang off the SAME store, like multiple
-    * materialized views over one hypertable. */
-  private def caggFor(s: SparkSession, dir: String,
-                      bucketMs: Long = 86400000L): graft.engine.ContinuousAggregate =
+  /** The fixture store backing every cagg query for one sf dir. */
+  private def caggStoreFor(s: SparkSession, dir: String): graft.engine.TimeSeriesStore =
     caggStorePaths.synchronized {
       val stPath = caggStorePaths.getOrElseUpdate(dir, {
         import s.implicits._
@@ -184,7 +181,16 @@ object SparkEntry {
             s"cagg fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
         stTmp
       })
-      val st = new graft.engine.TimeSeriesStore(s, stPath)
+      new graft.engine.TimeSeriesStore(s, stPath)
+    }
+
+  /** One store per sf dir; one rollup per (sf dir, bucket grain) —
+    * the daily, hourly and weekly caggs hang off the SAME store, like
+    * multiple materialized views over one hypertable. */
+  private def caggFor(s: SparkSession, dir: String,
+                      bucketMs: Long = 86400000L): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val st = caggStoreFor(s, dir)
       val aggPath = caggRollupPaths.getOrElseUpdate((dir, bucketMs), {
         val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rollup").toString
         new graft.engine.ContinuousAggregate(s, st, aggTmp, bucketMs).refresh()
@@ -193,10 +199,23 @@ object SparkEntry {
       new graft.engine.ContinuousAggregate(s, st, aggPath, bucketMs)
     }
 
+  /** ts3 queries go through the PUBLIC engine entry point with the
+    * rollup registered — [[graft.engine.QueryEngine.execute]] routes
+    * eligible shapes to the rollup automatically (PlanAuditSpec pins
+    * that the routed plan reads only rollup segments). The explicit
+    * `answer` probe stays as the eligibility tripwire: if the rewrite
+    * gate ever regresses, these queries fail loudly instead of
+    * silently passing their oracles via the raw-store fallthrough.
+    */
   private def caggAnswer(s: SparkSession, dir: String, qm: QueryModel,
-                         bucketMs: Long = 86400000L): DataFrame =
-    caggFor(s, dir, bucketMs).answer(qm).getOrElse(throw new IllegalStateException(
-      s"ts3 query no longer rollup-eligible — the rewrite gate regressed: $qm"))
+                         bucketMs: Long = 86400000L): DataFrame = {
+    val r = caggFor(s, dir, bucketMs)
+    require(r.answer(qm).isDefined,
+      s"ts3 query no longer rollup-eligible — the rewrite gate regressed: $qm")
+    graft.engine.QueryEngine.execute(caggStoreFor(s, dir), qm, Seq(r)).fold(
+      e => throw new IllegalStateException(s"ts3 engine-routed query failed: ${e.message}"),
+      identity)
+  }
 
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
@@ -690,6 +709,26 @@ object SparkEntry {
         .select(col("window_start"), col("tag"),
           col("cnt").cast("double").as("cnt"),
           round(col("sum_val"), 4).as("sum_val"))),
+    // sliding refold: w2's exact shape (1d window, 12h slide) answered
+    // from the hourly rollup — each bucket contributes to width/slide=2
+    // windows, O(buckets) scanned instead of O(events)
+    "ts3_cagg_window_sliding" -> ((s, dir) =>
+      caggFor(s, dir, bucketMs = 3600000L).answerWindow(86400000L, 43200000L)
+        .getOrElse(throw new IllegalStateException(
+          "1d/12h sliding window no longer refoldable from the hourly rollup"))
+        .select(col("window_start"), col("tag"),
+          col("cnt").cast("double").as("cnt"),
+          round(col("sum_val"), 4).as("sum_val"))),
+    // coarser-than-day grain: a WEEKLY rollup (bucket = 7 days, the
+    // refresh unit becomes the bucket) answering week-aligned windows —
+    // the year-scale-dashboard resolution step
+    "ts3_cagg_weekly_scalar_sum" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(ge = Some(1704931200000L), lt = Some(1706140800000L),
+        aggFunc = Some(Agg.Sum)), bucketMs = 604800000L)
+      .withColumn("result", round(col("result"), 4))),
+    "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
+      bucketMs = 604800000L)),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2219,6 +2258,16 @@ object SparkEntry {
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 21600000L} AND "timestamp" < ${T1 + 108000000L}""",
     "ts3_cagg_window_6h" ->
       s"""SELECT ("timestamp" // 21600000) * 21600000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "ts3_cagg_window_sliding" ->
+      s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
+         |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 AS window_start FROM $FROM t
+         |  UNION ALL
+         |  SELECT tag, value, ("timestamp" // 43200000) * 43200000 - 43200000 AS window_start FROM $FROM t2
+         |) u GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
+    "ts3_cagg_weekly_scalar_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= 1704931200000 AND "timestamp" < 1706140800000""",
+    "ts3_cagg_weekly_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

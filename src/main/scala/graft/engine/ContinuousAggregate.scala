@@ -12,11 +12,14 @@ import scala.jdk.CollectionConverters._
   *
   * `bucketMs` is the aggregation grain (Timescale's `time_bucket`
   * width): day by default, any divisor of a day (e.g. hourly) for
-  * multi-resolution rollups. The DAY stays the refresh/storage unit
-  * regardless — manifests diff whole day partitions, so a bucket never
-  * straddles the incremental-recompute boundary (hence the divisor
-  * requirement), and an hourly rollup costs the same O(changed days)
-  * refresh as the daily one, just at 24× the stored rows.
+  * multi-resolution rollups, or any MULTIPLE of a day (weekly,
+  * 28-day "monthly") for coarse dashboards over year-scale history.
+  * The refresh/diff unit is whichever is coarser of (day, bucket):
+  * fine grains diff whole day partitions (a bucket never straddles
+  * one), coarse grains dirty the containing bucket when any of its
+  * days' content changes and recompute that bucket from its days —
+  * so a weekly rollup over 10⁶ tags stores one row per (week, tag)
+  * and a monthly dashboard never refolds 365 daily buckets per query.
   *
   * The refresh finds changed days by DIFFING THE STORE'S MANIFESTS
   * (the version it last reflected vs the current one): every store
@@ -40,9 +43,30 @@ import scala.jdk.CollectionConverters._
 final class ContinuousAggregate(spark: SparkSession,
                                 store: TimeSeriesStore, pathStr: String,
                                 bucketMs: Long = 86400000L) {
-  require(bucketMs > 0 && 86400000L % bucketMs == 0,
-    s"bucketMs=$bucketMs must be a positive divisor of a day — the day " +
-      "is the manifest-diff refresh unit, so a bucket must never straddle it")
+  require(bucketMs > 0 &&
+    (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
+    s"bucketMs=$bucketMs must be a positive divisor or multiple of a day " +
+      "— the refresh unit is the coarser of (day, bucket), so the two " +
+      "boundaries must nest")
+
+  private val DayMs = 86400000L
+
+  /** Aggregation grain — exposed so a planner ([[QueryEngine.execute]])
+    * can order candidate rollups coarsest-first. */
+  def grainMs: Long = bucketMs
+
+  /** The store version this rollup currently reflects (None before the
+    * first refresh) — the freshness gate for automatic query routing. */
+  def reflectedStoreVersion: Option[Long] = readState().map(_.storeVersion)
+
+  /** The manifest/storage partition a store day belongs to: the day
+    * itself for fine grains, the containing bucket's START day for
+    * coarse grains (entries are labeled by it, and a changed day
+    * dirties exactly this unit).
+    */
+  private def refreshUnit(day: Long): Long =
+    if (bucketMs <= DayMs) day
+    else Math.floorDiv(day, bucketMs / DayMs) * (bucketMs / DayMs)
 
   /** One refresh's outcome: how much work the incremental path saved. */
   final case class RefreshStats(storeVersion: Long, recomputedDays: Int,
@@ -110,6 +134,10 @@ final class ContinuousAggregate(spark: SparkSession,
   private def rollup(slice: DataFrame): DataFrame =
     slice
       .withColumn("bucket_start", expr(s"timestamp div $bucketMs") * bucketMs)
+      // partition label := the bucket's start day (for fine grains this
+      // equals the store's g_day; for coarse grains it folds the
+      // bucket's member days into ONE stored partition = refresh unit)
+      .withColumn("g_day", expr(s"bucket_start div $DayMs"))
       .groupBy(col("g_day"), col("bucket_start"), col("tag"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"))
@@ -121,47 +149,64 @@ final class ContinuousAggregate(spark: SparkSession,
     val sv = store.version
     val nowParts = store.currentPartitions()
     val nowDays = nowParts.map(_._2).toSet
+    val nowUnits = nowDays.map(refreshUnit)
     val prior = readState()
 
     if (prior.exists(_.storeVersion == sv))
       return RefreshStats(sv, 0, prior.get.entries.size, full = false)
 
-    // changed days via CONTENT-ID manifest diff (a store compact moves
-    // bytes but carries content ids, so it recomputes nothing here);
-    // reaped history => full recompute
-    val (changedDays, full) = prior match {
+    // changed refresh units via CONTENT-ID manifest diff (a store
+    // compact moves bytes but carries content ids, so it recomputes
+    // nothing here). A changed day dirties its unit — the day itself
+    // for fine grains, the containing bucket for coarse grains.
+    // Reaped history => full recompute.
+    val (changedUnits, full) = prior match {
       case Some(st) =>
         try {
           val oldC = store.contentByDayAsOf(st.storeVersion)
           val newC = store.contentByDay()
           val days = (oldC.keySet union newC.keySet)
             .filter(d => oldC.get(d) != newC.get(d))
-          (days, false)
-        } catch { case _: IllegalArgumentException => (nowDays, true) }
-      case None => (nowDays, true)
+          (days.map(refreshUnit), false)
+        } catch { case _: IllegalArgumentException => (nowUnits, true) }
+      case None => (nowUnits, true)
     }
 
     val carried = prior.map(_.entries).getOrElse(Seq.empty)
-      .filter(e => !changedDays.contains(e._2) && nowDays.contains(e._2))
-    val toCompute = changedDays.intersect(nowDays)
+      .filter(e => !changedUnits.contains(e._2) && nowUnits.contains(e._2))
+    // a coarse unit recomputes from ALL its member days still present
+    val toCompute = nowDays.filter(d => changedUnits.contains(refreshUnit(d)))
     val newEntries =
       if (toCompute.isEmpty) Seq.empty
       else {
-        val seg = s"r${ownVersion + 1L}"
+        val seg = newSegName()
         rollup(store.currentForDays(toCompute))
           .write.partitionBy("g_day")
           .parquet(root.resolve(seg).toString)
-        // list what was actually written (a changed day can aggregate
+        // list what was actually written (a changed unit can aggregate
         // to nothing only if it vanished; those simply get no entry)
-        val days = Files.list(root.resolve(seg))
-        val written = try days.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("g_day=")).map(_.stripPrefix("g_day=").toLong)
-          .toSeq
-        finally days.close()
-        written.map(d => (seg, d))
+        writtenDays(seg).map(d => (seg, d))
       }
     commit(sv, carried ++ newEntries)
     RefreshStats(sv, newEntries.size, carried.size, full)
+  }
+
+  /** Fresh segment directory name: version-prefixed for lineage, with
+    * a random suffix like the store's `seg-<uuid>` — a crash between
+    * the parquet write and commit leaves an orphan (vacuum-reaped
+    * later) that can never collide with the retry's new name, where a
+    * purely deterministic `r<v+1>` made the retry fail ErrorIfExists
+    * until vacuum ran.
+    */
+  private def newSegName(): String =
+    s"r${ownVersion + 1L}-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  private def writtenDays(seg: String): Seq[Long] = {
+    val days = Files.list(root.resolve(seg))
+    try days.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("g_day=")).map(_.stripPrefix("g_day=").toLong)
+      .toSeq
+    finally days.close()
   }
 
   /** Materialized-view query rewrite: answer an eligible
@@ -252,14 +297,9 @@ final class ContinuousAggregate(spark: SparkSession,
   def compact(): Unit = this.synchronized {
     readState().foreach { st =>
       if (st.entries.map(_._1).distinct.sizeIs > 1) {
-        val seg = s"r${ownVersion + 1L}"
+        val seg = newSegName()
         read().write.partitionBy("g_day").parquet(root.resolve(seg).toString)
-        val days = Files.list(root.resolve(seg))
-        val written = try days.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("g_day=")).map(_.stripPrefix("g_day=").toLong)
-          .toSeq
-        finally days.close()
-        commit(st.storeVersion, written.map(d => (seg, d)))
+        commit(st.storeVersion, writtenDays(seg).map(d => (seg, d)))
       }
     }
   }
@@ -287,7 +327,11 @@ final class ContinuousAggregate(spark: SparkSession,
     val curVersion = ownVersion
     var removed = 0
     def rmTree(p: Path): Unit = { graft.Fs.deleteTree(p); removed += 1 }
-    val segName = "^r\\d+$".r
+    // segment dirs: r<version>-<uuid8> (plus the legacy r<version>
+    // form); manifests: STRICTLY v<digits>.manifest — a stray
+    // x.manifest must be skipped, not crash the toLong below
+    val segName = "^r\\d+(-[0-9a-f]{8})?$".r
+    val manifestName = "^v(\\d+)\\.manifest$".r
     listDir(root).foreach { name =>
       if (segName.matches(name)) liveBySeg.get(name) match {
         case None =>
@@ -299,39 +343,55 @@ final class ContinuousAggregate(spark: SparkSession,
             .filter(oldEnough)
             .foreach(rmTree)
       }
-      else if (name.endsWith(".manifest") &&
-        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion &&
-        oldEnough(root.resolve(name))) {
-        Files.delete(root.resolve(name))
-        removed += 1
+      else manifestName.findFirstMatchIn(name).foreach { m =>
+        if (m.group(1).toLong < curVersion && oldEnough(root.resolve(name))) {
+          Files.delete(root.resolve(name))
+          removed += 1
+        }
       }
     }
     removed
   }
 
-  /** Tumbling-window aggregate answered by REFOLDING rollup buckets
-    * into coarser windows — the rollup-to-coarser-grain rewrite (an
-    * hourly rollup answers any N-hour tumbling window, the daily one
-    * any N-day window). Returns (window_start, tag, cnt, sum_val,
-    * min_val, max_val) in canonical (window_start, tag) order, equal
-    * to the same windowed aggregate computed from raw events (count/
-    * min/max exactly; sum refolds per-bucket partials — the same
-    * reassociation any distributed aggregation has).
+  /** Tumbling OR sliding/hopping window aggregate answered by
+    * REFOLDING rollup buckets into coarser windows — the
+    * rollup-to-coarser-grain rewrite (an hourly rollup answers any
+    * hour-multiple window at any hour-multiple slide). Windows are
+    * `[w, w + widthMs)` advancing by `slideMs` (default = widthMs,
+    * i.e. tumbling); each bucket belongs to exactly widthMs/slideMs
+    * windows, so the plan explodes each rollup row that many times and
+    * re-aggregates — O(buckets × width/slide) rows, never the raw
+    * events. Returns (window_start, tag, cnt, sum_val, min_val,
+    * max_val) in canonical (window_start, tag) order, equal to the
+    * same windowed aggregate computed from raw events (count/min/max
+    * exactly; sum refolds per-bucket partials — the same reassociation
+    * any distributed aggregation has).
     *
-    * None when `widthMs` is not a positive multiple of the bucket
-    * grain (a window would straddle buckets) — the caller computes
-    * from the raw store instead.
+    * None unless widthMs is a positive multiple of slideMs and slideMs
+    * a positive multiple of the bucket grain (otherwise a bucket would
+    * straddle a window edge) — the caller computes from the raw store
+    * instead.
     */
-  def answerWindow(widthMs: Long): Option[DataFrame] =
-    if (widthMs <= 0 || widthMs % bucketMs != 0) None
+  def answerWindow(widthMs: Long, slideMs0: Long = 0L): Option[DataFrame] = {
+    val slideMs = if (slideMs0 == 0L) widthMs else slideMs0
+    if (widthMs <= 0 || slideMs <= 0 ||
+        widthMs % slideMs != 0 || slideMs % bucketMs != 0) None
     else Some {
+      val n = (widthMs / slideMs).toInt
+      // bucket b ∈ [w, w+width) for w = (b div slide)·slide − i·slide,
+      // i ∈ [0, n): the same two-phase union the sliding-window oracle
+      // uses, generalized to n phases
+      val starts = (0 until n).map(i =>
+        expr(s"bucket_start div $slideMs") * slideMs - lit(i.toLong * slideMs))
       read()
-        .groupBy((expr(s"bucket_start div $widthMs") * widthMs).as("window_start"),
-          col("tag"))
+        .select(col("tag"), col("cnt"), col("sum_val"), col("min_val"),
+          col("max_val"), explode(array(starts: _*)).as("window_start"))
+        .groupBy(col("window_start"), col("tag"))
         .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"),
           min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
         .orderBy(asc("window_start"), asc("tag"))
     }
+  }
 
   /** Snapshot read of the rollup: (bucket_start, tag, cnt, sum_val,
     * min_val, max_val, g_day). Day slices of stale segments are pruned

@@ -146,6 +146,77 @@ object QueryEngine {
     * in [[compile]]; the SparkEntry oracle queries use [[compile]] with
     * inputs chosen to hit data.
     */
+  /** [[execute]] with automatic continuous-aggregate routing — the
+    * piece that makes rollups matter the way TimescaleDB's do: a
+    * caller of the STANDARD engine API gets the O(buckets) plan
+    * whenever a registered rollup can answer the query, with no
+    * bespoke opt-in code.
+    *
+    * Routing rules:
+    *  - only rollups whose reflected store version equals the store's
+    *    CURRENT version are candidates (answers must be exact, never
+    *    stale; an un-refreshed rollup silently falls out of
+    *    consideration rather than serving old data);
+    *  - candidates are tried coarsest grain first — among eligible
+    *    rollups the coarsest scans the fewest rows (a day-aligned
+    *    query reads 24× fewer rows from the daily rollup than the
+    *    hourly one);
+    *  - the first rollup whose [[ContinuousAggregate.answer]] accepts
+    *    the shape wins; ineligible shapes (collect, group-by-timestamp,
+    *    tsEq, unaligned bounds) fall through to the raw-store compile,
+    *    bit-identical to [[execute]] without rollups.
+    *
+    * The reference-semantics guards (NoData for a tagEq miss, "Average
+    * failed." for a scalar avg over nothing) are evaluated FROM THE
+    * ROLLUP on the routed path — per-bucket `cnt` sums are exactly the
+    * raw row counts, so the error behavior matches the raw path while
+    * the whole request, guards included, reads only rollup segments.
+    * (tsEq never routes, so its error path always takes the raw gate.)
+    */
+  def execute(store: TimeSeriesStore, qm0: QueryModel,
+              rollups: Seq[ContinuousAggregate]): Either[QueryError, DataFrame] =
+    Validation.validate(qm0).flatMap { qm =>
+      val sv = store.version
+      val routed = rollups
+        .filter(_.reflectedStoreVersion.contains(sv))
+        .sortBy(-_.grainMs)
+        .iterator.map(r => (r, r.answer(qm)))
+        .collectFirst { case (r, Some(df)) => (r, df) }
+      routed match {
+        case None => execute(store.current(), qm)
+        case Some((r, df)) =>
+          // eligible shapes carry no tsEq, so the only guards are the
+          // tagEq existence check (over the WHOLE store, matching the
+          // raw path's unfiltered count) and the scalar-avg emptiness
+          // check (over the filtered range)
+          val avgErrors = qm.aggFunc.contains(Agg.Avg) &&
+            ResultShape.of(qm) == ResultShape.Scalar
+          if (qm.tagEq.isEmpty && !avgErrors) Right(df)
+          else {
+            val tagCond = qm.tagEq.map(col("tag") === _).getOrElse(lit(false))
+            val rangeCond = (
+              qm.ge.map(col("bucket_start") >= _).toSeq ++
+                qm.lt.map(col("bucket_start") < _) ++
+                qm.tagEq.map(col("tag") === _)
+              ).reduceOption(_ && _).getOrElse(lit(true))
+            val counts = r.read().agg(
+              coalesce(sum(when(tagCond, col("cnt"))), lit(0L)).as("tag_n"),
+              coalesce(sum(when(rangeCond, col("cnt"))), lit(0L)).as("hit_n"))
+              .head()
+            for {
+              _ <- qm.tagEq match {
+                case Some(t) if counts.getLong(0) == 0L =>
+                  Left(QueryError.NoData(s"""No data for tag "$t"."""))
+                case _ => Right(())
+              }
+              _ <- if (avgErrors && counts.getLong(1) == 0L)
+                     Left(QueryError.EmptyAverage)
+                   else Right(())
+            } yield df
+          }
+      }
+    }
+
   def execute(store: DataFrame, qm0: QueryModel): Either[QueryError, DataFrame] =
     Validation.validate(qm0).flatMap { qm =>
       // a tsEq miss only errors on the paths that look it up directly:

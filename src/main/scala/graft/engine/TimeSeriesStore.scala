@@ -168,10 +168,12 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       verifyExists = true)
   }
 
-  /** Committed versions still present on disk, ascending. */
+  /** Committed versions still present on disk, ascending. Strict
+    * v<digits>.manifest match so a stray foreign file never crashes
+    * the parse. */
   def versions: Seq[Long] =
-    listDir(root).filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong).sorted
+    listDir(root).flatMap("^v(\\d+)\\.manifest$".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong).sorted
 
   /** Snapshot restricted to the given day buckets — the partition-scoped
     * working set for a mutation batch. Reads (and later rewrites) ONLY
@@ -582,11 +584,13 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
             .filter(oldEnough)
             .foreach(rmTree)
       }
-      else if (name.endsWith(".manifest") &&
-        name.stripPrefix("v").stripSuffix(".manifest").toLong < curVersion &&
-        oldEnough(root.resolve(name))) {
-        Files.delete(root.resolve(name))
-        removed += 1
+      // STRICT v<digits>.manifest match — a stray x.manifest in the
+      // store dir must be skipped, not crash the toLong
+      else "^v(\\d+)\\.manifest$".r.findFirstMatchIn(name).foreach { m =>
+        if (m.group(1).toLong < curVersion && oldEnough(root.resolve(name))) {
+          Files.delete(root.resolve(name))
+          removed += 1
+        }
       }
     }
     removed

@@ -218,7 +218,7 @@ class ContinuousAggSpec extends SparkSpec {
     val (st, agg) = fresh()
     var nextId = 0L
     (0 until 18).foreach { i =>
-      val op = rnd.nextInt(4)
+      val op = rnd.nextInt(5)
       op match {
         case 0 =>
           val rows = (0 to rnd.nextInt(3)).map { _ =>
@@ -249,6 +249,17 @@ class ContinuousAggSpec extends SparkSpec {
           if (st.version != v)
             assert(agg.refresh().recomputedDays == 0,
               s"compact-only refresh recomputed days at step $i")
+        case 4 =>
+          // retention interleaves with everything else: a dropped day
+          // must surface in the next refresh's diff as a changed day
+          // (whose data vanished), never recompute anything, and the
+          // rollup must keep matching the RETAINED store
+          val v = st.version
+          val cutoff = day(rnd.nextInt(4).toLong)
+          st.dropDaysBefore(cutoff)
+          if (st.version != v)
+            assert(agg.refresh().recomputedDays == 0,
+              s"drop-only refresh recomputed days at step $i")
       }
       agg.refresh()
       assert(shape(agg.read()) == shape(recompute(st)),
@@ -306,5 +317,187 @@ class ContinuousAggSpec extends SparkSpec {
     // the cagg refresh sees the drops as changed days and converges
     agg.refresh()
     assert(shape(agg.read()) == shape(recompute(st)))
+  }
+
+  test("weekly cagg: coarser-than-day grain — refresh unit is the bucket, incremental == recompute") {
+    import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
+    import graft.model._
+    val WEEK = 7 * DAY
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-store-w").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-w").toString, bucketMs = WEEK)
+    def wshape() = agg.read()
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    def wrecompute() = st.current()
+      .groupBy((expr(s"timestamp div $WEEK") * WEEK).as("bucket_start"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    // three weeks of data, several days per week, integer values
+    st.insert((for (d <- Seq(0L, 2L, 6L, 7L, 9L, 13L, 14L, 20L); t <- Seq("a", "b"))
+      yield TS(day(d, t.hashCode.abs % 97), t, (d * 2).toDouble)).toDS())
+    val s0 = agg.refresh()
+    assert(s0.full && s0.recomputedDays == 3, s"3 week buckets expected: $s0")
+    assert(wshape() == wrecompute())
+    // stored resolution IS the week: one row per (week, tag)
+    assert(agg.read().count() == 3 * 2)
+    // the rollup partition label is the bucket's START day
+    assert(agg.read().select("g_day").distinct().as[Long].collect().sorted
+      .toSeq == Seq(0L, 7L, 14L))
+    // touching ONE day recomputes ONE bucket (its week), carries the rest
+    assert(st.update(Seq(TS(day(9, "b".hashCode.abs % 97), "b", 999.0)).toDS()).isRight)
+    val s1 = agg.refresh()
+    assert(!s1.full && s1.recomputedDays == 1 && s1.carriedDays == 2,
+      s"one changed day must dirty exactly its week: $s1")
+    assert(wshape() == wrecompute())
+    // store compact carries content ids across the coarse grain too
+    st.compact()
+    val s2 = agg.refresh()
+    assert(!s2.full && s2.recomputedDays == 0,
+      s"compact must recompute nothing at weekly grain: $s2")
+    // dropping a PARTIAL week dirties its bucket; the bucket recomputes
+    // from its surviving days only
+    st.dropDaysBefore(day(2))
+    val s3 = agg.refresh()
+    assert(!s3.full && s3.recomputedDays == 1,
+      s"partial-week drop must recompute that week from surviving days: $s3")
+    assert(wshape() == wrecompute())
+    // week-aligned queries answer from the rollup and equal raw compile
+    val aggsL = Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min, Agg.Max)
+    val models =
+      aggsL.map(a => QueryModel(ge = Some(WEEK), lt = Some(3 * WEEK),
+        aggFunc = Some(a))) ++
+      aggsL.map(a => QueryModel(aggFunc = Some(a), groupBy = Some(GroupBy.Tag)))
+    models.foreach { qm =>
+      val viaRollup = agg.answer(qm)
+      assert(viaRollup.isDefined, s"expected weekly-rollup-answerable: $qm")
+      assert(viaRollup.get.collect().map(_.toSeq).toSeq ==
+        QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq,
+        s"weekly rollup diverged for $qm")
+    }
+    // day-aligned but not week-aligned: ineligible at this grain
+    assert(agg.answer(QueryModel(ge = Some(day(1)),
+      aggFunc = Some(Agg.Count))).isEmpty)
+    // a 2-week tumbling window refolds; a 10-day one straddles buckets
+    assert(agg.answerWindow(2 * WEEK).isDefined)
+    assert(agg.answerWindow(10 * DAY).isEmpty)
+    // only day divisors/multiples nest with the refresh unit
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-cagg-bad-w").toString,
+        bucketMs = DAY + DAY / 2)
+    }
+  }
+
+  test("retention × rewrite law: answer() over a window straddling the cutoff == raw compile over the retained store") {
+    import graft.engine.QueryEngine
+    import graft.model._
+    val (st, agg) = fresh()
+    st.insert((0L until 6L).map(d => TS(day(d, 3), "a", d.toDouble * 2))
+      .toDS())
+    agg.refresh()
+    st.dropDaysBefore(day(2))
+    agg.refresh()
+    // [day 0, day 4) straddles the retention cutoff at day 2: both
+    // paths must see ONLY the retained days (2, 3)
+    Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min, Agg.Max).foreach { a =>
+      val qm = QueryModel(ge = Some(day(0)), lt = Some(day(4)), aggFunc = Some(a))
+      val viaRollup = agg.answer(qm)
+      assert(viaRollup.isDefined)
+      assert(viaRollup.get.collect().map(_.toSeq).toSeq ==
+        QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq,
+        s"straddling-window answer diverged for $a")
+    }
+  }
+
+  test("engine routing: QueryEngine.execute(store, qm, rollups) serves eligible shapes from the rollup") {
+    import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
+    import graft.model._
+    val stPath = Files.createTempDirectory("graft-route-store").toString
+    val dailyPath = Files.createTempDirectory("graft-route-daily").toString
+    val hourlyPath = Files.createTempDirectory("graft-route-hourly").toString
+    val st = new TimeSeriesStore(spark, stPath)
+    st.insert((for (d <- 0L until 3L; h <- Seq(0L, 6L); t <- Seq("a", "b"))
+      yield TS(day(d, h * 3600000L + t.hashCode.abs % 13), t, (d * 7 + h).toDouble))
+      .distinct.toDS())
+    val daily = new ContinuousAggregate(spark, st, dailyPath)
+    val hourly = new ContinuousAggregate(spark, st, hourlyPath, bucketMs = 3600000L)
+    daily.refresh(); hourly.refresh()
+    val rollups = Seq(hourly, daily) // registration order must not matter
+    def plans(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // eligible + day-aligned: routed, answers == raw path, and the
+    // plan reads ONLY rollup segments — specifically the COARSEST
+    // eligible grain (daily), which scans 6× fewer rows than hourly
+    val dayQm = QueryModel(ge = Some(day(1)), aggFunc = Some(Agg.Sum),
+      groupBy = Some(GroupBy.Tag))
+    val routed = QueryEngine.execute(st, dayQm, rollups)
+    assert(routed.isRight)
+    val p = plans(routed.toOption.get)
+    assert(p.contains("graft-route-daily"),
+      "day-aligned query must route to the coarsest eligible rollup")
+    assert(!p.contains("graft-route-store") && !p.contains("graft-route-hourly"),
+      s"routed plan must read only the winning rollup's segments")
+    assert(routed.toOption.get.collect().map(_.toSeq).toSeq ==
+      QueryEngine.execute(st.current(), dayQm).toOption.get
+        .collect().map(_.toSeq).toSeq)
+
+    // hour-aligned sub-day window: daily ineligible, hourly wins
+    val hourQm = QueryModel(ge = Some(day(0, 6 * 3600000L)),
+      lt = Some(day(2)), aggFunc = Some(Agg.Count))
+    val routedH = QueryEngine.execute(st, hourQm, rollups)
+    val pH = plans(routedH.toOption.get)
+    assert(pH.contains("graft-route-hourly") && !pH.contains("graft-route-store"))
+    assert(routedH.toOption.get.collect().map(_.toSeq).toSeq ==
+      QueryEngine.execute(st.current(), hourQm).toOption.get
+        .collect().map(_.toSeq).toSeq)
+
+    // ineligible shape (collect): bit-identical fallthrough to raw
+    val collectQm = QueryModel(tagEq = Some("a"), limit = Some(5))
+    val viaRoute = QueryEngine.execute(st, collectQm, rollups)
+    val viaRaw = QueryEngine.execute(st.current(), collectQm)
+    assert(viaRoute.toOption.get.collect().map(_.toSeq).toSeq ==
+      viaRaw.toOption.get.collect().map(_.toSeq).toSeq)
+    assert(plans(viaRoute.toOption.get).contains("graft-route-store"))
+
+    // error guards run FROM THE ROLLUP on the routed path and match
+    // the raw path's semantics exactly
+    assert(QueryEngine.execute(st, QueryModel(tagEq = Some("zzz"),
+      aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)), rollups) ==
+      Left(QueryError.NoData("""No data for tag "zzz".""")))
+    assert(QueryEngine.execute(st, QueryModel(ge = Some(day(9)),
+      lt = Some(day(10)), aggFunc = Some(Agg.Avg)), rollups) ==
+      Left(QueryError.EmptyAverage))
+    // tagEq singleton law survives routing: grouped count over an
+    // EXISTING tag but empty range yields the mempty row, not NoData
+    val singleton = QueryEngine.execute(st, QueryModel(ge = Some(day(9)),
+      lt = Some(day(10)), tagEq = Some("a"), aggFunc = Some(Agg.Count),
+      groupBy = Some(GroupBy.Tag)), rollups)
+    assert(singleton.toOption.get.collect().map(_.toSeq).toSeq ==
+      Seq(Seq("a", 0.0)))
+    // validation still rejects illegal models before any routing
+    assert(QueryEngine.execute(st, QueryModel(gt = Some(1L), ge = Some(2L),
+      aggFunc = Some(Agg.Count)), rollups).isLeft)
+
+    // a STALE rollup (store moved past it) silently falls out of
+    // consideration — never a stale answer
+    assert(st.insert(Seq(TS(day(2, 999), "c", 42.0)).toDS()).isRight)
+    val afterMutation = QueryEngine.execute(st, dayQm, rollups)
+    assert(plans(afterMutation.toOption.get).contains("graft-route-store"),
+      "stale rollups must fall through to the raw store")
+    assert(afterMutation.toOption.get.collect().map(_.toSeq).toSeq ==
+      QueryEngine.execute(st.current(), dayQm).toOption.get
+        .collect().map(_.toSeq).toSeq)
+    // refresh restores routing
+    daily.refresh()
+    assert(plans(QueryEngine.execute(st, dayQm, rollups).toOption.get)
+      .contains("graft-route-daily"))
   }
 }

@@ -161,9 +161,15 @@ class PlanAuditSpec extends SparkSpec {
     // scan sneaking in here silently re-prices the query at corpus
     // scale while still returning correct answers — exactly the
     // regression plan text catches and results can't.
+    // these now go through the PUBLIC engine path
+    // (QueryEngine.execute(store, qm, rollups)) — this assertion is
+    // what pins that the automatic routing, not bespoke caller code,
+    // produces rollup-only plans
     Seq("ts3_cagg_group_tag_count", "ts3_cagg_group_tag_min",
         "ts3_cagg_scalar_sum", "ts3_cagg_hourly_group_tag_count",
-        "ts3_cagg_hourly_scalar_sum", "ts3_cagg_window_6h").foreach { n =>
+        "ts3_cagg_hourly_scalar_sum", "ts3_cagg_window_6h",
+        "ts3_cagg_window_sliding", "ts3_cagg_weekly_scalar_sum",
+        "ts3_cagg_weekly_group_tag_count").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
         s"$n: plan does not read the rollup segments")
