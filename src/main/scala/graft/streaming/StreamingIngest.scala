@@ -202,21 +202,34 @@ object StreamingIngest {
       if (!fresh.isEmpty) {
         store.insert(fresh).left.foreach(e =>
           throw new IllegalStateException(e.message))
-        // continuous-aggregate freshness rides the ingest trigger:
-        // refresh cost is O(this batch's days) (manifest diff), so
-        // per-trigger is the right cadence — and a crashed trigger
-        // re-runs it idempotently (an already-reflected store version
-        // is a no-op)
+      }
+      // continuous-aggregate freshness rides the ingest trigger:
+      // refresh cost is O(this batch's days) (manifest diff), so
+      // per-trigger is the right cadence. The refresh sits OUTSIDE the
+      // fresh-rows guard: a trigger that crashed after `store.insert`
+      // committed but before the refresh replays with an EMPTY fresh
+      // set (the left-anti dedupe finds its own committed rows), and a
+      // guarded refresh would leave the rollup stale until the next
+      // non-empty trigger — forever, on a quiesced stream. Unguarded,
+      // the replay refreshes the committed batch in; on a genuinely
+      // idle trigger it is a version-compare no-op (one manifest read).
+      rollup.foreach(_.refresh())
+      // cadenced maintenance, AFTER the trigger's own work (same
+      // rationale as the index-ingest family): each insert adds a
+      // store segment and each refresh a rollup delta segment, so an
+      // unmaintained long-running ingest makes every read union one
+      // dir per trigger. Compaction is I/O-only — answers unchanged.
+      if (cadence.due()) {
+        store.compact()
+        // reflect the compacted store version BEFORE vacuum: content
+        // ids make this refresh recompute zero days while advancing
+        // the rollup's diff base past the compact, so the manifest
+        // reap below can no longer strand the base and silently
+        // degrade every later refresh to a full recompute (the
+        // zero-retention maintenance mode hit this every cycle)
         rollup.foreach(_.refresh())
-        // cadenced maintenance, AFTER the trigger's own work (same
-        // rationale as the index-ingest family): each insert adds a
-        // store segment and each refresh a rollup delta segment, so an
-        // unmaintained long-running ingest makes every read union one
-        // dir per trigger. Compaction is I/O-only — answers unchanged.
-        if (cadence.due()) {
-          store.compact(); store.vacuum(vacuumRetentionMs)
-          rollup.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
-        }
+        store.vacuum(vacuumRetentionMs)
+        rollup.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
       }
     }}
   }

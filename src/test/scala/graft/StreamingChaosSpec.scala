@@ -405,6 +405,58 @@ class StreamingChaosSpec extends SparkSpec {
     assert(store.report().collect().toSeq == full.report().collect().toSeq)
   }
 
+  test("ingestToStore + rollup: crash between store commit and refresh, restart heals the rollup WITHOUT new data") {
+    import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+    import graft.model.TS
+    import org.apache.spark.sql.functions._
+    val DAY = 86400000L
+    val store = new TimeSeriesStore(spark, tmp("chaos-ing-store"))
+    val agg = new ContinuousAggregate(spark, store, tmp("chaos-ing-cagg"))
+    val ckpt = tmp("chaos-ing-ckpt")
+    def shape() = agg.read()
+      .select("g_day", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def recompute() = store.current().groupBy(col("g_day"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .select("g_day", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val mem = MemoryStream[TS]
+    def start() = StreamingIngest.ingestToStore(mem.toDS(), store, Some(agg))
+      .option("checkpointLocation", ckpt).start()
+
+    // trigger 1 lands cleanly: store v0, rollup reflecting it
+    val q1 = start()
+    try {
+      mem.addData(TS(0L, "a", 1.0), TS(DAY, "b", 2.0))
+      q1.processAllAvailable()
+    } finally stopAndAwait(q1)
+    assert(agg.reflectedStoreVersion.contains(store.version))
+
+    // the crash window: trigger 2's `store.insert` COMMITTED but the
+    // process died before `rollup.refresh()`. Simulate by committing
+    // the batch out-of-band (that IS the crashed trigger's store half)
+    // while the checkpoint still owes the batch a replay.
+    val batch2 = Seq(TS(DAY + 5, "b", 7.0), TS(2 * DAY, "c", 9.0))
+    assert(store.insert(batch2.toDS()).isRight)
+    assert(!agg.reflectedStoreVersion.contains(store.version),
+      "precondition: rollup is stale relative to the committed batch")
+    mem.addData(batch2: _*)
+
+    // restart; the replayed trigger's left-anti dedupe finds NOTHING
+    // fresh (its own rows are already committed) — the exact shape
+    // that used to skip the refresh and leave the rollup stale until
+    // the next non-empty trigger (forever, on a quiesced stream)
+    val q2 = start()
+    try q2.processAllAvailable() finally stopAndAwait(q2)
+    assert(agg.reflectedStoreVersion.contains(store.version),
+      "replayed trigger must refresh the rollup despite an empty fresh set")
+    assert(shape() == recompute(),
+      "rollup must reflect the crashed trigger's committed batch")
+    // and the store itself took no duplicates from the replay
+    assert(store.current().count() == 4)
+  }
+
   test("driftIngest: a replayed trigger re-reports identically (stateless path)") {
     import graft.operators.{DriftRef, Quality}
     val refCorpus = (0 until 40)

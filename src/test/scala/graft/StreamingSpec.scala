@@ -461,6 +461,17 @@ class StreamingSpec extends SparkSpec {
       // cadence folded both (trigger 6's own append lands post-compact)
       assert(store.segmentCount <= 2, s"store fan-in: ${store.segmentCount}")
       assert(agg.segmentCount <= 3, s"rollup fan-in: ${agg.segmentCount}")
+      // IMMEDIATELY post-maintenance (before any further trigger can
+      // mask it): the refresh must be an incremental no-op, NOT a full
+      // recompute. Maintenance refreshes the rollup BETWEEN
+      // store.compact and store.vacuum, so the zero-retention manifest
+      // reap can never strand the rollup's diff base — stranded, every
+      // later refresh silently degrades to O(history), defeating the
+      // content-id incremental path on exactly the long-running
+      // ingests the cadence targets
+      val s = agg.refresh()
+      assert(s.recomputedDays == 0 && !s.full,
+        s"post-maintenance refresh degraded: $s")
       // ingest keeps working across maintenance (the day-scoped refresh
       // cost across a compact is pinned in ContinuousAggSpec's
       // content-id test); the trigger's rollup is already current, so
