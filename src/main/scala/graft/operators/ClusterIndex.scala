@@ -102,10 +102,15 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       // The edge side is batch-scale: broadcast it against the ONE
       // assignment-chain scan this append pays (the semi-join prunes
       // it to batch-sized output); `was_assigned` rides along so the
-      // new-id and moved-label splits below need no further chain scan
-      val ids = graft.Materialize.checkpoint(
-        p.select(col("id_a").as("id")).unionAll(p.select(col("id_b").as("id")))
-          .distinct())
+      // new-id and moved-label splits below need no further chain scan.
+      // `ids` is NOT separately materialized: it derives from the
+      // already-checkpointed `p` by one batch-scale distinct, so
+      // appearing twice in this plan (probe side + broadcast) costs
+      // less than the eager checkpoint round-trip it previously paid
+      // (the 4.5 s x_dedup_clusters_incremental median was dominated
+      // by five per-append checkpoints; this path now pays three)
+      val ids = p.select(col("id_a").as("id"))
+        .unionAll(p.select(col("id_b").as("id"))).distinct()
       val reps = graft.Materialize.checkpoint(
         ids.join(assignment(Some(base)).join(broadcast(ids), Seq("id"), "left_semi"),
             Seq("id"), "left")
@@ -116,10 +121,13 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
         .join(reps.select(col("id").as("id_b"), col("rep").as("rep_b")), "id_b")
         .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
       // CC over representatives: min-id labels => merged components get
-      // exactly the label a one-shot over the union would
-      val merged = graft.Materialize.checkpoint(
-        Dedup.connectedComponents(repEdges)
-          .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp"))
+      // exactly the label a one-shot over the union would. Its result
+      // needs no checkpoint of its own — it has exactly ONE consumer
+      // (the join below, which IS checkpointed), and CC already
+      // materializes internally (driver DSU below the cutoff, its own
+      // per-round checkpoints above it)
+      val merged = Dedup.connectedComponents(repEdges)
+        .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp")
       // ONE rep⋈merged join feeds BOTH deltas (it is batch-sized — one
       // row per batch endpoint): the moved OLD labels (an assigned
       // endpoint's rep IS a stored component label, so `was_assigned`
