@@ -217,6 +217,54 @@ object SparkEntry {
       identity)
   }
 
+  /** REAL-TIME aggregate fixture: events before T2 are rolled up, then
+    * the post-T2 tail (~9 days) is committed WITHOUT a refresh — the
+    * always-there hot tail of a live ingest. The ts3_cagg_realtime_*
+    * queries route through the engine against this deliberately-stale
+    * rollup, so their DuckDB oracles (raw aggregation over ALL events)
+    * prove the hybrid carried-buckets + raw-tail path is exact.
+    */
+  private val caggRtPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  sys.addShutdownHook {
+    caggRtPaths.values.foreach { case (a, b) =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(a), swallow = true)
+      graft.Fs.deleteTree(java.nio.file.Paths.get(b), swallow = true)
+    }
+  }
+
+  private def caggRtFor(s: SparkSession, dir: String)
+      : (graft.engine.TimeSeriesStore, graft.engine.ContinuousAggregate) =
+    caggRtPaths.synchronized {
+      val (stP, agP) = caggRtPaths.getOrElseUpdate(dir, {
+        import s.implicits._
+        val stTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rt-store").toString
+        val agTmp = java.nio.file.Files.createTempDirectory("graft-cagg-rt-rollup").toString
+        val st = new graft.engine.TimeSeriesStore(s, stTmp)
+        val all = Tables.ts(s, dir)
+        def load(cond: org.apache.spark.sql.Column): Unit =
+          st.insert(all.filter(cond).as[TS]).left.foreach(errs =>
+            throw new IllegalStateException(
+              s"cagg rt fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
+        load(col("timestamp") < T2)
+        new graft.engine.ContinuousAggregate(s, st, agTmp).refresh()
+        load(col("timestamp") >= T2) // the hot tail: never refreshed in
+        (stTmp, agTmp)
+      })
+      val st = new graft.engine.TimeSeriesStore(s, stP)
+      (st, new graft.engine.ContinuousAggregate(s, st, agP))
+    }
+
+  private def caggRtAnswer(s: SparkSession, dir: String, qm: QueryModel): DataFrame = {
+    val (st, r) = caggRtFor(s, dir)
+    require(r.reflectedStoreVersion.exists(_ != st.version),
+      "realtime fixture must be STALE — the hybrid path is the point")
+    graft.engine.QueryEngine.execute(st, qm, Seq(r)).fold(
+      e => throw new IllegalStateException(s"ts3 realtime query failed: ${e.message}"),
+      identity)
+  }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -729,6 +777,15 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // REAL-TIME hybrid: a deliberately-stale rollup (post-T2 tail never
+    // refreshed in) answers via carried buckets + raw-tail
+    // re-aggregation; the oracle aggregates ALL raw events
+    "ts3_cagg_realtime_scalar_sum" -> ((s, dir) => caggRtAnswer(s, dir,
+      QueryModel(ge = Some(T1), lt = Some(1706054400000L),
+        aggFunc = Some(Agg.Sum)))
+      .withColumn("result", round(col("result"), 4))),
+    "ts3_cagg_realtime_group_tag_count" -> ((s, dir) => caggRtAnswer(s, dir,
+      QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2267,6 +2324,10 @@ object SparkEntry {
     "ts3_cagg_weekly_scalar_sum" ->
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= 1704931200000 AND "timestamp" < 1706140800000""",
     "ts3_cagg_weekly_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_realtime_scalar_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < 1706054400000""",
+    "ts3_cagg_realtime_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",

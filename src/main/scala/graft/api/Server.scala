@@ -1,7 +1,7 @@
 package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.engine.{QueryEngine, TimeSeriesStore}
+import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
 import graft.model.QueryError
 import org.apache.spark.sql.SparkSession
 import java.net.InetSocketAddress
@@ -19,9 +19,40 @@ import java.nio.charset.StandardCharsets
   * message, like the reference's Handler (Api.hs:78-84). Built on the
   * JDK's HttpServer — zero added dependencies; the engine does the
   * real work, this is ~150 lines of routing and codecs.
+  *
+  * `rollups` registers continuous aggregates with the query planner:
+  * every query route then goes through
+  * [[QueryEngine.execute(store,qm,rollups)*]], so eligible aggregates
+  * are served from the rollup (real-time hybrid when stale — exact at
+  * any staleness) with NO client-visible change. Mutations refresh the
+  * registered rollups afterwards (O(changed days) each via the
+  * content-id manifest diff); correctness never depends on that
+  * refresh, only the served plan's cost does.
   */
-final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
+final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
+                   rollups: Seq[ContinuousAggregate] = Nil) {
   import spark.implicits._
+
+  /** One query path for both routes: the rollup-routed engine when
+    * aggregates are registered, the plain compile otherwise (no
+    * per-request manifest reads on a rollup-less server).
+    */
+  private def runQuery(qm: graft.model.QueryModel) =
+    if (rollups.isEmpty) QueryEngine.execute(store.current(), qm)
+    else QueryEngine.execute(store, qm, rollups)
+
+  /** Post-mutation freshness ride-along, same policy as the streaming
+    * ingest path. Never load-bearing for correctness (stale rollups
+    * answer via the hybrid), so failures must not fail the mutation
+    * the client already committed.
+    */
+  private def refreshRollups(): Unit =
+    rollups.foreach { r =>
+      try { r.refresh(); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] rollup refresh failed (hybrid still exact): $e")
+      }
+    }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -66,7 +97,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
   private def handleExport(ex: HttpExchange, body: String): Unit = {
     val parsed = for {
       qm <- QueryJson.parseQueryModel(body)
-      df <- QueryEngine.execute(store.current(), qm)
+      df <- runQuery(qm)
     } yield (qm, df)
     parsed match {
       case Right((qm, df)) =>
@@ -107,26 +138,28 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
         case ("POST", "/timeseries/query") =>
           for {
             qm <- QueryJson.parseQueryModel(body)
-            df <- QueryEngine.execute(store.current(), qm)
+            df <- runQuery(qm)
           } yield QueryJson.encodeResult(qm, df)
         // mutation success bodies are `[]` — aeson's encoding of the
         // reference handlers' `return ()` (Api.hs:50,60,70)
         case ("POST", "/timeseries") =>
           QueryJson.parseTsBatch(body)
             .flatMap(b => store.insert(b.toDS()))
-            .map(_ => "[]")
+            .map { _ => refreshRollups(); "[]" }
         case ("PUT", "/timeseries") =>
           QueryJson.parseTsBatch(body)
             .flatMap(b => store.update(b.toDS()))
-            .map(_ => "[]")
+            .map { _ => refreshRollups(); "[]" }
         case ("DELETE", "/timeseries") if body.trim.isEmpty =>
           // bodyless DELETE = truncate (reference's bare Delete route,
           // Api.hs:91)
-          store.truncate(); Right("[]")
+          store.truncate(); refreshRollups(); Right("[]")
         case ("DELETE", "/timeseries") =>
           QueryJson.parseKeyBatch(body).flatMap {
-            case keys if keys.isEmpty => store.truncate(); Right("[]")
-            case keys => store.delete(keys.toDS()).map(_ => "[]")
+            case keys if keys.isEmpty =>
+              store.truncate(); refreshRollups(); Right("[]")
+            case keys => store.delete(keys.toDS())
+              .map { _ => refreshRollups(); "[]" }
           }
         case _ =>
           Left(QueryError.IllegalQuery(s"No route: ${route._1} ${route._2}"))
@@ -162,7 +195,11 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int) {
   def stop(): Unit = http.stop(0)
 }
 
-/** `sbt "runMain graft.api.ServerMain [port] [storePath]"` */
+/** `sbt "runMain graft.api.ServerMain [port] [storePath] [rollupPath]"` —
+  * a third argument registers a daily continuous aggregate at that
+  * path (refreshed at startup and after every mutation): eligible
+  * aggregate queries are then served from the rollup automatically.
+  */
 object ServerMain {
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8081)
@@ -175,8 +212,15 @@ object ServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new Server(spark, new TimeSeriesStore(spark, path), port).start()
-    println(s"[graft] serving on port ${server.boundPort}, store at $path")
+    val store = new TimeSeriesStore(spark, path)
+    val rollups = args.lift(2).map { rp =>
+      val r = new ContinuousAggregate(spark, store, rp)
+      if (store.version >= 0) r.refresh()
+      r
+    }.toSeq
+    val server = new Server(spark, store, port, rollups).start()
+    println(s"[graft] serving on port ${server.boundPort}, store at $path" +
+      rollups.headOption.map(_ => s", daily rollup registered").getOrElse(""))
     Thread.currentThread().join()
   }
 }

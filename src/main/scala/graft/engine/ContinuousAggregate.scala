@@ -56,8 +56,49 @@ final class ContinuousAggregate(spark: SparkSession,
   def grainMs: Long = bucketMs
 
   /** The store version this rollup currently reflects (None before the
-    * first refresh) — the freshness gate for automatic query routing. */
+    * first refresh). */
   def reflectedStoreVersion: Option[Long] = readState().map(_.storeVersion)
+
+  /** The REAL-TIME base every query rewrite builds on: per-(bucket,
+    * tag) partials covering the store's CURRENT state, exactly —
+    * regardless of how stale the rollup is. When the rollup reflects
+    * the current store version this is just the rollup read. When the
+    * store has moved past it (the always-there hot tail of a live
+    * ingest), the manifest content diff splits buckets into carried
+    * (served from the rollup, untouched since the refresh) and changed
+    * (re-aggregated from ONLY those days' raw partitions) — Timescale's
+    * real-time continuous aggregates: O(buckets + tail events), never
+    * O(history events), with no freshness requirement on the caller.
+    *
+    * None when no refresh has ever run, or when the reflected manifest
+    * was vacuumed (diff base gone) — loud-to-cheap, the caller falls
+    * back to the raw store.
+    */
+  private[engine] def currentBase(): Option[DataFrame] = {
+    val sv = store.version
+    readState() match {
+      case None => None
+      case Some(st) if st.storeVersion == sv => Some(read())
+      case Some(st) =>
+        try {
+          val oldC = store.contentByDayAsOf(st.storeVersion)
+          val newC = store.contentByDay()
+          val changedUnits = (oldC.keySet union newC.keySet)
+            .filter(d => oldC.get(d) != newC.get(d)).map(refreshUnit)
+          if (changedUnits.isEmpty) Some(read())
+          else {
+            val tailDays = newC.keySet
+              .filter(d => changedUnits.contains(refreshUnit(d)))
+            val carried = read()
+              .filter(!col("g_day").isin(changedUnits.toSeq: _*))
+            if (tailDays.isEmpty) Some(carried)
+            else Some(carried.unionByName(
+              rollup(store.currentForDays(tailDays))
+                .select(carried.columns.map(col).toSeq: _*)))
+          }
+        } catch { case _: IllegalArgumentException => None }
+    }
+  }
 
   /** The manifest/storage partition a store day belongs to: the day
     * itself for fine grains, the containing bucket's START day for
@@ -225,6 +266,12 @@ final class ContinuousAggregate(spark: SparkSession,
     * row-for-row (mempty folds on empty input, the tagEq singleton
     * fallback, canonical ordering, limit).
     *
+    * EXACT AT ANY STALENESS: the plan builds on [[currentBase]], so a
+    * rollup the store has moved past serves carried buckets from its
+    * segments and re-aggregates only the changed days' raw partitions
+    * (real-time aggregate semantics). None additionally when no
+    * refresh has ever run or the diff base was vacuumed.
+    *
     * Float caveat: Sum/Avg refold per-day partial sums, so low bits
     * can differ from a raw fold — the same reassociation already
     * inherent in ANY distributed aggregation (the raw path's partial
@@ -240,7 +287,7 @@ final class ContinuousAggregate(spark: SparkSession,
       case _ => false
     })
     if (!aligned || !shapeOk) None
-    else {
+    else currentBase().map { base =>
       // bucket_start bounds give exactness at the bucket grain; the
       // derived g_day bounds add directory-level partition pruning (a
       // bucket never straddles a day, so the day floor/ceil are safe)
@@ -248,7 +295,7 @@ final class ContinuousAggregate(spark: SparkSession,
         qm.ge.map(v => col("bucket_start") >= v && col("g_day") >= v / D),
         qm.lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / D),
         qm.tagEq.map(col("tag") === _)
-      ).flatten.foldLeft(read())(_ filter _)
+      ).flatten.foldLeft(base)(_ filter _)
       def rollAgg(a: Agg): org.apache.spark.sql.Column = a match {
         case Agg.Count => coalesce(sum(col("cnt")), lit(0L)).cast("double")
         case Agg.Sum   => coalesce(sum(col("sum_val")), lit(0.0))
@@ -260,7 +307,7 @@ final class ContinuousAggregate(spark: SparkSession,
       val a = qm.aggFunc.get
       ResultShape.of(qm) match {
         case ResultShape.Scalar =>
-          Some(sliced.agg(rollAgg(a).as("result")))
+          sliced.agg(rollAgg(a).as("result"))
         case _ =>
           val grouped = sliced.groupBy(col("tag").as("grp"))
             .agg(rollAgg(a).as("result"))
@@ -276,7 +323,7 @@ final class ContinuousAggregate(spark: SparkSession,
             case None => grouped
           }
           val ordered = withSingleton.orderBy(asc("grp"))
-          Some(qm.limit.fold(ordered)(ordered.limit))
+          qm.limit.fold(ordered)(ordered.limit)
       }
     }
   }
@@ -370,20 +417,21 @@ final class ContinuousAggregate(spark: SparkSession,
     * None unless widthMs is a positive multiple of slideMs and slideMs
     * a positive multiple of the bucket grain (otherwise a bucket would
     * straddle a window edge) — the caller computes from the raw store
-    * instead.
+    * instead. Builds on [[currentBase]], so it is exact at any rollup
+    * staleness (and None when no refresh ever ran / diff base reaped).
     */
   def answerWindow(widthMs: Long, slideMs0: Long = 0L): Option[DataFrame] = {
     val slideMs = if (slideMs0 == 0L) widthMs else slideMs0
     if (widthMs <= 0 || slideMs <= 0 ||
         widthMs % slideMs != 0 || slideMs % bucketMs != 0) None
-    else Some {
+    else currentBase().map { base =>
       val n = (widthMs / slideMs).toInt
       // bucket b ∈ [w, w+width) for w = (b div slide)·slide − i·slide,
       // i ∈ [0, n): the same two-phase union the sliding-window oracle
       // uses, generalized to n phases
       val starts = (0 until n).map(i =>
         expr(s"bucket_start div $slideMs") * slideMs - lit(i.toLong * slideMs))
-      read()
+      base
         .select(col("tag"), col("cnt"), col("sum_val"), col("min_val"),
           col("max_val"), explode(array(starts: _*)).as("window_start"))
         .groupBy(col("window_start"), col("tag"))

@@ -153,14 +153,17 @@ object QueryEngine {
     * bespoke opt-in code.
     *
     * Routing rules:
-    *  - only rollups whose reflected store version equals the store's
-    *    CURRENT version are candidates (answers must be exact, never
-    *    stale; an un-refreshed rollup silently falls out of
-    *    consideration rather than serving old data);
     *  - candidates are tried coarsest grain first — among eligible
     *    rollups the coarsest scans the fewest rows (a day-aligned
     *    query reads 24× fewer rows from the daily rollup than the
     *    hourly one);
+    *  - a rollup need NOT be fresh: answers build on
+    *    [[ContinuousAggregate.currentBase]], so a stale rollup serves
+    *    carried buckets from its segments and re-aggregates only the
+    *    changed days' raw partitions (Timescale's real-time
+    *    aggregates) — exact at any staleness, O(buckets + tail
+    *    events). A rollup that has never refreshed, or whose diff base
+    *    was vacuumed, silently falls out of consideration;
     *  - the first rollup whose [[ContinuousAggregate.answer]] accepts
     *    the shape wins; ineligible shapes (collect, group-by-timestamp,
     *    tsEq, unaligned bounds) fall through to the raw-store compile,
@@ -168,23 +171,24 @@ object QueryEngine {
     *
     * The reference-semantics guards (NoData for a tagEq miss, "Average
     * failed." for a scalar avg over nothing) are evaluated FROM THE
-    * ROLLUP on the routed path — per-bucket `cnt` sums are exactly the
-    * raw row counts, so the error behavior matches the raw path while
-    * the whole request, guards included, reads only rollup segments.
-    * (tsEq never routes, so its error path always takes the raw gate.)
+    * SAME real-time base on the routed path — per-bucket `cnt` sums
+    * are exactly the raw row counts, so the error behavior matches the
+    * raw path while a fresh-rollup request, guards included, reads
+    * only rollup segments. (tsEq never routes, so its error path
+    * always takes the raw gate.)
     */
   def execute(store: TimeSeriesStore, qm0: QueryModel,
               rollups: Seq[ContinuousAggregate]): Either[QueryError, DataFrame] =
     Validation.validate(qm0).flatMap { qm =>
-      val sv = store.version
       val routed = rollups
-        .filter(_.reflectedStoreVersion.contains(sv))
         .sortBy(-_.grainMs)
-        .iterator.map(r => (r, r.answer(qm)))
-        .collectFirst { case (r, Some(df)) => (r, df) }
+        .iterator.flatMap { r =>
+          (for { df <- r.answer(qm); base <- r.currentBase() }
+            yield (df, base)).iterator
+        }.nextOption()
       routed match {
         case None => execute(store.current(), qm)
-        case Some((r, df)) =>
+        case Some((df, base)) =>
           // eligible shapes carry no tsEq, so the only guards are the
           // tagEq existence check (over the WHOLE store, matching the
           // raw path's unfiltered count) and the scalar-avg emptiness
@@ -199,7 +203,7 @@ object QueryEngine {
                 qm.lt.map(col("bucket_start") < _) ++
                 qm.tagEq.map(col("tag") === _)
               ).reduceOption(_ && _).getOrElse(lit(true))
-            val counts = r.read().agg(
+            val counts = base.agg(
               coalesce(sum(when(tagCond, col("cnt"))), lit(0L)).as("tag_n"),
               coalesce(sum(when(rangeCond, col("cnt"))), lit(0L)).as("hit_n"))
               .head()

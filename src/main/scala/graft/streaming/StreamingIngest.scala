@@ -189,7 +189,7 @@ object StreamingIngest {
     * Returns the ready-to-start writer.
     */
   def ingestToStore(ts: Dataset[TS], store: graft.engine.TimeSeriesStore,
-                    rollup: Option[graft.engine.ContinuousAggregate] = None,
+                    rollups: Seq[graft.engine.ContinuousAggregate] = Nil,
                     compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val cadence = new Cadence(compactEvery)
@@ -213,7 +213,7 @@ object StreamingIngest {
       // non-empty trigger — forever, on a quiesced stream. Unguarded,
       // the replay refreshes the committed batch in; on a genuinely
       // idle trigger it is a version-compare no-op (one manifest read).
-      rollup.foreach(_.refresh())
+      rollups.foreach(_.refresh())
       // cadenced maintenance, AFTER the trigger's own work (same
       // rationale as the index-ingest family): each insert adds a
       // store segment and each refresh a rollup delta segment, so an
@@ -227,9 +227,9 @@ object StreamingIngest {
         // reap below can no longer strand the base and silently
         // degrade every later refresh to a full recompute (the
         // zero-retention maintenance mode hit this every cycle)
-        rollup.foreach(_.refresh())
+        rollups.foreach(_.refresh())
         store.vacuum(vacuumRetentionMs)
-        rollup.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
+        rollups.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
       }
     }}
   }

@@ -71,6 +71,65 @@ class ApiSpec extends SparkSpec {
     assert(afterTrunc == """{"result":0.0}""")
   }
 
+  test("rollup-registered server: same wire responses, rollup-served aggregates, exact across mutations") {
+    import graft.engine.ContinuousAggregate
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-api-ro-store").toString)
+    val rollup = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-api-ro-cagg").toString)
+    val srv = new Server(spark, st, 0, Seq(rollup)).start()
+    val b2 = s"http://127.0.0.1:${srv.boundPort}"
+    def call2(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(b2 + path))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      val D = 86400000L
+      val rows = s"""[{"timestamp":0,"tag":"foo","value":10.0},
+                     {"timestamp":${D + 5},"tag":"foo","value":20.0},
+                     {"timestamp":3,"tag":"bar","value":5.0}]"""
+      assert(call2("POST", "/timeseries", rows) == (200, "[]"))
+      // the mutation refreshed the rollup; eligible aggregates now
+      // route through it with byte-identical wire output
+      assert(rollup.reflectedStoreVersion.contains(st.version))
+      assert(call2("POST", "/timeseries/query", """{"aggFunc":"sum"}""")
+        == (200, """{"result":35.0}"""))
+      assert(call2("POST", "/timeseries/query",
+        """{"aggFunc":"sum","groupBy":"tag"}""")
+        == (200, """[{"group":"bar","result":5.0},{"group":"foo","result":30.0}]"""))
+      assert(call2("POST", "/timeseries/query",
+        s"""{"ge":$D,"aggFunc":"count","groupBy":"tag"}""")
+        == (200, """[{"group":"foo","result":1.0}]"""))
+      // ineligible shapes (collect, tsEq) fall through, same semantics
+      assert(call2("POST", "/timeseries/query", """{"sort":"desc","limit":1}""")
+        == (200, s"""[{"timestamp":${D + 5},"tag":"foo","value":20.0}]"""))
+      assert(call2("POST", "/timeseries/query",
+        """{"tsEq":3,"tagEq":"bar","aggFunc":"max"}""")
+        == (200, """{"result":5.0}"""))
+      // 400 semantics survive routing: NoData / empty scalar avg
+      assert(call2("POST", "/timeseries/query",
+        """{"tagEq":"zzz","aggFunc":"count","groupBy":"tag"}""")._1 == 400)
+      assert(call2("POST", "/timeseries/query",
+        s"""{"ge":${9 * D},"lt":${10 * D},"aggFunc":"avg"}""")._1 == 400)
+      // update + delete keep the routed answers exact
+      assert(call2("PUT", "/timeseries",
+        """[{"timestamp":0,"tag":"foo","value":99.0}]""")._1 == 200)
+      assert(call2("POST", "/timeseries/query", """{"aggFunc":"sum"}""")
+        == (200, """{"result":124.0}"""))
+      assert(call2("DELETE", "/timeseries",
+        """[{"timestamp":3,"tag":"bar"}]""")._1 == 200)
+      assert(call2("POST", "/timeseries/query",
+        """{"aggFunc":"sum","groupBy":"tag"}""")
+        == (200, """[{"group":"foo","result":119.0}]"""))
+      // truncate empties the rollup-backed answers too
+      assert(call2("DELETE", "/timeseries", "")._1 == 200)
+      assert(call2("POST", "/timeseries/query", """{"aggFunc":"count"}""")
+        == (200, """{"result":0.0}"""))
+    } finally srv.stop()
+  }
+
   test("wire protocol: null fields, typed batch fields, JSON-valid error bodies") {
     // explicit null == absent (aeson Maybe parity)
     val (nc, _) = call("POST", "/timeseries/query", """{"gt":null,"aggFunc":"count"}""")

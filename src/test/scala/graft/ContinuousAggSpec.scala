@@ -486,18 +486,88 @@ class ContinuousAggSpec extends SparkSpec {
     assert(QueryEngine.execute(st, QueryModel(gt = Some(1L), ge = Some(2L),
       aggFunc = Some(Agg.Count)), rollups).isLeft)
 
-    // a STALE rollup (store moved past it) silently falls out of
-    // consideration — never a stale answer
+    // a STALE rollup (store moved past it) serves the REAL-TIME
+    // hybrid: carried buckets from the rollup, ONLY the changed day's
+    // raw partitions re-aggregated — exact, never a stale answer
     assert(st.insert(Seq(TS(day(2, 999), "c", 42.0)).toDS()).isRight)
     val afterMutation = QueryEngine.execute(st, dayQm, rollups)
-    assert(plans(afterMutation.toOption.get).contains("graft-route-store"),
-      "stale rollups must fall through to the raw store")
+    val pM = plans(afterMutation.toOption.get)
+    assert(pM.contains("graft-route-daily") && pM.contains("graft-route-store"),
+      "stale rollup must serve the hybrid (rollup segments + raw tail)")
     assert(afterMutation.toOption.get.collect().map(_.toSeq).toSeq ==
       QueryEngine.execute(st.current(), dayQm).toOption.get
-        .collect().map(_.toSeq).toSeq)
-    // refresh restores routing
+        .collect().map(_.toSeq).toSeq,
+      "real-time hybrid answer must equal the raw path")
+    // the raw side of the hybrid touches ONLY the changed day: every
+    // store-side FileScan carries a g_day=2 partition filter (inputFiles
+    // can't show this — it lists pre-pruning; PartitionFilters is what
+    // the scan actually reads)
+    val storeScanLines = pM.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-route-store"))
+      .toSeq
+    assert(storeScanLines.nonEmpty &&
+      storeScanLines.forall(l => l.contains("PartitionFilters") &&
+        l.contains("g_day") && l.contains("= 2)")),
+      s"hybrid raw scans must be partition-pruned to the changed day:\n${storeScanLines.mkString("\n")}")
+    // refresh restores the pure-rollup plan
     daily.refresh()
-    assert(plans(QueryEngine.execute(st, dayQm, rollups).toOption.get)
-      .contains("graft-route-daily"))
+    val pF = plans(QueryEngine.execute(st, dayQm, rollups).toOption.get)
+    assert(pF.contains("graft-route-daily") && !pF.contains("graft-route-store"))
+  }
+
+  test("real-time aggregate law: answer()/answerWindow() are exact at ANY rollup staleness") {
+    import graft.engine.QueryEngine
+    import graft.model._
+    val (st, agg) = fresh()
+    // before any refresh: no base => None (caller goes raw)
+    st.insert((0L until 3L).map(d => TS(day(d, 3), "a", d.toDouble)).toDS())
+    assert(agg.answer(QueryModel(aggFunc = Some(Agg.Sum))).isEmpty)
+    assert(agg.answerWindow(DAY).isEmpty)
+    agg.refresh()
+    // a deterministic mutation walk WITHOUT any further refresh: after
+    // every step the stale rollup's answers must equal the raw compile
+    val aggsL = Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min, Agg.Max)
+    def checkAll(label: String): Unit = {
+      val models =
+        aggsL.map(a => QueryModel(aggFunc = Some(a))) ++
+        aggsL.map(a => QueryModel(ge = Some(day(1)), lt = Some(day(4)),
+          aggFunc = Some(a), groupBy = Some(GroupBy.Tag))) ++
+        Seq(QueryModel(tagEq = Some("a"), aggFunc = Some(Agg.Sum),
+          groupBy = Some(GroupBy.Tag)))
+      models.foreach { qm =>
+        val viaRollup = agg.answer(qm)
+        assert(viaRollup.isDefined, s"[$label] expected answerable: $qm")
+        assert(viaRollup.get.collect().map(_.toSeq).toSeq ==
+          QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq,
+          s"[$label] real-time answer diverged for $qm")
+      }
+      val win = agg.answerWindow(2 * DAY).get.collect().map(_.toSeq).toSeq
+      val raw = st.current()
+        .groupBy((expr(s"timestamp div ${2 * DAY}") * 2 * DAY).as("window_start"),
+          col("tag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+          min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+        .orderBy(col("window_start"), col("tag"))
+        .collect().map(_.toSeq).toSeq
+      assert(win == raw, s"[$label] real-time window refold diverged")
+    }
+    assert(st.insert(Seq(TS(day(3, 9), "b", 30.0), TS(day(0, 99), "a", 7.0))
+      .toDS()).isRight)
+    checkAll("insert new day + old day")
+    assert(st.update(Seq(TS(day(1, 3), "a", 111.0)).toDS()).isRight)
+    checkAll("update")
+    assert(st.delete(Seq(TSKey(day(2, 3), "a")).toDS()).isRight)
+    checkAll("delete")
+    st.compact()
+    checkAll("compact")
+    st.dropDaysBefore(day(1))
+    checkAll("dropDaysBefore")
+    // the diff base manifest reaped => loud None, never a wrong answer
+    st.vacuum(0L)
+    assert(agg.answer(QueryModel(aggFunc = Some(Agg.Sum))).isEmpty,
+      "vacuumed diff base must disable the rewrite, not mis-answer")
+    // a refresh rebuilds the base and re-enables the rewrite
+    agg.refresh()
+    checkAll("post-vacuum refresh")
   }
 }

@@ -178,6 +178,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ts3 realtime queries are answered as a hybrid: rollup segments + pruned raw tail") {
+    // the real-time path's value is O(buckets + tail events): the plan
+    // must read the rollup's carried buckets AND the raw store (the
+    // post-T2 hot tail) — a missing rollup path means the rewrite
+    // silently fell through to a full raw scan; a missing store path
+    // means the fixture is no longer stale and the hybrid is untested.
+    // Every raw-side scan must carry a g_day partition filter (the
+    // changed-days pruning that keeps the raw cost at tail size).
+    Seq("ts3_cagg_realtime_scalar_sum",
+        "ts3_cagg_realtime_group_tag_count").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("graft-cagg-rt-rollup"),
+        s"$n: hybrid plan does not read the rollup segments")
+      assert(p.contains("graft-cagg-rt-store"),
+        s"$n: hybrid plan does not read the raw tail — fixture not stale?")
+      // formatted-mode scans are multi-line blocks: "(k) Scan parquet"
+      // followed by Location / PartitionFilters / PushedFilters lines
+      val rawScans = """(?s)\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\z)""".r
+        .findAllIn(p).toSeq.filter(_.contains("graft-cagg-rt-store"))
+      assert(rawScans.nonEmpty && rawScans.forall(b =>
+        b.contains("PartitionFilters") && b.contains("g_day")),
+        s"$n: hybrid raw scans must be g_day-partition-pruned to the tail")
+    }
+  }
+
   test("top-k paths use TakeOrderedAndProject, not a global sort") {
     val topk = Seq("o1_l1_topk_recent", "ts2_li_range_topk",
       "x_search_bm25", "x_heavy_hitters",

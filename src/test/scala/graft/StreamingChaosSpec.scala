@@ -422,7 +422,7 @@ class StreamingChaosSpec extends SparkSpec {
       .select("g_day", "tag", "cnt", "sum_val", "min_val", "max_val")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     val mem = MemoryStream[TS]
-    def start() = StreamingIngest.ingestToStore(mem.toDS(), store, Some(agg))
+    def start() = StreamingIngest.ingestToStore(mem.toDS(), store, Seq(agg))
       .option("checkpointLocation", ckpt).start()
 
     // trigger 1 lands cleanly: store v0, rollup reflecting it

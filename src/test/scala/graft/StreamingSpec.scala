@@ -414,7 +414,7 @@ class StreamingSpec extends SparkSpec {
       .select("g_day", "tag", "cnt", "sum_val", "min_val", "max_val")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     val mem = MemoryStream[TS]
-    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Some(agg)).start()
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Seq(agg)).start()
     try {
       mem.addData(TS(0L, "a", 1.0), TS(DAY, "b", 2.0))
       q.processAllAvailable()
@@ -448,7 +448,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[TS]
     // compact+vacuum every 2 non-empty triggers; zero retention is
     // safe here because no reader holds a pre-compact snapshot
-    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Some(agg),
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Seq(agg),
       compactEvery = 2, vacuumRetentionMs = 0L).start()
     try {
       (0 until 6).foreach { i =>
