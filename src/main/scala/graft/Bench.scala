@@ -38,14 +38,25 @@ object Bench {
         raw""""([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
           .map(g => g.group(1) -> g.group(2).toDouble).toMap
     }
-    val load = raw""""load_avg"\s*:\s*(-?[0-9.eE+-]+)""".r
+    // prefer the pre-run ambient sample (r9+ baselines); older files
+    // only carry the post-run load_avg
+    val load = raw""""load_avg_ambient"\s*:\s*(-?[0-9.eE+-]+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .orElse(raw""""load_avg"\s*:\s*(-?[0-9.eE+-]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble))
     (qmap, load)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ambient load, sampled BEFORE any Spark work: this is the number
+    // the baseline-comparability gate uses. The post-run sample (below)
+    // is dominated by the bench's own decaying 32-thread tail — r9
+    // measured post-run 3.13 on a machine whose ambient was 0.69 — so
+    // gating on it would mark nearly every run incomparable.
+    val ambientLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -147,7 +158,7 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val diag = s""""load_avg":$loadAvg,"n_cpus":$nCpus,"n_errors":${errors.size},"errors":$errJson"""
+    val diag = s""""load_avg":$loadAvg,"load_avg_ambient":$ambientLoad,"n_cpus":$nCpus,"n_errors":${errors.size},"errors":$errJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}""")
     // The driver's artifact capture is tail-truncated (BENCH_r07 kept
     // only ~36 of 127 per-query numbers, cut from the FRONT of the
@@ -189,17 +200,18 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => (Map.empty, None) }
     // run-ambient load is the dominant noise term (r8 vs baseline was a
-    // uniform 1.15× at load 1.9 vs 1.4): when the 1-min load averages
-    // differ by >= 1.0 the per-query ratios measure the machine, not
-    // the code, so the regression map is withheld and the JSON says WHY
-    // instead of shipping a silent empty map
-    val loadComparable = baselineLoad.forall(bl => math.abs(loadAvg - bl) < 1.0)
+    // uniform 1.15× at load 1.9 vs 1.4): when the 1-min AMBIENT load
+    // averages (pre-run sample — the post-run one measures the bench's
+    // own tail) differ by >= 1.0 the per-query ratios measure the
+    // machine, not the code, so the regression map is withheld and the
+    // JSON says WHY instead of shipping a silent empty map
+    val loadComparable = baselineLoad.forall(bl => math.abs(ambientLoad - bl) < 1.0)
     val baselineNote =
       if (!baselineExists) "no baseline file"
       else if (baseline.isEmpty)
         s"LOUD WARNING: $baselinePath exists but parsed 0 query entries — format drift, fix the file or the parser"
       else if (!loadComparable)
-        s"baseline-incomparable (load): run load_avg $loadAvg vs baseline ${baselineLoad.get}"
+        s"baseline-incomparable (load): run ambient load_avg $ambientLoad vs baseline ${baselineLoad.get}"
       else "comparable"
     if (baselineExists && baseline.isEmpty)
       System.err.println(s"[bench] $baselineNote")

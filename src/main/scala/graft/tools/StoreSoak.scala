@@ -180,6 +180,37 @@ object StoreSoak {
       f"fullRecompute=$tFullRecompute%.2fs (history=${D}d x $rowsPerDay rows)")
     println(f"[soak] cagg rewrite: rollupAnswer=$tRollup%.2fs rawAnswer=$tRaw%.2fs speedup=${tRaw / tRollup}%.1fx")
 
+    // ---- 5. Real-time hybrid read cost vs staleness ---------------
+    // grow the store's hot tail WITHOUT refreshing the rollup; the
+    // design claim is hybrid answer cost = fresh-rollup cost + the
+    // TAIL days' raw aggregation — a function of staleness, never of
+    // history — while staying exact (checked vs the raw compile).
+    def hybridMedian() = median3(cagg.answer(qm).get
+      .write.mode("overwrite").format("noop").save())
+    st.insert(dayBatch(D)).left.foreach(e => sys.error(e.messages.mkString(";")))
+    val tHybrid1 = hybridMedian()
+    (1 to 2).foreach(i => st.insert(dayBatch(D + i)).left.foreach(e =>
+      sys.error(e.messages.mkString(";"))))
+    val tHybrid3 = hybridMedian()
+    // answer()'s documented float caveat applies: Sum refolds per-day
+    // partial sums, so low bits may differ from the raw fold's
+    // association order — compare groups exactly, sums to 1e-9 relative
+    val hybridRows = cagg.answer(qm).get.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val rawRows = graft.engine.QueryEngine.compile(
+      st.current().select(col("timestamp"), col("tag"), col("value")), qm)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(hybridRows.map(_._1) == rawRows.map(_._1) &&
+      hybridRows.zip(rawRows).forall { case ((_, h), (_, r)) =>
+        math.abs(h - r) <= 1e-9 * math.max(math.abs(h), math.abs(r)) },
+      s"hybrid diverged from raw over the grown store:\n$hybridRows\n$rawRows")
+    val tRawGrown = median3(graft.engine.QueryEngine.compile(
+        st.current().select(col("timestamp"), col("tag"), col("value")), qm)
+      .write.mode("overwrite").format("noop").save())
+    println(f"[soak] cagg realtime: fresh=$tRollup%.2fs hybrid(1d tail)=$tHybrid1%.2fs " +
+      f"hybrid(3d tail)=$tHybrid3%.2fs rawGrown=$tRawGrown%.2fs " +
+      f"(history=${D + 3}d; hybrid cost tracks the TAIL, exactness asserted)")
+
     spark.stop()
   }
 }

@@ -35,6 +35,15 @@ final class BenchBaselineSpec extends AnyFunSuite {
     assert(load === Some(1.438))
   }
 
+  test("ambient load sample wins over the post-run one when both exist") {
+    // r9+: the comparability gate keys on the PRE-run ambient sample;
+    // load_avg (post-run) is the bench's own decaying tail and stays
+    // only as the fallback for pre-r9 baseline files
+    val (_, load) = Bench.parseBaseline(
+      """{"queries":{"q":0.1},"load_avg":3.13,"load_avg_ambient":0.69}""")
+    assert(load === Some(0.69))
+  }
+
   test("no queries section => empty map, not a crash") {
     val (qs, load) = Bench.parseBaseline("""{"metric":"x","load_avg":2.0}""")
     assert(qs.isEmpty)
