@@ -19,9 +19,12 @@ class MaterializeSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("reliable-checkpoint mode produces identical results and writes into the configured dir") {
-    // baseline: default localCheckpoint mode (config unset)
+    // baseline: default localCheckpoint mode (config unset). The
+    // vehicle is an operator that still materializes through
+    // graftCheckpoint (dupNgramFraction no longer does — its branch
+    // was folded into a single window pipeline).
     assert(spark.conf.getOption(Materialize.ConfKey).isEmpty)
-    val base = Dedup.dupNgramFraction(corpus, n = 5).collect().toSeq
+    val base = Dedup.minhashPairs(corpus, n = 3, k = 16).collect().toSeq
 
     // a sibling session with the durable dir set: same operator, same
     // rows, but the materialization goes through reliable checkpoint()
@@ -37,7 +40,7 @@ class MaterializeSpec extends SparkSpec {
           (3L, "sphinx of black quartz judge my vow said the old sage")
         ).toDF("doc_id", "text")
       }
-      val reliable = Dedup.dupNgramFraction(docs2, n = 5).collect().toSeq
+      val reliable = Dedup.minhashPairs(docs2, n = 3, k = 16).collect().toSeq
       assert(reliable == base)
       // the checkpoint actually landed in the configured dir (i.e. the
       // reliable branch ran, not localCheckpoint)
