@@ -265,6 +265,30 @@ object SparkEntry {
       identity)
   }
 
+  /** SQL-level rollup routing ([[graft.engine.RollupSqlRewrite]]):
+    * ts3_cagg_sql_* run PLAIN Spark SQL over a temp view of the
+    * fixture store; the Catalyst optimizer rule (installed through the
+    * public `spark.experimental.extraOptimizations` hook) rewrites the
+    * aggregates to refold rollup segments — the TimescaleDB "planner
+    * uses the cagg automatically" story extended past the QueryModel
+    * API to any SQL user. The `require` is a tripwire: these queries
+    * must ACTUALLY route (their oracles would also pass via a silent
+    * raw fallthrough, which would make them non-evidence).
+    */
+  private def caggSqlAnswer(s: SparkSession, dir: String, stale: Boolean,
+                            sql: String => String): DataFrame = {
+    val (st, r, marker) =
+      if (stale) { val (st0, r0) = caggRtFor(s, dir); (st0, r0, "graft-cagg-rt-rollup") }
+      else (caggStoreFor(s, dir), caggFor(s, dir), "graft-cagg-rollup")
+    graft.engine.RollupSqlRewrite.register(s, st, Seq(r))
+    val v = s"graft_ts_${if (stale) "rt" else "fr"}_${math.abs(dir.hashCode)}"
+    st.current().createOrReplaceTempView(v)
+    val df = s.sql(sql(v))
+    require(df.queryExecution.executedPlan.toString.contains(marker),
+      s"ts3 SQL query did not route to the rollup — the Catalyst rewrite regressed")
+    df
+  }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -786,6 +810,25 @@ object SparkEntry {
       .withColumn("result", round(col("result"), 4))),
     "ts3_cagg_realtime_group_tag_count" -> ((s, dir) => caggRtAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
+    // SQL-LEVEL routing: PLAIN Spark SQL over a temp view of the
+    // store, rewritten by the Catalyst rule (RollupSqlRewrite) to
+    // refold rollup segments — no QueryModel anywhere. The multi-agg
+    // scalar exercises one Aggregate carrying count+sum+avg+min+max;
+    // the realtime variant proves the hybrid through the SQL path too
+    "ts3_cagg_sql_group_tag_sum" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        s"SELECT tag AS grp, round(sum(value), 4) AS result FROM $v " +
+        s"WHERE timestamp >= $T1 AND timestamp < ${T1 + 3 * 86400000L} " +
+        "GROUP BY tag ORDER BY grp")),
+    "ts3_cagg_sql_scalar_stats" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, " +
+        "round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r " +
+        s"FROM $v WHERE tag <> 'error'")),
+    "ts3_cagg_sql_realtime_group_tag_sum" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = true, v =>
+        s"SELECT tag AS grp, round(sum(value), 4) AS result FROM $v " +
+        "GROUP BY tag ORDER BY grp")),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2329,6 +2372,12 @@ object SparkEntry {
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < 1706054400000""",
     "ts3_cagg_realtime_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_sql_group_tag_sum" ->
+      s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 3 * 86400000L} GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_sql_scalar_stats" ->
+      s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t WHERE tag <> 'error'""",
+    "ts3_cagg_sql_realtime_group_tag_sum" ->
+      s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

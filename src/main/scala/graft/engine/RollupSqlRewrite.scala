@@ -1,0 +1,325 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import scala.collection.concurrent.TrieMap
+
+/** SQL-level continuous-aggregate routing: a Catalyst optimizer rule
+  * that rewrites PLAIN SQL / DataFrame aggregates over a registered
+  * [[TimeSeriesStore]] to refold the store's [[ContinuousAggregate]]
+  * rollup — TimescaleDB's "the planner uses the cagg automatically",
+  * done the Spark-native way ([[org.apache.spark.sql.catalyst.rules.Rule]]
+  * on the optimized logical plan, installed via the public
+  * `spark.experimental.extraOptimizations` hook, so it attaches to a
+  * LIVE session — no session rebuild, no config restart).
+  *
+  * [[QueryEngine.execute(store,qm,rollups)*]] already routes the
+  * reference's QueryModel API; this rule extends the same economics —
+  * O(buckets + hot tail) instead of O(events) — to users who never see
+  * a QueryModel: `SELECT tag, sum(value) FROM ts GROUP BY tag` over
+  * `store.current()` (or a temp view of it) is rewritten to scan
+  * rollup segments.
+  *
+  * Eligibility (anything else is left untouched — the rewrite must
+  * never change semantics, only the plan):
+  *  - the aggregate's source subtree is exactly a CURRENT-snapshot
+  *    scan of a registered store: every parquet leaf is one of the
+  *    store's segment dirs and the per-leaf `g_day` pruning sets are
+  *    byte-equal to [[TimeSeriesStore.snapshotSignature]]. A DataFrame
+  *    captured BEFORE a later mutation fails this check and keeps its
+  *    raw plan — snapshot isolation is preserved, a stale snapshot is
+  *    never silently upgraded to fresher rollup data;
+  *  - predicates: `timestamp` range bounds aligned to the rollup grain
+  *    (`>th`/`<=` convert to `>=`/`<` at millisecond granularity), plus
+  *    arbitrary deterministic predicates over `tag` ONLY (tag survives
+  *    rollup at full granularity, so they apply verbatim); `IsNotNull`
+  *    on the non-null store columns is vacuous and ignored;
+  *  - aggregates over `value`: sum / min / max / avg, plus count of
+  *    any non-null column — each refolds from the rollup's per-bucket
+  *    partials with SPARK semantics (empty global sum/avg/min/max →
+  *    null, count → 0 via coalesce), not the reference's QueryModel
+  *    semantics (that surface belongs to [[QueryEngine]]);
+  *  - grouping: by `tag`, or global. Composition above the aggregate
+  *    functions (e.g. `round(avg(value), 4)`, `sum(value) + 1`) is
+  *    preserved — only the AggregateExpression leaves are swapped.
+  *
+  * The rewrite builds on [[ContinuousAggregate.currentBase]], so it is
+  * exact at ANY rollup staleness (real-time hybrid: carried buckets +
+  * raw hot-tail re-aggregation) and declines (None → no rewrite) when
+  * no refresh ever ran or the diff base was vacuumed. Among registered
+  * rollups the coarsest eligible grain wins, same policy as the
+  * engine-routed path. Float caveat as documented on `answer()`: Sum /
+  * Avg refold per-day partial sums — the reassociation already
+  * inherent in any distributed aggregation.
+  *
+  * Output attribute ids of the rewritten Aggregate are preserved
+  * (aliases keep their exprIds; passthrough grouping attrs are
+  * re-aliased under their original ids), so parents of the aggregate —
+  * sorts, projections, havings — resolve unchanged.
+  */
+final class RollupSqlRewrite private () extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  /** store rootDir → (store, registered rollups). */
+  private[engine] val registered =
+    TrieMap.empty[String, (TimeSeriesStore, Seq[ContinuousAggregate])]
+
+  private val DayMs = 86400000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registered.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** One parquet leaf of a store scan: segment dir + the g_day set its
+    * snapshot filter pins, + every other predicate conjunct. */
+  private case class Leaf(segPath: String, days: Set[Long], conds: Seq[Expression])
+
+  /** Destructure a candidate source subtree into store-scan leaves.
+    * Only shapes [[TimeSeriesStore.current]] plans can optimize into
+    * are accepted: Union / attribute-only Project / Filter over
+    * parquet [[LogicalRelation]]s. Anything else → None.
+    */
+  private def destructure(plan: LogicalPlan): Option[Seq[Leaf]] = plan match {
+    case u: Union =>
+      val parts = u.children.map(destructure)
+      if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      destructure(child)
+    case Filter(cond, child) =>
+      destructure(child).map { leaves =>
+        val cs = splitConjunctivePredicates(cond)
+        leaves match {
+          case Seq(one) => Seq(one.copy(conds = one.conds ++ cs))
+          case many =>
+            // a Filter above a Union only happens for conds pushdown
+            // chose not to move; attach to every leaf (they must agree
+            // cross-leaf anyway)
+            many.map(l => l.copy(conds = l.conds ++ cs))
+        }
+      }
+    case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.toList match {
+        case p :: Nil => Some(Seq(Leaf(p.toUri.getPath, Set.empty, Nil)))
+        case _        => None
+      }
+    case _ => None
+  }
+
+  /** Exprs compared structurally with attribute ids erased — union
+    * children carry the same pushed predicates under different ids. */
+  private def norm(e: Expression): String =
+    e.transform { case a: AttributeReference => UnresolvedAttribute(a.name) }.sql
+
+  private def isAttr(e: Expression, name: String): Boolean = e match {
+    case a: AttributeReference => a.name == name
+    case _                     => false
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, _)         => Some(v.toLong)
+    case _                          => None
+  }
+
+  /** Split a leaf's conjuncts into (g_day snapshot days, ge bound,
+    * lt bound, tag-only conds). None = an unrecognized conjunct. */
+  private def classify(conds: Seq[Expression])
+      : Option[(Set[Long], Option[Long], Option[Long], Seq[Expression])] = {
+    var days = Set.empty[Long]
+    var ge: Option[Long] = None
+    var lt: Option[Long] = None
+    val tagConds = Seq.newBuilder[Expression]
+    def tightenGe(v: Long): Unit = ge = Some(ge.fold(v)(math.max(_, v)))
+    def tightenLt(v: Long): Unit = lt = Some(lt.fold(v)(math.min(_, v)))
+    conds.foreach {
+      case In(a, vs) if isAttr(a, "g_day") && vs.forall(longLit(_).isDefined) =>
+        days ++= vs.flatMap(longLit)
+      case InSet(a, vs) if isAttr(a, "g_day") =>
+        days ++= vs.collect { case l: Long => l; case i: Int => i.toLong }
+      case EqualTo(a, l) if isAttr(a, "g_day") && longLit(l).isDefined =>
+        days += longLit(l).get
+      case EqualTo(l, a) if isAttr(a, "g_day") && longLit(l).isDefined =>
+        days += longLit(l).get
+      // vacuous null guards the optimizer infers for non-null columns
+      case IsNotNull(a) if isAttr(a, "g_day") || isAttr(a, "timestamp") ||
+        isAttr(a, "value") => ()
+      // timestamp bounds, both operand orders, closed forms normalized
+      // to [ge, lt) at millisecond granularity
+      case GreaterThanOrEqual(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenGe(longLit(l).get)
+      case LessThanOrEqual(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenGe(longLit(l).get)
+      case GreaterThan(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenGe(longLit(l).get + 1)
+      case LessThan(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenGe(longLit(l).get + 1)
+      case LessThan(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenLt(longLit(l).get)
+      case GreaterThan(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenLt(longLit(l).get)
+      case LessThanOrEqual(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenLt(longLit(l).get + 1)
+      case GreaterThanOrEqual(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+        tightenLt(longLit(l).get + 1)
+      case c if c.deterministic && c.references.nonEmpty &&
+        c.references.forall(_.name == "tag") =>
+        tagConds += c
+      case _ => return None
+    }
+    Some((days, ge, lt, tagConds.result()))
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // once destructure proves the subtree is a pure store scan, every
+    // attribute below the Aggregate IS a store column passthrough, so
+    // name-based matching is unambiguous (the child output is
+    // column-PRUNED — `sum(value)` sees only [value], so id-lookups of
+    // tag/timestamp would spuriously fail)
+    val groupedByTag = agg.groupingExpressions match {
+      case Nil => false
+      case Seq(a: AttributeReference) if a.name == "tag" => true
+      case _ => return None
+    }
+    for {
+      leaves <- destructure(agg.child)
+      if leaves.nonEmpty
+      (store, rollups) <- registered.values.find { case (st, _) =>
+        leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
+      }
+      classified <- {
+        val per = leaves.map(l => classify(l.conds))
+        if (per.exists(_.isEmpty)) None
+        else {
+          // every leaf must carry the SAME user predicates (predicate
+          // pushdown copies them down each union branch)
+          val sigs = per.flatten.map { case (_, g, l, t) =>
+            (g, l, t.map(norm).sorted)
+          }
+          if (sigs.distinct.size != 1) None
+          else {
+            val planSig = leaves.zip(per.flatten).map { case (leaf, c) =>
+              leaf.segPath -> c._1
+            }.groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
+            // the SNAPSHOT GUARD: the plan must read exactly the
+            // store's current version
+            if (planSig != store.snapshotSignature) None
+            else per.flatten.headOption.map { case (_, g, l, t) => (g, l, t) }
+          }
+        }
+      }
+      (ge, lt, tagConds) = classified
+      rewritten <- rollups.sortBy(-_.grainMs).iterator.flatMap { r =>
+        val aligned = ge.forall(_ % r.grainMs == 0) && lt.forall(_ % r.grainMs == 0)
+        if (!aligned) Iterator.empty
+        else r.currentBase().iterator.flatMap { base =>
+          buildRollupAggregate(agg, base, groupedByTag, ge, lt, tagConds)
+        }
+      }.nextOption()
+    } yield rewritten
+  }
+
+  /** Reconstruct the Aggregate over the rollup base, preserving output
+    * attribute ids. None if any aggregate function shape is beyond the
+    * refold vocabulary. */
+  private def buildRollupAggregate(agg: Aggregate,
+                                   base: org.apache.spark.sql.DataFrame,
+                                   groupedByTag: Boolean,
+                                   ge: Option[Long], lt: Option[Long],
+                                   tagConds: Seq[Expression]): Option[LogicalPlan] = {
+    val basePlan = base.queryExecution.analyzed
+    def b(name: String): Attribute = basePlan.output.find(_.name == name).get
+    val (bTag, bCnt, bSum, bMin, bMax, bBucket, bDay) =
+      (b("tag"), b("cnt"), b("sum_val"), b("min_val"), b("max_val"),
+        b("bucket_start"), b("g_day"))
+
+    // bucket_start bounds give exactness; derived g_day bounds add
+    // directory-level partition pruning (answer()'s formulation)
+    val boundConds =
+      ge.toSeq.flatMap(v => Seq(
+        GreaterThanOrEqual(bBucket, Literal(v)),
+        GreaterThanOrEqual(bDay, Literal(v / DayMs)))) ++
+      lt.toSeq.flatMap(v => Seq(
+        LessThan(bBucket, Literal(v)),
+        LessThanOrEqual(bDay, Literal((v - 1) / DayMs)))) ++
+      tagConds.map(_.transform {
+        case a: AttributeReference if a.name == "tag" => bTag
+      })
+    val newChild = boundConds.reduceOption(And).fold(basePlan)(Filter(_, basePlan))
+
+    def aggE(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+
+    // swap each AggregateExpression leaf for its refold; keep any
+    // surrounding composition. Bail on anything outside the vocabulary.
+    var ok = true
+    def rewriteNamed(ne: NamedExpression): NamedExpression = ne match {
+      case a: AttributeReference if a.name == "tag" =>
+        Alias(bTag, a.name)(exprId = a.exprId)
+      case al: Alias =>
+        al.withNewChildren(Seq(rewriteExpr(al.child))).asInstanceOf[Alias]
+      case _ => ok = false; ne
+    }
+    def rewriteExpr(e: Expression): Expression = e match {
+      case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case s: Sum if isAttr(s.child, "value") =>
+            aggE(Sum(bSum))
+          case m: Min if isAttr(m.child, "value") =>
+            aggE(Min(bMin))
+          case m: Max if isAttr(m.child, "value") =>
+            aggE(Max(bMax))
+          case a: Average if isAttr(a.child, "value") =>
+            Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
+          case c: Count if c.children.forall(ch => !ch.nullable) =>
+            Coalesce(Seq(aggE(Sum(bCnt)), Literal(0L)))
+          case _ => ok = false; e
+        }
+      case a: AttributeReference if a.name == "tag" => bTag
+      case a: AttributeReference =>
+        // a raw-row reference outside an aggregate we understand
+        ok = false; a
+      case other => other.withNewChildren(other.children.map(rewriteExpr))
+    }
+    val newAggExprs = agg.aggregateExpressions.map(rewriteNamed)
+    if (!ok) None
+    else Some(Aggregate(
+      if (groupedByTag) Seq(bTag) else Nil, newAggExprs, newChild))
+  }
+}
+
+object RollupSqlRewrite {
+  private val installed = TrieMap.empty[SparkSession, RollupSqlRewrite]
+
+  /** Register `rollups` as automatic rewrite targets for SQL/DataFrame
+    * aggregates over `store`'s current snapshot in this session.
+    * Installs the optimizer rule on first use (public
+    * `spark.experimental.extraOptimizations` hook — takes effect for
+    * every subsequently planned query, no session rebuild).
+    */
+  def register(spark: SparkSession, store: TimeSeriesStore,
+               rollups: Seq[ContinuousAggregate]): Unit = {
+    val rule = installed.synchronized {
+      installed.getOrElseUpdate(spark, {
+        val r = new RollupSqlRewrite()
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+        r
+      })
+    }
+    rule.registered(store.rootDir) = (store, rollups)
+  }
+
+  /** Remove a store from SQL-level routing (the rule stays installed,
+    * inert when its registry is empty). */
+  def unregister(spark: SparkSession, store: TimeSeriesStore): Unit =
+    installed.get(spark).foreach(_.registered.remove(store.rootDir))
+}

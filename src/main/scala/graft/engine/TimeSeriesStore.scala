@@ -155,6 +155,23 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     */
   def current(): DataFrame = read(liveEntries())
 
+  /** The CURRENT snapshot's physical identity: absolute segment-dir
+    * path → live day set — exactly the (rootPath, g_day-isin) pairs a
+    * [[current]] plan's parquet leaves carry. [[RollupSqlRewrite]]
+    * compares a candidate plan's leaves against this to prove the plan
+    * reads the store's current version (a stale snapshot DataFrame must
+    * NOT be rewritten to a fresher rollup — snapshot isolation).
+    */
+  private[engine] def snapshotSignature: Map[String, Set[Long]] =
+    liveEntries().groupBy(_.seg).map { case (seg, es) =>
+      root.resolve(seg).toAbsolutePath.normalize.toString -> es.map(_.day).toSet
+    }
+
+  /** Absolute normalized store root — the registry key for SQL-level
+    * rollup routing. */
+  private[engine] def rootDir: String =
+    root.toAbsolutePath.normalize.toString
+
   /** Time travel: snapshot read of a specific committed version
     * (Delta's `VERSION AS OF` analogue). Works because manifests and
     * segments are immutable — superseded versions stay readable until

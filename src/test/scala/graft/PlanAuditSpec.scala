@@ -165,11 +165,15 @@ class PlanAuditSpec extends SparkSpec {
     // (QueryEngine.execute(store, qm, rollups)) — this assertion is
     // what pins that the automatic routing, not bespoke caller code,
     // produces rollup-only plans
+    // ts3_cagg_sql_* are PLAIN Spark SQL routed by the Catalyst rule
+    // (RollupSqlRewrite) instead of the QueryModel engine path — same
+    // rollup-only plan obligation
     Seq("ts3_cagg_group_tag_count", "ts3_cagg_group_tag_min",
         "ts3_cagg_scalar_sum", "ts3_cagg_hourly_group_tag_count",
         "ts3_cagg_hourly_scalar_sum", "ts3_cagg_window_6h",
         "ts3_cagg_window_sliding", "ts3_cagg_weekly_scalar_sum",
-        "ts3_cagg_weekly_group_tag_count").foreach { n =>
+        "ts3_cagg_weekly_group_tag_count",
+        "ts3_cagg_sql_group_tag_sum", "ts3_cagg_sql_scalar_stats").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
         s"$n: plan does not read the rollup segments")
@@ -187,7 +191,8 @@ class PlanAuditSpec extends SparkSpec {
     // Every raw-side scan must carry a g_day partition filter (the
     // changed-days pruning that keeps the raw cost at tail size).
     Seq("ts3_cagg_realtime_scalar_sum",
-        "ts3_cagg_realtime_group_tag_count").foreach { n =>
+        "ts3_cagg_realtime_group_tag_count",
+        "ts3_cagg_sql_realtime_group_tag_sum").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rt-rollup"),
         s"$n: hybrid plan does not read the rollup segments")

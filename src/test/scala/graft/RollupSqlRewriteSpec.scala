@@ -1,0 +1,222 @@
+package graft
+
+import graft.engine.{ContinuousAggregate, RollupSqlRewrite, TimeSeriesStore}
+import graft.model.TS
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL-level rollup routing laws: the Catalyst rule rewrites plain
+  * SQL / DataFrame aggregates over a registered store's CURRENT
+  * snapshot to refold the continuous aggregate — and must (a) never
+  * change results, (b) never touch ineligible shapes, (c) never
+  * upgrade a stale snapshot DataFrame (snapshot isolation), (d) stay
+  * exact when the ROLLUP is stale (real-time hybrid).
+  *
+  * Integer-valued series throughout: refolded float sums are then
+  * bit-exact, so equality checks need no tolerance.
+  */
+class RollupSqlRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400000L
+  private val HOUR = 3600000L
+
+  private def fresh(tagDirs: String = "sqlrw")
+      : (TimeSeriesStore, ContinuousAggregate, ContinuousAggregate) = {
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory(s"$tagDirs-store").toString)
+    val daily = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory(s"$tagDirs-daily").toString)
+    val hourly = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory(s"$tagDirs-hourly").toString, bucketMs = HOUR)
+    (st, daily, hourly)
+  }
+
+  private def load(st: TimeSeriesStore): Unit = {
+    val rows = for {
+      d <- 0L until 4L; h <- Seq(0L, 5L, 23L); t <- Seq("a", "b")
+    } yield TS(d * DAY + h * HOUR + d + h, t, (d * 31 + h * 7 + t.length).toDouble)
+    assert(st.insert(rows.toDS()).isRight)
+  }
+
+  private def planStr(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def readsRollup(df: DataFrame, which: String): Boolean =
+    planStr(df).contains(which)
+
+  private def readsStore(df: DataFrame): Boolean =
+    planStr(df).contains("-store")
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: java.math.BigDecimal => d.toString
+      case x => x
+    }).toSeq
+
+  test("eligible aggregates are rewritten to the rollup and match the raw plan exactly") {
+    val (st, daily, hourly) = fresh()
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_v${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // global, no predicates
+        s"SELECT sum(value) AS s, count(*) AS c, min(value) AS mn, max(value) AS mx, avg(value) AS av FROM $v",
+        // grouped by tag, day-aligned range
+        s"SELECT tag, sum(value) AS s, count(*) AS c FROM $v WHERE timestamp >= $DAY AND timestamp < ${3 * DAY} GROUP BY tag ORDER BY tag",
+        // composition above the aggregate + tag predicate
+        s"SELECT round(avg(value), 4) AS av, sum(value) + 1 AS s1 FROM $v WHERE tag = 'a'",
+        // closed-form bounds normalize to aligned [ge, lt)
+        s"SELECT count(*) AS c FROM $v WHERE timestamp > ${DAY - 1} AND timestamp <= ${2 * DAY - 1}",
+        // tag IN list
+        s"SELECT tag, min(value) AS mn FROM $v WHERE tag IN ('a', 'zzz') GROUP BY tag ORDER BY tag")
+      cases.foreach { q =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, "-daily") || readsRollup(routed, "-hourly"),
+          s"not rewritten: $q\n${planStr(routed)}")
+        assert(!readsStore(routed), s"rewritten plan still reads raw store: $q")
+        // force plan + rows while UNregistered (planning is lazy)
+        RollupSqlRewrite.unregister(spark, st)
+        val raw = spark.sql(q)
+        assert(!readsRollup(raw, "-daily") && !readsRollup(raw, "-hourly"))
+        val rawRows = rows(raw)
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"rewrite changed results: $q")
+      }
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("coarsest eligible grain wins; hour-aligned bounds fall to the hourly rollup") {
+    val (st, daily, hourly) = fresh()
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(hourly, daily))
+    try {
+      val v = s"sqlrw_g${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val dayS =
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= $DAY AND timestamp < ${2 * DAY}"
+      val hourS =
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= ${DAY + 5 * HOUR} AND timestamp < ${DAY + 7 * HOUR}"
+      val dayQ = spark.sql(dayS)
+      assert(readsRollup(dayQ, "-daily") && !readsRollup(dayQ, "-hourly"))
+      val hourQ = spark.sql(hourS)
+      assert(readsRollup(hourQ, "-hourly") && !readsRollup(hourQ, "-daily"))
+      // both still exact
+      Seq(dayS -> dayQ, hourS -> hourQ).foreach { case (q, df) =>
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q)) // forced while unregistered
+        RollupSqlRewrite.register(spark, st, Seq(hourly, daily))
+        assert(rows(df) == rawRows, s"rewrite changed results: $q")
+      }
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("Spark empty-input semantics survive the rewrite: sum null, count 0") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      val v = s"sqlrw_e${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val q = s"SELECT sum(value) AS s, count(*) AS c, avg(value) AS av FROM $v " +
+        s"WHERE timestamp >= ${100 * DAY} AND timestamp < ${101 * DAY}"
+      val routed = spark.sql(q)
+      assert(readsRollup(routed, "-daily"))
+      val r = routed.collect().head
+      assert(r.isNullAt(0) && r.getLong(1) == 0L && r.isNullAt(2),
+        s"empty-range semantics drifted: $r")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("ineligible shapes keep their raw plans") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      val v = s"sqlrw_i${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val ineligible = Seq(
+        // unaligned bound
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= ${DAY + 7}",
+        // predicate over value
+        s"SELECT count(*) AS c FROM $v WHERE value > 10",
+        // aggregate outside the refold vocabulary
+        s"SELECT stddev(value) AS sd FROM $v",
+        // distinct over value: its expansion groups by value, whose
+        // row granularity the rollup does not keep (count(DISTINCT
+        // tag) by contrast IS eligible — its expansion is a pure
+        // group-by-tag, and rollup tags are exact)
+        s"SELECT count(DISTINCT value) AS c FROM $v",
+        // grouping by something other than tag
+        s"SELECT timestamp, sum(value) AS s FROM $v GROUP BY timestamp",
+        // raw row reference outside an aggregate vocabulary
+        s"SELECT sum(value + 1) AS s FROM $v")
+      ineligible.foreach { q =>
+        val df = spark.sql(q)
+        assert(!readsRollup(df, "-daily"), s"must not rewrite: $q")
+        assert(readsStore(df), s"expected a raw store scan: $q")
+      }
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("REAL-TIME: a stale rollup serves the hybrid through SQL, exactly") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      // hot tail: committed to the store, never refreshed into the rollup
+      assert(st.insert(Seq(TS(4 * DAY + 9, "a", 1000.0),
+        TS(1L, "c", 500.0)).toDS()).isRight)
+      assert(!daily.reflectedStoreVersion.contains(st.version))
+      val v = s"sqlrw_rt${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val q = s"SELECT tag, sum(value) AS s, count(*) AS c FROM $v GROUP BY tag ORDER BY tag"
+      val routed = spark.sql(q)
+      assert(readsRollup(routed, "-daily") && readsStore(routed),
+        s"hybrid plan must read rollup AND raw tail:\n${planStr(routed)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val rawRows = rows(spark.sql(q)) // forced while unregistered
+      RollupSqlRewrite.register(spark, st, Seq(daily))
+      assert(rows(routed) == rawRows)
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("SNAPSHOT GUARD: a pre-mutation DataFrame is never upgraded to fresher rollup data") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      val before = st.current()
+      val cntBefore = before.count()
+      // mutate AND refresh: the rollup now reflects data the captured
+      // snapshot must not see
+      assert(st.insert(Seq(TS(9 * DAY, "z", 1.0)).toDS()).isRight)
+      daily.refresh()
+      val agg = before.groupBy().agg(count(lit(1)).as("c"))
+      assert(!readsRollup(agg, "-daily"),
+        "stale snapshot rewritten — snapshot isolation broken")
+      assert(agg.collect().head.getLong(0) == cntBefore)
+      // a FRESH current() does route
+      val v = s"sqlrw_s${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val fresh = spark.sql(s"SELECT count(*) AS c FROM $v")
+      assert(readsRollup(fresh, "-daily"))
+      assert(fresh.collect().head.getLong(0) == cntBefore + 1)
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("unregister restores raw planning") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    val v = s"sqlrw_u${System.nanoTime()}"
+    st.current().createOrReplaceTempView(v)
+    assert(readsRollup(spark.sql(s"SELECT sum(value) AS s FROM $v"), "-daily"))
+    RollupSqlRewrite.unregister(spark, st)
+    val df = spark.sql(s"SELECT sum(value) AS s FROM $v")
+    assert(!readsRollup(df, "-daily") && readsStore(df))
+  }
+}

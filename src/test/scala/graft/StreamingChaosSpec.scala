@@ -457,6 +457,61 @@ class StreamingChaosSpec extends SparkSpec {
     assert(store.current().count() == 4)
   }
 
+  test("ingestToStore + MULTIPLE rollups: a crashed trigger's replay heals every registered grain") {
+    // one store maintaining daily+hourly concurrently (the deployment
+    // shape the Seq parameter exists for): the crash window must not
+    // leave the grains disagreeing about which store version they
+    // reflect — a half-healed pair would route a query to whichever
+    // grain happens to be eligible, so both must converge on restart
+    import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
+    import graft.model.{Agg, GroupBy, QueryModel, TS}
+    import org.apache.spark.sql.functions._
+    val DAY = 86400000L
+    val store = new TimeSeriesStore(spark, tmp("chaos-mr-store"))
+    val daily = new ContinuousAggregate(spark, store, tmp("chaos-mr-d"))
+    val hourly = new ContinuousAggregate(spark, store, tmp("chaos-mr-h"),
+      bucketMs = 3600000L)
+    val ckpt = tmp("chaos-mr-ckpt")
+    val mem = MemoryStream[TS]
+    def start() = StreamingIngest.ingestToStore(mem.toDS(), store,
+      Seq(daily, hourly)).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      mem.addData(TS(0L, "a", 1.0), TS(DAY + 3600000L, "b", 2.0))
+      q1.processAllAvailable()
+    } finally stopAndAwait(q1)
+    assert(daily.reflectedStoreVersion.contains(store.version))
+    assert(hourly.reflectedStoreVersion.contains(store.version))
+
+    // crash window: the store half of trigger 2 committed, process
+    // died before EITHER refresh ran
+    val batch2 = Seq(TS(2 * DAY, "c", 9.0), TS(3600000L, "a", 4.0))
+    assert(store.insert(batch2.toDS()).isRight)
+    assert(!daily.reflectedStoreVersion.contains(store.version) &&
+      !hourly.reflectedStoreVersion.contains(store.version))
+    mem.addData(batch2: _*)
+
+    val q2 = start()
+    try q2.processAllAvailable() finally stopAndAwait(q2)
+    Seq("daily" -> daily, "hourly" -> hourly).foreach { case (n, r) =>
+      assert(r.reflectedStoreVersion.contains(store.version),
+        s"$n rollup not healed by the replayed trigger")
+    }
+    // the healed pair routes correctly through the engine: day-aligned
+    // query served by the coarsest (daily) grain, with the raw answer
+    val qm = QueryModel(ge = Some(0L), lt = Some(3 * DAY),
+      aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag))
+    val routed = QueryEngine.execute(store, qm, Seq(daily, hourly))
+      .toOption.get
+    assert(routed.queryExecution.executedPlan.toString.contains("chaos-mr-d"),
+      "coarsest eligible grain must serve the routed query")
+    assert(routed.collect().map(_.toSeq).toSeq ==
+      QueryEngine.execute(store.current(), qm).toOption.get
+        .collect().map(_.toSeq).toSeq)
+    assert(store.current().count() == 4)
+  }
+
   test("driftIngest: a replayed trigger re-reports identically (stateless path)") {
     import graft.operators.{DriftRef, Quality}
     val refCorpus = (0 until 40)
