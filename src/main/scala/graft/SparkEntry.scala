@@ -829,6 +829,13 @@ object SparkEntry {
       stale = true, v =>
         s"SELECT tag AS grp, round(sum(value), 4) AS result FROM $v " +
         "GROUP BY tag ORDER BY grp")),
+    // tumbling-window grouping in PLAIN SQL (w1's shape) — the rule
+    // recognizes `(timestamp DIV w) * w` keys and refolds buckets
+    "ts3_cagg_sql_window_1d" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT (timestamp DIV 86400000) * 86400000 AS window_start, tag, " +
+        "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
+        s"FROM $v GROUP BY 1, 2 ORDER BY window_start, tag")),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2378,6 +2385,8 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t WHERE tag <> 'error'""",
     "ts3_cagg_sql_realtime_group_tag_sum" ->
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_sql_window_1d" ->
+      s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

@@ -45,9 +45,12 @@ import scala.collection.concurrent.TrieMap
   *    partials with SPARK semantics (empty global sum/avg/min/max →
   *    null, count → 0 via coalesce), not the reference's QueryModel
   *    semantics (that surface belongs to [[QueryEngine]]);
-  *  - grouping: by `tag`, or global. Composition above the aggregate
-  *    functions (e.g. `round(avg(value), 4)`, `sum(value) + 1`) is
-  *    preserved — only the AggregateExpression leaves are swapped.
+  *  - grouping: global, by `tag`, by a tumbling-window key
+  *    `(timestamp DIV w) * w` with `w` a multiple of the rollup grain
+  *    (each bucket then lands in exactly one window), or any
+  *    combination. Composition above the aggregate functions (e.g.
+  *    `round(avg(value), 4)`, `sum(value) + 1`) is preserved — only
+  *    the AggregateExpression leaves are swapped.
   *
   * The rewrite builds on [[ContinuousAggregate.currentBase]], so it is
   * exact at ANY rollup staleness (real-time hybrid: carried buckets +
@@ -82,32 +85,57 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     * snapshot filter pins, + every other predicate conjunct. */
   private case class Leaf(segPath: String, days: Set[Long], conds: Seq[Expression])
 
+  /** A destructured source: leaves + the alias definitions of every
+    * intermediate Project (the optimizer extracts complex grouping
+    * keys into `Project [... AS _groupingexpression]` below the
+    * Aggregate — resolving those back to store-column expressions is
+    * what lets window groupings match). */
+  private case class Src(leaves: Seq[Leaf], defs: Map[ExprId, Expression])
+
   /** Destructure a candidate source subtree into store-scan leaves.
     * Only shapes [[TimeSeriesStore.current]] plans can optimize into
-    * are accepted: Union / attribute-only Project / Filter over
-    * parquet [[LogicalRelation]]s. Anything else → None.
+    * are accepted: Union / Project (attrs + deterministic aliases) /
+    * Filter over parquet [[LogicalRelation]]s. Anything else → None.
     */
-  private def destructure(plan: LogicalPlan): Option[Seq[Leaf]] = plan match {
+  private def destructure(plan: LogicalPlan): Option[Src] = plan match {
     case u: Union =>
       val parts = u.children.map(destructure)
-      if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      destructure(child)
+      if (parts.forall(_.isDefined))
+        Some(Src(parts.flatMap(_.get.leaves),
+          parts.flatMap(_.get.defs).toMap))
+      else None
+    case Project(ps, child) if ps.forall {
+        case _: AttributeReference => true
+        case a: Alias => a.child.deterministic
+        case _ => false
+      } =>
+      destructure(child).map { src =>
+        val below = src.defs
+        val mine = ps.collect { case a: Alias =>
+          // resolve through any lower project first, so every def is
+          // in terms of leaf relation attributes
+          a.exprId -> a.child.transformUp {
+            case ar: AttributeReference if below.contains(ar.exprId) =>
+              below(ar.exprId)
+          }
+        }
+        Src(src.leaves, below ++ mine)
+      }
     case Filter(cond, child) =>
-      destructure(child).map { leaves =>
+      destructure(child).map { src =>
         val cs = splitConjunctivePredicates(cond)
-        leaves match {
+        Src(src.leaves match {
           case Seq(one) => Seq(one.copy(conds = one.conds ++ cs))
           case many =>
             // a Filter above a Union only happens for conds pushdown
             // chose not to move; attach to every leaf (they must agree
             // cross-leaf anyway)
             many.map(l => l.copy(conds = l.conds ++ cs))
-        }
+        }, src.defs)
       }
     case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.toList match {
-        case p :: Nil => Some(Seq(Leaf(p.toUri.getPath, Set.empty, Nil)))
+        case p :: Nil => Some(Src(Seq(Leaf(p.toUri.getPath, Set.empty, Nil)), Map.empty))
         case _        => None
       }
     case _ => None
@@ -177,25 +205,61 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     Some((days, ge, lt, tagConds.result()))
   }
 
+  /** `(timestamp DIV w) * w` — the tumbling-window grouping key. */
+  private def windowOf(e: Expression): Option[Long] = e match {
+    case m: Multiply => m.left match {
+      case idv: IntegralDivide if isAttr(idv.left, "timestamp") =>
+        (longLit(idv.right), longLit(m.right)) match {
+          case (Some(w1), Some(w2)) if w1 == w2 && w1 > 0 => Some(w1)
+          case _ => None
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     // once destructure proves the subtree is a pure store scan, every
     // attribute below the Aggregate IS a store column passthrough, so
     // name-based matching is unambiguous (the child output is
     // column-PRUNED — `sum(value)` sees only [value], so id-lookups of
-    // tag/timestamp would spuriously fail)
-    val groupedByTag = agg.groupingExpressions match {
-      case Nil => false
-      case Seq(a: AttributeReference) if a.name == "tag" => true
-      case _ => return None
-    }
+    // tag/timestamp would spuriously fail).
+    // Grouping vocabulary: the tag column, tumbling-window keys
+    // `(timestamp DIV w) * w`, and literals — in any combination. A
+    // window key is exact on the rollup iff w is a multiple of the
+    // bucket grain (a bucket then never straddles a window edge),
+    // checked per candidate rollup below.
     for {
-      leaves <- destructure(agg.child)
+      src <- destructure(agg.child)
+      leaves = src.leaves
       if leaves.nonEmpty
+      // resolve intermediate Project aliases (the optimizer's
+      // `_groupingexpression` extraction) back to leaf-column exprs
+      defs = src.defs
+      resolve = (e: Expression) => e.transformUp {
+        case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+      }
+      resolveNamed = (ne: NamedExpression) => ne match {
+        case a: AttributeReference if defs.contains(a.exprId) =>
+          Alias(defs(a.exprId), a.name)(exprId = a.exprId)
+        case al: Alias =>
+          al.withNewChildren(Seq(resolve(al.child))).asInstanceOf[Alias]
+        case other => other
+      }
+      rGroup = agg.groupingExpressions.map(resolve)
+      rAggEx = agg.aggregateExpressions.map(resolveNamed)
+      if rGroup.forall {
+        case a: AttributeReference if a.name == "tag" => true
+        case e if windowOf(e).isDefined => true
+        case _: Literal => true
+        case _ => false
+      }
+      windows = rGroup.flatMap(windowOf)
       (store, rollups) <- registered.values.find { case (st, _) =>
         leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
       }
       classified <- {
-        val per = leaves.map(l => classify(l.conds))
+        val per = leaves.map(l => classify(l.conds.map(resolve)))
         if (per.exists(_.isEmpty)) None
         else {
           // every leaf must carry the SAME user predicates (predicate
@@ -217,10 +281,12 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       }
       (ge, lt, tagConds) = classified
       rewritten <- rollups.sortBy(-_.grainMs).iterator.flatMap { r =>
-        val aligned = ge.forall(_ % r.grainMs == 0) && lt.forall(_ % r.grainMs == 0)
+        val aligned = ge.forall(_ % r.grainMs == 0) &&
+          lt.forall(_ % r.grainMs == 0) &&
+          windows.forall(_ % r.grainMs == 0)
         if (!aligned) Iterator.empty
         else r.currentBase().iterator.flatMap { base =>
-          buildRollupAggregate(agg, base, groupedByTag, ge, lt, tagConds)
+          buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds)
         }
       }.nextOption()
     } yield rewritten
@@ -229,9 +295,9 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
   /** Reconstruct the Aggregate over the rollup base, preserving output
     * attribute ids. None if any aggregate function shape is beyond the
     * refold vocabulary. */
-  private def buildRollupAggregate(agg: Aggregate,
+  private def buildRollupAggregate(rGroup: Seq[Expression],
+                                   rAggEx: Seq[NamedExpression],
                                    base: org.apache.spark.sql.DataFrame,
-                                   groupedByTag: Boolean,
                                    ge: Option[Long], lt: Option[Long],
                                    tagConds: Seq[Expression]): Option[LogicalPlan] = {
     val basePlan = base.queryExecution.analyzed
@@ -257,42 +323,62 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     def aggE(f: AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
 
-    // swap each AggregateExpression leaf for its refold; keep any
-    // surrounding composition. Bail on anything outside the vocabulary.
+    // grouping keys rebuild over the base: tag passes through at full
+    // granularity; a tumbling-window key re-derives from bucket_start
+    // (exact because w is a multiple of the grain — alignment already
+    // checked); literals are constant either way
     var ok = true
+    val newGrouping = rGroup.map {
+      case a: AttributeReference if a.name == "tag" => bTag
+      case e if windowOf(e).isDefined =>
+        val w = windowOf(e).get
+        Multiply(IntegralDivide(bBucket, Literal(w)), Literal(w))
+      case l: Literal => l
+      case e => ok = false; e
+    }
+    val groupRewrites: Seq[(Expression, Expression)] =
+      rGroup.zip(newGrouping)
+
+    // swap each AggregateExpression leaf for its refold; grouping-key
+    // passthroughs map to the rebuilt keys; keep any surrounding
+    // composition. Bail on anything outside the vocabulary.
     def rewriteNamed(ne: NamedExpression): NamedExpression = ne match {
-      case a: AttributeReference if a.name == "tag" =>
-        Alias(bTag, a.name)(exprId = a.exprId)
+      case a: AttributeReference =>
+        groupRewrites.collectFirst {
+          case (g, n) if g.semanticEquals(a) => Alias(n, a.name)(exprId = a.exprId)
+        }.getOrElse { ok = false; ne }
       case al: Alias =>
         al.withNewChildren(Seq(rewriteExpr(al.child))).asInstanceOf[Alias]
       case _ => ok = false; ne
     }
-    def rewriteExpr(e: Expression): Expression = e match {
-      case ae: AggregateExpression
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case s: Sum if isAttr(s.child, "value") =>
-            aggE(Sum(bSum))
-          case m: Min if isAttr(m.child, "value") =>
-            aggE(Min(bMin))
-          case m: Max if isAttr(m.child, "value") =>
-            aggE(Max(bMax))
-          case a: Average if isAttr(a.child, "value") =>
-            Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
-          case c: Count if c.children.forall(ch => !ch.nullable) =>
-            Coalesce(Seq(aggE(Sum(bCnt)), Literal(0L)))
-          case _ => ok = false; e
-        }
-      case a: AttributeReference if a.name == "tag" => bTag
-      case a: AttributeReference =>
-        // a raw-row reference outside an aggregate we understand
-        ok = false; a
-      case other => other.withNewChildren(other.children.map(rewriteExpr))
-    }
-    val newAggExprs = agg.aggregateExpressions.map(rewriteNamed)
+    def rewriteExpr(e: Expression): Expression =
+      groupRewrites.collectFirst {
+        case (g, n) if g.semanticEquals(e) => n
+      }.getOrElse(e match {
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum if isAttr(s.child, "value") =>
+              aggE(Sum(bSum))
+            case m: Min if isAttr(m.child, "value") =>
+              aggE(Min(bMin))
+            case m: Max if isAttr(m.child, "value") =>
+              aggE(Max(bMax))
+            case a: Average if isAttr(a.child, "value") =>
+              Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
+            case c: Count if c.children.forall(ch => !ch.nullable) =>
+              Coalesce(Seq(aggE(Sum(bCnt)), Literal(0L)))
+            case _ => ok = false; e
+          }
+        case a: AttributeReference =>
+          // a raw-row reference that is neither a grouping key nor
+          // inside an aggregate we understand
+          ok = false; a
+        case other => other.withNewChildren(other.children.map(rewriteExpr))
+      })
+    val newAggExprs = rAggEx.map(rewriteNamed)
     if (!ok) None
-    else Some(Aggregate(
-      if (groupedByTag) Seq(bTag) else Nil, newAggExprs, newChild))
+    else Some(Aggregate(newGrouping, newAggExprs, newChild))
   }
 }
 

@@ -114,6 +114,39 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("tumbling-window groupings refold from buckets; misaligned widths stay raw") {
+    val (st, daily, hourly) = fresh()
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_w${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val windowCases = Seq(
+        // 2-day windows × tag: coarsest (daily) grain serves it
+        (s"SELECT (timestamp DIV ${2 * DAY}) * ${2 * DAY} AS w, tag, sum(value) AS s, count(*) AS c FROM $v GROUP BY 1, 2 ORDER BY w, tag", "-daily"),
+        // 6-hour windows: only the hourly grain divides it
+        (s"SELECT (timestamp DIV ${6 * HOUR}) * ${6 * HOUR} AS w, max(value) AS mx FROM $v GROUP BY 1 ORDER BY w", "-hourly"),
+        // window + aligned range + tag predicate
+        (s"SELECT (timestamp DIV $DAY) * $DAY AS w, avg(value) AS av FROM $v WHERE timestamp >= $DAY AND timestamp < ${3 * DAY} AND tag = 'a' GROUP BY 1 ORDER BY w", "-daily"))
+      windowCases.foreach { case (q, grain) =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, grain) && !readsStore(routed),
+          s"window shape not rollup-routed at $grain: $q\n${planStr(routed)}")
+        RollupSqlRewrite.unregister(spark, st)
+        val raw = spark.sql(q)
+        assert(!readsRollup(raw, "-daily") && !readsRollup(raw, "-hourly"))
+        val rawRows = rows(raw)
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"window refold changed results: $q")
+      }
+      // width not a multiple of ANY registered grain (90 minutes)
+      val bad = spark.sql(
+        s"SELECT (timestamp DIV ${90 * 60000}) * ${90 * 60000} AS w, count(*) AS c FROM $v GROUP BY 1")
+      assert(!readsRollup(bad, "-daily") && !readsRollup(bad, "-hourly") &&
+        readsStore(bad), "misaligned window width must stay on the raw plan")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("Spark empty-input semantics survive the rewrite: sum null, count 0") {
     val (st, daily, _) = fresh()
     load(st); daily.refresh()
