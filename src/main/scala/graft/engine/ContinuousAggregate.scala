@@ -73,9 +73,34 @@ final class ContinuousAggregate(spark: SparkSession,
     * None when no refresh has ever run, or when the reflected manifest
     * was vacuumed (diff base gone) — loud-to-cheap, the caller falls
     * back to the raw store.
+    *
+    * Memoized by (store version, own version): the query-time routing
+    * paths (QueryEngine + the SQL optimizer rule) call this per query,
+    * and the plan only changes when one of the two versions moves — a
+    * hot server then pays two pointer reads per query, not a manifest
+    * diff + plan build. The versions are NOT the complete identity:
+    * `vacuum` reaps the reflected diff-base manifest without bumping
+    * either one, so a hit that depended on the diff base (any
+    * stale-rollup result) re-probes its existence — one stat — and
+    * rebuilds (→ None, the documented loud fallback) if it is gone.
     */
+  @volatile private var baseMemo: Option[(Long, Long, Option[Long], Option[DataFrame])] = None
+
   private[engine] def currentBase(): Option[DataFrame] = {
     val sv = store.version
+    val ov = ownVersion
+    baseMemo match {
+      case Some((msv, mov, diffBase, df)) if msv == sv && mov == ov &&
+          diffBase.forall(store.manifestExists) => df
+      case _ =>
+        val built = buildCurrentBase(sv)
+        val diffBase = readState().map(_.storeVersion).filter(_ != sv)
+        baseMemo = Some((sv, ov, diffBase, built))
+        built
+    }
+  }
+
+  private def buildCurrentBase(sv: Long): Option[DataFrame] = {
     readState() match {
       case None => None
       case Some(st) if st.storeVersion == sv => Some(read())

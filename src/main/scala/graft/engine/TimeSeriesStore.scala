@@ -162,15 +162,35 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     * reads the store's current version (a stale snapshot DataFrame must
     * NOT be rewritten to a fresher rollup — snapshot isolation).
     */
-  private[engine] def snapshotSignature: Map[String, Set[Long]] =
-    liveEntries().groupBy(_.seg).map { case (seg, es) =>
-      root.resolve(seg).toAbsolutePath.normalize.toString -> es.map(_.day).toSet
+  @volatile private var sigMemo: Option[(Long, Map[String, Set[Long]])] = None
+
+  private[engine] def snapshotSignature: Map[String, Set[Long]] = {
+    // memoized by version: the SQL routing rule consults this per
+    // query; the manifest only changes when the version moves, so a
+    // hot server pays one pointer read, not a manifest parse
+    val v = version
+    sigMemo match {
+      case Some((mv, sig)) if mv == v => sig
+      case _ =>
+        val sig = liveEntries().groupBy(_.seg).map { case (seg, es) =>
+          root.resolve(seg).toAbsolutePath.normalize.toString -> es.map(_.day).toSet
+        }
+        sigMemo = Some((v, sig))
+        sig
     }
+  }
 
   /** Absolute normalized store root — the registry key for SQL-level
     * rollup routing. */
   private[engine] def rootDir: String =
     root.toAbsolutePath.normalize.toString
+
+  /** Whether a committed version's manifest is still on disk (false
+    * after vacuum reaps it) — the cheap existence probe rollup base
+    * memoization uses to notice a reaped diff base without a version
+    * bump. */
+  private[engine] def manifestExists(version: Long): Boolean =
+    Files.exists(root.resolve(s"v$version.manifest"))
 
   /** Time travel: snapshot read of a specific committed version
     * (Delta's `VERSION AS OF` analogue). Works because manifests and

@@ -241,6 +241,70 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("a never-refreshed rollup never routes (no base — raw plan, not a crash)") {
+    val (st, daily, _) = fresh()
+    load(st) // note: NO refresh
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      val v = s"sqlrw_n${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val df = spark.sql(s"SELECT sum(value) AS s FROM $v")
+      assert(!readsRollup(df, "-daily") && readsStore(df))
+      df.collect() // and it executes fine
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("randomized law: rewrite == raw row-for-row across query shapes and staleness") {
+    val (st, daily, hourly) = fresh()
+    load(st); daily.refresh(); hourly.refresh()
+    // grow a hot tail so roughly half the shapes exercise the hybrid
+    assert(st.insert(Seq(TS(4 * DAY + 1, "a", 77.0), TS(2L, "c", 33.0)).toDS()).isRight)
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_r${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val rnd = new scala.util.Random(20260814L)
+      val aggPool = Seq("sum(value)", "count(*)", "min(value)", "max(value)",
+        "avg(value)", "count(value)", "sum(value) + 1", "round(avg(value), 6)")
+      var routedCount = 0
+      (1 to 40).foreach { i =>
+        val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+          .zipWithIndex.map { case (a, j) => s"$a AS a$j" }
+        val w = Seq(HOUR, 6 * HOUR, DAY, 2 * DAY)(rnd.nextInt(4))
+        val groupExprs = rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some(Seq("tag"))
+          case 2 => Some(Seq(s"(timestamp DIV $w) * $w"))
+          case 3 => Some(Seq("tag", s"(timestamp DIV $w) * $w"))
+        }
+        val where = rnd.nextInt(3) match {
+          case 0 => ""
+          case 1 =>
+            val lo = rnd.nextInt(3).toLong * (if (rnd.nextBoolean()) DAY else HOUR)
+            s" WHERE timestamp >= $lo"
+          case 2 => s" WHERE tag IN ('a', 'c')"
+        }
+        val sel = (groupExprs.map(_.zipWithIndex.map { case (g, j) => s"$g AS g$j" })
+          .getOrElse(Nil) ++ aggs).mkString(", ")
+        val grpClause = groupExprs.map(gs =>
+          " GROUP BY " + gs.indices.map(_ + 1).mkString(", ")).getOrElse("")
+        val ordClause = groupExprs.map(gs =>
+          " ORDER BY " + gs.indices.map(j => s"g$j").mkString(", ")).getOrElse("")
+        val q = s"SELECT $sel FROM $v$where$grpClause$ordClause"
+        val routed = spark.sql(q)
+        val routedRows = rows(routed)
+        if (readsRollup(routed, "-daily") || readsRollup(routed, "-hourly"))
+          routedCount += 1
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(routedRows == rawRows, s"[case $i] rewrite changed results: $q")
+      }
+      assert(routedCount >= 20,
+        s"only $routedCount/40 random shapes routed — eligibility too narrow for the sweep to mean much")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("unregister restores raw planning") {
     val (st, daily, _) = fresh()
     load(st); daily.refresh()
