@@ -47,6 +47,34 @@ object Bench {
     (qmap, load)
   }
 
+  /** The baseline run's per-query [min, max] spread — the noise band
+    * the regression flag must clear (a median inside the baseline's
+    * own observed range is machine noise, not a plan change).
+    * Whitespace-tolerant like [[parseBaseline]]. */
+  private[graft] def parseBaselineSpread(txt: String): Map[String, Double] =
+    raw""""spread"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        // the spread section nests arrays, so scan to its matching
+        // close: entries look like "name":[lo,hi]
+        val rest = txt.substring(m.end)
+        val end = {
+          var depth = 1; var i = 0
+          while (depth > 0 && i < rest.length) {
+            rest.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          i - 1
+        }
+        raw""""([^"]+)"\s*:\s*\[\s*(-?[0-9.eE+-]+)\s*,\s*(-?[0-9.eE+-]+)\s*\]""".r
+          .findAllMatchIn(rest.substring(0, end))
+          .map(g => g.group(1) -> g.group(3).toDouble).toMap
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -194,11 +222,15 @@ object Bench {
     // entry regex now accept arbitrary spacing, and a file that EXISTS
     // but parses to zero entries is reported loudly in the JSON rather
     // than silently as baseline_found:false.
-    val (baseline, baselineLoad): (Map[String, Double], Option[Double]) = try {
-      parseBaseline(new String(
+    val baselineTxt: String = try {
+      new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
-        java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => (Map.empty, None) }
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: Throwable => "" }
+    val (baseline, baselineLoad): (Map[String, Double], Option[Double]) =
+      try parseBaseline(baselineTxt) catch { case _: Throwable => (Map.empty, None) }
+    val baselineHi: Map[String, Double] =
+      try parseBaselineSpread(baselineTxt) catch { case _: Throwable => Map.empty }
     // run-ambient load is the dominant noise term (r8 vs baseline was a
     // uniform 1.15× at load 1.9 vs 1.4): when the 1-min AMBIENT load
     // averages (pre-run sample — the post-run one measures the bench's
@@ -219,9 +251,14 @@ object Bench {
       if (!loadComparable) Seq.empty
       else medians.flatMap { case (k, med) =>
         baseline.get(k).collect {
-          // floor small absolute times: a 0.05→0.12 s jitter is not a
-          // regression signal worth the last-line budget
-          case base if base > 0 && med > 0.2 && med / base >= 1.25 =>
+          // floor small absolute times (a 0.05→0.12 s jitter is not a
+          // regression signal worth the last-line budget) AND require
+          // the median to clear the baseline run's own observed MAX by
+          // 15% — same-code sub-second queries measured up to 1.6×
+          // run-to-run swing on this box, so a ratio test against the
+          // baseline MEDIAN alone flags machine noise as plan changes
+          case base if base > 0 && med > 0.2 && med / base >= 1.25 &&
+              med >= baselineHi.getOrElse(k, base) * 1.15 =>
             k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }.sortBy(-_._2).take(5)

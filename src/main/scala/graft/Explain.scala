@@ -44,7 +44,12 @@ object Explain {
       // accidental global sort or a single-partition window collapse
       // would hide (round-7 verdict #5)
       "w1_tumbling_window_1d", "w2_sliding_window", "x_sessions",
-      "x_asof_join")
+      "x_asof_join",
+      // rollup-routed family: engine path, SQL path (Catalyst rule),
+      // and the real-time hybrids — the plans PlanAuditSpec pins as
+      // rollup-only / rollup+pruned-tail
+      "ts3_cagg_scalar_sum", "ts3_cagg_sql_group_tag_sum",
+      "ts3_cagg_sql_window_1d", "ts3_cagg_sql_realtime_group_tag_sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

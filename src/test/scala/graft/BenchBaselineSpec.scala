@@ -44,6 +44,14 @@ final class BenchBaselineSpec extends AnyFunSuite {
     assert(load === Some(0.69))
   }
 
+  test("spread section parses to per-query hi bounds, both formats") {
+    // the regression flag gates on the baseline run's own observed max
+    // — a median inside that band is machine noise, not a plan change
+    assert(Bench.parseBaselineSpread(compact) === Map("q_a" -> 0.2))
+    assert(Bench.parseBaselineSpread(pretty) === Map("q_a" -> 0.2))
+    assert(Bench.parseBaselineSpread("""{"queries":{"q":1.0}}""").isEmpty)
+  }
+
   test("no queries section => empty map, not a crash") {
     val (qs, load) = Bench.parseBaseline("""{"metric":"x","load_avg":2.0}""")
     assert(qs.isEmpty)
