@@ -836,6 +836,13 @@ object SparkEntry {
         "SELECT (timestamp DIV 86400000) * 86400000 AS window_start, tag, " +
         "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
         s"FROM $v GROUP BY 1, 2 ORDER BY window_start, tag")),
+    // g_day (the store's partition column) as a grouping key, plus a
+    // HAVING clause — exprId preservation keeps the post-aggregate
+    // Filter resolving against the rewritten node
+    "ts3_cagg_sql_by_day_having" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
+        s"FROM $v GROUP BY g_day HAVING count(*) > 10 ORDER BY g_day")),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>
@@ -2387,6 +2394,8 @@ object SparkEntry {
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_sql_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "ts3_cagg_sql_by_day_having" ->
+      s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

@@ -45,12 +45,13 @@ import scala.collection.concurrent.TrieMap
   *    partials with SPARK semantics (empty global sum/avg/min/max →
   *    null, count → 0 via coalesce), not the reference's QueryModel
   *    semantics (that surface belongs to [[QueryEngine]]);
-  *  - grouping: global, by `tag`, by a tumbling-window key
-  *    `(timestamp DIV w) * w` with `w` a multiple of the rollup grain
-  *    (each bucket then lands in exactly one window), or any
-  *    combination. Composition above the aggregate functions (e.g.
-  *    `round(avg(value), 4)`, `sum(value) + 1`) is preserved — only
-  *    the AggregateExpression leaves are swapped.
+  *  - grouping: global, by `tag`, by `g_day` (the store's day
+  *    partition column — exact iff the grain divides a day), by a
+  *    tumbling-window key `(timestamp DIV w) * w` with `w` a multiple
+  *    of the rollup grain (each bucket then lands in exactly one
+  *    window), or any combination. Composition above the aggregate
+  *    functions (e.g. `round(avg(value), 4)`, `sum(value) + 1`) is
+  *    preserved — only the AggregateExpression leaves are swapped.
   *
   * The rewrite builds on [[ContinuousAggregate.currentBase]], so it is
   * exact at ANY rollup staleness (real-time hybrid: carried buckets +
@@ -250,11 +251,16 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       rAggEx = agg.aggregateExpressions.map(resolveNamed)
       if rGroup.forall {
         case a: AttributeReference if a.name == "tag" => true
+        case a: AttributeReference if a.name == "g_day" => true
         case e if windowOf(e).isDefined => true
         case _: Literal => true
         case _ => false
       }
-      windows = rGroup.flatMap(windowOf)
+      // g_day (the store's day partition column) groups like a
+      // day-width window: exact iff the grain divides a day (coarse
+      // weekly/monthly buckets carry only their START day label)
+      windows = rGroup.flatMap(windowOf) ++
+        rGroup.collect { case a: AttributeReference if a.name == "g_day" => DayMs }
       (store, rollups) <- registered.values.find { case (st, _) =>
         leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
       }
@@ -330,6 +336,7 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     var ok = true
     val newGrouping = rGroup.map {
       case a: AttributeReference if a.name == "tag" => bTag
+      case a: AttributeReference if a.name == "g_day" => bDay
       case e if windowOf(e).isDefined =>
         val w = windowOf(e).get
         Multiply(IntegralDivide(bBucket, Literal(w)), Literal(w))

@@ -174,7 +174,7 @@ class PlanAuditSpec extends SparkSpec {
         "ts3_cagg_window_sliding", "ts3_cagg_weekly_scalar_sum",
         "ts3_cagg_weekly_group_tag_count",
         "ts3_cagg_sql_group_tag_sum", "ts3_cagg_sql_scalar_stats",
-        "ts3_cagg_sql_window_1d").foreach { n =>
+        "ts3_cagg_sql_window_1d", "ts3_cagg_sql_by_day_having").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
         s"$n: plan does not read the rollup segments")

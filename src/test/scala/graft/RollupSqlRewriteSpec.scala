@@ -241,6 +241,45 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("GROUP BY g_day routes (day-divides-grain check); HAVING survives exprId preservation") {
+    val (st, daily, _) = fresh()
+    load(st); daily.refresh()
+    // a weekly rollup must NOT serve g_day groupings: coarse buckets
+    // carry only their start-day label
+    val weekly = new graft.engine.ContinuousAggregate(spark, st,
+      Files.createTempDirectory("sqlrw-weekly").toString, bucketMs = 7 * DAY)
+    weekly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(weekly, daily))
+    try {
+      val v = s"sqlrw_gd${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // g_day groupings need the day-dividing grain: daily serves
+        (s"SELECT g_day, sum(value) AS s FROM $v GROUP BY g_day ORDER BY g_day", "-daily"),
+        (s"SELECT g_day, tag, count(*) AS c FROM $v GROUP BY 1, 2 ORDER BY 1, 2", "-daily"),
+        // HAVING references an aggregate not in the SELECT list — the
+        // extra alias lands in the Aggregate and the Filter above must
+        // still resolve against the rewritten node's output ids. Tag-
+        // only grouping, so the COARSEST grain (weekly) serves it
+        (s"SELECT tag, sum(value) AS s FROM $v GROUP BY tag HAVING count(*) > 5 ORDER BY tag", "-weekly"))
+      cases.foreach { case (q, grain) =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, grain) && !readsStore(routed),
+          s"not rollup-routed at $grain: $q\n${planStr(routed)}")
+        val routedRows = rows(routed)
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(weekly, daily))
+        assert(routedRows == rawRows, s"g_day/having rewrite changed results: $q")
+      }
+      // weekly alone cannot serve a g_day grouping — raw fallthrough
+      RollupSqlRewrite.register(spark, st, Seq(weekly))
+      val wq = spark.sql(s"SELECT g_day, sum(value) AS s FROM $v GROUP BY g_day")
+      assert(!readsRollup(wq, "-weekly") && readsStore(wq),
+        "coarse grain must not serve day-granular groupings")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("a never-refreshed rollup never routes (no base — raw plan, not a crash)") {
     val (st, daily, _) = fresh()
     load(st) // note: NO refresh
