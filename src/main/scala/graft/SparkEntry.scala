@@ -199,6 +199,35 @@ object SparkEntry {
       new graft.engine.ContinuousAggregate(s, st, aggPath, bucketMs)
     }
 
+  /** SKETCH-BEARING daily rollup over the same fixture store: each
+    * (bucket, tag) row carries a mergeable GK quantile summary and an
+    * HLL sketch, so percentile / count-distinct queries — aggregates
+    * with NO additive refold — are answered in O(buckets) too
+    * ([[graft.engine.ContinuousAggregate.answerPercentile]] /
+    * `answerDistinct`). Its own path map: sketch mode is fixed at
+    * construction and its segments must not mix with the plain ones.
+    */
+  private val caggSketchPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    caggSketchPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def caggSketchFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val st = caggStoreFor(s, dir)
+      val aggPath = caggSketchPaths.getOrElseUpdate(dir, {
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-sketch").toString
+        new graft.engine.ContinuousAggregate(s, st, aggTmp,
+          sketchRelErr = Some(0.01)).refresh()
+        aggTmp
+      })
+      new graft.engine.ContinuousAggregate(s, st, aggPath,
+        sketchRelErr = Some(0.01))
+    }
+
   /** ts3 queries go through the PUBLIC engine entry point with the
     * rollup registered — [[graft.engine.QueryEngine.execute]] routes
     * eligible shapes to the rollup automatically (PlanAuditSpec pins
@@ -801,6 +830,21 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // SKETCH-BEARING rollup: percentile / count-distinct answered by
+    // MERGING the per-bucket GK + HLL sketches — aggregates with no
+    // additive refold, O(buckets) instead of the O(events) they
+    // otherwise always cost. Approximate by design => no SQL oracle;
+    // SketchRollupSpec gates both against exact answers within the
+    // sketches' published error bounds (COVERAGE.md)
+    "ts3_cagg_p95_by_tag" -> ((s, dir) =>
+      caggSketchFor(s, dir).answerPercentile(0.95, byTag = true)
+        .getOrElse(throw new IllegalStateException(
+          "sketch rollup declined an eligible percentile query"))),
+    "ts3_cagg_distinct_values" -> ((s, dir) =>
+      caggSketchFor(s, dir)
+        .answerDistinct(ge = Some(T1), lt = Some(T1 + 7 * 86400000L))
+        .getOrElse(throw new IllegalStateException(
+          "sketch rollup declined an eligible distinct query"))),
     // REAL-TIME hybrid: a deliberately-stale rollup (post-T2 tail never
     // refreshed in) answers via carried buckets + raw-tail
     // re-aggregation; the oracle aggregates ALL raw events

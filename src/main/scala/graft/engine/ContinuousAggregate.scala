@@ -42,12 +42,32 @@ import scala.jdk.CollectionConverters._
   */
 final class ContinuousAggregate(spark: SparkSession,
                                 store: TimeSeriesStore, pathStr: String,
-                                bucketMs: Long = 86400000L) {
+                                bucketMs: Long = 86400000L,
+                                sketchRelErr: Option[Double] = None) {
   require(bucketMs > 0 &&
     (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
     s"bucketMs=$bucketMs must be a positive divisor or multiple of a day " +
       "— the refresh unit is the coarser of (day, bucket), so the two " +
       "boundaries must nest")
+  require(sketchRelErr.forall(e => e > 0 && e < 1),
+    s"sketchRelErr=$sketchRelErr must be in (0, 1)")
+
+  /** Sketch-bearing mode ([[sketchRelErr]] set): each (bucket, tag) row
+    * additionally carries two MERGEABLE sketches — `qsketch`, a
+    * Greenwald–Khanna quantile summary of the bucket's values at the
+    * given relative rank error, and `hsketch`, an HLL sketch of the
+    * bucket's distinct values (Spark's native datasketches HLL over
+    * xxhash64(value); HLL re-hashes internally, so pre-hashing doubles
+    * to longs only folds 2⁻⁶⁴ collisions into HLL's own ~1–2% standard
+    * error). [[answerPercentile]] and [[answerDistinct]] then answer
+    * percentile / count-distinct queries over any bucket-aligned window
+    * in O(buckets) — aggregates that, unlike cnt/sum/min/max, have NO
+    * additive refold and would otherwise always pay O(events). The mode
+    * is fixed at construction: segments written in one mode must not be
+    * read in the other (fresh path per mode).
+    */
+  private val sketched = sketchRelErr.isDefined
+  sketchRelErr.foreach(_ => graft.functions.QuantileFunctions.register(spark))
 
   private val DayMs = 86400000L
 
@@ -192,12 +212,26 @@ final class ContinuousAggregate(spark: SparkSession,
     org.apache.spark.sql.types.StructField("max_val",
       org.apache.spark.sql.types.DoubleType, nullable = false),
     org.apache.spark.sql.types.StructField("g_day",
-      org.apache.spark.sql.types.LongType, nullable = true)))
+      org.apache.spark.sql.types.LongType, nullable = true)) ++
+    (if (sketched) Seq(
+      org.apache.spark.sql.types.StructField("qsketch",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("hsketch",
+        org.apache.spark.sql.types.BinaryType, nullable = true))
+     else Seq.empty))
 
   /** The rollup of the given day slice — the ONE aggregation shape,
     * shared by the incremental and full paths so they cannot drift.
     */
-  private def rollup(slice: DataFrame): DataFrame =
+  private def rollup(slice: DataFrame): DataFrame = {
+    val base = Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+      min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    val aggs = base ++ (sketchRelErr match {
+      case Some(err) => Seq(
+        graft.functions.QuantileFunctions.qsketch(col("value"), err).as("qsketch"),
+        hll_sketch_agg(xxhash64(col("value"))).as("hsketch"))
+      case None => Seq.empty
+    })
     slice
       .withColumn("bucket_start", expr(s"timestamp div $bucketMs") * bucketMs)
       // partition label := the bucket's start day (for fine grains this
@@ -205,8 +239,8 @@ final class ContinuousAggregate(spark: SparkSession,
       // bucket's member days into ONE stored partition = refresh unit)
       .withColumn("g_day", expr(s"bucket_start div $DayMs"))
       .groupBy(col("g_day"), col("bucket_start"), col("tag"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
-        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Bring the rollup up to the store's current version. Returns what
     * was recomputed; a no-op (already current) recomputes nothing.
@@ -465,6 +499,80 @@ final class ContinuousAggregate(spark: SparkSession,
         .orderBy(asc("window_start"), asc("tag"))
     }
   }
+
+  /** The sketch-query eligibility + slicing shared by
+    * [[answerPercentile]] and [[answerDistinct]]: sketch mode on,
+    * bounds bucket-aligned, a real-time base available. Same bounds
+    * semantics as [[answer]] (`[ge, lt)`, optional tagEq), same
+    * staleness story (builds on [[currentBase]], changed days
+    * re-sketched from raw partitions).
+    */
+  private def sketchSlice(ge: Option[Long], lt: Option[Long],
+                          tagEq: Option[String]): Option[DataFrame] = {
+    val D = DayMs
+    val aligned = ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!sketched || !aligned) None
+    else currentBase().map { base =>
+      Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / D),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / D),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+    }
+  }
+
+  /** Approximate quantile q over a bucket-aligned window, answered in
+    * O(buckets) by MERGING the per-bucket GK summaries — the
+    * TimescaleDB `approx_percentile(q, percentile_agg(...))` two-step.
+    * A percentile has no additive refold (unlike cnt/sum/min/max), so
+    * without the stored sketches this query always pays O(events); with
+    * them the rank error stays within ±ε·n (GK's bound is preserved
+    * under merge). Returns one `result` row (scalar) or (grp, result)
+    * rows per tag in canonical order; NULL result when the window is
+    * empty. None when sketch mode is off, bounds are unaligned, or no
+    * refresh ever ran — the caller computes `percentile_approx` from
+    * the raw store instead.
+    */
+  def answerPercentile(q: Double, ge: Option[Long] = None,
+                       lt: Option[Long] = None, tagEq: Option[String] = None,
+                       byTag: Boolean = false): Option[DataFrame] = {
+    require(q >= 0 && q <= 1, s"q=$q must be in [0, 1]")
+    import graft.functions.QuantileFunctions.{qsketchMerge, qsketchQuantile}
+    sketchSlice(ge, lt, tagEq).map { sliced =>
+      if (byTag)
+        sliced.groupBy(col("tag").as("grp"))
+          .agg(qsketchQuantile(qsketchMerge(col("qsketch")), q).as("result"))
+          .orderBy(asc("grp"))
+      else
+        sliced.agg(
+          qsketchQuantile(qsketchMerge(col("qsketch")), q).as("result"))
+    }
+  }
+
+  /** Approximate COUNT(DISTINCT value) over a bucket-aligned window,
+    * answered in O(buckets) by HLL-unioning the per-bucket sketches —
+    * distinct is the textbook non-additive aggregate (cross-bucket
+    * duplicates make per-bucket counts un-summable; the sketch union
+    * dedupes them by construction). 0 on an empty window, like the raw
+    * `count(distinct ...)`. None under the same conditions as
+    * [[answerPercentile]].
+    */
+  def answerDistinct(ge: Option[Long] = None, lt: Option[Long] = None,
+                     tagEq: Option[String] = None,
+                     byTag: Boolean = false): Option[DataFrame] =
+    sketchSlice(ge, lt, tagEq).map { sliced =>
+      // hll_union_agg(…, true) tolerates NULL sketches; estimate of the
+      // empty union is 0
+      if (byTag)
+        sliced.groupBy(col("tag").as("grp"))
+          .agg(coalesce(hll_sketch_estimate(hll_union_agg(col("hsketch"), true)),
+            lit(0L)).cast("double").as("result"))
+          .orderBy(asc("grp"))
+      else
+        sliced.agg(
+          coalesce(hll_sketch_estimate(hll_union_agg(col("hsketch"), true)),
+            lit(0L)).cast("double").as("result"))
+    }
 
   /** Snapshot read of the rollup: (bucket_start, tag, cnt, sum_val,
     * min_val, max_val, g_day). Day slices of stale segments are pruned

@@ -126,13 +126,20 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       // (the join below, which IS checkpointed), and CC already
       // materializes internally (driver DSU below the cutoff, its own
       // per-round checkpoints above it)
-      val merged = Dedup.connectedComponents(repEdges)
+      val merged = Dedup.connectedComponents(repEdges, maxIter = 30,
+          smallCutoff = 100000, inputCheap = true)
         .withColumnRenamed("id", "rep").withColumnRenamed("component", "new_comp")
       // ONE rep⋈merged join feeds BOTH deltas (it is batch-sized — one
       // row per batch endpoint): the moved OLD labels (an assigned
       // endpoint's rep IS a stored component label, so `was_assigned`
-      // identifies them for free) and the NEW-id assignments
-      val joined = graft.Materialize.checkpoint(reps.join(merged, Seq("rep")))
+      // identifies them for free) and the NEW-id assignments. NOT
+      // checkpointed: reps is, and merged is either a driver-local
+      // relation (DSU fast path) or CC's internally-checkpointed
+      // fixpoint, so re-deriving this broadcast-sized join costs less
+      // than an eager round-trip — and the replay/no-op path (every
+      // repeated bench pass) consumes it exactly once, in the flags
+      // aggregate below
+      val joined = reps.join(merged, Seq("rep"))
       val touched = joined
         .filter(col("was_assigned") && col("rep") =!= col("new_comp"))
         .select(col("rep").as("component"), col("new_comp").as("new_component"))
@@ -143,9 +150,15 @@ final class ClusterIndex(spark: SparkSession, pathStr: String) {
       // each delta dir is written ONLY when non-empty and listed in
       // the manifest accordingly (a zero-row parquet dir has no files
       // and would brick later chain reads); a batch whose edges all
-      // fall inside existing clusters changes nothing — SkipCommit
-      val hasNew = !newAssign.isEmpty
-      val hasRemap = !touched.isEmpty
+      // fall inside existing clusters changes nothing — SkipCommit.
+      // ONE aggregate answers both emptiness questions (two isEmpty
+      // probes were two more scheduled jobs on the hot path)
+      val flags = joined.agg(
+        count(when(!col("was_assigned"), lit(1))).as("n_new"),
+        count(when(col("was_assigned") && col("rep") =!= col("new_comp"),
+          lit(1))).as("n_moved")).head()
+      val hasNew = flags.getLong(0) > 0
+      val hasRemap = flags.getLong(1) > 0
       if (!hasNew && !hasRemap)
         throw Versioned.SkipCommit("batch edges change no assignments")
       if (hasNew)

@@ -365,24 +365,41 @@ object Dedup {
     * identical outputs.
     */
   private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
-                                         smallCutoff: Long): DataFrame = {
+                                         smallCutoff: Long): DataFrame =
+    connectedComponents(pairs, maxIter, smallCutoff, inputCheap = false)
+
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
+                                         smallCutoff: Long,
+                                         inputCheap: Boolean): DataFrame = {
     // checkpoint the (possibly expensive) pair pipeline ONCE. Ids are
     // normalized to long so the driver fast path and the distributed
-    // path emit the SAME schema regardless of the input's integer width
-    val p = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).graftCheckpoint()
-    // canonical directed edges (big > small); self-pairs dropped
-    var edges = p.select(greatest(col("id_a"), col("id_b")).as("big"),
+    // path emit the SAME schema regardless of the input's integer width.
+    // `inputCheap` callers (ClusterIndex.append contracts edges through
+    // two broadcast joins of frames it ALREADY checkpointed) skip the
+    // materialization: for them the fast path becomes a single bounded
+    // collect, and the distributed path's extra recompute of a cheap
+    // join is noise next to its per-round shuffles
+    val norm = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val p = if (inputCheap) norm else norm.graftCheckpoint()
+    // canonical directed pairs (big >= small) with SELF-pairs KEPT:
+    // big == small marks a node that must surface as a singleton. One
+    // bounded limit-collect both decides the fast path and feeds the
+    // DSU — the previous shape paid four jobs here (edges checkpoint,
+    // count, edges collect, selfIds collect) for a graph that is
+    // kilobytes whenever the fast path applies at all, and per-job
+    // scheduling overhead dominated the incremental-cluster benchmark.
+    // The cutoff therefore now bounds |canonical pairs incl. self|
+    // rather than |edges| — same heuristic, boundary off by the
+    // self-pair count
+    val canon = p.select(greatest(col("id_a"), col("id_b")).as("big"),
         least(col("id_a"), col("id_b")).as("small"))
-      .filter(col("big") =!= col("small")).distinct().graftCheckpoint()
-
-    // a SELF-pair contributes a singleton component (it carries no
-    // edge, but the node exists); real-edge endpoints are already
-    // covered by the edge structures, so only these need adding
-    val selfIds = p.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id")).distinct()
-
-    if (edges.count() < smallCutoff) {
+      .distinct()
+    val cap = math.min(smallCutoff, Int.MaxValue.toLong - 1).toInt
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (cap > 0) canon.limit(cap).collect()
+      else Array.empty // cutoff 0 (spec-forced distributed path): skip the probe job
+    if (cap > 0 && probe.length < cap) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -394,16 +411,24 @@ object Dedup {
         r
       }
       val known = scala.collection.mutable.Set.empty[Long]
-      edges.collect().foreach { row =>
-        known += row.getLong(0); known += row.getLong(1)
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        // union by min id => the surviving root IS the component label
-        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      probe.foreach { row =>
+        val (big, small) = (row.getLong(0), row.getLong(1))
+        known += big; known += small // a self-pair adds its node only
+        if (big != small) {
+          val (a, b) = (find(big), find(small))
+          // union by min id => the surviving root IS the component label
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
       }
-      known ++= selfIds.collect().map(_.getLong(0)) // singleton nodes
       return known.toSeq.map(n => (n, find(n))).sorted
         .toDF("id", "component")
     }
+
+    // distributed path: self-pairs drop out of the edge set (they carry
+    // no edge) and return at the end as singleton nodes
+    var edges = canon.filter(col("big") =!= col("small")).graftCheckpoint()
+    val selfIds = p.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
 
     // convergence = identical edge set two rounds running, checked by
     // (count, hash-xor) — one scan-only aggregate, no except() join

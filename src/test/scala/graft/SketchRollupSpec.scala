@@ -1,0 +1,210 @@
+package graft
+
+import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+import graft.functions.QuantileFunctions
+import graft.model._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sketch-bearing continuous aggregates: the per-bucket GK quantile
+  * summaries and HLL sketches merge across buckets into percentile /
+  * count-distinct answers whose error is within the sketches' published
+  * bounds — at any rollup staleness, through the full mutation walk.
+  * Correctness gates for the rows-only driver queries
+  * ts3_cagg_p95_by_tag / ts3_cagg_distinct_values (COVERAGE.md).
+  */
+class SketchRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400000L
+  private val EPS = 0.01 // GK relative rank error the rollups use
+
+  private def fresh(bucketMs: Long = DAY): (TimeSeriesStore, ContinuousAggregate) = {
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-skagg-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skagg").toString, bucketMs,
+      sketchRelErr = Some(EPS))
+    (st, agg)
+  }
+
+  private def day(d: Long, offs: Long = 0L): Long = d * DAY + offs
+
+  /** GK bound check: `got` must be a value whose RANK in the exact
+    * sorted multiset is within ±(eps + slack)·n of q·n.
+    */
+  private def assertWithinRank(got: Double, exact: Seq[Double], q: Double,
+                               eps: Double = EPS, slack: Double = 0.011): Unit = {
+    val sorted = exact.sorted
+    val n = sorted.size
+    val lo = math.max(0, math.floor((q - eps - slack) * n).toInt - 1)
+    val hi = math.min(n - 1, math.ceil((q + eps + slack) * n).toInt)
+    assert(got >= sorted(lo) && got <= sorted(hi),
+      s"quantile($q) = $got outside rank band [${sorted(lo)}, ${sorted(hi)}] (n=$n)")
+  }
+
+  // deterministic multi-day, multi-tag series with repeated values (so
+  // distinct < count and cross-bucket duplicates exist)
+  private def seed(st: TimeSeriesStore, days: Long = 6L, perDay: Int = 200): Unit = {
+    val rows = for {
+      d <- 0L until days
+      i <- 0 until perDay
+    } yield TS(day(d, i * 1000L), if (i % 3 == 0) "a" else "b",
+      ((i * 37 + d * 11) % 97).toDouble)
+    st.insert(rows.toDS()).left.foreach(e =>
+      throw new IllegalStateException(e.messages.mkString(",")))
+  }
+
+  test("qsketch functions: build/merge/query laws on plain DataFrames") {
+    QuantileFunctions.register(spark)
+    val vals = (1 to 5000).map(i => ((i * 7919) % 4999).toDouble)
+    val df = vals.toDF("v")
+    // split in two, sketch each half, merge — vs exact over the union
+    val halves = df.withColumn("half", (col("v") < 2500).cast("int"))
+      .groupBy(col("half"))
+      .agg(QuantileFunctions.qsketch(col("v"), 0.01).as("sk"))
+    val merged = halves.agg(
+      QuantileFunctions.qsketchQuantile(
+        QuantileFunctions.qsketchMerge(col("sk")), 0.5).as("p50"),
+      QuantileFunctions.qsketchQuantile(
+        QuantileFunctions.qsketchMerge(col("sk")), 0.95).as("p95")).head()
+    assertWithinRank(merged.getDouble(0), vals, 0.5)
+    assertWithinRank(merged.getDouble(1), vals, 0.95)
+    // empty merge → NULL quantile (two aggregation levels — Spark
+    // rejects nested aggregates in one agg, as it should)
+    val emptySk = df.filter(col("v") < -1)
+      .agg(QuantileFunctions.qsketch(col("v"), 0.01).as("sk"))
+    val empty = emptySk.agg(QuantileFunctions.qsketchQuantile(
+      QuantileFunctions.qsketchMerge(col("sk")), 0.5).as("r")).head()
+    assert(empty.isNullAt(0), "empty sketch must query to NULL")
+  }
+
+  test("answerPercentile: scalar + byTag within GK rank bound of exact; slicing + tagEq") {
+    val (st, agg) = fresh()
+    seed(st)
+    agg.refresh()
+    val raw = st.current().select("tag", "timestamp", "value")
+      .as[(String, Long, Double)].collect()
+
+    // scalar over everything
+    val all = agg.answerPercentile(0.95).get.head().getDouble(0)
+    assertWithinRank(all, raw.map(_._3).toSeq, 0.95)
+
+    // byTag
+    val byTag = agg.answerPercentile(0.5, byTag = true).get.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (t <- Seq("a", "b"))
+      assertWithinRank(byTag(t), raw.filter(_._1 == t).map(_._3).toSeq, 0.5)
+
+    // bucket-aligned window + tagEq
+    val win = agg.answerPercentile(0.5, ge = Some(day(1)), lt = Some(day(4)),
+      tagEq = Some("a")).get.head().getDouble(0)
+    val exactWin = raw.filter(r => r._1 == "a" && r._2 >= day(1) && r._2 < day(4))
+      .map(_._3).toSeq
+    assertWithinRank(win, exactWin, 0.5)
+
+    // unaligned bounds are ineligible; non-sketched rollup is ineligible
+    assert(agg.answerPercentile(0.5, ge = Some(day(1) + 7L)).isEmpty)
+    val plain = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skagg-plain").toString)
+    plain.refresh()
+    assert(plain.answerPercentile(0.5).isEmpty,
+      "a rollup without sketches must decline percentile queries")
+  }
+
+  test("answerDistinct: HLL union across buckets tracks exact count(distinct) within 5%") {
+    val (st, agg) = fresh()
+    seed(st)
+    agg.refresh()
+    val raw = st.current().select("tag", "timestamp", "value")
+      .as[(String, Long, Double)].collect()
+
+    def exactDistinct(f: ((String, Long, Double)) => Boolean): Long =
+      raw.filter(f).map(_._3).distinct.size.toLong
+
+    val all = agg.answerDistinct().get.head().getDouble(0)
+    val exact = exactDistinct(_ => true)
+    assert(math.abs(all - exact) <= math.max(2.0, 0.05 * exact),
+      s"distinct estimate $all vs exact $exact")
+
+    val byTag = agg.answerDistinct(byTag = true).get.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (t <- Seq("a", "b")) {
+      val e = exactDistinct(_._1 == t)
+      assert(math.abs(byTag(t) - e) <= math.max(2.0, 0.05 * e),
+        s"tag $t: ${byTag(t)} vs $e")
+    }
+
+    // windowed: cross-bucket duplicates must NOT double-count (the
+    // whole point of the sketch union vs summing per-bucket distincts)
+    val win = agg.answerDistinct(ge = Some(day(0)), lt = Some(day(3)))
+      .get.head().getDouble(0)
+    val eWin = exactDistinct(r => r._2 >= day(0) && r._2 < day(3))
+    val perBucketSum = (0L until 3L).map(d =>
+      exactDistinct(r => r._2 >= day(d) && r._2 < day(d + 1))).sum
+    assert(perBucketSum > eWin, "fixture must have cross-bucket duplicates")
+    assert(math.abs(win - eWin) <= math.max(2.0, 0.05 * eWin),
+      s"windowed distinct $win vs exact $eWin (naive per-bucket sum $perBucketSum)")
+  }
+
+  test("sketches stay within bound through the mutation walk; incremental == recompute-grade") {
+    val (st, agg) = fresh()
+    seed(st, days = 4L)
+    agg.refresh()
+    // mutate: new day, update a day, delete some keys, compact
+    st.insert((0 until 50).map(i =>
+      TS(day(9, i * 1000L), "c", (i % 7).toDouble)).toDS())
+    assert(st.update(Seq(TS(day(1, 1000L), "b", 1234.5)).toDS()).isRight)
+    assert(st.delete(Seq(TSKey(day(2, 3000L), "a")).toDS()).isRight)
+    st.compact()
+    val stats = agg.refresh()
+    assert(!stats.full, "content-id diff must survive the walk")
+
+    // a from-scratch sketched rollup over the same store state
+    val fresh2 = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skagg-fresh").toString, DAY,
+      sketchRelErr = Some(EPS))
+    fresh2.refresh()
+
+    val exact = st.current().select("value").as[Double].collect().toSeq
+    for (r <- Seq(agg, fresh2); q <- Seq(0.1, 0.5, 0.9)) {
+      assertWithinRank(r.answerPercentile(q).get.head().getDouble(0), exact, q)
+    }
+    val eD = exact.distinct.size
+    for (r <- Seq(agg, fresh2)) {
+      val d = r.answerDistinct().get.head().getDouble(0)
+      assert(math.abs(d - eD) <= math.max(2.0, 0.05 * eD), s"$d vs $eD")
+    }
+  }
+
+  test("real-time staleness: percentile/distinct exact-grade over a never-refreshed hot tail") {
+    val (st, agg) = fresh()
+    seed(st, days = 3L)
+    agg.refresh()
+    // hot tail: two more days land, NO refresh
+    st.insert((0 until 300).map(i =>
+      TS(day(5, i * 500L), "a", ((i * 13) % 211).toDouble)).toDS())
+    assert(agg.reflectedStoreVersion.exists(_ != st.version), "fixture must be stale")
+
+    val exact = st.current().select("value").as[Double].collect().toSeq
+    assertWithinRank(agg.answerPercentile(0.9).get.head().getDouble(0), exact, 0.9)
+    val eD = exact.distinct.size
+    val d = agg.answerDistinct().get.head().getDouble(0)
+    assert(math.abs(d - eD) <= math.max(2.0, 0.05 * eD),
+      s"stale-rollup distinct $d vs exact $eD")
+  }
+
+  test("hourly sketched grain: percentile over an hour-aligned sub-day window") {
+    val HOUR = 3600000L
+    val (st, agg) = fresh(bucketMs = HOUR)
+    st.insert((0 until 500).map(i =>
+      TS(i * 60000L, "a", ((i * 29) % 83).toDouble)).toDS()) // ~8.3 hours
+    agg.refresh()
+    val exact = st.current().filter(col("timestamp") >= 2 * HOUR &&
+        col("timestamp") < 6 * HOUR)
+      .select("value").as[Double].collect().toSeq
+    val got = agg.answerPercentile(0.5, ge = Some(2 * HOUR), lt = Some(6 * HOUR))
+      .get.head().getDouble(0)
+    assertWithinRank(got, exact, 0.5)
+  }
+}
