@@ -305,11 +305,18 @@ object SparkEntry {
     * raw fallthrough, which would make them non-evidence).
     */
   private def caggSqlAnswer(s: SparkSession, dir: String, stale: Boolean,
-                            sql: String => String): DataFrame = {
-    val (st, r, marker) =
-      if (stale) { val (st0, r0) = caggRtFor(s, dir); (st0, r0, "graft-cagg-rt-rollup") }
-      else (caggStoreFor(s, dir), caggFor(s, dir), "graft-cagg-rollup")
-    graft.engine.RollupSqlRewrite.register(s, st, Seq(r))
+                            sql: String => String,
+                            sketch: Boolean = false): DataFrame = {
+    val (st, rollups, marker) =
+      if (stale) { val (st0, r0) = caggRtFor(s, dir); (st0, Seq(r0), "graft-cagg-rt-rollup") }
+      else if (sketch)
+        // plain daily AND the sketch-bearing rollup registered — the
+        // approx aggregates must land on the SKETCHED one (the plain
+        // rollup lacks the vocabulary and is passed over)
+        (caggStoreFor(s, dir), Seq(caggFor(s, dir), caggSketchFor(s, dir)),
+          "graft-cagg-sketch")
+      else (caggStoreFor(s, dir), Seq(caggFor(s, dir)), "graft-cagg-rollup")
+    graft.engine.RollupSqlRewrite.register(s, st, rollups)
     val v = s"graft_ts_${if (stale) "rt" else "fr"}_${math.abs(dir.hashCode)}"
     st.current().createOrReplaceTempView(v)
     val df = s.sql(sql(v))
@@ -887,6 +894,22 @@ object SparkEntry {
       stale = false, v =>
         "SELECT g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
         s"FROM $v GROUP BY g_day HAVING count(*) > 10 ORDER BY g_day")),
+    // APPROX aggregates in PLAIN SQL, routed to the SKETCH-BEARING
+    // rollup: percentile_approx merges per-bucket GK summaries,
+    // approx_count_distinct unions per-bucket HLL sketches — O(buckets)
+    // for the two textbook non-additive aggregates, straight from SQL.
+    // Approximate by design => rows-only (RollupSqlRewriteSpec gates
+    // both against exact answers within the sketches' bounds); the
+    // caggSqlAnswer tripwire proves they actually route
+    "ts3_cagg_sql_percentile" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT tag AS grp, percentile_approx(value, 0.95) AS result " +
+        s"FROM $v WHERE timestamp >= $T1 AND timestamp < ${T1 + 7 * 86400000L} " +
+        "GROUP BY tag ORDER BY grp", sketch = true)),
+    "ts3_cagg_sql_approx_distinct" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT CAST(approx_count_distinct(value) AS DOUBLE) AS result " +
+        s"FROM $v WHERE tag <> 'error'", sketch = true)),
     // ---- W1: tumbling time window (batch form of the streaming agg —
     // the natural generalization of G8 "group by timestamp")
     "w1_tumbling_window_1d" -> ((s, dir) =>

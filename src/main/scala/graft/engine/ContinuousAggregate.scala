@@ -67,6 +67,12 @@ final class ContinuousAggregate(spark: SparkSession,
     * read in the other (fresh path per mode).
     */
   private val sketched = sketchRelErr.isDefined
+
+  /** Whether this rollup carries mergeable per-bucket sketches
+    * (qsketch/hsketch columns) — [[RollupSqlRewrite]] only routes
+    * `percentile_approx` / `approx_count_distinct` to sketch-bearing
+    * rollups. */
+  def isSketched: Boolean = sketched
   sketchRelErr.foreach(_ => graft.functions.QuantileFunctions.register(spark))
 
   private val DayMs = 86400000L

@@ -45,6 +45,22 @@ import scala.collection.concurrent.TrieMap
   *    partials with SPARK semantics (empty global sum/avg/min/max →
   *    null, count → 0 via coalesce), not the reference's QueryModel
   *    semantics (that surface belongs to [[QueryEngine]]);
+  *  - APPROXIMATE aggregates over `value`, when a registered rollup is
+  *    sketch-bearing ([[ContinuousAggregate.isSketched]]):
+  *    `percentile_approx(value, q)` (scalar literal q) refolds by
+  *    merging the per-bucket GK summaries
+  *    ([[graft.functions.QSketchMergeAgg]]), and
+  *    `approx_count_distinct(value)` by unioning the per-bucket HLL
+  *    sketches. These functions' contract is already "any estimate
+  *    within tolerance", so swapping the estimator stays within
+  *    contract — but the ERROR BOUND becomes the rollup's own
+  *    (rank ±ε·n at the construction-time `sketchRelErr`; HLL ~1.6%
+  *    std. error at the default lgK), overriding any call-site
+  *    accuracy argument, exactly like TimescaleDB's `approx_percentile`
+  *    over a stored `percentile_agg`. Registering a sketch-bearing
+  *    rollup IS the opt-in; with only plain rollups registered these
+  *    shapes are never rewritten. Empty-input semantics preserved
+  *    (percentile → null, distinct count → 0);
   *  - grouping: global, by `tag`, by `g_day` (the store's day
   *    partition column — exact iff the grain divides a day), by a
   *    tumbling-window key `(timestamp DIV w) * w` with `w` a multiple
@@ -292,7 +308,8 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
           windows.forall(_ % r.grainMs == 0)
         if (!aligned) Iterator.empty
         else r.currentBase().iterator.flatMap { base =>
-          buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds)
+          buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds,
+            r.isSketched)
         }
       }.nextOption()
     } yield rewritten
@@ -305,12 +322,20 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
                                    rAggEx: Seq[NamedExpression],
                                    base: org.apache.spark.sql.DataFrame,
                                    ge: Option[Long], lt: Option[Long],
-                                   tagConds: Seq[Expression]): Option[LogicalPlan] = {
+                                   tagConds: Seq[Expression],
+                                   sketched: Boolean): Option[LogicalPlan] = {
     val basePlan = base.queryExecution.analyzed
     def b(name: String): Attribute = basePlan.output.find(_.name == name).get
     val (bTag, bCnt, bSum, bMin, bMax, bBucket, bDay) =
       (b("tag"), b("cnt"), b("sum_val"), b("min_val"), b("max_val"),
         b("bucket_start"), b("g_day"))
+    // ONE merge aggregate per sketch column, shared by every reference
+    // to it (planner-level dedup is instance-based: distinct
+    // AggregateExpressions with fresh resultIds would each re-merge)
+    lazy val qMerged = AggregateExpression(
+      graft.functions.QSketchMergeAgg(b("qsketch")), Complete, isDistinct = false)
+    lazy val hMerged = AggregateExpression(
+      HllUnionAgg(b("hsketch"), Literal(true)), Complete, isDistinct = false)
 
     // bucket_start bounds give exactness; derived g_day bounds add
     // directory-level partition pruning (answer()'s formulation)
@@ -375,6 +400,20 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
               Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
             case c: Count if c.children.forall(ch => !ch.nullable) =>
               Coalesce(Seq(aggE(Sum(bCnt)), Literal(0L)))
+            // approximate aggregates — sketch-bearing rollups only
+            // (class doc: the estimator swap is within these
+            // functions' approximate contract; the bound becomes the
+            // rollup's own)
+            case ap: ApproximatePercentile
+                if sketched && isAttr(ap.child, "value") =>
+              ap.percentageExpression.eval() match {
+                case q: Double if q >= 0 && q <= 1 =>
+                  graft.functions.QSketchQuantile(qMerged, Literal(q))
+                case _ => ok = false; e // array-of-percentiles etc.
+              }
+            case h: HyperLogLogPlusPlus
+                if sketched && isAttr(h.child, "value") =>
+              Coalesce(Seq(HllSketchEstimate(hMerged), Literal(0L)))
             case _ => ok = false; e
           }
         case a: AttributeReference =>

@@ -344,6 +344,109 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("APPROX aggregates route to sketch-bearing rollups only, within the sketches' bounds") {
+    val EPS = 0.01
+    val (st, daily, _) = fresh()
+    // repeated integer values so distinct < count and duplicates span days
+    val rows = for {
+      d <- 0L until 4L; i <- 0 until 300
+    } yield TS(d * DAY + i * 1000L, if (i % 3 == 0) "a" else "b",
+      ((i * 37 + d * 11) % 101).toDouble)
+    assert(st.insert(rows.toDS()).isRight)
+    daily.refresh()
+    val sk = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("sqlrw-sketch").toString,
+      sketchRelErr = Some(EPS))
+    sk.refresh()
+    val v = s"sqlrw_sk${System.nanoTime()}"
+    st.current().createOrReplaceTempView(v)
+    val pq = s"SELECT percentile_approx(value, 0.95) AS p FROM $v " +
+      s"WHERE timestamp >= 0 AND timestamp < ${3 * DAY}"
+    val dq = s"SELECT approx_count_distinct(value) AS c FROM $v"
+    // 1. plain rollup only: approx shapes stay raw (no sketch columns)
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      Seq(pq, dq).foreach { q =>
+        val df = spark.sql(q)
+        assert(!readsRollup(df, "-daily") && readsStore(df),
+          s"approx shape must not route to a PLAIN rollup: $q")
+      }
+      // 2. sketched rollup registered: both route, rollup-only plans
+      RollupSqlRewrite.register(spark, st, Seq(daily, sk))
+      val exactVals = rows.filter(_.timestamp < 3 * DAY).map(_.value)
+      val routedP = spark.sql(pq)
+      assert(readsRollup(routedP, "-sketch") && !readsStore(routedP),
+        s"percentile not sketch-routed:\n${planStr(routedP)}")
+      val p = routedP.collect().head.getDouble(0)
+      val sorted = exactVals.sorted
+      val n = sorted.size
+      val lo = math.max(0, math.floor((0.95 - 2 * EPS) * n).toInt - 1)
+      val hi = math.min(n - 1, math.ceil((0.95 + 2 * EPS) * n).toInt)
+      assert(p >= sorted(lo) && p <= sorted(hi),
+        s"routed p95=$p outside rank band [${sorted(lo)}, ${sorted(hi)}]")
+      val routedD = spark.sql(dq)
+      assert(readsRollup(routedD, "-sketch") && !readsStore(routedD),
+        s"distinct not sketch-routed:\n${planStr(routedD)}")
+      val exactDistinct = rows.map(_.value).distinct.size.toDouble
+      val est = routedD.collect().head.getLong(0).toDouble
+      assert(math.abs(est - exactDistinct) / exactDistinct < 0.05,
+        s"HLL estimate $est vs exact $exactDistinct drifted > 5%")
+      // 3. mixed query: exact refolds and sketch merges coexist; the
+      //    exact parts stay bit-identical to the raw plan
+      val mq = s"SELECT tag, sum(value) AS s, percentile_approx(value, 0.5) AS p, " +
+        s"approx_count_distinct(value) AS c FROM $v GROUP BY tag ORDER BY tag"
+      val routedM = spark.sql(mq)
+      assert(readsRollup(routedM, "-sketch") && !readsStore(routedM))
+      val mRows = routedM.collect()
+      RollupSqlRewrite.unregister(spark, st)
+      val rawM = spark.sql(mq).collect()
+      RollupSqlRewrite.register(spark, st, Seq(daily, sk))
+      assert(mRows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        rawM.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+        "exact refold parts of a mixed query must match raw exactly")
+      mRows.zip(rawM).foreach { case (m, r) =>
+        val byTag = rows.filter(t => t.tag == m.getString(0))
+        val sortedT = byTag.map(_.value).sorted
+        val nT = sortedT.size
+        val loT = math.max(0, math.floor((0.5 - 2 * EPS) * nT).toInt - 1)
+        val hiT = math.min(nT - 1, math.ceil((0.5 + 2 * EPS) * nT).toInt)
+        assert(m.getDouble(2) >= sortedT(loT) && m.getDouble(2) <= sortedT(hiT),
+          s"per-tag routed p50 outside rank band for tag ${m.getString(0)}")
+        val dT = byTag.map(_.value).distinct.size.toDouble
+        assert(math.abs(m.getLong(3) - dT) / dT < 0.05)
+        // and the routed HLL estimate agrees with raw HLL++ within the
+        // two estimators' combined tolerance
+        assert(math.abs(m.getLong(3) - r.getLong(3)) / dT < 0.08,
+          s"sketch estimate ${m.getLong(3)} vs raw approx ${r.getLong(3)}")
+      }
+      // 4. REAL-TIME: hot tail committed but not refreshed — hybrid
+      //    plan (rollup + raw tail), answers still in-bound
+      assert(st.insert((0 until 50).map(i =>
+        TS(4 * DAY + i * 1000L, "a", (200 + i).toDouble)).toDS()).isRight)
+      assert(!sk.reflectedStoreVersion.contains(st.version))
+      val v2 = s"sqlrw_sk2${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v2)
+      val hq = spark.sql(s"SELECT approx_count_distinct(value) AS c FROM $v2")
+      assert(readsRollup(hq, "-sketch") && readsStore(hq),
+        s"hybrid sketch plan must read rollup AND raw tail:\n${planStr(hq)}")
+      val exactD2 = (rows.map(_.value) ++ (0 until 50).map(i => (200 + i).toDouble))
+        .distinct.size.toDouble
+      assert(math.abs(hq.collect().head.getLong(0) - exactD2) / exactD2 < 0.05)
+      // 5. empty window semantics: percentile NULL, distinct 0
+      val eq = spark.sql(s"SELECT percentile_approx(value, 0.5) AS p, " +
+        s"approx_count_distinct(value) AS c FROM $v2 " +
+        s"WHERE timestamp >= ${100 * DAY} AND timestamp < ${101 * DAY}")
+      assert(readsRollup(eq, "-sketch"))
+      val er = eq.collect().head
+      assert(er.isNullAt(0) && er.getLong(1) == 0L,
+        s"empty-window approx semantics drifted: $er")
+      // 6. array-of-percentiles stays raw (outside the vocabulary)
+      val aq = spark.sql(
+        s"SELECT percentile_approx(value, array(0.5, 0.9)) AS ps FROM $v2")
+      assert(!readsRollup(aq, "-sketch") && readsStore(aq))
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("unregister restores raw planning") {
     val (st, daily, _) = fresh()
     load(st); daily.refresh()
