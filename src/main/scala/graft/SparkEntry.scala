@@ -837,6 +837,25 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // GAP-FILL from the rollup (TimescaleDB time_bucket_gapfill +
+    // locf()/interpolate()): dense hourly grid over a 7-day window,
+    // count per (tag, hour) refolded from rollup buckets — O(buckets),
+    // never O(events) — with last-observation-carried-forward / linear
+    // interpolation over the empty hours (the sf0.01 fixture has ~50
+    // empty tag-hours in this window, so both fills genuinely fire;
+    // DuckDB oracles rebuild the same grid from raw events)
+    "ts3_cagg_gapfill_locf" -> ((s, dir) =>
+      caggFor(s, dir, 3600000L)
+        .answerGapFill(T1, T1 + 7 * 86400000L, Agg.Count,
+          graft.engine.ContinuousAggregate.Fill.Locf)
+        .getOrElse(throw new IllegalStateException(
+          "rollup declined an eligible gapfill query"))),
+    "ts3_cagg_gapfill_interp" -> ((s, dir) =>
+      caggFor(s, dir, 3600000L)
+        .answerGapFill(T1, T1 + 7 * 86400000L, Agg.Count,
+          graft.engine.ContinuousAggregate.Fill.Interp)
+        .getOrElse(throw new IllegalStateException(
+          "rollup declined an eligible gapfill query"))),
     // SKETCH-BEARING rollup: percentile / count-distinct answered by
     // MERGING the per-bucket GK + HLL sketches — aggregates with no
     // additive refold, O(buckets) instead of the O(events) they
@@ -2463,6 +2482,46 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
+    // gapfill oracles: rebuild the dense hourly grid from raw events.
+    // locf = marked-window carry-forward; interp = the same exact
+    // linear form the engine computes — integer counts make the
+    // products exact, and (a·c)/(b·c) is the correctly-rounded result
+    // of the same real ratio at any scaling, so hour-unit arithmetic
+    // here bit-matches the engine's millisecond-unit arithmetic
+    "ts3_cagg_gapfill_locf" ->
+      s"""WITH obs AS (
+         |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
+         |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.tag, g.b FROM (SELECT DISTINCT tag FROM obs) t
+         |  CROSS JOIN (SELECT unnest(generate_series(${T1 / 3600000L}, ${(T1 + 7 * 86400000L) / 3600000L - 1})) AS b) g),
+         |dense AS (SELECT grid.tag, grid.b, obs.v FROM grid LEFT JOIN obs ON obs.tag = grid.tag AND obs.b = grid.b)
+         |SELECT tag AS grp, b * 3600000 AS bucket_start,
+         |  max(v) OVER (PARTITION BY tag, pb) AS result
+         |FROM (SELECT tag, b, v,
+         |        max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+         |      FROM dense) m
+         |ORDER BY grp, bucket_start""".stripMargin,
+    "ts3_cagg_gapfill_interp" ->
+      s"""WITH obs AS (
+         |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
+         |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.tag, g.b FROM (SELECT DISTINCT tag FROM obs) t
+         |  CROSS JOIN (SELECT unnest(generate_series(${T1 / 3600000L}, ${(T1 + 7 * 86400000L) / 3600000L - 1})) AS b) g),
+         |dense AS (SELECT grid.tag, grid.b, obs.v FROM grid LEFT JOIN obs ON obs.tag = grid.tag AND obs.b = grid.b),
+         |marked AS (
+         |  SELECT tag, b, v,
+         |    max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |    min(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM dense)
+         |SELECT m.tag AS grp, m.b * 3600000 AS bucket_start,
+         |  COALESCE(m.v, CASE WHEN m.pb IS NOT NULL AND m.nb IS NOT NULL THEN
+         |    (p.v * (m.nb - m.b) + n.v * (m.b - m.pb)) / (m.nb - m.pb) END) AS result
+         |FROM marked m
+         |LEFT JOIN obs p ON p.tag = m.tag AND p.b = m.pb
+         |LEFT JOIN obs n ON n.tag = m.tag AND n.b = m.nb
+         |ORDER BY grp, bucket_start""".stripMargin,
     "w1_tumbling_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "w2_sliding_window" ->

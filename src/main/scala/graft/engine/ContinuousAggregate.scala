@@ -580,6 +580,109 @@ final class ContinuousAggregate(spark: SparkSession,
             lit(0L)).cast("double").as("result"))
     }
 
+  /** Gap-filled per-bucket series from the rollup — the TimescaleDB
+    * `time_bucket_gapfill()` analogue, answered in O(buckets), never
+    * O(events): a DENSE (tag, bucket) grid over `[ge, lt)` with one
+    * refolded aggregate value per bucket and the chosen fill policy
+    * for empty buckets.
+    *
+    *  - [[ContinuousAggregate.Fill.None]]: empty buckets stay NULL;
+    *  - [[ContinuousAggregate.Fill.Zero]]: `coalesce(0)` — the natural
+    *    densification for cnt/sum;
+    *  - [[ContinuousAggregate.Fill.Locf]]: last observed bucket value
+    *    carried forward per tag (buckets before the first observation
+    *    stay NULL) — Timescale's `locf()`;
+    *  - [[ContinuousAggregate.Fill.Interp]]: linear interpolation
+    *    between the nearest observed buckets either side (edges with a
+    *    missing neighbor stay NULL) — Timescale's `interpolate()`.
+    *
+    * Output: (grp, bucket_start, result) in (grp, bucket_start) order.
+    * Tags = those observed in the window (a tag absent from the whole
+    * window contributes no series), or exactly `tagEq` when given —
+    * with a dense all-NULL/zero series even if unobserved, the
+    * singleton law [[answer]] follows.
+    *
+    * Scale shape: the grid is |tags| × |buckets| rows built by
+    * `explode(sequence(...))` — output-sized, no event scan; LOCF is
+    * ONE window pass per tag; Interp is two marked-window passes plus
+    * two (tag, bucket)-keyed joins back to the observed buckets (the
+    * same standard-SQL shape as `TsAnalytics.interpolateLinear`, but
+    * over O(buckets) rollup rows instead of O(events) raw rows). Same
+    * bounds/staleness story as [[answer]]: builds on [[currentBase]],
+    * so it is exact at any rollup staleness. None when bounds are
+    * unaligned/empty or no refresh ever ran.
+    */
+  def answerGapFill(ge: Long, lt: Long, agg: graft.model.Agg,
+                    fill: ContinuousAggregate.Fill,
+                    tagEq: Option[String] = None): Option[DataFrame] = {
+    import graft.model.Agg
+    val aligned = ge % bucketMs == 0 && lt % bucketMs == 0 && lt > ge
+    if (!aligned) None
+    else currentBase().map { base =>
+      val sliced = Seq(
+        Some(col("bucket_start") >= ge && col("g_day") >= ge / DayMs),
+        Some(col("bucket_start") < lt && col("g_day") <= (lt - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      // per-bucket refold (defensive groupBy: rollup rows are unique
+      // per (bucket, tag) by the manifest's one-segment-per-day law,
+      // but the refold is the correct formulation either way and runs
+      // over O(buckets) rows)
+      val v = agg match {
+        case Agg.Count => sum(col("cnt")).cast("double")
+        case Agg.Sum   => sum(col("sum_val"))
+        case Agg.Avg   => sum(col("sum_val")) / sum(col("cnt"))
+        case Agg.Min   => min(col("min_val"))
+        case Agg.Max   => max(col("max_val"))
+      }
+      val obs = sliced.groupBy(col("tag"), col("bucket_start")).agg(v.as("v"))
+      val tags = tagEq match {
+        case Some(t) => spark.range(1).select(lit(t).as("tag"))
+        case None    => obs.select(col("tag")).distinct()
+      }
+      val grid = tags.select(col("tag"),
+        explode(sequence(lit(ge / bucketMs), lit(lt / bucketMs - 1))).as("b"))
+        .select(col("tag"), (col("b") * bucketMs).as("bucket_start"))
+      val dense = grid.join(obs, Seq("tag", "bucket_start"), "left")
+      import org.apache.spark.sql.expressions.Window
+      val filled = fill match {
+        case ContinuousAggregate.Fill.None => dense.withColumn("result", col("v"))
+        case ContinuousAggregate.Fill.Zero =>
+          dense.withColumn("result", coalesce(col("v"), lit(0.0)))
+        case ContinuousAggregate.Fill.Locf =>
+          val w = Window.partitionBy(col("tag")).orderBy(col("bucket_start"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          dense.withColumn("result", last(col("v"), ignoreNulls = true).over(w))
+        case ContinuousAggregate.Fill.Interp =>
+          val wPrev = Window.partitionBy(col("tag")).orderBy(col("bucket_start"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wNext = Window.partitionBy(col("tag")).orderBy(col("bucket_start"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val marked = dense
+            .withColumn("pb",
+              max(when(col("v").isNotNull, col("bucket_start"))).over(wPrev))
+            .withColumn("nb",
+              min(when(col("v").isNotNull, col("bucket_start"))).over(wNext))
+          val pv = obs.select(col("tag"), col("bucket_start").as("pb"),
+            col("v").as("pv"))
+          val nv = obs.select(col("tag"), col("bucket_start").as("nb"),
+            col("v").as("nv"))
+          marked
+            .join(pv, Seq("tag", "pb"), "left")
+            .join(nv, Seq("tag", "nb"), "left")
+            // exact linear form: (pv·(nb−b) + nv·(b−pb)) / (nb−pb);
+            // observed buckets pass through untouched
+            .withColumn("result", coalesce(col("v"),
+              when(col("pb").isNotNull && col("nb").isNotNull,
+                (col("pv") * (col("nb") - col("bucket_start"))
+                  + col("nv") * (col("bucket_start") - col("pb")))
+                  / (col("nb") - col("pb")))))
+      }
+      filled.select(col("tag").as("grp"), col("bucket_start"), col("result"))
+        .orderBy(asc("grp"), asc("bucket_start"))
+    }
+  }
+
   /** Snapshot read of the rollup: (bucket_start, tag, cnt, sum_val,
     * min_val, max_val, g_day). Day slices of stale segments are pruned
     * at directory level, same as the store's read.
@@ -593,5 +696,21 @@ final class ContinuousAggregate(spark: SparkSession,
         spark.read.schema(aggSchema).parquet(root.resolve(seg).toString)
           .filter(col("g_day").isin(es.map(_._2): _*))
       }.reduce(_ unionByName _)
+  }
+}
+
+object ContinuousAggregate {
+  /** Empty-bucket fill policy for [[ContinuousAggregate.answerGapFill]]. */
+  sealed trait Fill
+  object Fill {
+    /** Empty buckets stay NULL (bare densification). */
+    case object None extends Fill
+    /** `coalesce(0)` — the natural fill for cnt/sum. */
+    case object Zero extends Fill
+    /** Last observed value carried forward per tag (Timescale `locf()`). */
+    case object Locf extends Fill
+    /** Linear interpolation between nearest observed buckets either
+      * side (Timescale `interpolate()`); one-sided edges stay NULL. */
+    case object Interp extends Fill
   }
 }

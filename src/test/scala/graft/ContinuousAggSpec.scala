@@ -570,4 +570,69 @@ class ContinuousAggSpec extends SparkSpec {
     agg.refresh()
     checkAll("post-vacuum refresh")
   }
+
+  test("gapfill: dense grid from the rollup with None/Zero/Locf/Interp fills") {
+    import ContinuousAggregate.Fill
+    val HOUR = 3600000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-gf-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-gf").toString, bucketMs = HOUR)
+    def h(k: Long, offs: Long = 0L): Long = k * HOUR + offs
+    // a: observed hours 0 (x2), 2, 7; b: hours 3, 4 — gaps on both
+    // sides and in the middle
+    assert(st.insert(Seq(
+      TS(h(0), "a", 1.0), TS(h(0, 5), "a", 3.0), TS(h(2), "a", 5.0),
+      TS(h(7), "a", 9.0), TS(h(3), "b", 10.0), TS(h(4), "b", 20.0)
+    ).toDS()).isRight)
+    agg.refresh()
+
+    def grab(fill: Fill, a: Agg, tagEq: Option[String] = None)
+        : Map[(String, Long), Option[Double]] =
+      agg.answerGapFill(0L, h(12), a, fill, tagEq).get.collect()
+        .map(r => (r.getString(0), r.getLong(1) / HOUR) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    // dense shape: 2 tags × 12 buckets, every bucket present
+    val none = grab(Fill.None, Agg.Count)
+    assert(none.size == 24)
+    assert(none(("a", 0L)).contains(2.0) && none(("a", 2L)).contains(1.0))
+    assert(none(("a", 1L)).isEmpty && none(("a", 11L)).isEmpty)
+    assert(none(("b", 3L)).contains(1.0) && none(("b", 0L)).isEmpty)
+    // zero fill
+    val zero = grab(Fill.Zero, Agg.Count)
+    assert(zero(("a", 1L)).contains(0.0) && zero(("b", 11L)).contains(0.0))
+    assert(zero(("a", 7L)).contains(1.0))
+    // locf on sum: a h1 carries h0's sum 4; b before first obs stays
+    // NULL; b h5..h11 carry h4's 20
+    val locf = grab(Fill.Locf, Agg.Sum)
+    assert(locf(("a", 1L)).contains(4.0) && locf(("a", 11L)).contains(9.0))
+    assert(locf(("b", 0L)).isEmpty && locf(("b", 2L)).isEmpty)
+    assert(locf(("b", 5L)).contains(20.0) && locf(("b", 11L)).contains(20.0))
+    // interp on avg: a h1 = (2+5)/2 = 3.5; h3..h6 step 0.8 from 5 to
+    // 9; right edge (h8+) one-sided => NULL; observed pass through
+    val interp = grab(Fill.Interp, Agg.Avg)
+    assert(interp(("a", 0L)).contains(2.0) && interp(("a", 2L)).contains(5.0))
+    assert(interp(("a", 1L)).exists(v => math.abs(v - 3.5) < 1e-12))
+    assert(interp(("a", 4L)).exists(v => math.abs(v - 6.6) < 1e-12))
+    assert(interp(("a", 6L)).exists(v => math.abs(v - 8.2) < 1e-12))
+    assert(interp(("a", 8L)).isEmpty && interp(("a", 11L)).isEmpty)
+    assert(interp(("b", 2L)).isEmpty && interp(("b", 5L)).isEmpty)
+    // min/max refold spot-checks
+    assert(grab(Fill.None, Agg.Min)(("a", 0L)).contains(1.0))
+    assert(grab(Fill.None, Agg.Max)(("a", 0L)).contains(3.0))
+    // tagEq on a tag with no data in-window: dense all-NULL / all-zero
+    val ghost = grab(Fill.Zero, Agg.Count, tagEq = Some("zzz"))
+    assert(ghost.size == 12 && ghost.values.forall(_.contains(0.0)))
+    // unaligned or empty bounds decline
+    assert(agg.answerGapFill(5L, h(12), Agg.Count, Fill.Zero).isEmpty)
+    assert(agg.answerGapFill(h(3), h(3), Agg.Count, Fill.Zero).isEmpty)
+    // STALENESS: a hot-tail insert is reflected without a refresh
+    assert(st.insert(Seq(TS(h(11), "b", 30.0)).toDS()).isRight)
+    assert(!agg.reflectedStoreVersion.contains(st.version))
+    val hot = grab(Fill.Locf, Agg.Sum)
+    assert(hot(("b", 11L)).contains(30.0),
+      "gapfill must build on the real-time hybrid base")
+    assert(hot(("b", 10L)).contains(20.0))
+  }
 }
