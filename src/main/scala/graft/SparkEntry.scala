@@ -228,6 +228,48 @@ object SparkEntry {
         sketchRelErr = Some(0.01))
     }
 
+  /** DOWNSAMPLING-RETENTION fixture: a separate store loaded from the
+    * same events, rolled up daily with `freezeBeforeDay` at T1+3d,
+    * then `dropDaysBefore` REMOVES the raw events below that horizon.
+    * The frozen rollup keeps answering over the dropped history — and
+    * because the events FIXTURE still has every row, the DuckDB oracle
+    * can verify the downsampled answer exactly ("raw for N days,
+    * rollup forever", TimescaleDB retention + cagg).
+    */
+  private val caggFrozenPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  sys.addShutdownHook {
+    caggFrozenPaths.values.foreach { case (a, b) =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(a), swallow = true)
+      graft.Fs.deleteTree(java.nio.file.Paths.get(b), swallow = true)
+    }
+  }
+
+  private def caggFrozenFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggFrozenPaths.synchronized {
+      val horizon = (T1 + 3 * 86400000L) / 86400000L
+      val (stPath, aggPath) = caggFrozenPaths.getOrElseUpdate(dir, {
+        import s.implicits._
+        val stTmp = java.nio.file.Files.createTempDirectory("graft-cagg-frz-store").toString
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-frz-rollup").toString
+        val st = new graft.engine.TimeSeriesStore(s, stTmp)
+        st.insert(Tables.ts(s, dir).as[TS]).left.foreach(errs =>
+          throw new IllegalStateException(
+            s"frozen fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
+        val r = new graft.engine.ContinuousAggregate(s, st, aggTmp,
+          freezeBeforeDay = Some(horizon))
+        r.refresh()
+        require(st.dropDaysBefore(horizon * 86400000L) > 0,
+          "frozen fixture must actually drop raw history")
+        r.refresh() // sees the drop, carries the frozen buckets
+        (stTmp, aggTmp)
+      })
+      new graft.engine.ContinuousAggregate(s,
+        new graft.engine.TimeSeriesStore(s, stPath), aggPath,
+        freezeBeforeDay = Some(horizon))
+    }
+
   /** ts3 queries go through the PUBLIC engine entry point with the
     * rollup registered — [[graft.engine.QueryEngine.execute]] routes
     * eligible shapes to the rollup automatically (PlanAuditSpec pins
@@ -837,6 +879,32 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // DOWNSAMPLING RETENTION: the fixture store DROPPED its raw events
+    // below T1+3d, but the frozen rollup still answers the full range
+    // — the oracle counts over the COMPLETE events fixture, so a hash
+    // match proves the downsampled history is bit-exact, not
+    // approximately retained
+    "ts3_cagg_frozen_history_count" -> ((s, dir) =>
+      caggFrozenFor(s, dir)
+        .answer(QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))
+        .getOrElse(throw new IllegalStateException(
+          "frozen rollup declined an eligible query"))),
+    "ts3_cagg_frozen_history_sum" -> ((s, dir) =>
+      caggFrozenFor(s, dir)
+        .answer(QueryModel(aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag)))
+        .getOrElse(throw new IllegalStateException(
+          "frozen rollup declined an eligible query"))
+        .withColumn("result", round(col("result"), 4))),
+    // OHLC bars refolded ENTIRELY from the hourly rollup: each bucket
+    // stores (first_ts, first_val, last_ts, last_val), so a daily
+    // bar's open is min_by(first_val, first_ts) over its 24 buckets —
+    // the TimescaleDB first()/last() cagg story, O(buckets) and EXACT
+    // (individual stored values, no float refolds); the oracle
+    // computes arg_min/arg_max over raw events
+    "ts3_cagg_ohlc_1d" -> ((s, dir) =>
+      caggFor(s, dir, 3600000L).answerOhlc(86400000L)
+        .getOrElse(throw new IllegalStateException(
+          "rollup declined an eligible OHLC query"))),
     // GAP-FILL from the rollup (TimescaleDB time_bucket_gapfill +
     // locf()/interpolate()): dense hourly grid over a 7-day window,
     // count per (tag, hour) refolded from rollup buckets — O(buckets),
@@ -871,6 +939,17 @@ object SparkEntry {
         .answerDistinct(ge = Some(T1), lt = Some(T1 + 7 * 86400000L))
         .getOrElse(throw new IllegalStateException(
           "sketch rollup declined an eligible distinct query"))),
+    // heavy hitters: top-10 most frequent values per tag by MERGING
+    // per-bucket Misra-Gries summaries — cross-bucket duplicate values
+    // sum (per-bucket top-k concatenation would get this wrong);
+    // estimates exact while a window's distinct values fit in the MG
+    // capacity, SketchRollupSpec-gated above it
+    "ts3_cagg_top_values" -> ((s, dir) =>
+      caggSketchFor(s, dir)
+        .answerTopValues(10, ge = Some(T1), lt = Some(T1 + 7 * 86400000L),
+          byTag = true)
+        .getOrElse(throw new IllegalStateException(
+          "sketch rollup declined an eligible top-values query"))),
     // REAL-TIME hybrid: a deliberately-stale rollup (post-T2 tail never
     // refreshed in) answers via carried buckets + raw-tail
     // re-aggregation; the oracle aggregates ALL raw events
@@ -2482,6 +2561,15 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
+    "ts3_cagg_frozen_history_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_frozen_history_sum" ->
+      s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_ohlc_1d" ->
+      s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag,
+         |  arg_min(value, "timestamp") AS open, max(value) AS high,
+         |  min(value) AS low, arg_max(value, "timestamp") AS close
+         |FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
     // gapfill oracles: rebuild the dense hourly grid from raw events.
     // locf = marked-window carry-forward; interp = the same exact
     // linear form the engine computes — integer counts make the

@@ -43,7 +43,8 @@ import scala.jdk.CollectionConverters._
 final class ContinuousAggregate(spark: SparkSession,
                                 store: TimeSeriesStore, pathStr: String,
                                 bucketMs: Long = 86400000L,
-                                sketchRelErr: Option[Double] = None) {
+                                sketchRelErr: Option[Double] = None,
+                                freezeBeforeDay: Option[Long] = None) {
   require(bucketMs > 0 &&
     (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
     s"bucketMs=$bucketMs must be a positive divisor or multiple of a day " +
@@ -69,11 +70,19 @@ final class ContinuousAggregate(spark: SparkSession,
   private val sketched = sketchRelErr.isDefined
 
   /** Whether this rollup carries mergeable per-bucket sketches
-    * (qsketch/hsketch columns) — [[RollupSqlRewrite]] only routes
-    * `percentile_approx` / `approx_count_distinct` to sketch-bearing
-    * rollups. */
+    * (qsketch/hsketch/fsketch columns) — [[RollupSqlRewrite]] only
+    * routes `percentile_approx` / `approx_count_distinct` to
+    * sketch-bearing rollups. */
   def isSketched: Boolean = sketched
-  sketchRelErr.foreach(_ => graft.functions.QuantileFunctions.register(spark))
+
+  /** Misra-Gries capacity of the per-bucket frequent-values sketch
+    * (sketch mode only): merged estimates are within N/(capacity+1) of
+    * true counts, and exact while a window's distinct values fit. */
+  private val FreqCapacity = 256
+  sketchRelErr.foreach { _ =>
+    graft.functions.QuantileFunctions.register(spark)
+    graft.functions.FreqFunctions.register(spark)
+  }
 
   private val DayMs = 86400000L
 
@@ -134,8 +143,11 @@ final class ContinuousAggregate(spark: SparkSession,
         try {
           val oldC = store.contentByDayAsOf(st.storeVersion)
           val newC = store.contentByDay()
+          // frozen units are read-time-invisible to the diff too: the
+          // carried rollup rows ARE the truth below the horizon
           val changedUnits = (oldC.keySet union newC.keySet)
             .filter(d => oldC.get(d) != newC.get(d)).map(refreshUnit)
+            .filterNot(frozenUnit)
           if (changedUnits.isEmpty) Some(read())
           else {
             val tailDays = newC.keySet
@@ -159,6 +171,24 @@ final class ContinuousAggregate(spark: SparkSession,
   private def refreshUnit(day: Long): Long =
     if (bucketMs <= DayMs) day
     else Math.floorDiv(day, bucketMs / DayMs) * (bucketMs / DayMs)
+
+  /** FROZEN HISTORY ([[freezeBeforeDay]] = horizon g_day): a refresh
+    * unit is frozen when it lies ENTIRELY below the horizon. Frozen
+    * units are never diffed, never recomputed, and — the point —
+    * never dropped when their raw days vanish: `store.dropDaysBefore`
+    * plus a frozen rollup is the classic TSDB downsampling retention
+    * ("raw for 30 days, hourly forever" / TimescaleDB's cagg +
+    * `ignore_invalidation_older_than`). The refresh equation changes,
+    * deliberately and loudly: BELOW the horizon the rollup is the
+    * source of truth (mutations to frozen raw days are IGNORED, even
+    * before the raw drop happens); at and above it, rollup ==
+    * aggregate of `store.current()` exactly as before. A full
+    * recompute (first refresh / reaped diff base) computes frozen
+    * units only where no prior entry exists — it can never trust raw
+    * for history that may already be partially dropped.
+    */
+  private def frozenUnit(u: Long): Boolean =
+    freezeBeforeDay.exists(f => u + math.max(1L, bucketMs / DayMs) <= f)
 
   /** One refresh's outcome: how much work the incremental path saved. */
   final case class RefreshStats(storeVersion: Long, recomputedDays: Int,
@@ -217,12 +247,22 @@ final class ContinuousAggregate(spark: SparkSession,
       org.apache.spark.sql.types.DoubleType, nullable = false),
     org.apache.spark.sql.types.StructField("max_val",
       org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("first_ts",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("first_val",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("last_ts",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("last_val",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
     org.apache.spark.sql.types.StructField("g_day",
       org.apache.spark.sql.types.LongType, nullable = true)) ++
     (if (sketched) Seq(
       org.apache.spark.sql.types.StructField("qsketch",
         org.apache.spark.sql.types.BinaryType, nullable = true),
       org.apache.spark.sql.types.StructField("hsketch",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("fsketch",
         org.apache.spark.sql.types.BinaryType, nullable = true))
      else Seq.empty))
 
@@ -230,12 +270,25 @@ final class ContinuousAggregate(spark: SparkSession,
     * shared by the incremental and full paths so they cannot drift.
     */
   private def rollup(slice: DataFrame): DataFrame = {
+    // first/last carry their timestamps so they REFOLD across buckets
+    // (min_by/max_by on ts — the open/close of any coarser window is
+    // the first/last of its earliest/latest bucket); (timestamp, tag)
+    // is the store's primary key, so ties cannot occur within a group
     val base = Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
-      min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      min(col("value")).as("min_val"), max(col("value")).as("max_val"),
+      min(col("timestamp")).as("first_ts"),
+      min_by(col("value"), col("timestamp")).as("first_val"),
+      max(col("timestamp")).as("last_ts"),
+      max_by(col("value"), col("timestamp")).as("last_val"))
     val aggs = base ++ (sketchRelErr match {
       case Some(err) => Seq(
         graft.functions.QuantileFunctions.qsketch(col("value"), err).as("qsketch"),
-        hll_sketch_agg(xxhash64(col("value"))).as("hsketch"))
+        hll_sketch_agg(xxhash64(col("value"))).as("hsketch"),
+        // canonical double rendering (cast) keys the frequency sketch:
+        // two equal doubles always stringify identically, so MG items
+        // are 1:1 with distinct values
+        graft.functions.FreqFunctions.mgSketch(
+          col("value").cast("string"), FreqCapacity).as("fsketch"))
       case None => Seq.empty
     })
     slice
@@ -266,7 +319,8 @@ final class ContinuousAggregate(spark: SparkSession,
     // nothing here). A changed day dirties its unit — the day itself
     // for fine grains, the containing bucket for coarse grains.
     // Reaped history => full recompute.
-    val (changedUnits, full) = prior match {
+    val priorUnits = prior.map(_.entries.map(_._2).toSet).getOrElse(Set.empty)
+    val (changedUnits0, full) = prior match {
       case Some(st) =>
         try {
           val oldC = store.contentByDayAsOf(st.storeVersion)
@@ -277,9 +331,16 @@ final class ContinuousAggregate(spark: SparkSession,
         } catch { case _: IllegalArgumentException => (nowUnits, true) }
       case None => (nowUnits, true)
     }
+    // frozen units with a prior entry are never recomputed (their raw
+    // days may be partially dropped — the prior rollup is the truth);
+    // without one (first refresh over still-present history) they
+    // compute like any other unit
+    val changedUnits = changedUnits0.filter(u =>
+      !(frozenUnit(u) && priorUnits.contains(u)))
 
     val carried = prior.map(_.entries).getOrElse(Seq.empty)
-      .filter(e => !changedUnits.contains(e._2) && nowUnits.contains(e._2))
+      .filter(e => frozenUnit(e._2) ||
+        (!changedUnits.contains(e._2) && nowUnits.contains(e._2)))
     // a coarse unit recomputes from ALL its member days still present
     val toCompute = nowDays.filter(d => changedUnits.contains(refreshUnit(d)))
     val newEntries =
@@ -579,6 +640,81 @@ final class ContinuousAggregate(spark: SparkSession,
           coalesce(hll_sketch_estimate(hll_union_agg(col("hsketch"), true)),
             lit(0L)).cast("double").as("result"))
     }
+
+  /** OHLC bars at any window width that is a multiple of the grain,
+    * refolded ENTIRELY from rollup buckets — first/last are refoldable
+    * because each bucket stores (first_ts, first_val, last_ts,
+    * last_val): a window's open is the first_val of its earliest
+    * bucket (`min_by(first_val, first_ts)`), its close the last_val of
+    * its latest (`max_by(last_val, last_ts)`), high/low fold from the
+    * bucket max/min — the TimescaleDB `first(value, time)` /
+    * `last(value, time)` cagg story, O(buckets) instead of the
+    * O(events) the raw OHLC pays. EXACT (no sketches: these are
+    * individual stored values, not sums). Bounds [ge, lt) optional,
+    * bucket-aligned; rows (window_start, tag, open, high, low, close)
+    * in canonical order. None when the width doesn't nest, bounds are
+    * unaligned, or no refresh ever ran.
+    */
+  def answerOhlc(widthMs: Long, ge: Option[Long] = None,
+                 lt: Option[Long] = None, tagEq: Option[String] = None)
+      : Option[DataFrame] = {
+    val aligned = widthMs > 0 && widthMs % bucketMs == 0 &&
+      ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!aligned) None
+    else currentBase().map { base =>
+      val sliced = Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / DayMs),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      sliced
+        .withColumn("window_start", expr(s"bucket_start div $widthMs") * widthMs)
+        .groupBy(col("window_start"), col("tag"))
+        .agg(min_by(col("first_val"), col("first_ts")).as("open"),
+          max(col("max_val")).as("high"),
+          min(col("min_val")).as("low"),
+          max_by(col("last_val"), col("last_ts")).as("close"))
+        .orderBy(asc("window_start"), asc("tag"))
+    }
+  }
+
+  /** Top-k most frequent VALUES over a bucket-aligned window, answered
+    * in O(buckets) by MERGING the per-bucket Misra-Gries summaries —
+    * the heavy-hitters member of the non-additive trilogy (percentile,
+    * distinct, top-k; TimescaleDB's `topn_agg`/`raw_freq_agg`). The
+    * merged estimate for every returned value is within N/(capacity+1)
+    * of its true count (N = window row count, capacity = 256), and
+    * EXACT while the window's distinct values fit in capacity — any
+    * value with true count above that threshold is guaranteed present.
+    *
+    * Rows: (grp?, rank, item, est) — rank 1-based in (est desc, item
+    * asc) order, `item` the canonical string rendering of the value.
+    * Fewer than k rows when the summary holds fewer items. None under
+    * the same conditions as [[answerPercentile]].
+    */
+  def answerTopValues(k: Int, ge: Option[Long] = None,
+                      lt: Option[Long] = None, tagEq: Option[String] = None,
+                      byTag: Boolean = false): Option[DataFrame] = {
+    require(k >= 1, s"k=$k must be >= 1")
+    import graft.functions.FreqFunctions.{mgSketchMerge, mgSketchTopK}
+    sketchSlice(ge, lt, tagEq).map { sliced =>
+      val top = mgSketchTopK(
+        mgSketchMerge(col("fsketch"), FreqCapacity), k).as("top")
+      val base =
+        if (byTag) sliced.groupBy(col("tag").as("grp")).agg(top)
+        else sliced.agg(top)
+      val exploded = base.select(
+        (if (byTag) Seq(col("grp")) else Seq.empty[org.apache.spark.sql.Column]) :+
+          posexplode(col("top")).as(Seq("pos", "e")): _*)
+      val shaped = exploded.select(
+        (if (byTag) Seq(col("grp")) else Seq.empty[org.apache.spark.sql.Column]) ++ Seq(
+          (col("pos") + 1).cast("long").as("rank"),
+          col("e.item").as("item"),
+          col("e.est").cast("double").as("est")): _*)
+      if (byTag) shaped.orderBy(asc("grp"), asc("rank"))
+      else shaped.orderBy(asc("rank"))
+    }
+  }
 
   /** Gap-filled per-bucket series from the rollup — the TimescaleDB
     * `time_bucket_gapfill()` analogue, answered in O(buckets), never

@@ -41,10 +41,13 @@ import scala.collection.concurrent.TrieMap
   *    rollup at full granularity, so they apply verbatim); `IsNotNull`
   *    on the non-null store columns is vacuous and ignored;
   *  - aggregates over `value`: sum / min / max / avg, plus count of
-  *    any non-null column — each refolds from the rollup's per-bucket
-  *    partials with SPARK semantics (empty global sum/avg/min/max →
-  *    null, count → 0 via coalesce), not the reference's QueryModel
-  *    semantics (that surface belongs to [[QueryEngine]]);
+  *    any non-null column, plus `min_by(value, timestamp)` /
+  *    `max_by(value, timestamp)` (first/last — refold exactly from
+  *    the buckets' stored (first_ts, first_val, last_ts, last_val)) —
+  *    each refolds from the rollup's per-bucket partials with SPARK
+  *    semantics (empty global sum/avg/min/max → null, count → 0 via
+  *    coalesce), not the reference's QueryModel semantics (that
+  *    surface belongs to [[QueryEngine]]);
   *  - APPROXIMATE aggregates over `value`, when a registered rollup is
   *    sketch-bearing ([[ContinuousAggregate.isSketched]]):
   *    `percentile_approx(value, q)` (scalar literal q) refolds by
@@ -329,6 +332,8 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     val (bTag, bCnt, bSum, bMin, bMax, bBucket, bDay) =
       (b("tag"), b("cnt"), b("sum_val"), b("min_val"), b("max_val"),
         b("bucket_start"), b("g_day"))
+    lazy val (bFirstTs, bFirstVal, bLastTs, bLastVal) =
+      (b("first_ts"), b("first_val"), b("last_ts"), b("last_val"))
     // ONE merge aggregate per sketch column, shared by every reference
     // to it (planner-level dedup is instance-based: distinct
     // AggregateExpressions with fresh resultIds would each re-merge)
@@ -400,6 +405,16 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
               Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
             case c: Count if c.children.forall(ch => !ch.nullable) =>
               Coalesce(Seq(aggE(Sum(bCnt)), Literal(0L)))
+            // first/last refolds: buckets store (first_ts, first_val,
+            // last_ts, last_val), so min_by/max_by over (value,
+            // timestamp) refolds EXACTLY — a group's first value is
+            // the first_val of its earliest bucket
+            case mb: MinBy if isAttr(mb.valueExpr, "value") &&
+                isAttr(mb.orderingExpr, "timestamp") =>
+              aggE(MinBy(bFirstVal, bFirstTs))
+            case mb: MaxBy if isAttr(mb.valueExpr, "value") &&
+                isAttr(mb.orderingExpr, "timestamp") =>
+              aggE(MaxBy(bLastVal, bLastTs))
             // approximate aggregates — sketch-bearing rollups only
             // (class doc: the estimator swap is within these
             // functions' approximate contract; the bound becomes the

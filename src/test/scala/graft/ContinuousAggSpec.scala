@@ -571,6 +571,118 @@ class ContinuousAggSpec extends SparkSpec {
     checkAll("post-vacuum refresh")
   }
 
+  test("frozen history: dropDaysBefore + freezeBeforeDay = downsampling retention") {
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-frz-store").toString)
+    val rows = for (d <- 0L until 6L; i <- 0 until (d + 1).toInt)
+      yield TS(day(d, i * 1000L), if (i % 2 == 0) "a" else "b", d * 10.0 + i)
+    assert(st.insert(rows.toDS()).isRight)
+    val frozen = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-frz").toString,
+      freezeBeforeDay = Some(3L))
+    frozen.refresh() // first refresh: frozen units compute (raw present)
+    val before = shape(frozen.read())
+    // IGNORED MUTATION below the horizon (documented caveat): the
+    // frozen rollup is the source of truth there
+    assert(st.update(Seq(TS(day(1), "a", 999.0)).toDS()).isRight)
+    val sIgn = frozen.refresh()
+    assert(sIgn.recomputedDays == 0 && shape(frozen.read()) == before,
+      "a frozen-day mutation must not propagate")
+    // raw drop below the horizon: history SURVIVES in the rollup
+    assert(st.dropDaysBefore(day(3)) == 3)
+    val sDrop = frozen.refresh()
+    assert(sDrop.recomputedDays == 0 && !sDrop.full)
+    assert(shape(frozen.read()) == before,
+      "dropped raw days must stay in the frozen rollup")
+    // answer() over the full range sees downsampled history + live raw
+    val total = frozen.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0)
+    assert(total == rows.size.toDouble,
+      s"frozen answer must cover dropped history: $total vs ${rows.size}")
+    // an UNfrozen rollup over the same store drops the history (the
+    // pre-existing retention law — freeze is what changes it)
+    val thawed = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-thaw").toString)
+    thawed.refresh()
+    val thawedTotal = thawed.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0)
+    assert(thawedTotal == rows.count(_.timestamp >= day(3)).toDouble)
+    // REAL-TIME: hot tail above the horizon + frozen history, no refresh
+    assert(st.insert(Seq(TS(day(6), "a", 77.0)).toDS()).isRight)
+    assert(!frozen.reflectedStoreVersion.contains(st.version))
+    val rt = frozen.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0)
+    assert(rt == rows.size.toDouble + 1,
+      "hybrid base must union frozen history with the hot tail")
+    // FULL-recompute path (reaped diff base): frozen entries still
+    // carried — a full recompute can never trust raw for history
+    frozen.refresh()
+    assert(st.insert(Seq(TS(day(6, 5L), "b", 78.0)).toDS()).isRight)
+    st.vacuum(0L) // reaps the reflected manifest — diff base gone
+    val sFull = frozen.refresh()
+    assert(sFull.full, "reaped diff base must degrade to full")
+    val afterFull = frozen.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0)
+    assert(afterFull == rows.size.toDouble + 2,
+      "full recompute must carry frozen history, not lose it")
+  }
+
+  test("answerOhlc: open/close refold across buckets via stored first/last (exact)") {
+    val HOUR = 3600000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-ohlc-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-ohlc").toString, bucketMs = HOUR)
+    // values chosen so open/high/low/close are all DIFFERENT rows, and
+    // the daily open/close live in different HOURS than the daily
+    // high/low — a per-bucket concatenation or a min/max confusion
+    // cannot pass
+    val rows = Seq(
+      TS(day(0, 2 * HOUR + 7), "a", 50.0),  // day-0 open (earliest)
+      TS(day(0, 5 * HOUR), "a", 99.0),      // day-0 high
+      TS(day(0, 5 * HOUR + 1), "a", 1.0),   // day-0 low (same hour as high)
+      TS(day(0, 21 * HOUR), "a", 60.0),     // day-0 close (latest)
+      TS(day(1, 0), "a", 70.0),
+      TS(day(1, 23 * HOUR + 5), "a", 80.0),
+      TS(day(0, 3 * HOUR), "b", 5.0))
+    assert(st.insert(rows.toDS()).isRight)
+    agg.refresh()
+    def bars(width: Long): Seq[(Long, String, Double, Double, Double, Double)] =
+      agg.answerOhlc(width).get.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // daily bars refold 24 hourly buckets
+    assert(bars(DAY) == Seq(
+      (day(0), "a", 50.0, 99.0, 1.0, 60.0),
+      (day(0), "b", 5.0, 5.0, 5.0, 5.0),
+      (day(1), "a", 70.0, 80.0, 70.0, 80.0)))
+    // law vs raw at every nesting width: refold == direct OHLC over events
+    Seq(HOUR, 6 * HOUR, DAY, 2 * DAY).foreach { w =>
+      val raw = st.current()
+        .withColumn("window_start", expr(s"timestamp div $w") * w)
+        .groupBy(col("window_start"), col("tag"))
+        .agg(min_by(col("value"), col("timestamp")).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), col("timestamp")).as("close"))
+        .orderBy(col("window_start"), col("tag"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      assert(bars(w) == raw, s"OHLC refold drifted from raw at width $w")
+    }
+    // bounds slice + tagEq
+    val sliced = agg.answerOhlc(DAY, ge = Some(day(1)), lt = Some(day(2)),
+      tagEq = Some("a")).get.collect()
+    assert(sliced.length == 1 && sliced.head.getDouble(2) == 70.0 &&
+      sliced.head.getDouble(5) == 80.0)
+    // STALENESS: a later event moves day-1's close without a refresh
+    assert(st.insert(Seq(TS(day(1, 23 * HOUR + 9), "a", 75.5)).toDS()).isRight)
+    assert(!agg.reflectedStoreVersion.contains(st.version))
+    assert(bars(DAY).last == (day(1), "a", 70.0, 80.0, 70.0, 75.5),
+      "hot-tail close must flow through the hybrid base")
+    // non-nesting width / unaligned bounds decline
+    assert(agg.answerOhlc(90 * 60000L).isEmpty)
+    assert(agg.answerOhlc(DAY, ge = Some(5L)).isEmpty)
+  }
+
   test("gapfill: dense grid from the rollup with None/Zero/Locf/Interp fills") {
     import ContinuousAggregate.Fill
     val HOUR = 3600000L

@@ -174,12 +174,39 @@ class PlanAuditSpec extends SparkSpec {
         "ts3_cagg_window_sliding", "ts3_cagg_weekly_scalar_sum",
         "ts3_cagg_weekly_group_tag_count",
         "ts3_cagg_sql_group_tag_sum", "ts3_cagg_sql_scalar_stats",
-        "ts3_cagg_sql_window_1d", "ts3_cagg_sql_by_day_having").foreach { n =>
+        "ts3_cagg_sql_window_1d", "ts3_cagg_sql_by_day_having",
+        "ts3_cagg_gapfill_locf", "ts3_cagg_gapfill_interp",
+        "ts3_cagg_ohlc_1d").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
         s"$n: plan does not read the rollup segments")
       assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
         s"$n: plan reads the raw store — the rewrite fell through")
+    }
+    // frozen-history (downsampling retention) answers read ONLY the
+    // rollup — by construction they CANNOT fall through to raw (the
+    // raw days below the horizon were dropped), so a store path here
+    // means the freeze carried nothing and the answer silently lost
+    // history
+    Seq("ts3_cagg_frozen_history_count",
+        "ts3_cagg_frozen_history_sum").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("graft-cagg-frz-rollup"),
+        s"$n: plan does not read the frozen rollup segments")
+      assert(!p.contains("graft-cagg-frz-store") && !p.contains("events.parquet"),
+        s"$n: plan reads the raw store — frozen answers must be rollup-only")
+    }
+    // the sketch-backed family reads ONLY the sketch rollup's segments
+    // (percentile/distinct/top-k have no refold from plain partials —
+    // an events scan here means the whole sketch machinery is bypassed)
+    Seq("ts3_cagg_p95_by_tag", "ts3_cagg_distinct_values",
+        "ts3_cagg_top_values",
+        "ts3_cagg_sql_percentile", "ts3_cagg_sql_approx_distinct").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("graft-cagg-sketch"),
+        s"$n: plan does not read the sketch rollup segments")
+      assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
+        s"$n: plan reads the raw store — the sketch path fell through")
     }
   }
 

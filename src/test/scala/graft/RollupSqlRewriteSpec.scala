@@ -344,6 +344,36 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("min_by/max_by (first/last) refold exactly from stored bucket first/last") {
+    val (st, daily, hourly) = fresh()
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_fl${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // per-tag open/close (+ a mixed exact agg in the same query)
+        s"SELECT tag, min_by(value, timestamp) AS open, max_by(value, timestamp) AS close, count(*) AS c FROM $v GROUP BY tag ORDER BY tag",
+        // daily OHLC bars in PLAIN SQL
+        s"SELECT (timestamp DIV $DAY) * $DAY AS w, tag, min_by(value, timestamp) AS open, max(value) AS high, min(value) AS low, max_by(value, timestamp) AS close FROM $v GROUP BY 1, 2 ORDER BY w, tag",
+        // scalar, range-sliced
+        s"SELECT min_by(value, timestamp) AS first_v FROM $v WHERE timestamp >= $DAY AND timestamp < ${3 * DAY}")
+      cases.foreach { q =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, "-daily") || readsRollup(routed, "-hourly"),
+          s"first/last shape not rewritten: $q\n${planStr(routed)}")
+        assert(!readsStore(routed), s"rewritten plan still reads raw store: $q")
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"first/last refold changed results: $q")
+      }
+      // min_by over a non-(value, timestamp) pair stays raw
+      val bad = spark.sql(s"SELECT min_by(timestamp, value) AS t FROM $v")
+      assert(!readsRollup(bad, "-daily") && readsStore(bad))
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("APPROX aggregates route to sketch-bearing rollups only, within the sketches' bounds") {
     val EPS = 0.01
     val (st, daily, _) = fresh()

@@ -207,4 +207,69 @@ class SketchRollupSpec extends SparkSpec {
       .get.head().getDouble(0)
     assertWithinRank(got, exact, 0.5)
   }
+
+  test("answerTopValues: MG merge across buckets — exact under capacity, heavy hitters above") {
+    val (st, agg) = fresh()
+    seed(st) // 97 distinct values << capacity 256 => exact everywhere
+    agg.refresh()
+    val raw = st.current().collect()
+      .map(r => (r.getAs[Long]("timestamp"), r.getAs[String]("tag"),
+        r.getAs[Double]("value")))
+    def exactTop(k: Int, ge: Long, lt: Long, tag: Option[String])
+        : Seq[(String, Long)] =
+      raw.filter(t => t._1 >= ge && t._1 < lt && tag.forall(_ == t._2))
+        .groupBy(_._3).map { case (v, xs) =>
+          // the engine's canonical rendering: Spark's double→string cast
+          (if (v == v.floor && !v.isInfinite) s"${v.toLong}.0" else v.toString,
+            xs.length.toLong)
+        }.toSeq.sortBy { case (item, n) => (-n, item) }.take(k)
+    // scalar window: exact equality (cross-bucket duplicate values
+    // MUST sum — per-bucket top-k concatenation would get this wrong)
+    val top5 = agg.answerTopValues(5, ge = Some(day(0)), lt = Some(day(4)))
+      .get.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want5 = exactTop(5, day(0), day(4), None)
+    assert(top5.map(t => (t._2, t._3.toLong)).toSeq == want5,
+      s"merged top-5 ${top5.toSeq} != exact $want5")
+    assert(top5.map(_._1).toSeq == (1L to 5L), "ranks must be 1..k")
+    // byTag
+    val byTag = agg.answerTopValues(3, ge = Some(day(0)), lt = Some(day(6)),
+      byTag = true).get.collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getDouble(3).toLong)).toSeq
+      }
+    Seq("a", "b").foreach { t =>
+      assert(byTag(t) == exactTop(3, day(0), day(6), Some(t)),
+        s"byTag($t) drifted")
+    }
+    // STALENESS: hot tail shifts the ranking without a refresh
+    val hot = (0 until 300).map(i => TS(day(6, i * 1000L), "a", 42.0))
+    st.insert(hot.toDS()).left.foreach(e =>
+      throw new IllegalStateException(e.messages.mkString(",")))
+    assert(!agg.reflectedStoreVersion.contains(st.version))
+    val afterHot = agg.answerTopValues(1).get.head()
+    assert(afterHot.getString(1) == "42.0" && afterHot.getDouble(2) == 300.0 +
+      raw.count(_._3 == 42.0),
+      s"hot-tail heavy value must lead: $afterHot")
+    // OVER capacity: 4000 distinct values + one dominant; the dominant
+    // must surface with est within N/(cap+1) of truth
+    val (st2, agg2) = fresh()
+    val many = (0 until 4000).map(i => TS(day(0, i * 1000L), "x", i + 0.5)) ++
+      (0 until 500).map(i => TS(day(1, i * 1000L), "x", 7777.0))
+    st2.insert(many.toDS()).left.foreach(e =>
+      throw new IllegalStateException(e.messages.mkString(",")))
+    agg2.refresh()
+    val n = 4500.0
+    val lead = agg2.answerTopValues(1).get.head()
+    assert(lead.getString(1) == "7777.0",
+      s"dominant value missing from MG summary: $lead")
+    assert(math.abs(lead.getDouble(2) - 500.0) <= n / 257.0 + 1e-9,
+      s"estimate ${lead.getDouble(2)} outside MG bound of true 500")
+    // unaligned bounds / plain rollup decline
+    assert(agg.answerTopValues(3, ge = Some(5L)).isEmpty)
+    val plain = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skagg-plain").toString)
+    plain.refresh()
+    assert(plain.answerTopValues(3).isEmpty,
+      "plain rollup must decline top-values")
+  }
 }
