@@ -431,6 +431,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps SKETCH-BEARING rollups fresh: percentile/distinct/top-k per trigger") {
+    import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+    import org.apache.spark.sql.functions._
+    val store = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-skagg-ing-store").toString)
+    val agg = new ContinuousAggregate(spark, store,
+      java.nio.file.Files.createTempDirectory("graft-skagg-ing").toString,
+      sketchRelErr = Some(0.01))
+    val DAY = 86400000L
+    val mem = MemoryStream[TS]
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store, Seq(agg)).start()
+    try {
+      // trigger 1: day-0 values 1..50; trigger 2 re-touches day 0 AND
+      // adds day 1 — the sketch columns must re-sketch the changed day
+      mem.addData((1 to 50).map(i => TS(i.toLong, "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val p1 = agg.answerPercentile(0.5).get.head().getDouble(0)
+      assert(p1 >= 24.0 && p1 <= 27.0, s"p50 after trigger 1: $p1")
+      mem.addData((51 to 80).map(i => TS(i.toLong, "a", i.toDouble)) ++
+        Seq(TS(DAY, "a", 100.0), TS(DAY + 1, "a", 100.0)): _*)
+      q.processAllAvailable()
+      // distinct: 80 uniques + 100.0 (twice) = 81; HLL ~exact here
+      val d = agg.answerDistinct().get.head().getDouble(0)
+      assert(math.abs(d - 81.0) / 81.0 < 0.05, s"distinct after trigger 2: $d")
+      // top value: 100.0 twice, everything else once — MG is exact at
+      // this vocabulary
+      val top = agg.answerTopValues(1).get.head()
+      assert(top.getString(1) == "100.0" && top.getDouble(2) == 2.0,
+        s"top value after trigger 2: $top")
+      // percentile over the union window
+      val p2 = agg.answerPercentile(0.5).get.head().getDouble(0)
+      assert(p2 >= 39.0 && p2 <= 43.0, s"p50 after trigger 2: $p2")
+    } finally q.stop()
+  }
+
   test("cadenced store+rollup maintenance on ingestToStore: fan-in bounded, answers unchanged") {
     import graft.engine.{ContinuousAggregate, TimeSeriesStore}
     import org.apache.spark.sql.functions._
