@@ -52,6 +52,11 @@ final class ContinuousAggregate(spark: SparkSession,
       "boundaries must nest")
   require(sketchRelErr.forall(e => e > 0 && e < 1),
     s"sketchRelErr=$sketchRelErr must be in (0, 1)")
+  require(freezeBeforeDay.forall(f => bucketMs <= 86400000L ||
+    Math.floorMod(f, bucketMs / 86400000L) == 0L),
+    s"freezeBeforeDay=$freezeBeforeDay must align to the coarse bucket " +
+      "grain — a bucket straddling the horizon would silently lose its " +
+      "below-horizon days when the raw history is dropped")
 
   /** Sketch-bearing mode ([[sketchRelErr]] set): each (bucket, tag) row
     * additionally carries two MERGEABLE sketches — `qsketch`, a
@@ -74,6 +79,16 @@ final class ContinuousAggregate(spark: SparkSession,
     * routes `percentile_approx` / `approx_count_distinct` to
     * sketch-bearing rollups. */
   def isSketched: Boolean = sketched
+
+  /** Whether this rollup freezes history below a horizon
+    * ([[freezeBeforeDay]]). Frozen rollups deliberately answer over
+    * raw days the store has DROPPED — correct for the explicit
+    * downsampling surfaces (`answer`/`QueryEngine.execute`), but
+    * [[RollupSqlRewrite]] must never route plain SQL over
+    * `store.current()` to one: that DataFrame's contract is "aggregate
+    * of these files", and a silent history-inclusive rewrite would
+    * change its results. */
+  def isFrozen: Boolean = freezeBeforeDay.isDefined
 
   /** Misra-Gries capacity of the per-bucket frequent-values sketch
     * (sketch mode only): merged estimates are within N/(capacity+1) of

@@ -305,7 +305,12 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         }
       }
       (ge, lt, tagConds) = classified
-      rewritten <- rollups.sortBy(-_.grainMs).iterator.flatMap { r =>
+      // frozen rollups never serve SQL: they answer over raw days the
+      // store has dropped, which would CHANGE the plain-SQL result
+      // (the engine-routed QueryModel path is the explicit
+      // downsampling surface; this rule's contract is result-identity)
+      rewritten <- rollups.filterNot(_.isFrozen)
+        .sortBy(-_.grainMs).iterator.flatMap { r =>
         val aligned = ge.forall(_ % r.grainMs == 0) &&
           lt.forall(_ % r.grainMs == 0) &&
           windows.forall(_ % r.grainMs == 0)

@@ -625,6 +625,16 @@ class ContinuousAggSpec extends SparkSpec {
       .get.head().getDouble(0)
     assert(afterFull == rows.size.toDouble + 2,
       "full recompute must carry frozen history, not lose it")
+    // coarse grains require an aligned horizon (a straddling bucket
+    // would silently lose its below-horizon days on a raw drop)
+    assertThrows[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-cagg-frz-bad").toString,
+        bucketMs = 7 * DAY, freezeBeforeDay = Some(3L))
+    }
+    new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-frz-ok").toString,
+      bucketMs = 7 * DAY, freezeBeforeDay = Some(7L)) // aligned: fine
   }
 
   test("answerOhlc: open/close refold across buckets via stored first/last (exact)") {

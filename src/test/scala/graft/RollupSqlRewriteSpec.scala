@@ -477,6 +477,33 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("FROZEN rollups never serve SQL — history-inclusive answers would change results") {
+    val (st, _, _) = fresh()
+    load(st)
+    val frozen = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("sqlrw-frozen").toString,
+      freezeBeforeDay = Some(2L))
+    frozen.refresh()
+    // drop raw history below the horizon; the frozen rollup keeps it
+    assert(st.dropDaysBefore(2 * DAY) == 2)
+    frozen.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(frozen))
+    try {
+      val v = s"sqlrw_fz${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val q = s"SELECT count(*) AS c FROM $v"
+      val df = spark.sql(q)
+      assert(!readsRollup(df, "-frozen") && readsStore(df),
+        "a frozen rollup must be passed over by SQL routing")
+      // and the raw answer covers only the RETAINED days
+      val retained = df.collect().head.getLong(0)
+      val full = frozen.answer(graft.model.QueryModel(
+        aggFunc = Some(graft.model.Agg.Count))).get.head().getDouble(0)
+      assert(full > retained.toDouble,
+        "fixture must actually have dropped history for this law to bite")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("unregister restores raw planning") {
     val (st, daily, _) = fresh()
     load(st); daily.refresh()
