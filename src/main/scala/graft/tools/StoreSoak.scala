@@ -211,6 +211,35 @@ object StoreSoak {
       f"hybrid(3d tail)=$tHybrid3%.2fs rawGrown=$tRawGrown%.2fs " +
       f"(history=${D + 3}d; hybrid cost tracks the TAIL, exactness asserted)")
 
+    // ---- 6. Frozen-history retention: refresh cost ignores history --
+    // freeze the first D days, DROP their raw events, keep ingesting.
+    // Design claims: (a) answers still cover the dropped history
+    // exactly; (b) per-refresh cost stays flat — frozen units are not
+    // even DIFFED, so retained history is free at refresh time.
+    val frz = new ContinuousAggregate(spark, st,
+      java.nio.file.Files.createTempDirectory("soak-cagg-frz").toString,
+      freezeBeforeDay = Some(D.toLong))
+    val (_, tFrzFull) = timed(frz.refresh()) // first refresh: full
+    val cq = QueryModel(aggFunc = Some(Agg.Count))
+    val preDropTotal = frz.answer(cq).get.head().getDouble(0)
+    val dropped = st.dropDaysBefore(D.toLong * DAYMS)
+    val (fsDrop, tFrzDrop) = timed(frz.refresh())
+    assert(dropped == D && fsDrop.recomputedDays == 0 && !fsDrop.full,
+      s"raw drop must be refresh-free under freeze: dropped=$dropped $fsDrop")
+    val frzTimes = (0 until 3).map { i =>
+      st.insert(dayBatch(D + 3 + i)).left.foreach(e =>
+        sys.error(e.messages.mkString(";")))
+      val (s, t) = timed(frz.refresh())
+      assert(s.recomputedDays == 1, s"frozen refresh must diff ONLY the new day: $s")
+      t
+    }
+    val postTotal = frz.answer(cq).get.head().getDouble(0)
+    assert(postTotal == preDropTotal + 3.0 * rowsPerDay,
+      s"frozen history lost: $preDropTotal -> $postTotal")
+    println(f"[soak] cagg frozen: firstRefresh=$tFrzFull%.2fs dropRefresh=$tFrzDrop%.2fs " +
+      f"appendRefreshes(s)=${frzTimes.map(t => f"$t%.2f").mkString(",")} " +
+      f"(history=${D}d frozen+dropped, answers still cover it — asserted)")
+
     spark.stop()
   }
 }

@@ -625,6 +625,15 @@ class ContinuousAggSpec extends SparkSpec {
       .get.head().getDouble(0)
     assert(afterFull == rows.size.toDouble + 2,
       "full recompute must carry frozen history, not lose it")
+    // a store COMPACT after the drop moves retained bytes but carries
+    // content ids — the frozen rollup recomputes nothing and keeps
+    // its history through it
+    st.compact()
+    val sCpt = frozen.refresh()
+    assert(sCpt.recomputedDays == 0 && !sCpt.full,
+      s"compact must stay diff-invisible to a frozen rollup: $sCpt")
+    assert(frozen.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0) == rows.size.toDouble + 2)
     // coarse grains require an aligned horizon (a straddling bucket
     // would silently lose its below-horizon days on a raw drop)
     assertThrows[IllegalArgumentException] {
