@@ -270,6 +270,44 @@ object SparkEntry {
         freezeBeforeDay = Some(horizon))
     }
 
+  /** COUNTER-MODE fixture: the synthetic cumulative counter (same
+    * derivation as x_counter_rate) loaded as a store of its own, with
+    * a daily `counterMode` rollup — each bucket stores its internal
+    * reset-aware increase, boundary pairs re-derive from first/last.
+    */
+  private val caggCounterPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  sys.addShutdownHook {
+    caggCounterPaths.values.foreach { case (a, b) =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(a), swallow = true)
+      graft.Fs.deleteTree(java.nio.file.Paths.get(b), swallow = true)
+    }
+  }
+
+  private def caggCounterFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggCounterPaths.synchronized {
+      val (stPath, aggPath) = caggCounterPaths.getOrElseUpdate(dir, {
+        import s.implicits._
+        val stTmp = java.nio.file.Files.createTempDirectory("graft-cagg-ctr-store").toString
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-ctr-rollup").toString
+        val st = new graft.engine.TimeSeriesStore(s, stTmp)
+        val counter = graft.operators.TsAnalytics
+          .syntheticCounter(Tables.ts(s, dir), wrap = 1000000L)
+          .select(col("timestamp"), col("tag"),
+            col("counter").cast("double").as("value")).as[TS]
+        st.insert(counter).left.foreach(errs =>
+          throw new IllegalStateException(
+            s"counter fixture load failed: ${errs.messages.headOption.getOrElse("")}"))
+        new graft.engine.ContinuousAggregate(s, st, aggTmp,
+          counterMode = true).refresh()
+        (stTmp, aggTmp)
+      })
+      new graft.engine.ContinuousAggregate(s,
+        new graft.engine.TimeSeriesStore(s, stPath), aggPath,
+        counterMode = true)
+    }
+
   /** ts3 queries go through the PUBLIC engine entry point with the
     * rollup registered — [[graft.engine.QueryEngine.execute]] routes
     * eligible shapes to the rollup automatically (PlanAuditSpec pins
@@ -895,6 +933,16 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException(
           "frozen rollup declined an eligible query"))
         .withColumn("result", round(col("result"), 4))),
+    // COUNTER ROLLUP (TimescaleDB counter_agg): PromQL reset-aware
+    // total increase refolded from per-bucket stored increases +
+    // first/last boundary pairs — O(buckets), exact for the
+    // integer-valued counter; the oracle re-derives the counter and
+    // walks every consecutive pair over raw events
+    "ts3_cagg_counter_increase" -> ((s, dir) =>
+      caggCounterFor(s, dir).answerCounterIncrease()
+        .getOrElse(throw new IllegalStateException(
+          "counter rollup declined an eligible query"))
+        .withColumn("total_increase", col("total_increase") / 100.0)),
     // OHLC bars refolded ENTIRELY from the hourly rollup: each bucket
     // stores (first_ts, first_val, last_ts, last_val), so a daily
     // bar's open is min_by(first_val, first_ts) over its 24 buckets —
@@ -2561,6 +2609,20 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
+    "ts3_cagg_counter_increase" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag AS grp,
+        |  CAST(sum(CASE WHEN counter >= prev THEN counter - prev
+        |                ELSE counter END) AS DOUBLE) / 100.0 AS total_increase,
+        |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  count(*) + 1 AS n_points
+        |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
     "ts3_cagg_frozen_history_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_frozen_history_sum" ->

@@ -44,7 +44,8 @@ final class ContinuousAggregate(spark: SparkSession,
                                 store: TimeSeriesStore, pathStr: String,
                                 bucketMs: Long = 86400000L,
                                 sketchRelErr: Option[Double] = None,
-                                freezeBeforeDay: Option[Long] = None) {
+                                freezeBeforeDay: Option[Long] = None,
+                                counterMode: Boolean = false) {
   require(bucketMs > 0 &&
     (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
     s"bucketMs=$bucketMs must be a positive divisor or multiple of a day " +
@@ -272,6 +273,12 @@ final class ContinuousAggregate(spark: SparkSession,
       org.apache.spark.sql.types.DoubleType, nullable = false),
     org.apache.spark.sql.types.StructField("g_day",
       org.apache.spark.sql.types.LongType, nullable = true)) ++
+    (if (counterMode) Seq(
+      org.apache.spark.sql.types.StructField("incr",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_resets",
+        org.apache.spark.sql.types.LongType, nullable = false))
+     else Seq.empty) ++
     (if (sketched) Seq(
       org.apache.spark.sql.types.StructField("qsketch",
         org.apache.spark.sql.types.BinaryType, nullable = true),
@@ -306,14 +313,38 @@ final class ContinuousAggregate(spark: SparkSession,
           col("value").cast("string"), FreqCapacity).as("fsketch"))
       case None => Seq.empty
     })
-    slice
+    val bucketed = slice
       .withColumn("bucket_start", expr(s"timestamp div $bucketMs") * bucketMs)
       // partition label := the bucket's start day (for fine grains this
       // equals the store's g_day; for coarse grains it folds the
       // bucket's member days into ONE stored partition = refresh unit)
       .withColumn("g_day", expr(s"bucket_start div $DayMs"))
+    // COUNTER MODE: per-bucket reset-aware increase (PromQL/counter_agg
+    // convention, same as TsAnalytics.counterRate: delta if monotone,
+    // the new value on a reset). The window partitions by (tag,
+    // bucket), the same keys the aggregation groups on, so Catalyst
+    // reuses ONE exchange for both — refresh stays a one-shuffle plan.
+    // Cross-bucket boundary pairs are deliberately NOT counted here;
+    // answerCounterIncrease re-derives them from the stored first/last.
+    val prepared =
+      if (!counterMode) bucketed
+      else {
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tag"), col("bucket_start")).orderBy(col("timestamp"))
+        bucketed
+          .withColumn("c_prev", lag(col("value"), 1).over(wB))
+          .withColumn("c_inc", when(col("c_prev").isNull, lit(0.0))
+            .when(col("value") >= col("c_prev"), col("value") - col("c_prev"))
+            .otherwise(col("value")))
+          .withColumn("c_rst", when(col("c_prev").isNotNull &&
+            col("value") < col("c_prev"), 1L).otherwise(0L))
+      }
+    val counterAggs =
+      if (!counterMode) Seq.empty
+      else Seq(sum(col("c_inc")).as("incr"), sum(col("c_rst")).as("n_resets"))
+    prepared
       .groupBy(col("g_day"), col("bucket_start"), col("tag"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg((aggs ++ counterAggs).head, (aggs ++ counterAggs).tail: _*)
   }
 
   /** Bring the rollup up to the store's current version. Returns what
@@ -655,6 +686,47 @@ final class ContinuousAggregate(spark: SparkSession,
           coalesce(hll_sketch_estimate(hll_union_agg(col("hsketch"), true)),
             lit(0L)).cast("double").as("result"))
     }
+
+  /** PromQL-style counter increase with reset detection over a
+    * bucket-aligned window, refolded from the rollup — the TimescaleDB
+    * `counter_agg` story: each bucket stores its internal reset-aware
+    * increase (`incr`) and reset count, and the pairs that SPAN bucket
+    * boundaries are re-derived from the stored (first_val, last_val)
+    * witnesses with the same reset rule — so the refold covers exactly
+    * the raw pair set at O(buckets) cost. EXACT for integer-valued
+    * counters (all arithmetic is differences and sums of stored
+    * values). Rows: (grp, total_increase, n_resets, n_points) per tag
+    * in tag order — [[graft.operators.TsAnalytics.counterRate]]'s
+    * shape, minus its fixture-specific /100 scale. None unless
+    * `counterMode` is on, bounds align, and a refresh ever ran.
+    */
+  def answerCounterIncrease(ge: Option[Long] = None, lt: Option[Long] = None,
+                            tagEq: Option[String] = None): Option[DataFrame] = {
+    val aligned = ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!counterMode || !aligned) None
+    else currentBase().map { base =>
+      val sliced = Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / DayMs),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tag")).orderBy(col("bucket_start"))
+      sliced
+        .withColumn("prev_last", lag(col("last_val"), 1).over(w))
+        .withColumn("b_inc", when(col("prev_last").isNull, lit(0.0))
+          .when(col("first_val") >= col("prev_last"),
+            col("first_val") - col("prev_last"))
+          .otherwise(col("first_val")))
+        .withColumn("b_rst", when(col("prev_last").isNotNull &&
+          col("first_val") < col("prev_last"), 1L).otherwise(0L))
+        .groupBy(col("tag").as("grp"))
+        .agg((sum(col("incr")) + sum(col("b_inc"))).as("total_increase"),
+          (sum(col("n_resets")) + sum(col("b_rst"))).as("n_resets"),
+          sum(col("cnt")).as("n_points"))
+        .orderBy(asc("grp"))
+    }
+  }
 
   /** OHLC bars at any window width that is a multiple of the grain,
     * refolded ENTIRELY from rollup buckets — first/last are refoldable

@@ -183,6 +183,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
         s"$n: plan reads the raw store — the rewrite fell through")
     }
+    // the counter rollup reads ONLY its rollup segments (its store
+    // fixture has a distinct dir prefix, so assert both sides)
+    locally {
+      val p = planOf("ts3_cagg_counter_increase")
+      assert(p.contains("graft-cagg-ctr-rollup"),
+        "ts3_cagg_counter_increase: plan does not read the counter rollup")
+      assert(!p.contains("graft-cagg-ctr-store") && !p.contains("events.parquet"),
+        "ts3_cagg_counter_increase: plan reads raw events — refold fell through")
+    }
     // frozen-history (downsampling retention) answers read ONLY the
     // rollup — by construction they CANNOT fall through to raw (the
     // raw days below the horizon were dropped), so a store path here
