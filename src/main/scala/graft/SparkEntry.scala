@@ -270,6 +270,30 @@ object SparkEntry {
         freezeBeforeDay = Some(horizon))
     }
 
+  /** counterMode rollup over the SAME fixture store as [[caggFor]] —
+    * another materialized view off one hypertable; its stored pairwise
+    * witnesses (twsum + first/last) answer the time-weighted average.
+    */
+  private val caggTwPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    caggTwPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def caggTwFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val st = caggStoreFor(s, dir)
+      val aggPath = caggTwPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cagg-tw-rollup").toString
+        new graft.engine.ContinuousAggregate(s, st, tmp,
+          counterMode = true).refresh()
+        tmp
+      })
+      new graft.engine.ContinuousAggregate(s, st, aggPath, counterMode = true)
+    }
+
   /** COUNTER-MODE fixture: the synthetic cumulative counter (same
     * derivation as x_counter_rate) loaded as a store of its own, with
     * a daily `counterMode` rollup — each bucket stores its internal
@@ -943,6 +967,14 @@ object SparkEntry {
         .getOrElse(throw new IllegalStateException(
           "counter rollup declined an eligible query"))
         .withColumn("total_increase", col("total_increase") / 100.0)),
+    // TIME-WEIGHTED AVERAGE from the rollup (TimescaleDB
+    // time_weight('LOCF') as a cagg): per-bucket exact scaled-integer
+    // areas + boundary areas from stored witnesses — O(buckets),
+    // bit-matching the raw x_time_weighted_avg arithmetic
+    "ts3_cagg_time_weighted" -> ((s, dir) =>
+      caggTwFor(s, dir).answerTimeWeighted()
+        .getOrElse(throw new IllegalStateException(
+          "counterMode rollup declined an eligible time-weight query"))),
     // OHLC bars refolded ENTIRELY from the hourly rollup: each bucket
     // stores (first_ts, first_val, last_ts, last_val), so a daily
     // bar's open is min_by(first_val, first_ts) over its 24 buckets —
@@ -2609,6 +2641,16 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
+    "ts3_cagg_time_weighted" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |s AS (SELECT tag, value,
+        |        lead(t) OVER (PARTITION BY tag ORDER BY t) - t AS dt FROM t)
+        |SELECT tag AS grp,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dt) AS DOUBLE)
+        |        / 100.0 / CAST(sum(dt) AS DOUBLE), 4) AS twa,
+        |  count(*) + 1 AS n_points,
+        |  CAST(sum(dt) AS BIGINT) AS span_ms
+        |FROM s WHERE dt IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
     "ts3_cagg_counter_increase" ->
       s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
         |c AS (SELECT tag, t,

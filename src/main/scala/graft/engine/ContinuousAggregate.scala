@@ -277,7 +277,9 @@ final class ContinuousAggregate(spark: SparkSession,
       org.apache.spark.sql.types.StructField("incr",
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("n_resets",
-        org.apache.spark.sql.types.LongType, nullable = false))
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("twsum",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = true))
      else Seq.empty) ++
     (if (sketched) Seq(
       org.apache.spark.sql.types.StructField("qsketch",
@@ -333,15 +335,26 @@ final class ContinuousAggregate(spark: SparkSession,
           .partitionBy(col("tag"), col("bucket_start")).orderBy(col("timestamp"))
         bucketed
           .withColumn("c_prev", lag(col("value"), 1).over(wB))
+          .withColumn("c_pts", lag(col("timestamp"), 1).over(wB))
           .withColumn("c_inc", when(col("c_prev").isNull, lit(0.0))
             .when(col("value") >= col("c_prev"), col("value") - col("c_prev"))
             .otherwise(col("value")))
           .withColumn("c_rst", when(col("c_prev").isNotNull &&
             col("value") < col("c_prev"), 1L).otherwise(0L))
+          // LOCF time-weight area of each in-bucket pair, in exact
+          // scaled-integer decimal (value·dt products overflow longs
+          // at week-wide buckets; decimal(38,0) holds ~1e38)
+          .withColumn("c_area", when(col("c_pts").isNull,
+              lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .otherwise(round(col("c_prev") * 100)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * (col("timestamp") - col("c_pts"))))
       }
     val counterAggs =
       if (!counterMode) Seq.empty
-      else Seq(sum(col("c_inc")).as("incr"), sum(col("c_rst")).as("n_resets"))
+      else Seq(sum(col("c_inc")).as("incr"), sum(col("c_rst")).as("n_resets"),
+        sum(col("c_area")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("twsum"))
     prepared
       .groupBy(col("g_day"), col("bucket_start"), col("tag"))
       .agg((aggs ++ counterAggs).head, (aggs ++ counterAggs).tail: _*)
@@ -724,6 +737,51 @@ final class ContinuousAggregate(spark: SparkSession,
         .agg((sum(col("incr")) + sum(col("b_inc"))).as("total_increase"),
           (sum(col("n_resets")) + sum(col("b_rst"))).as("n_resets"),
           sum(col("cnt")).as("n_points"))
+        .orderBy(asc("grp"))
+    }
+  }
+
+  /** LOCF time-weighted average over a bucket-aligned window, refolded
+    * from the rollup — the TimescaleDB `time_weight('LOCF')` cagg
+    * story: each bucket stores the exact scaled-integer area of its
+    * in-bucket sample pairs (`twsum`), and the areas SPANNING bucket
+    * boundaries re-derive from the stored (last_val, last_ts,
+    * first_ts) witnesses — so the refold covers exactly the raw pair
+    * set at O(buckets) cost, bit-matching
+    * [[graft.operators.TsAnalytics.timeWeightedAvg]] (same scaled-
+    * integer arithmetic, same /100 + round(4) finish). Tags with a
+    * single in-window sample have no time span and are omitted, like
+    * the raw operator. Rows: (grp, twa, n_points, span_ms) in tag
+    * order. None unless `counterMode` is on and bounds align.
+    */
+  def answerTimeWeighted(ge: Option[Long] = None, lt: Option[Long] = None,
+                         tagEq: Option[String] = None): Option[DataFrame] = {
+    val aligned = ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!counterMode || !aligned) None
+    else currentBase().map { base =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sliced = Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / DayMs),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tag")).orderBy(col("bucket_start"))
+      sliced
+        .withColumn("p_last_ts", lag(col("last_ts"), 1).over(w))
+        .withColumn("p_last_val", lag(col("last_val"), 1).over(w))
+        .withColumn("b_area", when(col("p_last_ts").isNull, lit(0L).cast(dec))
+          .otherwise(round(col("p_last_val") * 100).cast(dec)
+            * (col("first_ts") - col("p_last_ts"))))
+        .groupBy(col("tag").as("grp"))
+        .agg(
+          round((sum(col("twsum")) + sum(col("b_area"))).cast("double")
+            / lit(100.0)
+            / (max(col("last_ts")) - min(col("first_ts"))).cast("double"), 4)
+            .as("twa"),
+          sum(col("cnt")).as("n_points"),
+          (max(col("last_ts")) - min(col("first_ts"))).as("span_ms"))
+        .filter(col("span_ms") > 0) // single-sample tags: no time span
         .orderBy(asc("grp"))
     }
   }

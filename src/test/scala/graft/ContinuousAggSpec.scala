@@ -702,6 +702,48 @@ class ContinuousAggSpec extends SparkSpec {
     assert(plain.answerCounterIncrease().isEmpty)
   }
 
+  test("answerTimeWeighted: in-bucket areas + boundary areas == raw timeWeightedAvg") {
+    val HOUR = 3600000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-twa-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-twa").toString, bucketMs = HOUR,
+      counterMode = true)
+    // irregular sampling across bucket boundaries + a single-sample
+    // tag (must be omitted, like the raw operator) + a bucket gap
+    val rows = Seq(
+      TS(1000L, "a", 2.5), TS(600000L, "a", 7.25),
+      TS(HOUR + 5000L, "a", 1.0),                   // boundary area from 7.25
+      TS(3 * HOUR, "a", 4.5),                       // gap: h2 empty
+      TS(3 * HOUR + 9000L, "a", 0.75),
+      TS(2000L, "b", 10.0), TS(7000L, "b", 30.0),
+      TS(500L, "solo", 99.0))
+    assert(st.insert(rows.toDS()).isRight)
+    agg.refresh()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val mine = norm(agg.answerTimeWeighted().get)
+    val raw = norm(graft.operators.TsAnalytics.timeWeightedAvg(st.current()
+      .select(col("tag"), col("timestamp"), col("value"))))
+    assert(mine == raw, s"TWA refold drifted: $mine vs $raw")
+    assert(!mine.exists(_._1 == "solo"), "single-sample tag must be omitted")
+    // window slicing: only in-window pairs count
+    val sliceMine = norm(agg.answerTimeWeighted(ge = Some(0L),
+      lt = Some(HOUR)).get)
+    val sliceRaw = norm(graft.operators.TsAnalytics.timeWeightedAvg(st.current()
+      .filter(col("timestamp") < HOUR)
+      .select(col("tag"), col("timestamp"), col("value"))))
+    assert(sliceMine == sliceRaw, s"sliced TWA drifted: $sliceMine vs $sliceRaw")
+    // staleness: hot tail changes the answer without a refresh
+    assert(st.insert(Seq(TS(4 * HOUR, "a", 100.0)).toDS()).isRight)
+    assert(!agg.reflectedStoreVersion.contains(st.version))
+    val hotMine = norm(agg.answerTimeWeighted().get)
+    val hotRaw = norm(graft.operators.TsAnalytics.timeWeightedAvg(st.current()
+      .select(col("tag"), col("timestamp"), col("value"))))
+    assert(hotMine == hotRaw, s"hybrid TWA drifted: $hotMine vs $hotRaw")
+    assert(agg.answerTimeWeighted(ge = Some(7L)).isEmpty)
+  }
+
   test("answerOhlc: open/close refold across buckets via stored first/last (exact)") {
     val HOUR = 3600000L
     val st = new TimeSeriesStore(spark,

@@ -192,6 +192,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("graft-cagg-ctr-store") && !p.contains("events.parquet"),
         "ts3_cagg_counter_increase: plan reads raw events — refold fell through")
     }
+    // the time-weight rollup shares the main fixture store — rollup
+    // segments only, never the store or events
+    locally {
+      val p = planOf("ts3_cagg_time_weighted")
+      assert(p.contains("graft-cagg-tw-rollup"),
+        "ts3_cagg_time_weighted: plan does not read the tw rollup")
+      assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
+        "ts3_cagg_time_weighted: plan reads raw events — refold fell through")
+    }
     // frozen-history (downsampling retention) answers read ONLY the
     // rollup — by construction they CANNOT fall through to raw (the
     // raw days below the horizon were dropped), so a store path here
