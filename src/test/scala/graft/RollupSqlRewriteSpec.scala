@@ -449,6 +449,22 @@ class RollupSqlRewriteSpec extends SparkSpec {
         assert(math.abs(m.getLong(3) - r.getLong(3)) / dT < 0.08,
           s"sketch estimate ${m.getLong(3)} vs raw approx ${r.getLong(3)}")
       }
+      // 3b. sketch aggregates COMPOSE with the window-grouping
+      //     vocabulary: per-day p50 refolds day-local GK merges
+      val wq = spark.sql(s"SELECT (timestamp DIV $DAY) * $DAY AS w, " +
+        s"percentile_approx(value, 0.5) AS p FROM $v GROUP BY 1 ORDER BY w")
+      assert(readsRollup(wq, "-sketch") && !readsStore(wq),
+        s"windowed percentile not sketch-routed:\n${planStr(wq)}")
+      wq.collect().foreach { r =>
+        val dayVals = rows.filter(t =>
+          t.timestamp >= r.getLong(0) && t.timestamp < r.getLong(0) + DAY)
+          .map(_.value).sorted
+        val n = dayVals.size
+        val lo = math.max(0, math.floor((0.5 - 2 * EPS) * n).toInt - 1)
+        val hi = math.min(n - 1, math.ceil((0.5 + 2 * EPS) * n).toInt)
+        assert(r.getDouble(1) >= dayVals(lo) && r.getDouble(1) <= dayVals(hi),
+          s"day ${r.getLong(0)}: routed p50 ${r.getDouble(1)} outside rank band")
+      }
       // 4. REAL-TIME: hot tail committed but not refreshed — hybrid
       //    plan (rollup + raw tail), answers still in-bound
       assert(st.insert((0 until 50).map(i =>
@@ -474,6 +490,18 @@ class RollupSqlRewriteSpec extends SparkSpec {
       val aq = spark.sql(
         s"SELECT percentile_approx(value, array(0.5, 0.9)) AS ps FROM $v2")
       assert(!readsRollup(aq, "-sketch") && readsStore(aq))
+      assert(readsRollup(wq, "-sketch") && !readsStore(wq),
+        s"windowed percentile not sketch-routed:\n${planStr(wq)}")
+      wq.collect().foreach { r =>
+        val dayVals = rows.filter(t =>
+          t.timestamp >= r.getLong(0) && t.timestamp < r.getLong(0) + DAY)
+          .map(_.value).sorted
+        val n = dayVals.size
+        val lo = math.max(0, math.floor((0.5 - 2 * EPS) * n).toInt - 1)
+        val hi = math.min(n - 1, math.ceil((0.5 + 2 * EPS) * n).toInt)
+        assert(r.getDouble(1) >= dayVals(lo) && r.getDouble(1) <= dayVals(hi),
+          s"day ${r.getLong(0)}: routed p50 ${r.getDouble(1)} outside rank band")
+      }
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
