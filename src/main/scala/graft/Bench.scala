@@ -264,7 +264,23 @@ object Bench {
       }.sortBy(-_._2).take(5)
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
+    // the ONE robust cross-run drift number: the median of per-query
+    // med/baseline ratios. Individual sub-2s queries flap up to ~3×
+    // same-code across boots on this box (measured, baseline note), so
+    // per-query flags need the band guard above — but their MEDIAN is
+    // stable to a few percent and moves only when the code broadly does
+    val medianRatio: Option[Double] =
+      if (!loadComparable || baseline.isEmpty) None
+      else {
+        val rs = medians.flatMap { case (k, m) =>
+          baseline.get(k).collect { case b if b > 0 && m > 0 => m / b }
+        }.toSeq.sorted
+        if (rs.isEmpty) None
+        else Some(BigDecimal(rs(rs.size / 2))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val medianRatioJson = medianRatio.fold("null")(_.toString)
+    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"median_ratio_vs_baseline":$medianRatioJson,"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
     spark.stop()
     // truthful exit status: timings were printed either way, but a
     // round with failed queries must not read as passing evidence
