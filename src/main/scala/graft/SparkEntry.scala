@@ -1658,6 +1658,55 @@ object SparkEntry {
         Tables.tsMillis(Tables.events(s, dir)).as("t"))
       graft.operators.Funnel.retentionCohorts(e)
     }),
+    // ---- time-in-state per user (TimescaleDB state_agg): each event
+    // asserts its event_type until the user's next event (LOCF); all
+    // integer millis => hash-exact
+    "x_state_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TsAnalytics.stateAgg(
+        ev.select(col("user_id"), Tables.tsMillis(ev).as("t"),
+          col("event_type")),
+        "user_id", "event_type", "t")
+    }),
+    // ---- heartbeat liveness (TimescaleDB heartbeat_agg): 12h
+    // tolerance over each user's month of events — the measured gap
+    // distribution (median ~7h, p90 ~25h) exercises both the merge and
+    // the split path; integer millis => hash-exact
+    "x_heartbeat_uptime" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TsAnalytics.heartbeatAgg(
+        ev.select(col("user_id"), Tables.tsMillis(ev).as("t")),
+        "user_id", "t", tolMs = 43200000L)
+    }),
+    // ---- first-order Markov transition matrix over each user's
+    // event-type sequence (next-event baseline); counts exact, one
+    // rounded row-normalizing division
+    "x_state_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TsAnalytics.stateTransitions(
+        ev.select(col("user_id"), Tables.tsMillis(ev).as("t"),
+          col("event_type")),
+        "user_id", "event_type", "t")
+    }),
+    // ---- merged liveness intervals (TimescaleDB live_ranges): the
+    // interval accessor behind x_heartbeat_uptime, same 12h tolerance
+    "x_live_ranges" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TsAnalytics.liveRanges(
+        ev.select(col("user_id"), Tables.tsMillis(ev).as("t")),
+        "user_id", "t", tolMs = 43200000L)
+    }),
+    // ---- peak concurrent live users per day: the live ranges swept
+    // by a bucketed two-phase prefix sum (hourly phase-1 buckets —
+    // never a global running sum over the raw event stream)
+    "x_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.TsAnalytics.peakConcurrency(
+        graft.operators.TsAnalytics.liveRanges(
+          ev.select(col("user_id"), Tables.tsMillis(ev).as("t")),
+          "user_id", "t", tolMs = 43200000L),
+        "range_start", "range_end", bucketMs = 3600000L)
+    }),
     // ---- autocorrelation at lags 1..5 per series (seasonality /
     // burst-persistence diagnostic; ONE window shuffle feeds all lags)
     "x_acf" -> ((s, dir) =>
@@ -3381,6 +3430,90 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |) u ORDER BY stage""".stripMargin,
+    // state_agg: LOCF time-in-state; lead/lag spelled identically;
+    // count(dt) skips the null last-interval on both engines
+    "x_state_agg" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+        |s AS (SELECT user_id, event_type, t,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY t) AS prev
+        |      FROM e)
+        |SELECT user_id, event_type AS state,
+        |  CAST(coalesce(sum(dt), 0) AS BIGINT) AS duration_ms,
+        |  count(dt) AS n_intervals,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_entries
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, state""".stripMargin,
+    // state transitions: lead() per user, (from,to) counts, one
+    // row-normalizing division in the same operand order
+    "x_state_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events),
+        |s AS (SELECT event_type AS f,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+        |      FROM e),
+        |g AS (SELECT f AS from_state, nxt AS to_state, count(*) AS n
+        |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state), 4) AS p
+        |FROM g ORDER BY from_state, to_state""".stripMargin,
+    // live_ranges: the same break/running-range-id construction; range
+    // ends are start-exclusive at +tol so adjacent ranges never touch
+    "x_live_ranges" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 43200000
+        |             THEN 1 ELSE 0 END AS brk FROM e),
+        |r AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS range_id FROM b)
+        |SELECT user_id, min(t) AS range_start,
+        |       max(t) + 43200000 AS range_end, count(*) AS n_beats
+        |FROM r GROUP BY user_id, range_id
+        |ORDER BY user_id, range_start""".stripMargin,
+    // peak concurrency: the oracle sweeps with ONE global running sum
+    // (fine at oracle scale); the Spark side's bucketed two-phase form
+    // is algebraically identical — day peak = max(day's running values,
+    // carry-in at day start), ends (−1) sort before starts (+1) at ties
+    "x_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 43200000
+        |             THEN 1 ELSE 0 END AS brk FROM e),
+        |r AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS range_id FROM b),
+        |iv AS (SELECT min(t) AS s, max(t) + 43200000 AS e2
+        |       FROM r GROUP BY user_id, range_id),
+        |ev AS (SELECT s AS t, 1 AS d FROM iv
+        |       UNION ALL SELECT e2, -1 FROM iv),
+        |run AS (SELECT t, d,
+        |          sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS rsum
+        |        FROM ev),
+        |byday AS (SELECT t // 86400000 AS g_day, max(rsum) AS mx,
+        |                 sum(d) AS sd, count(*) AS n FROM run GROUP BY 1),
+        |c AS (SELECT g_day, mx, n,
+        |        sum(sd) OVER (ORDER BY g_day ROWS UNBOUNDED PRECEDING) - sd AS carry
+        |      FROM byday)
+        |SELECT g_day * 86400000 AS day_start,
+        |       CAST(greatest(mx, carry) AS BIGINT) AS peak,
+        |       CAST(n AS BIGINT) AS n_changes
+        |FROM c ORDER BY day_start""".stripMargin,
+    // heartbeat_agg: the CASE (not least()) keeps the last beat's null
+    // gap out of the sum on both engines — see TsAnalytics.heartbeatAgg
+    "x_heartbeat_uptime" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |g AS (SELECT user_id, t,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS gap FROM e),
+        |a AS (SELECT user_id, count(*) AS n_beats,
+        |        CAST(coalesce(sum(CASE WHEN gap > 43200000 THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS n_ranges,
+        |        CAST(coalesce(sum(CASE WHEN gap > 43200000 THEN 43200000 ELSE gap END), 0) + 43200000 AS BIGINT) AS uptime_ms,
+        |        CAST(max(t) - min(t) + 43200000 AS BIGINT) AS span_ms
+        |      FROM g GROUP BY user_id)
+        |SELECT user_id, n_beats, n_ranges, uptime_ms, span_ms,
+        |       span_ms - uptime_ms AS downtime_ms
+        |FROM a ORDER BY user_id""".stripMargin,
     "x_retention_cohorts" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
         |c AS (SELECT user_id, min(t // 604800000) AS cohort FROM e GROUP BY 1),

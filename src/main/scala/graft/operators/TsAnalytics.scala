@@ -323,4 +323,188 @@ object TsAnalytics {
           lit(-10000L)).cast("double") / 10000.0).as("val"))
       .orderBy(col("tag"), col("bucket_start"))
   }
+
+  /** Time-in-state durations per key — the TimescaleDB toolkit
+    * `state_agg` shape. The input is an event log where each row
+    * asserts `key` is in `state` from its timestamp until the key's
+    * NEXT event (LOCF, the same holding convention as
+    * [[timeWeightedAvg]]); the key's last event has no forward
+    * interval and contributes no duration (an open-ended state has no
+    * defined width without an as-of time — pass a closing sentinel row
+    * per key to charge it). Output per (key, state):
+    *   - `duration_ms`  total time spent in the state
+    *   - `n_intervals`  rows that contributed an interval
+    *   - `n_entries`    transitions INTO the state (first event or a
+    *                    row whose previous state differs) — counted
+    *                    over ALL rows including the key's last, since
+    *                    entering a state needs no forward interval.
+    *
+    * Scale shape: one `lead`/`lag` window + one groupBy, both keyed on
+    * `key` — a single hash exchange + in-partition sort; no driver
+    * collection. All arithmetic is integer (millis) — hash-exact.
+    */
+  def stateAgg(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    events
+      .withColumn("dt", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .withColumn("entered",
+        when(lag(col(stateCol), 1).over(w).isNull
+          || lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .groupBy(col(keyCol), col(stateCol).as("state"))
+      .agg(
+        coalesce(sum(col("dt")), lit(0L)).as("duration_ms"),
+        count(col("dt")).as("n_intervals"),
+        sum(col("entered")).as("n_entries"))
+      .orderBy(col(keyCol), col("state"))
+  }
+
+  /** Liveness from heartbeats — the TimescaleDB toolkit
+    * `heartbeat_agg` shape. Each heartbeat asserts its key is live for
+    * `tolMs` after it; overlapping assertions merge into live ranges
+    * (a gap > `tolMs` starts a new range). Per key:
+    *   - `n_beats`      heartbeats observed
+    *   - `n_ranges`     merged live ranges (1 + gaps exceeding tolMs)
+    *   - `uptime_ms`    Σ min(gap, tolMs) over consecutive beats, plus
+    *                    the final beat's trailing tolMs
+    *   - `span_ms`      first beat → last beat + tolMs (the window the
+    *                    key was under observation once first seen)
+    *   - `downtime_ms`  span − uptime (dead air between ranges)
+    *
+    * Scale shape: one `lead` window + one groupBy on the key — a
+    * single hash exchange; integer millis throughout, hash-exact. At
+    * 100 TB the per-key sort is the store's native (tag, ts) order, so
+    * a pre-sorted source elides the sort entirely.
+    */
+  def heartbeatAgg(beats: DataFrame, keyCol: String, tsCol: String,
+      tolMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    beats
+      .withColumn("gap", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_beats"),
+        (coalesce(sum(when(col("gap") > tolMs, 1L).otherwise(0L)), lit(0L))
+          + 1L).as("n_ranges"),
+        // NOT least(gap, tol): least SKIPS nulls, so the key's last
+        // beat (gap null) would count tol twice; the CASE form yields
+        // null there, which sum ignores — mirrored exactly in the
+        // oracle's CASE
+        (coalesce(sum(when(col("gap") > tolMs, lit(tolMs))
+          .otherwise(col("gap"))), lit(0L)) + tolMs).as("uptime_ms"),
+        (max(col(tsCol)) - min(col(tsCol)) + tolMs).as("span_ms"))
+      .withColumn("downtime_ms", col("span_ms") - col("uptime_ms"))
+      .orderBy(col(keyCol))
+  }
+
+  /** The merged liveness intervals themselves — the accessor
+    * counterpart of [[heartbeatAgg]] (TimescaleDB's `live_ranges`).
+    * Consecutive beats ≤ `tolMs` apart share a range; a range runs
+    * from its first beat to its last beat + `tolMs` (end-exclusive).
+    * Output per (key, range): `range_start`, `range_end`, `n_beats`.
+    *
+    * Scale shape: one window + one groupBy, both keyed on `key` (the
+    * range-id running count reuses the gap window's exchange, and
+    * hashpartitioning(key) satisfies the (key, range_id) grouping) —
+    * a single hash exchange, integer millis, hash-exact.
+    */
+  def liveRanges(beats: DataFrame, keyCol: String, tsCol: String,
+      tolMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    beats
+      .withColumn("brk",
+        when(lag(col(tsCol), 1).over(w).isNull
+          || col(tsCol) - lag(col(tsCol), 1).over(w) > tolMs, 1L)
+          .otherwise(0L))
+      .withColumn("range_id", sum(col("brk")).over(wRun))
+      .groupBy(col(keyCol), col("range_id"))
+      .agg(
+        min(col(tsCol)).as("range_start"),
+        (max(col(tsCol)) + tolMs).as("range_end"),
+        count(lit(1)).as("n_beats"))
+      .drop("range_id")
+      .orderBy(col(keyCol), col("range_start"))
+  }
+
+  /** First-order state-transition matrix — counts and empirical
+    * probabilities of consecutive `state → next state` steps within
+    * each key's timeline (the Markov-chain view of [[stateAgg]]'s
+    * event log; behavior modeling / next-event prediction baseline).
+    * `p` is row-stochastic: transitions out of `from_state` sum to 1.
+    *
+    * Scale shape: one window keyed on `key` (the big shuffle), then a
+    * groupBy on the (from, to) pair — at most |states|² rows — and a
+    * window over that tiny frame for the row normalizer. Counts are
+    * exact longs; `p` is one rounded division mirrored in the oracle.
+    */
+  def stateTransitions(events: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    events
+      .withColumn("next_state", lead(col(stateCol), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col(stateCol).as("from_state"),
+        col("next_state").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("from_state"))), 4))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  /** Peak concurrency per day — the max number of intervals
+    * simultaneously open (max concurrent sessions/connections, the
+    * classic ops dashboard number). Interval ends are exclusive, and
+    * an end tieing a start at the same instant frees its slot FIRST
+    * (the −1 sorts before the +1), so back-to-back intervals never
+    * double-count.
+    *
+    * Distributed as a bucketed two-phase prefix sum (the same shape as
+    * [[graft.operators.Pack]]'s packer) — NEVER a global single-
+    * partition running sum over the event stream:
+    *   1. ±1 deltas bucketed by `bucketMs`; within each bucket a keyed
+    *      window computes the local running sum and its max,
+    *   2. per-bucket delta totals (≤ span/bucketMs rows — thousands at
+    *      century scale, broadcastable) get global carry-in offsets
+    *      via a window over the TINY aggregated frame,
+    *   3. bucket peak = carry_in + max(0, local max) — exact for the
+    *      step function including the constant stretch before the
+    *      bucket's first event — then a day groupBy folds bucket peaks.
+    * Choose `bucketMs` well below a day to keep phase-1 partitions
+    * balanced when single days hold billions of events. Only days
+    * containing at least one start/end appear. All-integer, hash-exact.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String, bucketMs: Long): DataFrame = {
+    val dayMs = 86400000L
+    require(bucketMs > 0 && dayMs % bucketMs == 0,
+      s"bucketMs must divide a day, got $bucketMs")
+    // one scan of the interval set, not a two-pass union
+    val ev = intervals.select(explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(1L).as("d")),
+        struct(col(endCol).cast("long").as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("e.t").as("t"), col("e.d").as("d"))
+      .withColumn("bucket", expr(s"t div $bucketMs"))
+    val wRun = Window.partitionBy(col("bucket")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev
+      .withColumn("run", sum(col("d")).over(wRun))
+      .groupBy(col("bucket"))
+      .agg(max(col("run")).as("local_max"), sum(col("d")).as("s"),
+        count(lit(1)).as("n"))
+    // phase 2: carry-in offsets over the aggregated per-bucket frame —
+    // a SinglePartition window over O(n_buckets) rows, not raw events
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("carry_in", sum(col("s")).over(wCum) - col("s"))
+      .withColumn("peak_b",
+        col("carry_in") + greatest(lit(0L), col("local_max")))
+      .groupBy(expr(s"(bucket * $bucketMs) div $dayMs").as("g_day"))
+      .agg(max(col("peak_b")).as("peak"), sum(col("n")).as("n_changes"))
+      .select((col("g_day") * dayMs).as("day_start"), col("peak"),
+        col("n_changes"))
+      .orderBy(col("day_start"))
+  }
 }

@@ -128,7 +128,11 @@ class PlanAuditSpec extends SparkSpec {
     // exchange (a second exchange would re-shuffle the corpus), the
     // output sort is the only range exchange, and nothing collapses to
     // a single partition. OHLC is one (tag, bucket) hash aggregate.
-    Seq("x_time_weighted_avg", "x_counter_rate", "x_ohlc_daily").foreach { n =>
+    // state_agg and heartbeat_agg share the shape: their groupBy keys
+    // start with the window's partition key, so the window's exchange
+    // must satisfy the aggregate's distribution too
+    Seq("x_time_weighted_avg", "x_counter_rate", "x_ohlc_daily",
+        "x_state_agg", "x_heartbeat_uptime", "x_live_ranges").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("SinglePartition"),
         s"$n: single-partition exchange — a keyed stage collapsed to one task")
@@ -145,8 +149,11 @@ class PlanAuditSpec extends SparkSpec {
     // global-bounds aggregate the grid is built from (a broadcast-side
     // plan can elide even that from the explain text). More means a
     // keyed stage collapsed; the global cartesian gate covers the joins.
+    // x_peak_concurrency's allowed single-partition exchange is the
+    // carry-in window over the PER-BUCKET aggregate (O(span/bucketMs)
+    // rows), never the raw event sweep — the two-phase prefix sum
     Seq("x_corr_pairs", "x_interp_linear", "x_seasonal_decompose",
-        "x_cusum_change").foreach { n =>
+        "x_cusum_change", "x_peak_concurrency").foreach { n =>
       val single = "Exchange SinglePartition".r.findAllIn(planOf(n)).size
       assert(single <= 1,
         s"$n: $single SinglePartition exchanges (expected at most the 1-row bounds agg)")

@@ -221,6 +221,92 @@ class TsAnalyticsSpec extends SparkSpec {
       ("t", 0L, -1.0, 2.0, 4.0, 2L)))
   }
 
+  test("stateAgg: LOCF durations, entries count re-entries, last event weightless") {
+    // user 1: A@0 B@10 A@30 A@60 B@100 — A holds 10+30+40=80 over 3
+    // intervals with 2 entries (start, re-entry after B; the A→A row
+    // is NOT an entry); B holds 20 with 2 entries (the final B enters
+    // but has no forward interval). user 2: lone C => zero duration,
+    // one entry.
+    val ev = Seq(
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 30L, "A"),
+      (1L, 60L, "A"), (1L, 100L, "B"),
+      (2L, 5L, "C")
+    ).toDF("user_id", "t", "event_type")
+    val rows = TsAnalytics.stateAgg(ev, "user_id", "event_type", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "A", 80L, 3L, 2L),
+      (1L, "B", 20L, 1L, 2L),
+      (2L, "C", 0L, 0L, 1L)))
+  }
+
+  test("heartbeatAgg: ranges split beyond tolerance, exact-tolerance gap stays merged") {
+    // tol 10. user 1: beats 0,5,12,40 — gaps 5,7,28; the 28 splits =>
+    // 2 ranges; uptime 5+7+10(capped)+10(trailing)=32; span 50.
+    // user 2: lone beat => 1 range, uptime = tol. user 3: gap exactly
+    // 10 is NOT a split (strict >), uptime 10+10.
+    val beats = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 40L),
+      (2L, 100L),
+      (3L, 0L), (3L, 10L)
+    ).toDF("user_id", "t")
+    val rows = TsAnalytics.heartbeatAgg(beats, "user_id", "t", tolMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 4L, 2L, 32L, 50L, 18L),
+      (2L, 1L, 1L, 10L, 10L, 0L),
+      (3L, 2L, 1L, 20L, 20L, 0L)))
+  }
+
+  test("stateTransitions: per-key consecutive pairs, row-stochastic probabilities") {
+    // user 1: A→B→A→A; user 2: B→A. pairs: A→B 1, B→A 2, A→A 1 =>
+    // out of A: p = .5/.5; out of B: p = 1
+    val ev = Seq(
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "A"), (1L, 3L, "A"),
+      (2L, 0L, "B"), (2L, 5L, "A")
+    ).toDF("user_id", "t", "event_type")
+    val rows = TsAnalytics.stateTransitions(ev, "user_id", "event_type", "t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 2L, 1.0)))
+  }
+
+  test("liveRanges: beats within tolerance merge, ranges end at last beat + tol") {
+    // tol 10. user 1: 0,5,12,40 => [0,22) with 3 beats, [40,50) with 1;
+    // user 2: lone 100 => [100,110)
+    val beats = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 40L), (2L, 100L)
+    ).toDF("user_id", "t")
+    val rows = TsAnalytics.liveRanges(beats, "user_id", "t", tolMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 22L, 3L), (1L, 40L, 50L, 1L), (2L, 100L, 110L, 1L)))
+  }
+
+  test("peakConcurrency: exclusive ends free their slot before a tieing start") {
+    // A[0,50) B[10,30) C[30,40) D[100,120): at t=30 B's end applies
+    // before C's start, so concurrency never reads 3 — running
+    // 1,2,1,2,1,0,1,0 peaks at 2 over 8 change points, all in day 0
+    val iv = Seq((0L, 50L), (10L, 30L), (30L, 40L), (100L, 120L))
+      .toDF("s", "e")
+    val rows = TsAnalytics.peakConcurrency(iv, "s", "e", bucketMs = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 2L, 8L)))
+  }
+
+  test("peakConcurrency: a day whose events only close intervals peaks at its carry-in") {
+    // A spans midnight, B lives inside day 0: day 0 peaks at 2; day 1
+    // holds only A's end, so its peak is the carry-in concurrency 1,
+    // NOT the post-event running value 0
+    val day = 86400000L
+    val iv = Seq((0L, day + 10L), (5L, 15L)).toDF("s", "e")
+    val rows = TsAnalytics.peakConcurrency(iv, "s", "e", bucketMs = day / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 2L, 3L), (day, 1L, 1L)))
+  }
+
   test("interpolateLinear: multi-row buckets average exactly before interpolation") {
     // bucket 0 holds 1.0 and 2.0 => obs mean 1.5; bucket 2 holds 3.5
     val df = TsAnalytics.interpolateLinear(ts(
