@@ -674,6 +674,82 @@ object StreamingIngest {
       }
   }
 
+  /** One liveness transition emitted by [[livenessMonitor]]. */
+  final case class LivenessEvent(key: Long, state: String, at: Long, n_beats: Long)
+  // NOT private: the state encoder's generated code must reach the
+  // constructor
+  final case class LiveState(lastBeat: Long, up: Boolean, nBeats: Long)
+
+  /** Streaming down-detection — the monitoring feature a TSDB's alert
+    * path is built on, and the streaming counterpart of
+    * [[graft.operators.TsAnalytics.liveRanges]]: each key's heartbeats
+    * keep it UP; when the event-time watermark passes
+    * `lastBeat + tolMs` with no newer beat, the key transitions DOWN.
+    * Emits one row per transition:
+    *   - `up` at the beat that (re)opens a live range,
+    *   - `down` at `lastBeat + tolMs` — the exact end liveRanges
+    *     assigns, so in-order replay produces the batch intervals
+    *     (each live range ↦ up at range_start, down at range_end; the
+    *     final down only once the watermark passes it) — pinned in
+    *     StreamingSpec.
+    * Intra-batch gaps > tolMs emit the down/up pair directly; the
+    * timeout (GroupStateTimeout.EventTimeTimeout) covers gaps that
+    * span triggers. A late beat landing after its key was declared
+    * down re-ups at the beat's own time (monitor view — a stream
+    * cannot retract an emitted alert); bound disorder with the
+    * watermark. The down state is kept (not removed) so `n_beats`
+    * stays cumulative across ranges.
+    *
+    * Scale shape: state is three scalars per key — no event lists —
+    * and the shuffle is the single groupByKey hash exchange.
+    */
+  def livenessMonitor(beats: DataFrame, tolMs: Long,
+      watermark: String = "10 minutes"): Dataset[LivenessEvent] = {
+    require(tolMs > 0, "livenessMonitor: tolMs must be positive")
+    val spark = beats.sparkSession
+    import spark.implicits._
+    beats.select(col("user_id").cast("long").as("k"), col("t").cast("long"),
+        timestamp_millis(col("t").cast("long")).as("event_time"))
+      .withWatermark("event_time", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LiveState, LivenessEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (k, rows, state: GroupState[LiveState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastBeat + tol with no newer beat
+            val s = state.get
+            state.update(s.copy(up = false))
+            Iterator.single(LivenessEvent(k, "down", s.lastBeat + tolMs, s.nBeats))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val out = Array.newBuilder[LivenessEvent]
+            var st = state.getOption
+              .getOrElse(LiveState(Long.MinValue, up = false, 0L))
+            ts.foreach { t =>
+              if (!st.up) {
+                st = LiveState(t, up = true, st.nBeats + 1)
+                out += LivenessEvent(k, "up", t, st.nBeats)
+              } else if (t - st.lastBeat > tolMs) {
+                out += LivenessEvent(k, "down", st.lastBeat + tolMs, st.nBeats)
+                st = LiveState(t, up = true, st.nBeats + 1)
+                out += LivenessEvent(k, "up", t, st.nBeats)
+              } else {
+                st = LiveState(math.max(st.lastBeat, t), up = true,
+                  st.nBeats + 1)
+              }
+            }
+            state.update(st)
+            // a timeout timestamp at/behind the watermark is illegal —
+            // clamp forward; the down, when it fires, still reports
+            // lastBeat + tol
+            state.setTimeoutTimestamp(
+              math.max(st.lastBeat + tolMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-tag running statistics carried across micro-batches. */
   final case class TagStats(tag: String, n: Long, total: Double, maxValue: Double)
 

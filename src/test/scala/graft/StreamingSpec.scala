@@ -746,4 +746,51 @@ class StreamingSpec extends SparkSpec {
     full.write(b0.unionByName(later.toDF("doc_id", "source", "text")))
     assert(streamed.report().collect().toSeq == full.report().collect().toSeq)
   }
+
+  test("livenessMonitor: watermark-driven down, transitions == batch liveRanges bounds") {
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.livenessMonitor(
+      mem.toDF().toDF("user_id", "t"), tolMs = 10000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("t_liveness")
+      .outputMode("append").start()
+    try {
+      // key 1: one live range (beats 5s apart), then silence
+      mem.addData((1L, 1000L), (1L, 6000L))
+      q.processAllAvailable()
+      // key 2's beat advances max event time; the NEXT trigger sees the
+      // raised watermark and fires key 1's timeout
+      mem.addData((2L, 100000L))
+      q.processAllAvailable()
+      mem.addData((2L, 101000L))
+      q.processAllAvailable()
+      val got = spark.table("t_liveness")
+        .as[StreamingIngest.LivenessEvent].collect().sortBy(e => (e.key, e.at))
+      val k1 = got.filter(_.key == 1L).map(e => (e.state, e.at, e.n_beats)).toSeq
+      assert(k1 == Seq(("up", 1000L, 1L), ("down", 16000L, 2L)))
+      // key 2 is still within tolerance of the watermark: up only
+      assert(got.filter(_.key == 2L).map(e => (e.state, e.at)).toSeq ==
+        Seq(("up", 100000L)))
+      // in-order replay reproduces the batch liveRanges interval exactly
+      val range = graft.operators.TsAnalytics.liveRanges(
+          Seq((1L, 1000L), (1L, 6000L)).toDF("user_id", "t"), "user_id", "t", 10000L)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(k1.map(e => e._2) == Seq(range._1, range._2))
+    } finally q.stop()
+  }
+
+  test("livenessMonitor: an intra-batch gap emits the down/up pair directly") {
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.livenessMonitor(
+      mem.toDF().toDF("user_id", "t"), tolMs = 10000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("t_liveness2")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 1000L), (7L, 31000L))
+      q.processAllAvailable()
+      val got = spark.table("t_liveness2")
+        .as[StreamingIngest.LivenessEvent].collect().sortBy(_.at)
+        .map(e => (e.state, e.at, e.n_beats)).toSeq
+      assert(got == Seq(("up", 1000L, 1L), ("down", 11000L, 1L), ("up", 31000L, 2L)))
+    } finally q.stop()
+  }
 }
