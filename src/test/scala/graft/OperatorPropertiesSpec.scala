@@ -132,6 +132,98 @@ object OperatorPropertiesSpec extends Properties("Operators") {
           q == 0 || !rows.exists(_._2 == s) || bySrc.contains(s) }
     }
 
+  // ---- liveness/state family (round 9): randomized cross-operator laws
+
+  private val genBeats: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 50)
+    beats <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(1L, 2000L)))
+  } yield beats.distinct
+
+  property("heartbeatAgg == fold of its own liveRanges (beats/ranges/uptime)") =
+    forAll(genBeats, Gen.choose(10L, 500L)) { (beats, tol) =>
+      import graft.operators.TsAnalytics
+      val df = beats.toDF("user_id", "t")
+      val agg = TsAnalytics.heartbeatAgg(df, "user_id", "t", tol).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val ranges = TsAnalytics.liveRanges(df, "user_id", "t", tol).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byKey = ranges.groupBy(_._1)
+      agg.keySet == byKey.keySet && byKey.forall { case (k, rs) =>
+        val (nb, nr, up) = agg(k)
+        rs.map(_._4).sum == nb && rs.length.toLong == nr &&
+          rs.map(r => r._3 - r._2).sum == up &&
+          // ranges are disjoint and ordered with real gaps between them
+          rs.sortBy(_._2).toSeq.sliding(2).forall {
+            case Seq(a, b) => a._3 < b._2
+            case _         => true
+          }
+      }
+    }
+
+  private val dayMs = 86400000L
+  private val genIntervals: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    iv <- Gen.listOfN(n, for {
+      s <- Gen.choose(0L, 3 * dayMs)
+      w <- Gen.choose(1L, dayMs)
+    } yield (s, s + w))
+  } yield iv
+
+  property("peakConcurrency two-phase == sequential sweep reference") =
+    forAll(genIntervals,
+        Gen.oneOf(3600000L, 43200000L, dayMs)) { (iv, bucketMs) =>
+      import graft.operators.TsAnalytics
+      val got = TsAnalytics.peakConcurrency(iv.toDF("s", "e"), "s", "e", bucketMs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // driver reference: one global in-order sweep; a day's peak is the
+      // max over its events of the step values just before and after
+      val ev = iv.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }.sorted
+      var run = 0L
+      val ref = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      ev.foreach { case (t, d) =>
+        val pre = run; run += d
+        val day = (t / dayMs) * dayMs
+        val (p, n) = ref.getOrElse(day, (Long.MinValue, 0L))
+        ref(day) = (math.max(p, math.max(pre, run)), n + 1)
+      }
+      got == ref.toMap
+    }
+
+  private val genStateLog: Gen[Seq[(Long, Long, String)]] = for {
+    n <- Gen.choose(1, 50)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 1000L)
+      s <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, s))
+  } yield evs.groupBy(e => (e._1, e._2)).values.map(_.head).toSeq // unique (key, t)
+
+  property("stateAgg durations tile each key's timeline; transitions count pairs") =
+    forAll(genStateLog) { log =>
+      import graft.operators.TsAnalytics
+      val df = log.toDF("user_id", "t", "event_type")
+      val sa = TsAnalytics.stateAgg(df, "user_id", "event_type", "t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val byKey = log.groupBy(_._1)
+      val durOk = byKey.forall { case (k, evs) =>
+        val rows = sa.filter(_._1 == k)
+        val ts = evs.map(_._2)
+        rows.map(_._3).sum == ts.max - ts.min &&            // durations tile
+          rows.map(_._4).sum == evs.size - 1 &&             // intervals = n-1
+          rows.map(_._5).sum == 1 + evs.sortBy(_._2).map(_._3)
+            .sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      }
+      val tr = TsAnalytics.stateTransitions(df, "user_id", "event_type", "t")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val refPairs = byKey.values.flatMap(evs =>
+        evs.sortBy(_._2).map(_._3).sliding(2).collect { case Seq(a, b) => (a, b) })
+        .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }.toSet
+      val countsOk = tr.map(t => (t._1, t._2, t._3)).toSet == refPairs
+      val stochasticOk = tr.groupBy(_._1).values
+        .forall(rows => math.abs(rows.map(_._4).sum - 1.0) < 0.01)
+      durOk && countsOk && stochasticOk
+    }
+
   property("span totals at minRun=1 == dupNgramFraction shared-occurrence counts") =
     forAll(genCorpus) { corpus =>
       // two independent plans over the same semantics: the per-doc sum of
