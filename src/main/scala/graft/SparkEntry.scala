@@ -1142,6 +1142,12 @@ object SparkEntry {
     // ---- dedup: exact via content digest (scale path — shuffles
     // 32-byte sha256 digests, not documents)
     "x_dedup_exact_digest" -> ((s, dir) => Dedup.exactByDigest(Tables.documents(s, dir))),
+    // ---- dedup keeping the BEST duplicate (longest version wins, tie
+    // to smallest id) over case/punct-normalized text — the curation
+    // keep rule, not the min-id bookkeeping rule
+    "x_dedup_keep_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(Tables.documents(s, dir), "text", "doc_id",
+        length(col("text")).cast("long"))),
     // ---- dedup: exact n-gram Jaccard pairs on a bounded subset
     // (ground truth for the MinHash path)
     "x_dedup_jaccard" -> ((s, dir) =>
@@ -2811,6 +2817,16 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // keep-best: DuckDB's arg_max takes only scalar orderings, so the
+    // (rank, -id) lexicographic pair is encoded as rank·2^32 − id —
+    // identical ordering to Spark's max_by(id, struct(rank, -id)) while
+    // 0 ≤ id < 2^32 (fixture ids are small); longest wins, tie → min id
+    "x_dedup_keep_best" ->
+      s"""SELECT arg_max(doc_id, CAST(length(text) AS BIGINT) * 4294967296 - doc_id) AS keep_id,
+        |  max(CAST(length(text) AS BIGINT)) AS keep_rank,
+        |  CAST(count(*) AS DOUBLE) AS dup_count
+        |FROM documents GROUP BY ${normalizeSqlExpr("text")}
+        |ORDER BY keep_id""".stripMargin,
     "x_pipeline_quality_dedup" ->
       s"""WITH scored AS (SELECT doc_id, lang, text,
         |  ${qualitySqlExpr("text")} AS q

@@ -32,6 +32,27 @@ object Dedup {
       .select(col("keep_id"), col("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** Exact dedup keeping the BEST duplicate rather than the smallest
+    * id — the curation rule real pipelines apply (keep the longest /
+    * highest-quality version of a page; the shorter copies are
+    * truncations or stale recrawls). Groups on the NORMALIZED text
+    * ([[graft.functions.TextFunctions.normalize]]) so case/punct/
+    * spacing variants dedupe together while their raw `rank` still
+    * differs; ties break to the smallest id (ids must be
+    * non-negative). Same scale shape as [[exact]]: one hash-groupBy
+    * with map-side partial `max_by` — no window, no second shuffle.
+    */
+  def exactKeepBest(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", rank: Column): DataFrame =
+    docs.groupBy(graft.functions.TextFunctions.normalize(col(textCol)).as("k"))
+      .agg(
+        max_by(col(idCol),
+          struct(rank.as("r"), (lit(0L) - col(idCol)).as("nid"))).as("keep_id"),
+        max(rank).as("keep_rank"),
+        count(lit(1)).cast("double").as("dup_count"))
+      .select(col("keep_id"), col("keep_rank"), col("dup_count"))
+      .orderBy(col("keep_id"))
+
   /** Exact dedup by content digest: like [[exact]] but groups on
     * sha2-256 of the text — at 100 TB this shuffles 32-byte digests
     * instead of full documents (the standard exact-dedup shape;

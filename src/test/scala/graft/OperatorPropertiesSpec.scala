@@ -224,6 +224,29 @@ object OperatorPropertiesSpec extends Properties("Operators") {
       durOk && countsOk && stochasticOk
     }
 
+  private val genKeepBestDocs: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 30)
+    texts <- Gen.listOfN(n, for {
+      base <- Gen.oneOf("alpha beta", "gamma delta", "epsilon")
+      punct <- Gen.oneOf("", ".", "!!", ", ")
+      extra <- Gen.oneOf("", " more words here", " x")
+    } yield base + punct + extra)
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("exactKeepBest == driver reference (longest wins, ties to min id)") =
+    forAll(genKeepBestDocs) { docs =>
+      val got = Dedup.exactKeepBest(docs.toDF("doc_id", "text"), "text",
+          "doc_id", length(col("text")).cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def norm(s: String) = s.toLowerCase.replaceAll("[.,!?;:]", "")
+        .replaceAll(" +", " ").trim
+      val ref = docs.groupBy(d => norm(d._2)).values.map { g =>
+        val best = g.minBy(d => (-d._2.length, d._1))
+        (best._1, best._2.length.toLong, g.size.toDouble)
+      }.toSet
+      got == ref
+    }
+
   property("span totals at minRun=1 == dupNgramFraction shared-occurrence counts") =
     forAll(genCorpus) { corpus =>
       // two independent plans over the same semantics: the per-doc sum of
