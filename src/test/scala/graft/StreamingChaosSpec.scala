@@ -544,4 +544,80 @@ class StreamingChaosSpec extends SparkSpec {
     assert(reports(0)._2 ==
       Quality.drift(refCorpus, b1.toDF("doc_id", "text")).collect().toSeq)
   }
+
+  test("livenessMonitor: GroupState (last beat, count) survives a stop/restart") {
+    val ckpt = tmp("graft-chaos-liveness")
+    val mem = MemoryStream[(Long, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    def start() = StreamingIngest.livenessMonitor(
+        mem.toDF().toDF("user_id", "t"), tolMs = 10000L, watermark = "0 seconds")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingIngest.LivenessEvent], _: Long) =>
+          val rows = batch.collect().map(e => (e.key, e.state, e.at, e.n_beats))
+          sunk.synchronized { sunk ++= rows; () }
+      }.option("checkpointLocation", ckpt).outputMode("append").start()
+    // run 1: key 1 goes up; its state (lastBeat 6000, nBeats 2) is only
+    // in the checkpoint when the query dies
+    val q1 = start()
+    try {
+      mem.addData((1L, 1000L), (1L, 6000L))
+      q1.processAllAvailable()
+      assert(sunk.synchronized(sunk.toSeq) == Seq((1L, "up", 1000L, 1L)))
+    } finally stopAndAwait(q1)
+    // run 2: key 2 advances the watermark; key 1's timeout must fire
+    // with RUN-1's recovered state — down at 6000+tol with n_beats 2,
+    // neither of which exists anywhere but the state store
+    val q2 = start()
+    try {
+      mem.addData((2L, 100000L))
+      q2.processAllAvailable()
+      mem.addData((2L, 101000L))
+      q2.processAllAvailable()
+      val got = sunk.synchronized(sunk.toSeq).sortBy(e => (e._1, e._3))
+      assert(got.filter(_._1 == 1L) ==
+        Seq((1L, "up", 1000L, 1L), (1L, "down", 16000L, 2L)))
+      assert(got.filter(_._1 == 2L) == Seq((2L, "up", 100000L, 1L)))
+    } finally stopAndAwait(q2)
+  }
+
+  test("livenessMonitor: a replayed trigger rolls state back — no double-counted beats") {
+    val ckpt = tmp("graft-chaos-liveness-replay")
+    val mem = MemoryStream[(Long, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    @volatile var crashNext = false
+    def start() = StreamingIngest.livenessMonitor(
+        mem.toDF().toDF("user_id", "t"), tolMs = 10000L, watermark = "0 seconds")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingIngest.LivenessEvent], _: Long) =>
+          val rows = batch.collect().map(e => (e.state, e.at, e.n_beats))
+          sunk.synchronized { sunk ++= rows; () }
+          if (crashNext && rows.nonEmpty) {
+            crashNext = false
+            throw new RuntimeException("chaos: crashed after sink, before commit")
+          }
+      }.option("checkpointLocation", ckpt).outputMode("append").start()
+    // crash DURING the data batch, after its rows reached the sink: the
+    // state store already committed the batch's state version, but the
+    // batch never commits — the restart must REPLAY it against the
+    // rolled-back state version
+    crashNext = true
+    val q1 = start()
+    try {
+      mem.addData((5L, 1000L), (5L, 30000L)) // intra-batch gap: up,down,up
+      intercept[Exception](q1.processAllAvailable())
+    } finally stopAndAwait(q1)
+    val firstDelivery = sunk.synchronized(sunk.toSeq).sortBy(_._2)
+    assert(firstDelivery ==
+      Seq(("up", 1000L, 1L), ("down", 11000L, 1L), ("up", 30000L, 2L)))
+    // the replay re-processes the same beats against the ROLLED-BACK
+    // state: the SAME three transitions with the SAME n_beats 1/1/2
+    // re-delivered (at-least-once sink) — state that survived the
+    // uncommitted trigger would re-up at n_beats 4
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = sunk.synchronized(sunk.toSeq).sortBy(_._2)
+      assert(got == (firstDelivery ++ firstDelivery).sortBy(_._2))
+    } finally stopAndAwait(q2)
+  }
 }
