@@ -340,6 +340,38 @@ object SparkEntry {
     * gate ever regresses, these queries fail loudly instead of
     * silently passing their oracles via the raw-store fallthrough.
     */
+  /** HIERARCHICAL rollup fixture: a weekly aggregate whose refresh
+    * REFOLDS the daily rollup's buckets (TimescaleDB 2.x hierarchical
+    * continuous aggregates) — O(child buckets), never raw events. The
+    * build asserts the fast path actually ran: a silent raw fallback
+    * would still be hash-green, which is exactly why it must fail
+    * loudly here instead.
+    */
+  private val caggHierPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    caggHierPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def caggHierFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val st = caggStoreFor(s, dir)
+      val daily = caggFor(s, dir)
+      val aggPath = caggHierPaths.getOrElseUpdate(dir, {
+        val aggTmp = java.nio.file.Files.createTempDirectory("graft-cagg-hier").toString
+        daily.refresh() // child must reflect the current store version
+        val stats = new graft.engine.ContinuousAggregate(s, st, aggTmp,
+          bucketMs = 604800000L, source = Some(daily)).refresh()
+        require(stats.fromChild,
+          s"hierarchical fixture fell back to raw events: $stats")
+        aggTmp
+      })
+      new graft.engine.ContinuousAggregate(s, st, aggPath,
+        bucketMs = 604800000L, source = Some(daily))
+    }
+
   private def caggAnswer(s: SparkSession, dir: String, qm: QueryModel,
                          bucketMs: Long = 86400000L): DataFrame = {
     val r = caggFor(s, dir, bucketMs)
@@ -941,6 +973,19 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // HIERARCHICAL: this weekly rollup was refreshed by REFOLDING the
+    // daily rollup's buckets (fixture asserts fromChild — a silent raw
+    // fallback fails the build); the raw-events oracles prove the
+    // twice-refolded content answers exactly
+    "ts3_cagg_hier_group_tag_count" -> ((s, dir) =>
+      caggHierFor(s, dir)
+        .answer(QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))
+        .getOrElse(throw new IllegalStateException("hier rollup ineligible"))),
+    "ts3_cagg_hier_weekly_min" -> ((s, dir) =>
+      caggHierFor(s, dir)
+        .answer(QueryModel(ge = Some(1704931200000L), lt = Some(1706140800000L),
+          aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag)))
+        .getOrElse(throw new IllegalStateException("hier rollup ineligible"))),
     // DOWNSAMPLING RETENTION: the fixture store DROPPED its raw events
     // below T1+3d, but the frozen rollup still answers the full range
     // — the oracle counts over the COMPLETE events fixture, so a hash
@@ -2682,6 +2727,10 @@ object SparkEntry {
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= 1704931200000 AND "timestamp" < 1706140800000""",
     "ts3_cagg_weekly_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_hier_group_tag_count" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_hier_weekly_min" ->
+      s"""SELECT tag AS grp, min(value) AS result FROM $FROM t WHERE "timestamp" >= 1704931200000 AND "timestamp" < 1706140800000 GROUP BY tag ORDER BY grp""",
     "ts3_cagg_realtime_scalar_sum" ->
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < 1706054400000""",
     "ts3_cagg_realtime_group_tag_count" ->

@@ -45,7 +45,8 @@ final class ContinuousAggregate(spark: SparkSession,
                                 bucketMs: Long = 86400000L,
                                 sketchRelErr: Option[Double] = None,
                                 freezeBeforeDay: Option[Long] = None,
-                                counterMode: Boolean = false) {
+                                counterMode: Boolean = false,
+                                source: Option[ContinuousAggregate] = None) {
   require(bucketMs > 0 &&
     (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
     s"bucketMs=$bucketMs must be a positive divisor or multiple of a day " +
@@ -58,6 +59,35 @@ final class ContinuousAggregate(spark: SparkSession,
     s"freezeBeforeDay=$freezeBeforeDay must align to the coarse bucket " +
       "grain — a bucket straddling the horizon would silently lose its " +
       "below-horizon days when the raw history is dropped")
+  // HIERARCHICAL mode (`source` = a finer rollup of the SAME store,
+  // TimescaleDB 2.x hierarchical continuous aggregates): refresh
+  // refolds the child's buckets instead of re-aggregating raw events —
+  // O(child buckets of changed units) instead of O(events). Guards:
+  source.foreach { c =>
+    require(c.storeRoot == store.rootDir,
+      "hierarchical source must roll up the SAME store")
+    require(bucketMs % c.grainMs == 0 && bucketMs > c.grainMs,
+      s"hierarchical source grain ${c.grainMs} must strictly divide " +
+        s"bucketMs=$bucketMs — a child bucket may never straddle a " +
+        "parent bucket edge")
+    // NOTE: `sketched` is defined further down the class body and would
+    // read as its uninitialized default here — test sketchRelErr itself
+    require(sketchRelErr.isEmpty || c.isSketched,
+      "a sketch-bearing hierarchical parent needs a sketch-bearing " +
+        "child: GK/HLL/MG sketches merge, they cannot be rebuilt from " +
+        "the child's exact columns")
+    require(sketchRelErr.forall(pe => c.relErr.exists(_ <= pe)),
+      "the child's GK rank error must be at most the parent's — merged " +
+        "summaries carry the CHILD's bound, and a parent claiming a " +
+        "tighter one would overstate its accuracy")
+    require(c.isCounterMode == counterMode,
+      "hierarchical counter rollups need counter witnesses at BOTH " +
+        "levels (boundary pairs re-derive from the child's first/last)")
+    require(!c.isFrozen,
+      "a frozen child answers over raw history the store may have " +
+        "dropped — the parent's refresh equation would silently change; " +
+        "freeze the parent instead")
+  }
 
   /** Sketch-bearing mode ([[sketchRelErr]] set): each (bucket, tag) row
     * additionally carries two MERGEABLE sketches — `qsketch`, a
@@ -105,6 +135,15 @@ final class ContinuousAggregate(spark: SparkSession,
   /** Aggregation grain — exposed so a planner ([[QueryEngine.execute]])
     * can order candidate rollups coarsest-first. */
   def grainMs: Long = bucketMs
+
+  /** Whether this rollup stores counter witnesses (incr/n_resets/twsum). */
+  def isCounterMode: Boolean = counterMode
+
+  /** The root of the store this rollup reflects — hierarchy guard. */
+  private def storeRoot: String = store.rootDir
+
+  /** GK rank error, if sketch-bearing — hierarchy bound guard. */
+  private def relErr: Option[Double] = sketchRelErr
 
   /** The store version this rollup currently reflects (None before the
     * first refresh). */
@@ -206,9 +245,12 @@ final class ContinuousAggregate(spark: SparkSession,
   private def frozenUnit(u: Long): Boolean =
     freezeBeforeDay.exists(f => u + math.max(1L, bucketMs / DayMs) <= f)
 
-  /** One refresh's outcome: how much work the incremental path saved. */
+  /** One refresh's outcome: how much work the incremental path saved.
+    * `fromChild` = the recompute refolded the hierarchical source's
+    * buckets instead of re-aggregating raw events. */
   final case class RefreshStats(storeVersion: Long, recomputedDays: Int,
-                                carriedDays: Int, full: Boolean)
+                                carriedDays: Int, full: Boolean,
+                                fromChild: Boolean = false)
 
   private val root: Path = Paths.get(pathStr)
   Files.createDirectories(root)
@@ -402,19 +444,102 @@ final class ContinuousAggregate(spark: SparkSession,
         (!changedUnits.contains(e._2) && nowUnits.contains(e._2)))
     // a coarse unit recomputes from ALL its member days still present
     val toCompute = nowDays.filter(d => changedUnits.contains(refreshUnit(d)))
+    // HIERARCHICAL fast path: when the child rollup already reflects
+    // this exact store version, the changed units refold from its
+    // buckets — O(child buckets) instead of O(raw events). A stale or
+    // vacuumed child falls back to raw, loudly in the stats, never
+    // wrongly (the caller's contract is child.refresh() before parent).
+    val child = source.filter(_.reflectedStoreVersion.contains(sv))
     val newEntries =
       if (toCompute.isEmpty) Seq.empty
       else {
         val seg = newSegName()
-        rollup(store.currentForDays(toCompute))
-          .write.partitionBy("g_day")
+        val slice = child match {
+          case Some(c) =>
+            val unitDays = math.max(1L, bucketMs / DayMs)
+            // a child row belongs to the parent unit that starts at
+            // floorDiv(g_day, unitDays)·unitDays — pmod replicates
+            // floorDiv for any sign of g_day
+            refoldChild(c.read().filter(
+              (col("g_day") - pmod(col("g_day"), lit(unitDays)))
+                .isin(changedUnits.toSeq: _*)))
+          case None => rollup(store.currentForDays(toCompute))
+        }
+        slice.write.partitionBy("g_day")
           .parquet(root.resolve(seg).toString)
         // list what was actually written (a changed unit can aggregate
         // to nothing only if it vanished; those simply get no entry)
         writtenDays(seg).map(d => (seg, d))
       }
     commit(sv, carried ++ newEntries)
-    RefreshStats(sv, newEntries.size, carried.size, full)
+    RefreshStats(sv, newEntries.size, carried.size, full,
+      fromChild = child.isDefined && toCompute.nonEmpty)
+  }
+
+  /** Refold a slice of the CHILD rollup's per-(bucket, tag) rows into
+    * this aggregate's coarser buckets — the hierarchical refresh body.
+    * Exact for cnt/min/max and first/last (min_by/max_by on the stored
+    * witness timestamps); sum_val refolds per-child-bucket partials
+    * (the same reassociation any distributed aggregation has — exact
+    * for integer-valued series). Counter mode is EXACT: in-child
+    * increases/resets/areas sum, and the pairs spanning CHILD bucket
+    * boundaries inside a parent bucket re-derive from the stored
+    * (last_val, last_ts, first_val, first_ts) witnesses — the same
+    * re-derivation [[answerCounterIncrease]]/[[answerTimeWeighted]]
+    * apply at query time, done once at refresh time instead. The
+    * boundary window partitions on (tag, parent bucket), the keys the
+    * aggregation groups on, so the refold stays a one-exchange plan.
+    */
+  private def refoldChild(rows: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bucketed = rows
+      .withColumn("p_bucket", expr(s"bucket_start div $bucketMs") * bucketMs)
+    val prepared =
+      if (!counterMode) bucketed
+      else {
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tag"), col("p_bucket")).orderBy(col("bucket_start"))
+        bucketed
+          .withColumn("p_last", lag(col("last_val"), 1).over(wB))
+          .withColumn("p_lts", lag(col("last_ts"), 1).over(wB))
+          .withColumn("b_inc", when(col("p_last").isNull, lit(0.0))
+            .when(col("first_val") >= col("p_last"),
+              col("first_val") - col("p_last"))
+            .otherwise(col("first_val")))
+          .withColumn("b_rst", when(col("p_last").isNotNull &&
+            col("first_val") < col("p_last"), 1L).otherwise(0L))
+          .withColumn("b_area", when(col("p_lts").isNull, lit(0L).cast(dec))
+            .otherwise(round(col("p_last") * 100).cast(dec)
+              * (col("first_ts") - col("p_lts"))))
+      }
+    val base = Seq(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"),
+      min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"),
+      min(col("first_ts")).as("first_ts"),
+      min_by(col("first_val"), col("first_ts")).as("first_val"),
+      max(col("last_ts")).as("last_ts"),
+      max_by(col("last_val"), col("last_ts")).as("last_val"))
+    val counterAggs =
+      if (!counterMode) Seq.empty
+      else Seq(
+        (sum(col("incr")) + sum(col("b_inc"))).as("incr"),
+        (sum(col("n_resets")) + sum(col("b_rst"))).as("n_resets"),
+        (sum(col("twsum")) + sum(col("b_area"))).cast(dec).as("twsum"))
+    // sketch-bearing parents MERGE the child's sketches — the same
+    // GK/HLL/MG merges the query paths apply across buckets, done once
+    // at refresh; merged summaries keep the child's published bounds
+    val sketchAggs =
+      if (!sketched) Seq.empty
+      else Seq(
+        graft.functions.QuantileFunctions.qsketchMerge(col("qsketch"))
+          .as("qsketch"),
+        hll_union_agg(col("hsketch"), true).as("hsketch"),
+        graft.functions.FreqFunctions.mgSketchMerge(col("fsketch"), FreqCapacity)
+          .as("fsketch"))
+    val aggsAll = base ++ counterAggs ++ sketchAggs
+    prepared
+      .groupBy(expr(s"p_bucket div $DayMs").as("g_day"),
+        col("p_bucket").as("bucket_start"), col("tag"))
+      .agg(aggsAll.head, aggsAll.tail: _*)
   }
 
   /** Fresh segment directory name: version-prefixed for lineage, with

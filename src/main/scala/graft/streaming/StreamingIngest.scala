@@ -193,6 +193,12 @@ object StreamingIngest {
                     compactEvery: Int = 0, vacuumRetentionMs: Long = 3600000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val cadence = new Cadence(compactEvery)
+    // refresh finest-grain first: a HIERARCHICAL parent refolds its
+    // child only when the child already reflects the trigger's store
+    // version — out of order it would silently (correctly, but
+    // expensively) fall back to raw events every trigger. Finer never
+    // depends on coarser, so grain order is always safe.
+    val ordered = rollups.sortBy(_.grainMs)
     ts.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) => graft.Materialize.inTriggerScope {
       val spark = batch.sparkSession
       import spark.implicits._
@@ -213,7 +219,7 @@ object StreamingIngest {
       // non-empty trigger — forever, on a quiesced stream. Unguarded,
       // the replay refreshes the committed batch in; on a genuinely
       // idle trigger it is a version-compare no-op (one manifest read).
-      rollups.foreach(_.refresh())
+      ordered.foreach(_.refresh())
       // cadenced maintenance, AFTER the trigger's own work (same
       // rationale as the index-ingest family): each insert adds a
       // store segment and each refresh a rollup delta segment, so an
@@ -227,9 +233,9 @@ object StreamingIngest {
         // reap below can no longer strand the base and silently
         // degrade every later refresh to a full recompute (the
         // zero-retention maintenance mode hit this every cycle)
-        rollups.foreach(_.refresh())
+        ordered.foreach(_.refresh())
         store.vacuum(vacuumRetentionMs)
-        rollups.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
+        ordered.foreach { r => r.compact(); r.vacuum(vacuumRetentionMs) }
       }
     }}
   }

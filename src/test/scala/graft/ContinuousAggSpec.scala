@@ -395,6 +395,125 @@ class ContinuousAggSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical cagg: weekly refreshes FROM the daily rollup — same content as from-raw") {
+    val WEEK = 7 * DAY
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-hier-store").toString)
+    val child = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hier-daily").toString, bucketMs = DAY)
+    val parent = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hier-weekly").toString,
+      bucketMs = WEEK, source = Some(child))
+    val control = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hier-control").toString, bucketMs = WEEK)
+    // every column incl. the first/last witnesses; integer values keep
+    // even the sum refold bit-exact
+    def all(agg: ContinuousAggregate) = agg.read()
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val",
+        "first_ts", "first_val", "last_ts", "last_val")
+      .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[String].hashCode)).toSeq
+    // three weeks, several points per day so in-day first/last matter
+    st.insert((for (d <- Seq(0L, 2L, 6L, 7L, 9L, 13L, 14L, 20L); t <- Seq("a", "b");
+                    o <- Seq(0L, 3600000L))
+      yield TS(day(d, o + t.hashCode.abs % 97), t, (d * 2 + o / 3600000L).toDouble)).toDS())
+    child.refresh()
+    val s0 = parent.refresh()
+    assert(s0.full && s0.fromChild, s"first refresh should refold the child: $s0")
+    control.refresh()
+    assert(all(parent) == all(control),
+      "child-refolded weekly rollup must equal the from-raw one")
+    // touching ONE day: child recomputes that day, parent refolds ONE
+    // week from child buckets — never raw events
+    assert(st.update(Seq(TS(day(9, 3600000L + "b".hashCode.abs % 97), "b", 999.0)).toDS()).isRight)
+    child.refresh()
+    val s1 = parent.refresh()
+    assert(!s1.full && s1.fromChild && s1.recomputedDays == 1 && s1.carriedDays == 2,
+      s"one changed day must refold exactly its week from the child: $s1")
+    control.refresh()
+    assert(all(parent) == all(control))
+    // week-aligned queries through the hierarchical parent == raw compile
+    Seq(Agg.Count, Agg.Sum, Agg.Min, Agg.Max).foreach { a =>
+      val qm = QueryModel(aggFunc = Some(a), groupBy = Some(GroupBy.Tag))
+      assert(parent.answer(qm).get.collect().map(_.toSeq).toSeq ==
+        graft.engine.QueryEngine.compile(st.current(), qm).collect().map(_.toSeq).toSeq)
+    }
+    // STALE child (store moved, child not refreshed): loud raw
+    // fallback — fromChild false, content still exact
+    assert(st.insert(Seq(TS(day(1), "z", 5.0)).toDS()).isRight)
+    val s2 = parent.refresh()
+    assert(!s2.fromChild, "a stale child must fall back to raw, not refold stale buckets")
+    control.refresh()
+    assert(all(parent) == all(control))
+    // guards: non-dividing/equal grain, foreign store, frozen child
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-hier-bad1").toString,
+        bucketMs = WEEK, source = Some(control)) // same grain
+    }
+    intercept[IllegalArgumentException] {
+      val other = new TimeSeriesStore(spark,
+        Files.createTempDirectory("graft-hier-other").toString)
+      new ContinuousAggregate(spark, other,
+        Files.createTempDirectory("graft-hier-bad2").toString,
+        bucketMs = WEEK, source = Some(child)) // child of a DIFFERENT store
+    }
+    intercept[IllegalArgumentException] {
+      val frozenChild = new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-hier-frz").toString,
+        bucketMs = DAY, freezeBeforeDay = Some(7L))
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-hier-bad3").toString,
+        bucketMs = WEEK, source = Some(frozenChild))
+    }
+  }
+
+  test("hierarchical counter cagg: child-boundary pairs re-derive from witnesses — exact") {
+    val WEEK = 7 * DAY
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-hierc-store").toString)
+    val child = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hierc-daily").toString,
+      bucketMs = DAY, counterMode = true)
+    val parent = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hierc-weekly").toString,
+      bucketMs = WEEK, counterMode = true, source = Some(child))
+    val control = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hierc-control").toString,
+      bucketMs = WEEK, counterMode = true)
+    // counters with resets INSIDE a day, ACROSS days in one week, and
+    // ACROSS a missing day (day 3 absent; the day-2 → day-4 pair must
+    // re-derive at the week level exactly once)
+    st.insert(Seq(
+      TS(day(0), "c", 10.0), TS(day(0, 7), "c", 4.0),  // in-day reset
+      TS(day(1), "c", 8.0),                            // cross-day rise
+      TS(day(2), "c", 2.0),                            // cross-day reset
+      TS(day(4), "c", 6.0),                            // across missing day 3
+      TS(day(8), "c", 9.0),                            // week 2
+      TS(day(0), "g", 1.0), TS(day(9), "g", 3.0)).toDS())
+    child.refresh()
+    val s0 = parent.refresh()
+    assert(s0.fromChild, s"counter parent should refold the child: $s0")
+    control.refresh()
+    def cshape(agg: ContinuousAggregate) = agg.read()
+      .select("bucket_start", "tag", "cnt", "incr", "n_resets", "twsum",
+        "first_ts", "first_val", "last_ts", "last_val")
+      .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[String].hashCode)).toSeq
+    assert(cshape(parent) == cshape(control),
+      "hierarchical counter refold must be bit-exact incl. incr/resets/twsum")
+    // the query surfaces agree with the raw operators through the
+    // hierarchical parent too
+    val viaParent = parent.answerCounterIncrease().get.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val viaControl = control.answerCounterIncrease().get.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaParent == viaControl)
+    val twaP = parent.answerTimeWeighted().get.collect().map(_.toSeq).toSeq
+    val twaC = control.answerTimeWeighted().get.collect().map(_.toSeq).toSeq
+    assert(twaP == twaC)
+  }
+
   test("retention × rewrite law: answer() over a window straddling the cutoff == raw compile over the retained store") {
     import graft.engine.QueryEngine
     import graft.model._

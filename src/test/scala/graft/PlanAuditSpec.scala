@@ -190,6 +190,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
         s"$n: plan reads the raw store — the rewrite fell through")
     }
+    // hierarchical rollup answers read ONLY the parent's own segments —
+    // never the daily child's, the store, or raw events (the child is a
+    // REFRESH-time source, not a query-time one)
+    Seq("ts3_cagg_hier_group_tag_count", "ts3_cagg_hier_weekly_min").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("graft-cagg-hier"),
+        s"$n: plan does not read the hierarchical rollup")
+      assert(!p.contains("graft-cagg-rollup") && !p.contains("graft-cagg-store")
+        && !p.contains("events.parquet"),
+        s"$n: plan reads the child/store — hierarchy leaked into query time")
+    }
     // the counter rollup reads ONLY its rollup segments (its store
     // fixture has a distinct dir prefix, so assert both sides)
     locally {

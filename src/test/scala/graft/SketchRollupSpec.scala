@@ -272,4 +272,55 @@ class SketchRollupSpec extends SparkSpec {
     assert(plain.answerTopValues(3).isEmpty,
       "plain rollup must decline top-values")
   }
+
+  test("hierarchical sketched rollup: the weekly parent MERGES the daily sketches — bounds hold") {
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-skhier-store").toString)
+    val child = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skhier-daily").toString, DAY,
+      sketchRelErr = Some(EPS))
+    val parent = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skhier-weekly").toString, 7 * DAY,
+      sketchRelErr = Some(EPS), source = Some(child))
+    seed(st, days = 10L) // spans two weekly buckets
+    child.refresh()
+    val s = parent.refresh()
+    assert(s.fromChild, s"sketched parent should refold+merge the child: $s")
+    val raw = st.current().select("value").as[Double].collect().toSeq
+    // GK: twice-merged summaries (child build → parent refresh merge →
+    // query-time merge) stay within the child's rank bound
+    Seq(0.1, 0.5, 0.95).foreach { q =>
+      assertWithinRank(
+        parent.answerPercentile(q).get.head().getDouble(0), raw, q)
+    }
+    // HLL: unions are associative — the two-level union tracks exact
+    val exactDistinct = raw.distinct.size
+    val gotDistinct = parent.answerDistinct().get.head().getDouble(0)
+    assert(math.abs(gotDistinct - exactDistinct) <= 0.05 * exactDistinct + 1,
+      s"distinct $gotDistinct vs exact $exactDistinct")
+    // MG: 97 distinct values < capacity => merged counts are EXACT; the
+    // returned (item, est) pairs must match the true count map and the
+    // ests must be the true top-k multiset (tie order may differ)
+    val exactCounts = raw.groupBy(identity).map { case (v, xs) =>
+      (v.toString, xs.size.toDouble) }
+    val top = parent.answerTopValues(3).get.collect()
+      .map(r => (r.getString(1), r.getDouble(2)))
+    assert(top.forall { case (item, est) => exactCounts(item) == est })
+    assert(top.map(_._2).sorted.toSeq ==
+      exactCounts.values.toSeq.sorted.takeRight(3).toSeq)
+    // guards: a sketched parent over a PLAIN child, and a parent
+    // claiming a TIGHTER bound than its child, are both rejected
+    val plainChild = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-skhier-plainchild").toString, DAY)
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-skhier-bad1").toString, 7 * DAY,
+        sketchRelErr = Some(EPS), source = Some(plainChild))
+    }
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-skhier-bad2").toString, 7 * DAY,
+        sketchRelErr = Some(EPS / 2), source = Some(child))
+    }
+  }
 }

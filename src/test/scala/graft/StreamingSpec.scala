@@ -431,6 +431,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps a HIERARCHICAL rollup pyramid fresh, even passed coarsest-first") {
+    import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+    import org.apache.spark.sql.functions._
+    val DAY = 86400000L
+    val store = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-hier-ing-store").toString)
+    val daily = new ContinuousAggregate(spark, store,
+      java.nio.file.Files.createTempDirectory("graft-hier-ing-daily").toString)
+    val weekly = new ContinuousAggregate(spark, store,
+      java.nio.file.Files.createTempDirectory("graft-hier-ing-weekly").toString,
+      bucketMs = 7 * DAY, source = Some(daily))
+    def wrecompute() = store.current()
+      .groupBy((expr(s"timestamp div ${7 * DAY}") * (7 * DAY)).as("bucket_start"),
+        col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val mem = MemoryStream[TS]
+    // COARSEST-FIRST on purpose: ingestToStore must reorder finest-first
+    // or the weekly parent would never see a current child and would pay
+    // the raw fallback every trigger
+    val q = StreamingIngest.ingestToStore(mem.toDS(), store,
+      Seq(weekly, daily)).start()
+    try {
+      mem.addData(TS(0L, "a", 1.0), TS(8 * DAY, "b", 2.0))
+      q.processAllAvailable()
+      assert(weekly.reflectedStoreVersion.contains(store.version))
+      assert(daily.reflectedStoreVersion.contains(store.version))
+      assert(shape(weekly.read()) == shape(wrecompute()))
+      mem.addData(TS(DAY, "a", 3.0), TS(15 * DAY, "c", 4.0))
+      q.processAllAvailable()
+      assert(shape(weekly.read()) == shape(wrecompute()))
+      assert(weekly.read().count() == 3) // weeks 0, 1, 2
+      // the parent REFOLDED its child rather than falling back: a
+      // direct refresh after a fresh child is the observable proxy —
+      // touch a day, refresh child then parent by hand, expect the
+      // child fast path
+      assert(store.update(Seq(TS(0L, "a", 9.0)).toDS()).isRight)
+      daily.refresh()
+      val s = weekly.refresh()
+      assert(s.fromChild && s.recomputedDays == 1,
+        s"weekly parent should refold one changed week from the child: $s")
+    } finally q.stop()
+  }
+
   test("streaming ingest keeps SKETCH-BEARING rollups fresh: percentile/distinct/top-k per trigger") {
     import graft.engine.{ContinuousAggregate, TimeSeriesStore}
     import org.apache.spark.sql.functions._
