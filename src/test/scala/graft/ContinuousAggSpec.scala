@@ -267,6 +267,67 @@ class ContinuousAggSpec extends SparkSpec {
     }
   }
 
+  test("randomized hierarchical law: a daily→3-day pyramid tracks arbitrary mutation walks on the child fast path") {
+    // the same walk as the flat law, over a PYRAMID: after every step
+    // the child refreshes, then the parent — which must (a) refold the
+    // CHILD (fromChild whenever anything recomputed; raw fallback would
+    // be silently correct, so it must be loudly absent), and (b) equal
+    // a from-scratch recompute of the store at the parent grain.
+    // Integer values keep the refolded sums bit-exact.
+    val BUCKET = 3 * DAY
+    val rnd = new scala.util.Random(20260815L)
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-hierwalk-store").toString)
+    val child = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hierwalk-daily").toString)
+    val parent = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-hierwalk-3d").toString,
+      bucketMs = BUCKET, source = Some(child))
+    def precompute() = st.current()
+      .groupBy((expr(s"timestamp div $BUCKET") * BUCKET).as("bucket_start"),
+        col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    def pshape(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    var nextId = 0L
+    (0 until 14).foreach { i =>
+      val op = rnd.nextInt(4)
+      op match {
+        case 0 =>
+          val rows = (0 to rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            TS(day(rnd.nextInt(6).toLong, nextId), s"t${rnd.nextInt(3)}",
+              rnd.nextInt(100).toDouble)
+          }
+          assert(st.insert(rows.toDS()).isRight)
+        case 1 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.update(
+              Seq(TS(k.getLong(0), k.getString(1), 999.0)).toDS()).isRight)
+          }
+        case 2 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.delete(
+              Seq(TSKey(k.getLong(0), k.getString(1))).toDS()).isRight)
+          }
+        case 3 =>
+          st.compact()
+      }
+      child.refresh()
+      val s = parent.refresh()
+      assert(s.recomputedDays == 0 || s.fromChild,
+        s"parent fell back to raw with a CURRENT child at step $i (op $op): $s")
+      assert(pshape(parent.read()) == pshape(precompute()),
+        s"hierarchical parent diverged from recompute at step $i (op $op)")
+    }
+  }
+
   test("cagg rollup maintenance: compact bounds read fan-in; vacuum is age-guarded") {
     val (st, agg) = fresh()
     // one refresh per ingest => one delta segment per refresh, the
