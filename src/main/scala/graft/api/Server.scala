@@ -47,7 +47,10 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     * the client already committed.
     */
   private def refreshRollups(): Unit =
-    rollups.foreach { r =>
+    // finest grain first: a hierarchical parent refolds its child only
+    // when the child already reflects the new store version (same
+    // ordering rule as StreamingIngest.ingestToStore)
+    rollups.sortBy(_.grainMs).foreach { r =>
       try { r.refresh(); () }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] rollup refresh failed (hybrid still exact): $e")
