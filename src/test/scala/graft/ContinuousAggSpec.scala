@@ -529,6 +529,42 @@ class ContinuousAggSpec extends SparkSpec {
     }
   }
 
+  test("three-level pyramid: hour → day → week, each level refolds the one below") {
+    val HOUR = 3600000L
+    val WEEK = 7 * DAY
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-pyr-store").toString)
+    val hourly = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-pyr-h").toString, bucketMs = HOUR)
+    val daily = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-pyr-d").toString, source = Some(hourly))
+    val weekly = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-pyr-w").toString,
+      bucketMs = WEEK, source = Some(daily))
+    st.insert((for (d <- Seq(0L, 3L, 8L); h <- Seq(1L, 5L); t <- Seq("a", "b"))
+      yield TS(day(d, h * HOUR + t.hashCode.abs % 50), t, (d + h).toDouble)).toDS())
+    hourly.refresh()
+    assert(daily.refresh().fromChild)
+    assert(weekly.refresh().fromChild)
+    val control = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-pyr-ctl").toString, bucketMs = WEEK)
+    control.refresh()
+    def all(agg: ContinuousAggregate) = agg.read()
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val",
+        "first_ts", "first_val", "last_ts", "last_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(all(weekly) == all(control),
+      "twice-chained refold must equal the from-raw weekly rollup")
+    // a mid-level mutation propagates through both links incrementally
+    assert(st.update(Seq(TS(day(3, 5 * HOUR + "a".hashCode.abs % 50), "a", 777.0)).toDS()).isRight)
+    hourly.refresh()
+    assert(daily.refresh().fromChild)
+    val sw = weekly.refresh()
+    assert(sw.fromChild && sw.recomputedDays == 1)
+    control.refresh()
+    assert(all(weekly) == all(control))
+  }
+
   test("hierarchical counter cagg: child-boundary pairs re-derive from witnesses — exact") {
     val WEEK = 7 * DAY
     val st = new TimeSeriesStore(spark,
