@@ -282,6 +282,29 @@ object SparkEntry {
       graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
   }
 
+  /** STATS-MODE fixture: a daily rollup storing additive regression
+    * moments (Σt, Σv, Σtv, Σt², Σv² in exact decimal) over the shared
+    * cagg store — slope/intercept/corr answered in O(buckets). */
+  private val caggStatsPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  sys.addShutdownHook {
+    caggStatsPaths.values.foreach(p =>
+      graft.Fs.deleteTree(java.nio.file.Paths.get(p), swallow = true))
+  }
+
+  private def caggStatsFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
+    caggStorePaths.synchronized {
+      val st = caggStoreFor(s, dir)
+      val aggPath = caggStatsPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cagg-stats-rollup").toString
+        new graft.engine.ContinuousAggregate(s, st, tmp,
+          statsMode = true).refresh()
+        tmp
+      })
+      new graft.engine.ContinuousAggregate(s, st, aggPath, statsMode = true)
+    }
+
   private def caggTwFor(s: SparkSession, dir: String): graft.engine.ContinuousAggregate =
     caggStorePaths.synchronized {
       val st = caggStoreFor(s, dir)
@@ -973,6 +996,13 @@ object SparkEntry {
     "ts3_cagg_weekly_group_tag_count" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
       bucketMs = 604800000L)),
+    // STATS MODE: per-tag linear regression (slope/intercept/Pearson r)
+    // over the whole range from the rollup's ADDITIVE moments — the
+    // TimescaleDB stats_agg two-step; all moment arithmetic is exact
+    // decimal, the oracle mirrors the final float ops bit-for-bit
+    "ts3_cagg_regression_by_tag" -> ((s, dir) =>
+      caggStatsFor(s, dir).answerRegression()
+        .getOrElse(throw new IllegalStateException("stats rollup ineligible"))),
     // HIERARCHICAL: this weekly rollup was refreshed by REFOLDING the
     // daily rollup's buckets (fixture asserts fromChild — a silent raw
     // fallback fails the build); the raw-events oracles prove the
@@ -2727,6 +2757,28 @@ object SparkEntry {
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= 1704931200000 AND "timestamp" < 1706140800000""",
     "ts3_cagg_weekly_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    // regression from raw events with the SAME integer moments and the
+    // SAME float op order as answerRegression (C = 0: no ge bound)
+    "ts3_cagg_regression_by_tag" ->
+      s"""WITH t AS (SELECT tag, CAST("timestamp" AS HUGEINT) AS t,
+        |             CAST(round(value * 100) AS HUGEINT) AS v FROM $FROM f),
+        |m AS (SELECT tag, count(*) AS n, sum(t) AS st, sum(v) AS sv,
+        |        sum(t * v) AS stv, sum(t * t) AS st2, sum(v * v) AS sv2
+        |      FROM t GROUP BY tag)
+        |SELECT tag AS grp,
+        |  CASE WHEN n*st2 - st*st > 0
+        |       THEN CAST(n*stv - st*sv AS DOUBLE) / CAST(n*st2 - st*st AS DOUBLE)
+        |            / 100.0 * 86400000.0 END AS slope_per_day,
+        |  CASE WHEN n*st2 - st*st > 0
+        |       THEN CAST(sv AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |            - (CAST(n*stv - st*sv AS DOUBLE) / CAST(n*st2 - st*st AS DOUBLE) / 100.0)
+        |              * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) END AS intercept,
+        |  CASE WHEN n*st2 - st*st > 0 AND n*sv2 - sv*sv > 0
+        |       THEN CAST(n*stv - st*sv AS DOUBLE)
+        |            / sqrt(CAST(n*st2 - st*st AS DOUBLE) * CAST(n*sv2 - sv*sv AS DOUBLE))
+        |       END AS r,
+        |  n AS n_points
+        |FROM m ORDER BY grp""".stripMargin,
     "ts3_cagg_hier_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_hier_weekly_min" ->

@@ -46,6 +46,7 @@ final class ContinuousAggregate(spark: SparkSession,
                                 sketchRelErr: Option[Double] = None,
                                 freezeBeforeDay: Option[Long] = None,
                                 counterMode: Boolean = false,
+                                statsMode: Boolean = false,
                                 source: Option[ContinuousAggregate] = None) {
   require(bucketMs > 0 &&
     (86400000L % bucketMs == 0 || bucketMs % 86400000L == 0),
@@ -83,6 +84,9 @@ final class ContinuousAggregate(spark: SparkSession,
     require(c.isCounterMode == counterMode,
       "hierarchical counter rollups need counter witnesses at BOTH " +
         "levels (boundary pairs re-derive from the child's first/last)")
+    require(!statsMode || c.isStatsMode,
+      "a stats-bearing hierarchical parent sums the child's regression " +
+        "moments — the child must store them too")
     require(!c.isFrozen,
       "a frozen child answers over raw history the store may have " +
         "dropped — the parent's refresh equation would silently change; " +
@@ -138,6 +142,10 @@ final class ContinuousAggregate(spark: SparkSession,
 
   /** Whether this rollup stores counter witnesses (incr/n_resets/twsum). */
   def isCounterMode: Boolean = counterMode
+
+  /** Whether this rollup stores additive regression moments
+    * (r_sum_t/v/tv/t2/v2) — the TimescaleDB 2-D `stats_agg`. */
+  def isStatsMode: Boolean = statsMode
 
   /** The root of the store this rollup reflects — hierarchy guard. */
   private def storeRoot: String = store.rootDir
@@ -330,6 +338,11 @@ final class ContinuousAggregate(spark: SparkSession,
         org.apache.spark.sql.types.BinaryType, nullable = true),
       org.apache.spark.sql.types.StructField("fsketch",
         org.apache.spark.sql.types.BinaryType, nullable = true))
+     else Seq.empty) ++
+    (if (statsMode) Seq("r_sum_t", "r_sum_v", "r_sum_tv", "r_sum_t2",
+        "r_sum_v2").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = true))
      else Seq.empty))
 
   /** The rollup of the given day slice — the ONE aggregation shape,
@@ -397,9 +410,27 @@ final class ContinuousAggregate(spark: SparkSession,
       else Seq(sum(col("c_inc")).as("incr"), sum(col("c_rst")).as("n_resets"),
         sum(col("c_area")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
           .as("twsum"))
+    // STATS MODE: additive regression moments over (t, value·100) in
+    // exact decimal(38,0) — Σt, Σv, Σtv, Σt², Σv² refold losslessly
+    // across any window/hierarchy (unlike a slope, which is a ratio);
+    // answerRegression derives slope/intercept/corr from them in
+    // O(buckets). Fits decimal(38,0) comfortably: Σt² over 10¹² rows of
+    // epoch-millis ~3·10³⁶.
+    val statsAggs =
+      if (!statsMode) Seq.empty
+      else {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val v100 = round(col("value") * 100).cast(dec)
+        val tD = col("timestamp").cast(dec)
+        Seq(sum(tD).cast(dec).as("r_sum_t"), sum(v100).cast(dec).as("r_sum_v"),
+          sum(tD * v100).cast(dec).as("r_sum_tv"),
+          sum(tD * tD).cast(dec).as("r_sum_t2"),
+          sum(v100 * v100).cast(dec).as("r_sum_v2"))
+      }
+    val aggsAll = aggs ++ counterAggs ++ statsAggs
     prepared
       .groupBy(col("g_day"), col("bucket_start"), col("tag"))
-      .agg((aggs ++ counterAggs).head, (aggs ++ counterAggs).tail: _*)
+      .agg(aggsAll.head, aggsAll.tail: _*)
   }
 
   /** Bring the rollup up to the store's current version. Returns what
@@ -535,7 +566,12 @@ final class ContinuousAggregate(spark: SparkSession,
         hll_union_agg(col("hsketch"), true).as("hsketch"),
         graft.functions.FreqFunctions.mgSketchMerge(col("fsketch"), FreqCapacity)
           .as("fsketch"))
-    val aggsAll = base ++ counterAggs ++ sketchAggs
+    // regression moments are plain sums — the lossless hierarchy case
+    val statsAggs =
+      if (!statsMode) Seq.empty
+      else Seq("r_sum_t", "r_sum_v", "r_sum_tv", "r_sum_t2", "r_sum_v2")
+        .map(n => sum(col(n)).cast(dec).as(n))
+    val aggsAll = base ++ counterAggs ++ sketchAggs ++ statsAggs
     prepared
       .groupBy(expr(s"p_bucket div $DayMs").as("g_day"),
         col("p_bucket").as("bucket_start"), col("tag"))
@@ -908,6 +944,71 @@ final class ContinuousAggregate(spark: SparkSession,
           (max(col("last_ts")) - min(col("first_ts"))).as("span_ms"))
         .filter(col("span_ms") > 0) // single-sample tags: no time span
         .orderBy(asc("grp"))
+    }
+  }
+
+  /** Linear regression of value over time — slope / intercept /
+    * Pearson r — over a bucket-aligned window, answered in O(buckets)
+    * from the stored ADDITIVE moments (the TimescaleDB 2-D `stats_agg`
+    * story: `slope(stats_agg(ts, value))`). Moments refold losslessly
+    * (they are plain sums, unlike the slope itself, which is a ratio),
+    * so the answer is EXACT in the moment arithmetic: everything is
+    * decimal(38,0) integers, centered on the window start at query
+    * time (Σ(t−C) = Σt − n·C exactly — centering keeps the cross
+    * products far from the decimal ceiling at any history depth); the
+    * only floats are the final divisions, whose operand order an
+    * oracle mirrors bit-for-bit.
+    *
+    * Output (grp?, slope_per_day, intercept, r, n_points): slope in
+    * value units per DAY, intercept the fitted value AT the window
+    * start (t = C), r NULL when either variance is zero, slope /
+    * intercept NULL when the time variance is zero (single instant).
+    * None unless `statsMode` is on and the bounds align.
+    */
+  def answerRegression(ge: Option[Long] = None, lt: Option[Long] = None,
+                       tagEq: Option[String] = None, byTag: Boolean = true)
+      : Option[DataFrame] = {
+    val aligned = ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!statsMode || !aligned) None
+    else currentBase().map { base =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sliced = Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / DayMs),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      val moments = Seq(sum(col("cnt")).as("n")) ++
+        Seq("r_sum_t", "r_sum_v", "r_sum_tv", "r_sum_t2", "r_sum_v2")
+          .map(c => sum(col(c)).cast(dec).as(c))
+      val grouped =
+        if (byTag) sliced.groupBy(col("tag").as("grp"))
+          .agg(moments.head, moments.tail: _*)
+        else sliced.agg(moments.head, moments.tail: _*)
+      val n = col("n").cast(dec)
+      val c0 = lit(ge.getOrElse(0L)).cast(dec)
+      // centered first/second moments, exact integer identities
+      val st = (col("r_sum_t") - n * c0).cast(dec)
+      val stv = (col("r_sum_tv") - c0 * col("r_sum_v")).cast(dec)
+      val st2 = (col("r_sum_t2") - lit(2L).cast(dec) * c0 * col("r_sum_t")
+        + n * c0 * c0).cast(dec)
+      val num = (n * stv - st * col("r_sum_v")).cast(dec)
+      val denT = (n * st2 - st * st).cast(dec)
+      val denV = (n * col("r_sum_v2")
+        - col("r_sum_v") * col("r_sum_v")).cast(dec)
+      // value/ms slope; the /100 unscales v; ×day for display units
+      val slopeMs = num.cast("double") / denT.cast("double") / lit(100.0)
+      val out = grouped.select(
+        (if (byTag) Seq(col("grp")) else Seq.empty[org.apache.spark.sql.Column]) ++ Seq(
+          when(denT > 0, slopeMs * lit(86400000.0)).as("slope_per_day"),
+          when(denT > 0,
+            col("r_sum_v").cast("double") / lit(100.0) / col("n").cast("double")
+              - slopeMs * (st.cast("double") / col("n").cast("double")))
+            .as("intercept"),
+          when(denT > 0 && denV > 0,
+            num.cast("double")
+              / sqrt(denT.cast("double") * denV.cast("double"))).as("r"),
+          col("n").as("n_points")): _*)
+      if (byTag) out.orderBy(asc("grp")) else out
     }
   }
 

@@ -529,6 +529,96 @@ class ContinuousAggSpec extends SparkSpec {
     }
   }
 
+  test("statsMode rollup: slope/intercept/r from additive moments == exact integer reference") {
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-stats-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-stats-rollup").toString,
+      statsMode = true)
+    // "lin": exact line in t — v = 1 + 0.5·i at half-day spacing, so it
+    // spans five daily buckets; "flat": constant; "one": single instant
+    val lin = (0 until 10).map(i =>
+      TS(day(0) + i * (DAY / 2), "lin", 1.0 + 0.5 * i))
+    val rows = lin ++ Seq(TS(day(0), "flat", 7.0), TS(day(1), "flat", 7.0),
+      TS(day(0, 42), "one", 3.5))
+    st.insert(rows.toDS()).left.foreach(e =>
+      throw new IllegalStateException(e.messages.mkString(",")))
+    agg.refresh()
+
+    // exact BigInt reference mirroring the operator's arithmetic
+    // (C = 0 for unbounded answers), down to the double casts
+    def ref(pts: Seq[(Long, Double)]): (Double, Double, Double) = {
+      val n = BigInt(pts.size)
+      val t = pts.map(p => BigInt(p._1))
+      val v = pts.map(p => BigInt(math.round(p._2 * 100)))
+      val stm = t.sum; val sv = v.sum
+      val stv = t.zip(v).map { case (a, b) => a * b }.sum
+      val st2 = t.map(x => x * x).sum
+      val sv2 = v.map(x => x * x).sum
+      val num = n * stv - stm * sv
+      val denT = n * st2 - stm * stm
+      val denV = n * sv2 - sv * sv
+      val slopeMs = num.toDouble / denT.toDouble / 100.0
+      (slopeMs * 86400000.0,
+        sv.toDouble / 100.0 / n.toDouble - slopeMs * (stm.toDouble / n.toDouble),
+        num.toDouble / math.sqrt(denT.toDouble * denV.toDouble))
+    }
+    val got = agg.answerRegression().get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (eSlope, eInt, eR) = ref(lin.map(p => (p.timestamp, p.value)))
+    assert(got("lin").getDouble(1) == eSlope && got("lin").getDouble(2) == eInt
+      && got("lin").getDouble(3) == eR,
+      s"lin: ${got("lin")} vs ($eSlope, $eInt, $eR)")
+    assert(math.abs(got("lin").getDouble(3) - 1.0) < 1e-9, "perfect line: r ≈ 1")
+    // flat: slope exactly 0, intercept the constant, r NULL (zero v-var)
+    assert(got("flat").getDouble(1) == 0.0 && got("flat").getDouble(2) == 7.0
+      && got("flat").isNullAt(3))
+    // one point: time variance zero => all NULL
+    assert(got("one").isNullAt(1) && got("one").isNullAt(2) && got("one").isNullAt(3))
+
+    // window slicing centers on ge: day-1-only window over "lin" (the
+    // last 5 points) matches the reference computed over those points
+    val sliced = agg.answerRegression(ge = Some(day(1)), lt = Some(day(2)),
+      tagEq = Some("lin")).get.collect().head
+    val linD1 = lin.filter(_.timestamp >= day(1)).map(p => (p.timestamp, p.value))
+    // reference with centering C = ge (shift-invariant slope/r; the
+    // intercept is AT the window start by the operator's contract)
+    val shifted = linD1.map { case (t, v) => (t - day(1), v) }
+    val (s1, i1, r1) = ref(shifted)
+    assert(sliced.getDouble(1) == s1 && sliced.getDouble(2) == i1
+      && sliced.getDouble(3) == r1)
+
+    // incremental refresh keeps moments exact; hierarchical parent sums
+    // them losslessly
+    assert(st.insert(Seq(TS(day(6), "lin", 9.0)).toDS()).isRight)
+    agg.refresh()
+    val got2 = agg.answerRegression().get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val withNew = lin.map(p => (p.timestamp, p.value)) :+ (day(6), 9.0)
+    val (s2, _, _) = ref(withNew)
+    assert(got2("lin").getDouble(1) == s2)
+    val weekly = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-stats-weekly").toString,
+      bucketMs = 7 * DAY, statsMode = true, source = Some(agg))
+    assert(weekly.refresh().fromChild)
+    val viaWeekly = weekly.answerRegression().get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(viaWeekly("lin").getDouble(1) == s2,
+      "weekly-refolded moments must answer identically")
+    // guards: plain rollup declines; unaligned bounds decline; a stats
+    // parent over a plain child is rejected
+    val plain = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-stats-plain").toString)
+    plain.refresh()
+    assert(plain.answerRegression().isEmpty)
+    assert(agg.answerRegression(ge = Some(5L)).isEmpty)
+    intercept[IllegalArgumentException] {
+      new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-stats-bad").toString,
+        bucketMs = 7 * DAY, statsMode = true, source = Some(plain))
+    }
+  }
+
   test("three-level pyramid: hour → day → week, each level refolds the one below") {
     val HOUR = 3600000L
     val WEEK = 7 * DAY

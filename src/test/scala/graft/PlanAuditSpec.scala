@@ -210,6 +210,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("graft-cagg-ctr-store") && !p.contains("events.parquet"),
         "ts3_cagg_counter_increase: plan reads raw events — refold fell through")
     }
+    // the stats-mode (regression) rollup shares the main fixture store
+    // — moments come from rollup segments only
+    locally {
+      val p = planOf("ts3_cagg_regression_by_tag")
+      assert(p.contains("graft-cagg-stats-rollup"),
+        "ts3_cagg_regression_by_tag: plan does not read the stats rollup")
+      assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
+        "ts3_cagg_regression_by_tag: plan reads raw events — refold fell through")
+    }
     // the time-weight rollup shares the main fixture store — rollup
     // segments only, never the store or events
     locally {
