@@ -63,7 +63,14 @@ import scala.collection.concurrent.TrieMap
   *    over a stored `percentile_agg`. Registering a sketch-bearing
   *    rollup IS the opt-in; with only plain rollups registered these
   *    shapes are never rewritten. Empty-input semantics preserved
-  *    (percentile → null, distinct count → 0);
+  *    (percentile → null, distinct count → 0).
+  *    DELIBERATELY NOT ROUTED: `regr_slope`/`regr_*` — a stats-mode
+  *    rollup ([[ContinuousAggregate.answerRegression]]) can answer
+  *    them in O(buckets) and MORE accurately (exact decimal moments vs
+  *    Spark's running double moments), but NOT result-identically,
+  *    and these functions' contract (unlike percentile_approx's) is a
+  *    deterministic float — regression stays an explicit-surface
+  *    opt-in, same as `answerGapFill`;
   *  - grouping: global, by `tag`, by `g_day` (the store's day
   *    partition column — exact iff the grain divides a day), by a
   *    tumbling-window key `(timestamp DIV w) * w` with `w` a multiple
