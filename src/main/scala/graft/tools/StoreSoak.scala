@@ -240,6 +240,53 @@ object StoreSoak {
       f"appendRefreshes(s)=${frzTimes.map(t => f"$t%.2f").mkString(",")} " +
       f"(history=${D}d frozen+dropped, answers still cover it — asserted)")
 
+    // ---- 7. Hierarchical refresh: O(child buckets) vs O(raw events) --
+    // one touched day dirties one WEEK at the weekly grain; the
+    // hierarchical parent refolds that week's ~7 × |tags| child bucket
+    // rows, while a from-raw weekly rollup re-aggregates the week's
+    // full event volume. Only the raw path's cost scales with rows/day.
+    val hst = new TimeSeriesStore(spark,
+      java.nio.file.Files.createTempDirectory("soak-hier-store").toString)
+    (0 until 14).foreach(d => hst.insert(dayBatch(d)).left.foreach(e =>
+      sys.error(e.messages.mkString(";"))))
+    val hChild = new ContinuousAggregate(spark, hst,
+      java.nio.file.Files.createTempDirectory("soak-hier-daily").toString)
+    val hParent = new ContinuousAggregate(spark, hst,
+      java.nio.file.Files.createTempDirectory("soak-hier-weekly").toString,
+      bucketMs = 7 * DAYMS, source = Some(hChild))
+    val hControl = new ContinuousAggregate(spark, hst,
+      java.nio.file.Files.createTempDirectory("soak-hier-ctl").toString,
+      bucketMs = 7 * DAYMS)
+    hChild.refresh(); hParent.refresh(); hControl.refresh()
+    assert(hst.update(Seq(TS(9 * DAYMS + 1, "t1", 4242.0)).toDS()).isRight)
+    val (_, tHierChild) = timed(hChild.refresh()) // O(1 day)
+    val (spFromChild, tFromChild) = timed(hParent.refresh())
+    val (spFromRaw, tFromRaw) = timed(hControl.refresh())
+    assert(spFromChild.fromChild && spFromChild.recomputedDays == 1,
+      s"parent must refold the child: $spFromChild")
+    assert(!spFromRaw.fromChild && spFromRaw.recomputedDays == 1,
+      s"control must pay raw: $spFromRaw")
+    // exact columns bit-equal; sum_val refolds child partials — the
+    // documented reassociation (soak values are one-decimal doubles) —
+    // so it compares within an ulp-scale tolerance
+    locally {
+      def rows(a: ContinuousAggregate) = a.read()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+      val (p, c) = (rows(hParent), rows(hControl))
+      assert(p.keySet == c.keySet)
+      p.foreach { case (k, pr) =>
+        val cr = c(k)
+        assert(Seq(2, 4, 5, 6, 7, 8, 9).forall(i => pr.get(i) == cr.get(i)),
+          s"hier refold diverged at $k: $pr vs $cr")
+        assert(math.abs(pr.getDouble(3) - cr.getDouble(3)) <=
+          1e-9 * math.max(1.0, math.abs(cr.getDouble(3))),
+          s"hier sum refold outside tolerance at $k")
+      }
+    }
+    println(f"[soak] hier: childRefresh=$tHierChild%.2fs parentFromChild=$tFromChild%.2fs " +
+      f"parentFromRaw=$tFromRaw%.2fs advantage=${tFromRaw / tFromChild}%.1fx " +
+      f"(dirty week = 7d x $rowsPerDay raw rows vs 7 x 8 child rows; equality asserted)")
+
     spark.stop()
   }
 }
