@@ -812,6 +812,20 @@ object SparkEntry {
     // ---- A3/F3: tag-index scan (tagEq + range)
     "a3_tag_collect" -> ts(QueryModel(tagEq = Some("click"),
       ge = Some(T1), lt = Some(T2))),
+    // ---- A3 through the ENGINE path over a real TimeSeriesStore: the
+    // collect shape never routes to a rollup, so the raw fallback reads
+    // through the partition-level tag bloom index
+    // (TimeSeriesStore.currentForTag — the reference's _sIx made
+    // physical); the raw-events oracle proves the pruned read is
+    // row-identical to the unpruned scan
+    "a3_tag_pruned_collect" -> ((s, dir) => {
+      val st = caggStoreFor(s, dir)
+      graft.engine.QueryEngine.execute(st,
+        QueryModel(tagEq = Some("click"), ge = Some(T1), lt = Some(T2)),
+        Seq(caggFor(s, dir))).fold(
+        e => throw new IllegalStateException(s"a3_tag_pruned_collect: $e"),
+        identity)
+    }),
     // ---- A4/F2: point lookup on timestamp
     "a4_point_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS))),
     // ---- F4: empty-group elimination — tags with no rows in a narrow
@@ -2677,6 +2691,8 @@ object SparkEntry {
     "f1_gt_le_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" > $T1 AND "timestamp" <= $T2 ORDER BY "timestamp", tag""",
     "a3_tag_collect" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
+    "a3_tag_pruned_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
     "f1_lt_only_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" < 1704240000000 ORDER BY "timestamp", tag""",

@@ -187,7 +187,12 @@ object QueryEngine {
             yield (df, base)).iterator
         }.nextOption()
       routed match {
-        case None => execute(store.current(), qm)
+        case None =>
+          // raw fallback: a tagEq query reads through the store's
+          // partition-level tag index ([[TimeSeriesStore.currentForTag]])
+          // — blooms have no false negatives, so BOTH the result and the
+          // guards' tag counts are exactly the unpruned ones
+          execute(qm.tagEq.fold(store.current())(store.currentForTag), qm)
         case Some((df, base)) =>
           // eligible shapes carry no tsEq, so the only guards are the
           // tagEq existence check (over the WHOLE store, matching the

@@ -240,13 +240,68 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     df.select(col("timestamp"), col("tag"), col("value"))
       .withColumn("g_day", expr("timestamp div 86400000"))
-      // time-sorted row groups → tight parquet min/max stats, so
-      // sub-day range predicates skip row groups inside each partition
-      .sortWithinPartitions(col("g_day"), col("timestamp"))
+      // tag-major clustering within each day partition (the reference's
+      // tag index is tag → ts → row, Model.hs:92): row groups carry
+      // tight parquet min/max stats on BOTH tag (contiguous tag runs)
+      // and timestamp (still sorted within each run), so a pushed
+      // tagEq predicate skips foreign row groups and tagEq+range skips
+      // within the run too. Pure sub-day range scans give up row-group
+      // ts-skipping (every tag run spans the day) but are already
+      // bounded to one day's partition by directory pruning.
+      .sortWithinPartitions(col("g_day"), col("tag"), col("timestamp"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("g_day").parquet(root.resolve(seg).toString)
+    // one 8 KiB tag-bloom sidecar per day partition (see [[TagBloom]]):
+    // the partition-level tag index [[currentForTag]] prunes with.
+    // Written BEFORE the commit that makes the segment reachable, like
+    // the data files themselves (a crash orphan is vacuumed whole);
+    // toLocalIterator keeps the driver at one row however many days a
+    // compaction rewrites. Dot-named, so parquet scans ignore it.
+    TagBloom.register(df.sparkSession)
+    df.select(expr("timestamp div 86400000").as("g_day"), col("tag"))
+      .groupBy(col("g_day")).agg(TagBloom.tagBloom(col("tag")).as("bloom"))
+      .toLocalIterator().asScala.foreach { r =>
+        Files.write(root.resolve(seg).resolve(s"g_day=${r.getLong(0)}")
+          .resolve(TagSidecar), r.getAs[Array[Byte]](1))
+      }
     listDir(root.resolve(seg)).filter(_.startsWith("g_day="))
       .map(d => Entry(seg, d.stripPrefix("g_day=").toLong)).sortBy(_.day)
+  }
+
+  private val TagSidecar = ".tags"
+
+  /** Cached sidecar blooms, keyed by (segment, day) — immutable once
+    * written (segments never change), so the cache never invalidates;
+    * None (missing/unreadable sidecar, e.g. a pre-sidecar store) means
+    * "cannot prune", never an error.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Array[Byte]]]()
+
+  private def tagMightContain(e: Entry, tag: String): Boolean =
+    bloomCache.computeIfAbsent((e.seg, e.day), { _ =>
+      val p = root.resolve(e.rel).resolve(TagSidecar)
+      try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
+      catch { case _: java.io.IOException => None }
+    }).forall(TagBloom.mightContain(_, tag))
+
+  /** Snapshot read pruned to the partitions that MAY contain `tag` —
+    * the reference's tag-index scan (`_sIx`, SURVEY.md §1.2) at
+    * partition granularity: an episodic tag (present in a handful of
+    * days across years of history) opens only those days' files, and
+    * the bloom's no-false-negative guarantee makes the pruned read
+    * row-identical to `current().filter(tag === t)` (TagPruneSpec law).
+    * [[QueryEngine.execute]]'s engine-routed path uses this for every
+    * tagEq query that falls through to raw scan.
+    */
+  def currentForTag(tag: String): DataFrame =
+    read(liveEntries().filter(tagMightContain(_, tag)))
+
+  /** How many live partitions a tagEq scan would open vs the total —
+    * the pruning-effectiveness probe specs and soaks assert on. */
+  private[graft] def partitionCountForTag(tag: String): (Int, Int) = {
+    val es = liveEntries()
+    (es.count(tagMightContain(_, tag)), es.size)
   }
 
   /** Atomically publish a new manifest listing `entries`.
