@@ -826,6 +826,34 @@ object SparkEntry {
         e => throw new IllegalStateException(s"a3_tag_pruned_collect: $e"),
         identity)
     }),
+    // ---- A1 through the METADATA path: scalar aggregates with
+    // day-aligned (or absent) bounds fold the store's 48-byte per-
+    // partition .stats sidecars — zero data files opened (the require
+    // pins it); unaligned bounds scan ONLY the two boundary days. The
+    // raw-events oracles prove the fold exact.
+    "a1_meta_count_all" -> ((s, dir) => {
+      val df = graft.engine.QueryEngine.execute(caggStoreFor(s, dir),
+        QueryModel(aggFunc = Some(Agg.Count)), Seq.empty).fold(
+        e => throw new IllegalStateException(s"a1_meta_count_all: $e"), identity)
+      require(df.inputFiles.isEmpty, "metadata count must not carry a file scan")
+      df
+    }),
+    "a1_meta_sum_window" -> ((s, dir) => {
+      val df = graft.engine.QueryEngine.execute(caggStoreFor(s, dir),
+        QueryModel(ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Sum)),
+        Seq.empty).fold(
+        e => throw new IllegalStateException(s"a1_meta_sum_window: $e"), identity)
+      require(df.inputFiles.isEmpty, "metadata sum must not carry a file scan")
+      df.withColumn("result", round(col("result"), 4))
+    }),
+    "a1_meta_avg_boundary" -> ((s, dir) =>
+      // unaligned lower bound: T1 + 1h — day T1/86400000 is a boundary
+      // day (scanned), everything after folds from sidecars
+      graft.engine.QueryEngine.execute(caggStoreFor(s, dir),
+        QueryModel(ge = Some(T1 + 3600000L), lt = Some(T2), aggFunc = Some(Agg.Avg)),
+        Seq.empty).fold(
+        e => throw new IllegalStateException(s"a1_meta_avg_boundary: $e"),
+        _.withColumn("result", round(col("result"), 4)))),
     // ---- A4/F2: point lookup on timestamp
     "a4_point_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS))),
     // ---- F4: empty-group elimination — tags with no rows in a narrow
@@ -2694,6 +2722,12 @@ object SparkEntry {
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
     "a3_tag_pruned_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE tag = 'click' AND $range ORDER BY "timestamp", tag""",
+    "a1_meta_count_all" ->
+      s"""SELECT CAST(count(*) AS DOUBLE) AS result FROM $FROM t""",
+    "a1_meta_sum_window" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE $range""",
+    "a1_meta_avg_boundary" ->
+      s"""SELECT round(avg(value), 4) AS result FROM $FROM t WHERE "timestamp" >= ${T1 + 3600000L} AND "timestamp" < $T2""",
     "f1_lt_only_collect" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" < 1704240000000 ORDER BY "timestamp", tag""",
     "a4_point_tag_lookup" ->

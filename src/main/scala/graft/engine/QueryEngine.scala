@@ -188,11 +188,17 @@ object QueryEngine {
         }.nextOption()
       routed match {
         case None =>
-          // raw fallback: a tagEq query reads through the store's
-          // partition-level tag index ([[TimeSeriesStore.currentForTag]])
-          // — blooms have no false negatives, so BOTH the result and the
-          // guards' tag counts are exactly the unpruned ones
-          execute(qm.tagEq.fold(store.current())(store.currentForTag), qm)
+          // raw fallback, best plan first:
+          //  1. [[MetaStats]] — a day-aligned scalar agg with no tag/ts
+          //     point filter folds the partitions' .stats sidecars:
+          //     zero-scan (O(boundary) when bounds are unaligned);
+          //  2. a tagEq query reads through the store's partition-level
+          //     tag index ([[TimeSeriesStore.currentForTag]]) — blooms
+          //     have no false negatives, so BOTH the result and the
+          //     guards' tag counts are exactly the unpruned ones;
+          //  3. the plain pruned-partition scan.
+          MetaStats.answer(store, qm).getOrElse(
+            execute(qm.tagEq.fold(store.current())(store.currentForTag), qm))
         case Some((df, base)) =>
           // eligible shapes carry no tsEq, so the only guards are the
           // tagEq existence check (over the WHOLE store, matching the

@@ -251,24 +251,42 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       .sortWithinPartitions(col("g_day"), col("tag"), col("timestamp"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("g_day").parquet(root.resolve(seg).toString)
-    // one 8 KiB tag-bloom sidecar per day partition (see [[TagBloom]]):
-    // the partition-level tag index [[currentForTag]] prunes with.
+    // two sidecars per day partition, from ONE aggregation pass over
+    // the just-written batch:
+    //  - `.tags`: 8 KiB tag bloom (see [[TagBloom]]) — the partition-
+    //    level tag index [[currentForTag]] prunes with;
+    //  - `.stats`: 48-byte (rows, Σvalue, min/max value, min/max ts) —
+    //    the partition stats [[MetaStats]] answers day-aligned scalar
+    //    aggregates from without opening a single data file.
     // Written BEFORE the commit that makes the segment reachable, like
     // the data files themselves (a crash orphan is vacuumed whole);
     // toLocalIterator keeps the driver at one row however many days a
-    // compaction rewrites. Dot-named, so parquet scans ignore it.
+    // compaction rewrites. Dot-named, so parquet scans ignore them.
     TagBloom.register(df.sparkSession)
-    df.select(expr("timestamp div 86400000").as("g_day"), col("tag"))
-      .groupBy(col("g_day")).agg(TagBloom.tagBloom(col("tag")).as("bloom"))
+    df.select(expr("timestamp div 86400000").as("g_day"), col("tag"),
+        col("value"), col("timestamp"))
+      .groupBy(col("g_day")).agg(
+        TagBloom.tagBloom(col("tag")).as("bloom"),
+        count(lit(1)).as("rows"),
+        sum(col("value")).as("vsum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        min(col("timestamp")).as("tmin"),
+        max(col("timestamp")).as("tmax"))
       .toLocalIterator().asScala.foreach { r =>
-        Files.write(root.resolve(seg).resolve(s"g_day=${r.getLong(0)}")
-          .resolve(TagSidecar), r.getAs[Array[Byte]](1))
+        val dayDir = root.resolve(seg).resolve(s"g_day=${r.getLong(0)}")
+        Files.write(dayDir.resolve(TagSidecar), r.getAs[Array[Byte]]("bloom"))
+        Files.write(dayDir.resolve(StatsSidecar), DayStats(
+          r.getAs[Long]("rows"), r.getAs[Double]("vsum"),
+          r.getAs[Double]("vmin"), r.getAs[Double]("vmax"),
+          r.getAs[Long]("tmin"), r.getAs[Long]("tmax")).toBytes)
       }
     listDir(root.resolve(seg)).filter(_.startsWith("g_day="))
       .map(d => Entry(seg, d.stripPrefix("g_day=").toLong)).sortBy(_.day)
   }
 
   private val TagSidecar = ".tags"
+  private val StatsSidecar = ".stats"
 
   /** Cached sidecar blooms, keyed by (segment, day) — immutable once
     * written (segments never change), so the cache never invalidates;
@@ -303,6 +321,30 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val es = liveEntries()
     (es.count(tagMightContain(_, tag)), es.size)
   }
+
+  /** Cached `.stats` sidecars, same lifecycle as [[bloomCache]]. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[DayStats]]()
+
+  private def statsSidecar(e: Entry): Option[DayStats] =
+    statsCache.computeIfAbsent((e.seg, e.day), { _ =>
+      val p = root.resolve(e.rel).resolve(StatsSidecar)
+      try {
+        if (Files.exists(p)) DayStats.fromBytes(Files.readAllBytes(p)) else None
+      } catch { case _: java.io.IOException => None }
+    })
+
+  /** The live partition list with each entry's `.stats` sidecar (None
+    * for pre-sidecar segments) — [[MetaStats]]' planning surface. A day
+    * spread over several entries (two same-day inserts) appears once
+    * per entry; stats merge by (+, +, min, max, min, max).
+    */
+  private[graft] def liveDayStats(): Seq[(Long, Option[DayStats])] =
+    liveEntries().map(e => (e.day, statsSidecar(e)))
+
+  /** The session this store reads/writes with (for engine components
+    * that must build literal result frames). */
+  private[engine] def session: SparkSession = spark
 
   /** Atomically publish a new manifest listing `entries`.
     *
