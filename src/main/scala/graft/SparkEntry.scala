@@ -484,6 +484,25 @@ object SparkEntry {
     df
   }
 
+  /** PLAIN SQL answered by the METADATA-STATS fold: the rewrite rule
+    * turns a global day-aligned aggregate over the registered store
+    * view into a literal one-row plan — the tripwire requires the
+    * executed plan to read NEITHER raw segments NOR rollup segments
+    * (nothing at all). Raw-events DuckDB oracles prove the fold exact.
+    */
+  private def metaSqlAnswer(s: SparkSession, dir: String,
+                            sql: String => String): DataFrame = {
+    val st = caggStoreFor(s, dir)
+    graft.engine.RollupSqlRewrite.register(s, st, Seq(caggFor(s, dir)))
+    val v = s"graft_ts_fr_${math.abs(dir.hashCode)}"
+    st.current().createOrReplaceTempView(v)
+    val df = s.sql(sql(v))
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("parquet"),
+      s"metadata SQL query still scans files — the MetaStats rewrite regressed:\n$plan")
+    df
+  }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -856,6 +875,22 @@ object SparkEntry {
         _.withColumn("result", round(col("result"), 4)))),
     // ---- A4/F2: point lookup on timestamp
     "a4_point_lookup" -> ts(QueryModel(tsEq = Some(POINT_TS))),
+    // ---- A4 through the ENGINE path: the tsEq point probe reads
+    // through the sidecar ts ranges (TimeSeriesStore.currentForTs —
+    // the reference's _tIx point probe at partition granularity). The
+    // probed key is the store's own MIN timestamp — POINT_TS exists
+    // only in the sf0.01 fixture, and unlike the guard-less compile
+    // path the engine correctly raises NoData on a miss — read for
+    // free from the .stats sidecars (no scan); the oracle derives the
+    // same key with a scalar subquery.
+    "a4_point_pruned_lookup" -> ((s, dir) => {
+      val st = caggStoreFor(s, dir)
+      val pt = st.liveDayStats().flatMap(_._2).map(_.tsMin).min
+      graft.engine.QueryEngine.execute(st,
+        QueryModel(tsEq = Some(pt)), Seq(caggFor(s, dir))).fold(
+        e => throw new IllegalStateException(s"a4_point_pruned_lookup: $e"),
+        identity)
+    }),
     // ---- F4: empty-group elimination — tags with no rows in a narrow
     // range simply don't appear (no zero-count groups)
     "f4_empty_group_elim" -> ts(QueryModel(ge = Some(T1), lt = Some(T1 + 600000L),
@@ -1196,6 +1231,16 @@ object SparkEntry {
     // Approximate by design => rows-only (RollupSqlRewriteSpec gates
     // both against exact answers within the sketches' bounds); the
     // caggSqlAnswer tripwire proves they actually route
+    // metadata-stats SQL routing: global day-aligned aggregates over
+    // the store view become literal plans (ZERO scan — the tripwire in
+    // metaSqlAnswer requires a parquet-free executed plan)
+    "ts3_meta_sql_scalar_stats" -> ((s, dir) => metaSqlAnswer(s, dir, v =>
+      "SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, " +
+      "round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r " +
+      s"FROM $v")),
+    "ts3_meta_sql_window_sum" -> ((s, dir) => metaSqlAnswer(s, dir, v =>
+      s"SELECT round(sum(value), 4) AS result FROM $v " +
+      s"WHERE timestamp >= $T1 AND timestamp < $T2")),
     "ts3_cagg_sql_percentile" -> ((s, dir) => caggSqlAnswer(s, dir,
       stale = false, v =>
         "SELECT tag AS grp, percentile_approx(value, 0.95) AS result " +
@@ -2734,6 +2779,8 @@ object SparkEntry {
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS AND tag = 'error' ORDER BY "timestamp", tag""",
     "a4_point_lookup" ->
       s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = $POINT_TS ORDER BY "timestamp", tag""",
+    "a4_point_pruned_lookup" ->
+      s"""SELECT "timestamp", tag, value FROM $FROM t WHERE "timestamp" = (SELECT min("timestamp") FROM $FROM t2) ORDER BY "timestamp", tag""",
     "f4_empty_group_elim" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 600000L} GROUP BY tag ORDER BY grp""",
     "g6_group_tag_avg" ->
@@ -2843,6 +2890,10 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t WHERE tag <> 'error'""",
     "ts3_cagg_sql_realtime_group_tag_sum" ->
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_meta_sql_scalar_stats" ->
+      s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t""",
+    "ts3_meta_sql_window_sum" ->
+      s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE $range""",
     "ts3_cagg_sql_window_1d" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->

@@ -33,13 +33,17 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
                    rollups: Seq[ContinuousAggregate] = Nil) {
   import spark.implicits._
 
-  /** One query path for both routes: the rollup-routed engine when
-    * aggregates are registered, the plain compile otherwise (no
-    * per-request manifest reads on a rollup-less server).
+  /** One query path: always the store-routed engine, so every request
+    * gets the full plan ladder — registered rollups first, then the
+    * metadata-stats fold for day-aligned scalar aggregates, then the
+    * tag-bloom-pruned scan for tagEq, then the plain pruned scan. (The
+    * old rollup-less shortcut to `execute(store.current(), qm)` saved
+    * one manifest read per request but cost the sidecar fast paths —
+    * a scan of the whole range to answer a count the manifest already
+    * knows.)
     */
   private def runQuery(qm: graft.model.QueryModel) =
-    if (rollups.isEmpty) QueryEngine.execute(store.current(), qm)
-    else QueryEngine.execute(store, qm, rollups)
+    QueryEngine.execute(store, qm, rollups)
 
   /** Post-mutation freshness ride-along, same policy as the streaming
     * ingest path. Never load-bearing for correctness (stale rollups

@@ -196,9 +196,18 @@ object QueryEngine {
           //     tag index ([[TimeSeriesStore.currentForTag]]) — blooms
           //     have no false negatives, so BOTH the result and the
           //     guards' tag counts are exactly the unpruned ones;
-          //  3. the plain pruned-partition scan.
-          MetaStats.answer(store, qm).getOrElse(
-            execute(qm.tagEq.fold(store.current())(store.currentForTag), qm))
+          //  3. a tagless tsEq point probe reads through the sidecar ts
+          //     ranges ([[TimeSeriesStore.currentForTs]] — a miss is
+          //     often an EMPTY plan, so the NoData probe costs no I/O);
+          //  4. the plain pruned-partition scan.
+          MetaStats.answer(store, qm).getOrElse {
+            val snap = (qm.tagEq, qm.tsEq) match {
+              case (Some(t), _)    => store.currentForTag(t)
+              case (None, Some(v)) => store.currentForTs(v)
+              case _               => store.current()
+            }
+            execute(snap, qm)
+          }
         case Some((df, base)) =>
           // eligible shapes carry no tsEq, so the only guards are the
           // tagEq existence check (over the WHOLE store, matching the

@@ -312,11 +312,18 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         }
       }
       (ge, lt, tagConds) = classified
+      // metadata stats beat any rollup when they apply: a GLOBAL
+      // aggregate with day-aligned/absent bounds and no tag predicate
+      // folds the store's .stats sidecars into a literal one-row plan —
+      // no scan at all (see [[MetaStats]]; same snapshot guard as the
+      // rollup path, already checked above). Anything beyond that
+      // vocabulary falls through to the rollup rewrite unchanged.
       // frozen rollups never serve SQL: they answer over raw days the
       // store has dropped, which would CHANGE the plain-SQL result
       // (the engine-routed QueryModel path is the explicit
       // downsampling surface; this rule's contract is result-identity)
-      rewritten <- rollups.filterNot(_.isFrozen)
+      rewritten <- metaStatsRewrite(rGroup, rAggEx, store, ge, lt, tagConds)
+        .orElse(rollups.filterNot(_.isFrozen)
         .sortBy(-_.grainMs).iterator.flatMap { r =>
         val aligned = ge.forall(_ % r.grainMs == 0) &&
           lt.forall(_ % r.grainMs == 0) &&
@@ -326,8 +333,55 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
           buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds,
             r.isSketched)
         }
-      }.nextOption()
+      }.nextOption())
     } yield rewritten
+  }
+
+  /** Rewrite a GLOBAL aggregate over the store to a literal one-row
+    * Project when the [[MetaStats]] sidecar fold covers the whole
+    * range: Spark empty-input semantics (sum/min/max/avg → NULL,
+    * count → 0), output exprIds preserved, surrounding composition
+    * (round, arithmetic) kept — the optimizer's constant folding
+    * finishes the job. None when: grouped, any tag predicate, bounds
+    * not fully sidecar-covered, or any aggregate outside the
+    * count/sum/avg/min/max-over-value vocabulary (min_by/max_by and
+    * the approx sketches stay on the rollup path).
+    */
+  private def metaStatsRewrite(rGroup: Seq[Expression],
+                               rAggEx: Seq[NamedExpression],
+                               store: TimeSeriesStore,
+                               ge: Option[Long], lt: Option[Long],
+                               tagConds: Seq[Expression]): Option[LogicalPlan] = {
+    if (rGroup.nonEmpty || tagConds.nonEmpty) return None
+    val qm = graft.model.QueryModel(ge = ge, lt = lt,
+      aggFunc = Some(graft.model.Agg.Count))
+    MetaStats.coverage(store, qm).filter(_._2.isEmpty).flatMap { case (acc, _) =>
+      val emptyIn = acc.rows == 0L
+      def dlit(d: Double): Expression =
+        if (emptyIn) Literal(null, DoubleType) else Literal(d, DoubleType)
+      var ok = true
+      def fold(e: Expression): Expression = e match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum if isAttr(s.child, "value")     => dlit(acc.sum)
+            case m: Min if isAttr(m.child, "value")     => dlit(acc.vmin)
+            case m: Max if isAttr(m.child, "value")     => dlit(acc.vmax)
+            case a: Average if isAttr(a.child, "value") => dlit(acc.sum / acc.rows)
+            case c: Count if c.children.forall(ch => !ch.nullable) =>
+              Literal(acc.rows, LongType)
+            case _ => ok = false; e
+          }
+        case a: AttributeReference => ok = false; a
+        case other => other.withNewChildren(other.children.map(fold))
+      }
+      val newExprs = rAggEx.map {
+        case al: Alias => al.withNewChildren(Seq(fold(al.child))).asInstanceOf[Alias]
+        case other => ok = false; other
+      }
+      if (!ok) None
+      else Some(Project(newExprs,
+        org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+    }
   }
 
   /** Reconstruct the Aggregate over the rollup base, preserving output

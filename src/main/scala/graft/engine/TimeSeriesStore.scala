@@ -342,6 +342,34 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   private[graft] def liveDayStats(): Seq[(Long, Option[DayStats])] =
     liveEntries().map(e => (e.day, statsSidecar(e)))
 
+  /** Snapshot read pruned to the partitions that can contain timestamp
+    * `ts` — the reference's timestamp-index point probe (`_tIx`,
+    * SURVEY.md §1.2) at partition granularity: the key's day bucket
+    * narrows to one day, and within it the `.stats` sidecars' ts ranges
+    * drop same-day sibling segments that can't hold it (a missing
+    * sidecar keeps its partition — never wrong, just unpruned). Every
+    * row with timestamp == ts survives, so any query whose predicate
+    * conjoins `timestamp = ts` — including the engine's tsEq guard
+    * counts — is exact over this read; a point MISS often prunes to an
+    * EMPTY plan, making the no-data probe I/O-free. Engine raw
+    * fallback uses this for tsEq queries without tagEq (with tagEq the
+    * tag-pruned read must win: the tag-existence guard counts the tag
+    * over every partition that may hold it anywhere in time).
+    */
+  def currentForTs(ts: Long): DataFrame = {
+    val d = Math.floorDiv(ts, 86400000L)
+    read(liveEntries().filter(e => e.day == d &&
+      statsSidecar(e).forall(s => ts >= s.tsMin && ts <= s.tsMax)))
+  }
+
+  /** Partitions a tsEq probe would open vs the total (spec probe). */
+  private[graft] def partitionCountForTs(ts: Long): (Int, Int) = {
+    val d = Math.floorDiv(ts, 86400000L)
+    val es = liveEntries()
+    (es.count(e => e.day == d &&
+      statsSidecar(e).forall(s => ts >= s.tsMin && ts <= s.tsMax)), es.size)
+  }
+
   /** The session this store reads/writes with (for engine components
     * that must build literal result frames). */
   private[engine] def session: SparkSession = spark

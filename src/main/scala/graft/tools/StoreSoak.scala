@@ -287,6 +287,66 @@ object StoreSoak {
       f"parentFromRaw=$tFromRaw%.2fs advantage=${tFromRaw / tFromChild}%.1fx " +
       f"(dirty week = 7d x $rowsPerDay raw rows vs 7 x 8 child rows; equality asserted)")
 
+    // ---- 8. partition sidecar indexes: tag pruning + metadata stats
+    // A 120-day store where most tags are EPISODIC (each lives in its
+    // own 3-day window — the deploy-marker / per-customer-metric shape)
+    // plus a few dense tags, committed in 10 multi-segment batches.
+    // Claims measured: (a) a tagEq query on an episodic tag opens only
+    // its ~3 day partitions of 120+ (tag bloom sidecars), and the wall
+    // clock follows the file count; (b) a day-aligned scalar aggregate
+    // answers from .stats sidecars with ZERO scan, at manifest cost,
+    // however many events the range covers. Exactness asserted inline.
+    {
+      import graft.engine.{MetaStats, QueryEngine, TimeSeriesStore}
+      import graft.model.{Agg, QueryModel, TS}
+      val DAYMS = 86400000L
+      val days = 120
+      val stDir = java.nio.file.Files.createTempDirectory("soak-sidecar").toString
+      val st = new TimeSeriesStore(spark, stDir)
+      val batches = 10
+      val perBatch = days / batches
+      (0 until batches).foreach { b =>
+        val rows = for {
+          d <- (b * perBatch) until ((b + 1) * perBatch)
+          (t, r) <- (Seq("dense_a", "dense_b", "dense_c", "dense_d")
+              .flatMap(t => (0 until 40).map(r => (t, r)))) ++
+            // episodic: tag epi_<k> lives in days [3k, 3k+3)
+            (if (d / 3 < 40) (0 until 40).map(r => (s"epi_${d / 3}", r))
+             else Seq.empty)
+        } yield TS(d * DAYMS + (t.hashCode & 0x7fff) * 1000L + r, t, (d + r).toDouble)
+        val r = st.insert(rows.toDS())
+        require(r.isRight, s"soak sidecar batch $b insert failed: $r")
+      }
+      val (hit, total) = st.partitionCountForTag("epi_20")
+      val qmTag = QueryModel(tagEq = Some("epi_20"))
+      val (prunedRows, tPruned) = timed(
+        st.currentForTag("epi_20").filter(col("tag") === "epi_20").count())
+      val (fullRows, tFull) = timed(
+        st.current().filter(col("tag") === "epi_20").count())
+      require(prunedRows == fullRows, s"tag-pruned read diverged: $prunedRows vs $fullRows")
+      println(f"[soak] tagIndex: partitions=$hit/$total pruned=$tPruned%.2fs " +
+        f"full=$tFull%.2fs speedup=${tFull / tPruned}%.1fx (rows match)")
+      val qmCount = QueryModel(aggFunc = Some(Agg.Count))
+      val qmSum = QueryModel(ge = Some(10 * DAYMS), lt = Some(110 * DAYMS),
+        aggFunc = Some(Agg.Sum))
+      require(MetaStats.coverage(st, qmSum).exists(_._2.isEmpty),
+        "aligned 100-day window must be fully sidecar-covered")
+      val (metaCount, tMetaCount) = timed(QueryEngine.execute(st, qmCount, Seq.empty)
+        .fold(e => throw new IllegalStateException(e.message), _.head().getDouble(0)))
+      val (rawCount, tRawCount) = timed(QueryEngine.execute(st.current(), qmCount)
+        .fold(e => throw new IllegalStateException(e.message), _.head().getDouble(0)))
+      val (metaSum, tMetaSum) = timed(QueryEngine.execute(st, qmSum, Seq.empty)
+        .fold(e => throw new IllegalStateException(e.message), _.head().getDouble(0)))
+      val (rawSum, tRawSum) = timed(QueryEngine.execute(st.current(), qmSum)
+        .fold(e => throw new IllegalStateException(e.message), _.head().getDouble(0)))
+      require(metaCount == rawCount, s"meta count diverged: $metaCount vs $rawCount")
+      require(math.abs(metaSum - rawSum) <= 1e-9 * math.max(1.0, math.abs(rawSum)),
+        s"meta sum outside tolerance: $metaSum vs $rawSum")
+      println(f"[soak] metaStats: count meta=$tMetaCount%.3fs raw=$tRawCount%.3fs " +
+        f"sum(100d) meta=$tMetaSum%.3fs raw=$tRawSum%.3fs " +
+        f"speedups=${tRawCount / tMetaCount}%.1fx/${tRawSum / tMetaSum}%.1fx (values match)")
+    }
+
     spark.stop()
   }
 }

@@ -49,6 +49,13 @@ class RollupSqlRewriteSpec extends SparkSpec {
   private def readsStore(df: DataFrame): Boolean =
     planStr(df).contains("-store")
 
+  /** The metadata-stats rewrite: a literal plan reading NOTHING —
+    * neither the raw store nor any rollup directory. */
+  private def readsMeta(df: DataFrame): Boolean = {
+    val p = planStr(df)
+    !p.contains("-store") && !p.contains("parquet")
+  }
+
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq.map {
       case d: java.math.BigDecimal => d.toString
@@ -63,7 +70,9 @@ class RollupSqlRewriteSpec extends SparkSpec {
       val v = s"sqlrw_v${System.nanoTime()}"
       st.current().createOrReplaceTempView(v)
       val cases = Seq(
-        // global, no predicates
+        // global, no predicates — GLOBAL unfiltered shapes route past
+        // the rollup to the metadata-stats fold (literal plan, no scan
+        // of any kind); everything tag-filtered/grouped hits the rollup
         s"SELECT sum(value) AS s, count(*) AS c, min(value) AS mn, max(value) AS mx, avg(value) AS av FROM $v",
         // grouped by tag, day-aligned range
         s"SELECT tag, sum(value) AS s, count(*) AS c FROM $v WHERE timestamp >= $DAY AND timestamp < ${3 * DAY} GROUP BY tag ORDER BY tag",
@@ -75,7 +84,8 @@ class RollupSqlRewriteSpec extends SparkSpec {
         s"SELECT tag, min(value) AS mn FROM $v WHERE tag IN ('a', 'zzz') GROUP BY tag ORDER BY tag")
       cases.foreach { q =>
         val routed = spark.sql(q)
-        assert(readsRollup(routed, "-daily") || readsRollup(routed, "-hourly"),
+        assert(readsRollup(routed, "-daily") || readsRollup(routed, "-hourly") ||
+          readsMeta(routed),
           s"not rewritten: $q\n${planStr(routed)}")
         assert(!readsStore(routed), s"rewritten plan still reads raw store: $q")
         // force plan + rows while UNregistered (planning is lazy)
@@ -96,10 +106,12 @@ class RollupSqlRewriteSpec extends SparkSpec {
     try {
       val v = s"sqlrw_g${System.nanoTime()}"
       st.current().createOrReplaceTempView(v)
+      // the tag predicate keeps these off the metadata-stats fold, so
+      // the assertion isolates ROLLUP grain selection
       val dayS =
-        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= $DAY AND timestamp < ${2 * DAY}"
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= $DAY AND timestamp < ${2 * DAY} AND tag IN ('a', 'b')"
       val hourS =
-        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= ${DAY + 5 * HOUR} AND timestamp < ${DAY + 7 * HOUR}"
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp >= ${DAY + 5 * HOUR} AND timestamp < ${DAY + 7 * HOUR} AND tag IN ('a', 'b')"
       val dayQ = spark.sql(dayS)
       assert(readsRollup(dayQ, "-daily") && !readsRollup(dayQ, "-hourly"))
       val hourQ = spark.sql(hourS)
@@ -154,13 +166,21 @@ class RollupSqlRewriteSpec extends SparkSpec {
     try {
       val v = s"sqlrw_e${System.nanoTime()}"
       st.current().createOrReplaceTempView(v)
+      // global/unfiltered → the metadata-stats fold answers (literally)
       val q = s"SELECT sum(value) AS s, count(*) AS c, avg(value) AS av FROM $v " +
         s"WHERE timestamp >= ${100 * DAY} AND timestamp < ${101 * DAY}"
       val routed = spark.sql(q)
-      assert(readsRollup(routed, "-daily"))
+      assert(readsMeta(routed), planStr(routed))
       val r = routed.collect().head
       assert(r.isNullAt(0) && r.getLong(1) == 0L && r.isNullAt(2),
         s"empty-range semantics drifted: $r")
+      // tag-filtered → the ROLLUP path; same empty-input semantics
+      val qR = q + " AND tag IN ('a', 'b')"
+      val routedR = spark.sql(qR)
+      assert(readsRollup(routedR, "-daily"), planStr(routedR))
+      val rR = routedR.collect().head
+      assert(rR.isNullAt(0) && rR.getLong(1) == 0L && rR.isNullAt(2),
+        s"rollup empty-range semantics drifted: $rR")
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
@@ -229,15 +249,21 @@ class RollupSqlRewriteSpec extends SparkSpec {
       assert(st.insert(Seq(TS(9 * DAY, "z", 1.0)).toDS()).isRight)
       daily.refresh()
       val agg = before.groupBy().agg(count(lit(1)).as("c"))
-      assert(!readsRollup(agg, "-daily"),
-        "stale snapshot rewritten — snapshot isolation broken")
+      assert(!readsRollup(agg, "-daily") && readsStore(agg),
+        "stale snapshot rewritten — snapshot isolation broken " +
+          "(neither the rollup NOR the metadata fold may serve it)")
       assert(agg.collect().head.getLong(0) == cntBefore)
-      // a FRESH current() does route
+      // a FRESH current() does route — global count goes all the way
+      // to the metadata-stats fold (sidecars reflect the new insert)
       val v = s"sqlrw_s${System.nanoTime()}"
       st.current().createOrReplaceTempView(v)
       val fresh = spark.sql(s"SELECT count(*) AS c FROM $v")
-      assert(readsRollup(fresh, "-daily"))
+      assert(readsMeta(fresh), planStr(fresh))
       assert(fresh.collect().head.getLong(0) == cntBefore + 1)
+      // and a tag-filtered fresh count routes to the ROLLUP
+      val freshR = spark.sql(s"SELECT count(*) AS c FROM $v WHERE tag <> 'none'")
+      assert(readsRollup(freshR, "-daily"), planStr(freshR))
+      assert(freshR.collect().head.getLong(0) == cntBefore + 1)
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
@@ -287,9 +313,15 @@ class RollupSqlRewriteSpec extends SparkSpec {
     try {
       val v = s"sqlrw_n${System.nanoTime()}"
       st.current().createOrReplaceTempView(v)
-      val df = spark.sql(s"SELECT sum(value) AS s FROM $v")
+      // grouped shape: metadata-ineligible, so this isolates the
+      // rollup's no-base behavior (a GLOBAL sum would metadata-route)
+      val df = spark.sql(s"SELECT tag, sum(value) AS s FROM $v GROUP BY tag")
       assert(!readsRollup(df, "-daily") && readsStore(df))
       df.collect() // and it executes fine
+      // the global shape DOES answer — from sidecars, not the rollup
+      val g = spark.sql(s"SELECT sum(value) AS s FROM $v")
+      assert(readsMeta(g), planStr(g))
+      g.collect()
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
@@ -332,7 +364,10 @@ class RollupSqlRewriteSpec extends SparkSpec {
         val q = s"SELECT $sel FROM $v$where$grpClause$ordClause"
         val routed = spark.sql(q)
         val routedRows = rows(routed)
-        if (readsRollup(routed, "-daily") || readsRollup(routed, "-hourly"))
+        // rollup-routed or metadata-folded both count as rewritten (the
+        // global/unfiltered slice of the sweep now lands on MetaStats)
+        if (readsRollup(routed, "-daily") || readsRollup(routed, "-hourly") ||
+            readsMeta(routed))
           routedCount += 1
         RollupSqlRewrite.unregister(spark, st)
         val rawRows = rows(spark.sql(q))
@@ -521,10 +556,18 @@ class RollupSqlRewriteSpec extends SparkSpec {
       st.current().createOrReplaceTempView(v)
       val q = s"SELECT count(*) AS c FROM $v"
       val df = spark.sql(q)
-      assert(!readsRollup(df, "-frozen") && readsStore(df),
+      assert(!readsRollup(df, "-frozen"),
         "a frozen rollup must be passed over by SQL routing")
+      // (the global count still rewrites — to the METADATA fold over
+      // the retained manifest, which is result-identical to raw)
+      val routedCnt = df.collect().head.getLong(0)
+      RollupSqlRewrite.unregister(spark, st)
+      val rawCnt = spark.sql(q).collect().head.getLong(0)
+      RollupSqlRewrite.register(spark, st, Seq(frozen))
+      assert(routedCnt == rawCnt,
+        s"metadata fold over the retained store diverged: $routedCnt vs $rawCnt")
       // and the raw answer covers only the RETAINED days
-      val retained = df.collect().head.getLong(0)
+      val retained = rawCnt
       val full = frozen.answer(graft.model.QueryModel(
         aggFunc = Some(graft.model.Agg.Count))).get.head().getDouble(0)
       assert(full > retained.toDouble,
@@ -538,9 +581,15 @@ class RollupSqlRewriteSpec extends SparkSpec {
     RollupSqlRewrite.register(spark, st, Seq(daily))
     val v = s"sqlrw_u${System.nanoTime()}"
     st.current().createOrReplaceTempView(v)
-    assert(readsRollup(spark.sql(s"SELECT sum(value) AS s FROM $v"), "-daily"))
+    // tag-filtered → rollup; global → metadata fold; both die with
+    // unregistration
+    assert(readsRollup(
+      spark.sql(s"SELECT sum(value) AS s FROM $v WHERE tag <> 'none'"), "-daily"))
+    assert(readsMeta(spark.sql(s"SELECT sum(value) AS s FROM $v")))
     RollupSqlRewrite.unregister(spark, st)
-    val df = spark.sql(s"SELECT sum(value) AS s FROM $v")
+    val df = spark.sql(s"SELECT sum(value) AS s FROM $v WHERE tag <> 'none'")
     assert(!readsRollup(df, "-daily") && readsStore(df))
+    val dfG = spark.sql(s"SELECT sum(value) AS s FROM $v")
+    assert(readsStore(dfG), "unregistered global must scan raw again")
   }
 }

@@ -194,6 +194,47 @@ class TagPruneSpec extends SparkSpec {
     assert(r == Left(QueryError.NoData("No data for tag \"ghost\".")))
   }
 
+  // ---- tsEq point-probe pruning (the _tIx leg) -------------------------
+
+  test("point probe: tsEq opens only same-day partitions whose ts range holds it") {
+    val st = freshStore()
+    // two same-day segments with DISJOINT intra-day time ranges
+    assert(st.insert(Seq(TS(2 * DAY + 1000L, "a", 1.0),
+      TS(2 * DAY + 2000L, "b", 2.0)).toDS()).isRight)
+    assert(st.insert(Seq(TS(2 * DAY + 9000000L, "a", 3.0)).toDS()).isRight)
+    assert(st.insert(Seq(TS(5 * DAY, "a", 4.0)).toDS()).isRight) // other day
+    val (hit, total) = st.partitionCountForTs(2 * DAY + 1000L)
+    assert(total == 3 && hit == 1, s"point probe opened $hit/$total")
+    // exactness: pruned read filtered == full read filtered
+    val ts = 2 * DAY + 1000L
+    assert(rowsOf(st.currentForTs(ts).filter(col("timestamp") === ts)) ==
+      rowsOf(st.current().filter(col("timestamp") === ts)))
+    // a within-day MISS (between the two ranges) prunes to nothing
+    val (missHit, _) = st.partitionCountForTs(2 * DAY + 500000L)
+    assert(missHit == 0)
+    assert(st.currentForTs(2 * DAY + 500000L).isEmpty)
+  }
+
+  test("engine route: tsEq point lookup and its NoData miss through the pruned read") {
+    val st = freshStore()
+    assert(st.insert(Seq(TS(DAY + 42L, "x", 7.0), TS(3 * DAY, "y", 8.0)).toDS()).isRight)
+    val hitQ = QueryModel(tsEq = Some(DAY + 42L))
+    val viaEngine = QueryEngine.execute(st, hitQ, Seq.empty)
+      .getOrElse(fail("point route failed"))
+    assert(viaEngine.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(DAY + 42L, "x", 7.0)))
+    // miss inside an existing day → "No data for timestamp" (not tag)
+    val r = QueryEngine.execute(st, QueryModel(tsEq = Some(DAY + 43L)), Seq.empty)
+    assert(r == Left(graft.model.QueryError.NoData(
+      s"No data for timestamp ${DAY + 43L}.")))
+    // tagEq+tsEq keeps the TAG-pruned read: a tag that exists elsewhere
+    // must yield the timestamp message, not a spurious tag message
+    val r2 = QueryEngine.execute(st,
+      QueryModel(tsEq = Some(DAY + 43L), tagEq = Some("y")), Seq.empty)
+    assert(r2 == Left(graft.model.QueryError.NoData(
+      s"No data for timestamp ${DAY + 43L}.")))
+  }
+
   test("engine route: rollup-eligible tagEq shapes still route (pruning only on fallback)") {
     val st = freshStore()
     assert(st.insert(episodic(Seq("r1", "r2"), 2, 4).toDS()).isRight)
