@@ -1231,6 +1231,33 @@ object SparkEntry {
     // Approximate by design => rows-only (RollupSqlRewriteSpec gates
     // both against exact answers within the sketches' bounds); the
     // caggSqlAnswer tripwire proves they actually route
+    // resolution-aware auto-downsampling over the rollup pyramid
+    // (ContinuousAggregate.answerAtResolution): 14 days at a 5-point
+    // budget picks a 68h width from the HOURLY child (68h is no day
+    // multiple, so the daily rollup can't serve it) with a partial
+    // trailing window; the raw-events oracle re-derives the same
+    // 68h-anchored windows, proving selection + refold exact
+    "ts3_resolution_series" -> ((s, dir) => {
+      val (w, df) = graft.engine.ContinuousAggregate.answerAtResolution(
+        Seq(caggFor(s, dir, 3600000L), caggFor(s, dir)), T1, T2, maxPoints = 5)
+        .getOrElse(throw new IllegalStateException(
+          "ts3_resolution_series: resolution routing regressed"))
+      require(w == 68L * 3600000L, s"ts3_resolution_series: width drifted to $w")
+      df.select(col("window_start"), col("tag"),
+        col("cnt").cast("double").as("cnt"),
+        round(col("sum_val"), 4).as("sum_val"))
+    }),
+    // non-repetition Gopher quality rules (Rae et al. A1.1): seven
+    // shape/symbol/lexicon signals as ONE scan-stage projection, fully
+    // SQL-oracled (the repetition half is x_text_repetition)
+    "x_text_gopher_quality" -> ((s, dir) =>
+      graft.operators.GopherQuality.qualitySignals(
+        Tables.documents(s, dir).filter(col("doc_id") < 200))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_word_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("stop_word_hits"))
+        .orderBy(col("doc_id"))),
     // metadata-stats SQL routing: global day-aligned aggregates over
     // the store view become literal plans (ZERO scan — the tripwire in
     // metaSqlAnswer requires a parquet-free executed plan)
@@ -1581,6 +1608,17 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"), col("tok_start"),
           col("n_toks"), md5(col("chunk")).as("h"))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // Gopher repetition signals (Rae et al. 2021 A1.1): five
+    // per-document repetition fractions as ONE scan-stage projection
+    // (sorted-array run-length folds — no explode, no shuffle), fully
+    // SQL-oracled in DuckDB via unnest+group-by re-derivation
+    "x_text_repetition_gopher" -> ((s, dir) =>
+      graft.operators.Repetition.repetitionSignals(
+        Tables.documents(s, dir).filter(col("doc_id") < 200))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_2gram_char_frac"), col("top_3gram_char_frac"),
+          col("dup_5gram_char_frac"))
+        .orderBy(col("doc_id"))),
     // ---- dataloader sharding: epoch-1 corpus split into 4 disjoint
     // worker shards, each in its replayable permutation order
     "x_epoch_shards" -> ((s, dir) =>
@@ -2890,6 +2928,8 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t WHERE tag <> 'error'""",
     "ts3_cagg_sql_realtime_group_tag_sum" ->
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_resolution_series" ->
+      s"""SELECT $T1 + (("timestamp" - $T1) // ${68L * 3600000L}) * ${68L * 3600000L} AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t WHERE $range GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_meta_sql_scalar_stats" ->
       s"""SELECT CAST(count(*) AS DOUBLE) AS cnt_r, round(sum(value), 4) AS sum_r, round(avg(value), 4) AS avg_r, min(value) AS min_r, max(value) AS max_r FROM $FROM t""",
     "ts3_meta_sql_window_sum" ->
@@ -3413,6 +3453,86 @@ object SparkEntry {
         |      FROM c3)
         |SELECT curl, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
         |FROM c GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "x_text_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, word FROM (
+        |   SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word FROM d)
+        |   WHERE word <> ''),
+        |ws AS (SELECT doc_id, count(*) AS n_words, sum(len(word)) AS mass,
+        |         sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS alpha,
+        |         count(DISTINCT CASE WHEN lower(word) IN
+        |           ('the','be','to','of','and','that','have','with')
+        |           THEN lower(word) END) AS stops
+        |       FROM w GROUP BY 1),
+        |l AS (SELECT doc_id, trim(ln) AS ln FROM (
+        |   SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d)
+        |   WHERE trim(ln) <> ''),
+        |ls AS (SELECT doc_id, count(*) AS n_lines,
+        |         sum(CASE WHEN substr(ln, 1, 1) IN ('•', '-', '*') THEN 1 ELSE 0 END) AS bullets,
+        |         sum(CASE WHEN ln LIKE '%…' OR ln LIKE '%...' THEN 1 ELSE 0 END) AS ell
+        |       FROM l GROUP BY 1),
+        |sy AS (SELECT doc_id,
+        |         (len(text) - len(replace(text, '#', '')))
+        |         + (len(text) - len(replace(text, '…', '')))
+        |         + (len(text) - len(replace(text, '...', ''))) // 3 AS syms FROM d)
+        |SELECT d.doc_id,
+        |  coalesce(ws.n_words, 0) AS n_words,
+        |  round(coalesce(CAST(ws.mass AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS mean_word_len,
+        |  round(coalesce(CAST(sy.syms AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS symbol_word_ratio,
+        |  round(coalesce(CAST(ls.bullets AS DOUBLE) / nullif(ls.n_lines, 0), 0), 4) AS bullet_line_frac,
+        |  round(coalesce(CAST(ls.ell AS DOUBLE) / nullif(ls.n_lines, 0), 0), 4) AS ellipsis_line_frac,
+        |  round(coalesce(CAST(ws.alpha AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS alpha_word_frac,
+        |  coalesce(ws.stops, 0) AS stop_word_hits
+        |FROM d LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
+        |       LEFT JOIN sy USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_text_repetition_gopher" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |l AS (SELECT doc_id, ln FROM d, unnest(string_split(text, chr(10))) AS t(ln)
+        |      WHERE ln <> ''),
+        |lc AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2),
+        |lf AS (SELECT doc_id, sum(c) AS n, sum(c * len(ln)) AS m,
+        |         sum(c - 1) AS dups, sum((c - 1) * len(ln)) AS dupm
+        |       FROM lc GROUP BY 1),
+        |w0 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM d),
+        |wu AS (SELECT doc_id, i, ws[i] AS word
+        |       FROM w0, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''),
+        |wo AS (SELECT doc_id, word,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p FROM wu),
+        |wm AS (SELECT doc_id, sum(len(word)) AS w_mass FROM wo GROUP BY 1),
+        |g2 AS (SELECT a.doc_id, a.word || ' ' || b.word AS g,
+        |         len(a.word) + len(b.word) AS gl
+        |       FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |g2m AS (SELECT doc_id, max(c * gl) AS mass FROM
+        |         (SELECT doc_id, g, gl, count(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        |        GROUP BY 1),
+        |g3 AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g,
+        |         len(a.word) + len(b.word) + len(c.word) AS gl
+        |       FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                 JOIN wo c ON a.doc_id = c.doc_id AND c.p = a.p + 2),
+        |g3m AS (SELECT doc_id, max(c * gl) AS mass FROM
+        |         (SELECT doc_id, g, gl, count(*) AS c FROM g3 GROUP BY 1, 2, 3)
+        |        GROUP BY 1),
+        |g5 AS (SELECT a.doc_id,
+        |         a.word || ' ' || b.word || ' ' || c.word || ' ' || dd.word || ' ' || e.word AS g,
+        |         len(a.word) + len(b.word) + len(c.word) + len(dd.word) + len(e.word) AS gl
+        |       FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                 JOIN wo c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        |                 JOIN wo dd ON a.doc_id = dd.doc_id AND dd.p = a.p + 3
+        |                 JOIN wo e ON a.doc_id = e.doc_id AND e.p = a.p + 4),
+        |g5m AS (SELECT doc_id, sum(c * gl) AS mass FROM
+        |         (SELECT doc_id, g, gl, count(*) AS c FROM g5 GROUP BY 1, 2, 3)
+        |        WHERE c > 1 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(CAST(lf.dups AS DOUBLE) / nullif(lf.n, 0), 0), 4) AS dup_line_frac,
+        |  round(coalesce(CAST(lf.dupm AS DOUBLE) / nullif(lf.m, 0), 0), 4) AS dup_line_char_frac,
+        |  round(coalesce(CAST(g2m.mass AS DOUBLE) / nullif(wm.w_mass, 0), 0), 4) AS top_2gram_char_frac,
+        |  round(coalesce(CAST(g3m.mass AS DOUBLE) / nullif(wm.w_mass, 0), 0), 4) AS top_3gram_char_frac,
+        |  round(least(1.0, coalesce(CAST(g5m.mass AS DOUBLE) / nullif(wm.w_mass, 0), 0)), 4) AS dup_5gram_char_frac
+        |FROM d LEFT JOIN lf USING (doc_id) LEFT JOIN wm USING (doc_id)
+        |       LEFT JOIN g2m USING (doc_id) LEFT JOIN g3m USING (doc_id)
+        |       LEFT JOIN g5m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x_text_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
         |l AS (SELECT doc_id, i AS pos, ls[i] AS line

@@ -1220,4 +1220,63 @@ object ContinuousAggregate {
       * side (Timescale `interpolate()`); one-sided edges stay NULL. */
     case object Interp extends Fill
   }
+
+  /** Resolution-aware series over a rollup pyramid — the dashboard
+    * auto-downsampling pattern (Grafana's `$__interval`, Timescale's
+    * grain selection): given a range and a point budget, pick the
+    * bucket width and the cheapest rollup that can serve it, and
+    * refold a (window_start, tag) series.
+    *
+    * Width selection maximizes resolution within the budget: the
+    * smallest multiple of the FINEST eligible grain with
+    * span/width ≤ maxPoints (a repaint of a year at maxPoints=500
+    * lands on ~17.6 h → 18 h from an hourly child). Source selection
+    * then minimizes cost: among eligible rollups the COARSEST grain
+    * dividing that width serves (fewest refolded rows). Windows are
+    * anchored at `ge`, so bounds only need to align to the source
+    * grain, and a trailing partial window covers the remainder
+    * [start, lt) exactly.
+    *
+    * Eligibility per rollup: a refreshed base exists (real-time
+    * hybrid — exact at any staleness), not frozen (a frozen rollup
+    * answers over dropped raw history, changing the result vs raw),
+    * and `ge`/`lt` align to its grain. None when no rollup qualifies
+    * — the caller falls back to raw aggregation.
+    *
+    * Returns (widthMs, series) with columns (window_start, tag, cnt,
+    * sum_val, min_val, max_val), (window_start, tag)-ordered; Avg =
+    * sum_val/cnt at the call site, same float caveat as [[answer]].
+    */
+  def answerAtResolution(rollups: Seq[ContinuousAggregate],
+                         ge: Long, lt: Long, maxPoints: Int)
+      : Option[(Long, DataFrame)] = {
+    require(maxPoints >= 1, s"maxPoints=$maxPoints must be >= 1")
+    require(ge < lt, s"empty range [$ge, $lt)")
+    val span = lt - ge
+    val eligible = rollups.filter(r => !r.isFrozen &&
+      ge % r.grainMs == 0 && lt % r.grainMs == 0 &&
+      r.currentBase().isDefined)
+    eligible.map(_.grainMs).minOption.flatMap { gFine =>
+      val rawWidth = (span + maxPoints - 1) / maxPoints // ceil
+      val width = math.max(gFine, (rawWidth + gFine - 1) / gFine * gFine)
+      val source = eligible.filter(width % _.grainMs == 0)
+        .maxByOption(_.grainMs)
+      source.flatMap(_.currentBase()).map { base =>
+        val series = base
+          .filter(col("bucket_start") >= ge && col("bucket_start") < lt &&
+            col("g_day") >= ge / DayMs && col("g_day") <= (lt - 1) / DayMs)
+          // integer `div`, not float division — bucket offsets near
+          // 2^53 would round under a double quotient
+          .groupBy((expr(s"(bucket_start - $ge) div $width") * width + ge)
+              .as("window_start"),
+            col("tag"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"),
+            min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+          .orderBy(asc("window_start"), asc("tag"))
+        (width, series)
+      }
+    }
+  }
+
+  private val DayMs = 86400000L
 }

@@ -296,12 +296,23 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Array[Byte]]]()
 
-  private def tagMightContain(e: Entry, tag: String): Boolean =
+  /** Bound the sidecar caches on a long-lived server: entries are
+    * immutable but the KEY SPACE grows with history × mutation churn
+    * (every rewritten partition is a fresh key; superseded ones are
+    * never touched again). 16k blooms ≈ 128 MB — past that, clear and
+    * let the hot working set re-fault in (one small file read each;
+    * an LRU would buy little over this for append-mostly keys).
+    */
+  private val SidecarCacheCap = 16384
+
+  private def tagMightContain(e: Entry, tag: String): Boolean = {
+    if (bloomCache.size > SidecarCacheCap) bloomCache.clear()
     bloomCache.computeIfAbsent((e.seg, e.day), { _ =>
       val p = root.resolve(e.rel).resolve(TagSidecar)
       try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
       catch { case _: java.io.IOException => None }
     }).forall(TagBloom.mightContain(_, tag))
+  }
 
   /** Snapshot read pruned to the partitions that MAY contain `tag` —
     * the reference's tag-index scan (`_sIx`, SURVEY.md §1.2) at
@@ -326,13 +337,15 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[DayStats]]()
 
-  private def statsSidecar(e: Entry): Option[DayStats] =
+  private def statsSidecar(e: Entry): Option[DayStats] = {
+    if (statsCache.size > SidecarCacheCap) statsCache.clear()
     statsCache.computeIfAbsent((e.seg, e.day), { _ =>
       val p = root.resolve(e.rel).resolve(StatsSidecar)
       try {
         if (Files.exists(p)) DayStats.fromBytes(Files.readAllBytes(p)) else None
       } catch { case _: java.io.IOException => None }
     })
+  }
 
   /** The live partition list with each entry's `.stats` sidecar (None
     * for pre-sidecar segments) — [[MetaStats]]' planning surface. A day

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The non-repetition half of the Gopher quality rules (Rae et al.
+  * 2021, appendix A1.1; [[Repetition]] is the other half): per-document
+  * shape/symbol/lexicon signals and the paper's keep-rule thresholds.
+  * Together they form the standard first-pass web-text filter most
+  * public pretraining pipelines start from.
+  *
+  * Signals (pinned by GopherQualitySpec and the `x_text_gopher_quality`
+  * DuckDB oracle; word = maximal run of non-whitespace):
+  *  - `n_words`, `mean_word_len` (chars/word, 4 dp, 0 when empty);
+  *  - `symbol_word_ratio`: ('#' occurrences + '…' occurrences +
+  *    disjoint '...' occurrences) / words;
+  *  - `bullet_line_frac`: non-empty lines whose first non-blank char
+  *    is a bullet ('•', '-', '*') / non-empty lines;
+  *  - `ellipsis_line_frac`: non-empty lines ending in '…' or '...' /
+  *    non-empty lines;
+  *  - `alpha_word_frac`: words containing at least one ASCII letter /
+  *    words;
+  *  - `stop_word_hits`: how many DISTINCT words of {the, be, to, of,
+  *    and, that, have, with} appear (case-insensitive).
+  *
+  * Scale shape: like [[Repetition.repetitionSignals]], ONE scan-stage
+  * projection — splits plus codegen'd higher-order folds, no explode,
+  * no shuffle, no aggregation state. A pure mapper at any scale
+  * (GopherQualitySpec pins the no-Exchange plan).
+  */
+object GopherQuality {
+
+  private def occurrences(hayCol: String, needle: String): String =
+    s"CAST((length($hayCol) - length(replace($hayCol, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  def qualitySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = s"filter(split($textCol, '\\\\s+'), x -> x <> '')"
+    val lines = s"filter(transform(split($textCol, '\n'), x -> trim(x)), x -> x <> '')"
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .withColumn("n_words", expr(s"size($words)").cast("long"))
+      .withColumn("mean_word_len",
+        round(when(col("n_words") > 0,
+          expr(s"aggregate($words, 0L, (a, x) -> a + length(x))").cast("double")
+            / col("n_words")).otherwise(lit(0.0)), 4))
+      .withColumn("symbol_word_ratio",
+        round(when(col("n_words") > 0,
+          (expr(occurrences(textCol, "#")) + expr(occurrences(textCol, "…")) +
+            expr(occurrences(textCol, "..."))).cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("bullet_line_frac",
+        round(when(expr(s"size($lines)") > 0,
+          expr(s"""size(filter($lines, x ->
+              substring(x, 1, 1) IN ('•', '-', '*')))""").cast("double")
+            / expr(s"size($lines)")).otherwise(lit(0.0)), 4))
+      .withColumn("ellipsis_line_frac",
+        round(when(expr(s"size($lines)") > 0,
+          expr(s"""size(filter($lines, x ->
+              x LIKE '%…' OR x LIKE '%...'))""").cast("double")
+            / expr(s"size($lines)")).otherwise(lit(0.0)), 4))
+      .withColumn("alpha_word_frac",
+        round(when(col("n_words") > 0,
+          expr(s"size(filter($words, x -> x rlike '[A-Za-z]'))").cast("double")
+            / col("n_words")).otherwise(lit(0.0)), 4))
+      .withColumn("stop_word_hits",
+        expr(stops.map(w =>
+          s"IF(array_contains(transform($words, x -> lower(x)), '$w'), 1L, 0L)")
+          .mkString(" + ")))
+  }
+
+  /** The paper's keep-rule (thresholds from Gopher A1.1). Compose with
+    * [[Repetition.gopherRepetitionKeep]] for the full filter. */
+  def gopherQualityKeep(minWords: Long = 50L, maxWords: Long = 100000L,
+                        minMeanWordLen: Double = 3.0,
+                        maxMeanWordLen: Double = 10.0,
+                        maxSymbolWordRatio: Double = 0.1,
+                        maxBulletLineFrac: Double = 0.9,
+                        maxEllipsisLineFrac: Double = 0.3,
+                        minAlphaWordFrac: Double = 0.8,
+                        minStopWordHits: Long = 2L): Column =
+    col("n_words") >= minWords && col("n_words") <= maxWords &&
+      col("mean_word_len") >= minMeanWordLen &&
+      col("mean_word_len") <= maxMeanWordLen &&
+      col("symbol_word_ratio") <= maxSymbolWordRatio &&
+      col("bullet_line_frac") <= maxBulletLineFrac &&
+      col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+      col("alpha_word_frac") >= minAlphaWordFrac &&
+      col("stop_word_hits") >= minStopWordHits
+}
