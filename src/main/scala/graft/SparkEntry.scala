@@ -1247,9 +1247,31 @@ object SparkEntry {
         col("cnt").cast("double").as("cnt"),
         round(col("sum_val"), 4).as("sum_val"))
     }),
+    // the FULL Gopher first-pass filter end to end: both signal
+    // families stacked (two scan-stage mappers), both paper-threshold
+    // keep-rules, then a per-source survivors report — the whole
+    // pipeline re-derived in the DuckDB oracle, thresholds included
+    "x_pipeline_gopher" -> ((s, dir) =>
+      // doc_id < 1000 bounds the bench slice (covers the whole sf0.01
+      // oracle corpus; the per-doc signal costs are benched by the
+      // x_text_* queries — the pipeline query proves composition)
+      graft.operators.GopherQuality.qualitySignals(
+        graft.operators.Repetition.repetitionSignals(
+          Tables.documents(s, dir).filter(col("doc_id") < 1000)))
+        // thresholds are corpus knobs: the synthetic fixture's vocab
+        // contains few of the 8 English stop words, so the paper's
+        // stops>=2 keeps NOTHING here — one required stop word makes
+        // the filter discriminating (~half the corpus survives) while
+        // every other threshold stays at the paper default
+        .filter(graft.operators.Repetition.gopherRepetitionKeep() &&
+          graft.operators.GopherQuality.gopherQualityKeep(minStopWordHits = 1L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          sum(col("n_words")).as("n_words_kept"))
+        .orderBy(col("source"))),
     // non-repetition Gopher quality rules (Rae et al. A1.1): seven
     // shape/symbol/lexicon signals as ONE scan-stage projection, fully
-    // SQL-oracled (the repetition half is x_text_repetition)
+    // SQL-oracled (the repetition half is x_text_repetition_gopher)
     "x_text_gopher_quality" -> ((s, dir) =>
       graft.operators.GopherQuality.qualitySignals(
         Tables.documents(s, dir).filter(col("doc_id") < 200))
@@ -3453,6 +3475,83 @@ object SparkEntry {
         |      FROM c3)
         |SELECT curl, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
         |FROM c GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "x_pipeline_gopher" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 1000),
+        |l0 AS (SELECT doc_id, ln FROM d, unnest(string_split(text, chr(10))) AS t(ln)
+        |       WHERE ln <> ''),
+        |lc AS (SELECT doc_id, ln, count(*) AS c FROM l0 GROUP BY 1, 2),
+        |lf AS (SELECT doc_id, sum(c) AS n, sum(c * len(ln)) AS m,
+        |         sum(c - 1) AS dups, sum((c - 1) * len(ln)) AS dupm
+        |       FROM lc GROUP BY 1),
+        |w0 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS wsa FROM d),
+        |wu AS (SELECT doc_id, i, wsa[i] AS word
+        |       FROM w0, unnest(range(1, len(wsa) + 1)) AS t(i) WHERE wsa[i] <> ''),
+        |wo AS (SELECT doc_id, word,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p FROM wu),
+        |ws AS (SELECT doc_id, count(*) AS n_words, sum(len(word)) AS mass,
+        |         sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS alpha,
+        |         count(DISTINCT CASE WHEN lower(word) IN
+        |           ('the','be','to','of','and','that','have','with')
+        |           THEN lower(word) END) AS stops
+        |       FROM wo GROUP BY 1),
+        |g2m AS (SELECT doc_id, max(c * gl) AS mass FROM
+        |         (SELECT a.doc_id, a.word || ' ' || b.word AS g,
+        |            len(a.word) + len(b.word) AS gl, count(*) AS c
+        |          FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |          GROUP BY 1, 2, 3) GROUP BY 1),
+        |g3m AS (SELECT doc_id, max(c * gl) AS mass FROM
+        |         (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c3.word AS g,
+        |            len(a.word) + len(b.word) + len(c3.word) AS gl, count(*) AS c
+        |          FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                    JOIN wo c3 ON a.doc_id = c3.doc_id AND c3.p = a.p + 2
+        |          GROUP BY 1, 2, 3) GROUP BY 1),
+        |g5m AS (SELECT doc_id, sum(c * gl) AS mass FROM
+        |         (SELECT a.doc_id,
+        |            a.word || ' ' || b.word || ' ' || c3.word || ' ' || d4.word || ' ' || e5.word AS g,
+        |            len(a.word) + len(b.word) + len(c3.word) + len(d4.word) + len(e5.word) AS gl,
+        |            count(*) AS c
+        |          FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |                    JOIN wo c3 ON a.doc_id = c3.doc_id AND c3.p = a.p + 2
+        |                    JOIN wo d4 ON a.doc_id = d4.doc_id AND d4.p = a.p + 3
+        |                    JOIN wo e5 ON a.doc_id = e5.doc_id AND e5.p = a.p + 4
+        |          GROUP BY 1, 2, 3) WHERE c > 1 GROUP BY 1),
+        |lt AS (SELECT doc_id, trim(ln) AS ln FROM (
+        |   SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d)
+        |   WHERE trim(ln) <> ''),
+        |ls AS (SELECT doc_id, count(*) AS n_lines,
+        |         sum(CASE WHEN substr(ln, 1, 1) IN ('•', '-', '*') THEN 1 ELSE 0 END) AS bullets,
+        |         sum(CASE WHEN ln LIKE '%…' OR ln LIKE '%...' THEN 1 ELSE 0 END) AS ell
+        |       FROM lt GROUP BY 1),
+        |sy AS (SELECT doc_id,
+        |         (len(text) - len(replace(text, '#', '')))
+        |         + (len(text) - len(replace(text, '…', '')))
+        |         + (len(text) - len(replace(text, '...', ''))) // 3 AS syms FROM d),
+        |sig AS (SELECT d.doc_id, d.source,
+        |  coalesce(ws.n_words, 0) AS n_words,
+        |  round(coalesce(CAST(lf.dups AS DOUBLE) / nullif(lf.n, 0), 0), 4) AS dup_line_frac,
+        |  round(coalesce(CAST(lf.dupm AS DOUBLE) / nullif(lf.m, 0), 0), 4) AS dup_line_char_frac,
+        |  round(coalesce(CAST(g2m.mass AS DOUBLE) / nullif(ws.mass, 0), 0), 4) AS top2,
+        |  round(coalesce(CAST(g3m.mass AS DOUBLE) / nullif(ws.mass, 0), 0), 4) AS top3,
+        |  round(least(1.0, coalesce(CAST(g5m.mass AS DOUBLE) / nullif(ws.mass, 0), 0)), 4) AS dup5,
+        |  round(coalesce(CAST(ws.mass AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS mwl,
+        |  round(coalesce(CAST(sy.syms AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS symr,
+        |  round(coalesce(CAST(ls.bullets AS DOUBLE) / nullif(ls.n_lines, 0), 0), 4) AS bullf,
+        |  round(coalesce(CAST(ls.ell AS DOUBLE) / nullif(ls.n_lines, 0), 0), 4) AS ellf,
+        |  round(coalesce(CAST(ws.alpha AS DOUBLE) / nullif(ws.n_words, 0), 0), 4) AS alphaf,
+        |  coalesce(ws.stops, 0) AS stops
+        |FROM d LEFT JOIN lf USING (doc_id) LEFT JOIN ws USING (doc_id)
+        |       LEFT JOIN g2m USING (doc_id) LEFT JOIN g3m USING (doc_id)
+        |       LEFT JOIN g5m USING (doc_id) LEFT JOIN ls USING (doc_id)
+        |       LEFT JOIN sy USING (doc_id))
+        |SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS n_words_kept
+        |FROM sig
+        |WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |  AND top2 <= 0.20 AND top3 <= 0.18 AND dup5 <= 0.15
+        |  AND n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |  AND symr <= 0.1 AND bullf <= 0.9 AND ellf <= 0.3
+        |  AND alphaf >= 0.8 AND stops >= 1
+        |GROUP BY source ORDER BY source""".stripMargin,
     "x_text_gopher_quality" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |w AS (SELECT doc_id, word FROM (

@@ -122,6 +122,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Gopher filter queries are pure mappers: no hash exchange, no explode") {
+    // both signal families are single scan-stage projections built from
+    // sorted-array run-length folds — a hashpartitioning exchange or a
+    // Generate (explode) here means the per-document computation leaked
+    // into a per-line/per-gram shuffle, which at 100 TB turns a mapper
+    // into a corpus-wide aggregation
+    Seq("x_text_repetition_gopher", "x_text_gopher_quality").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("hashpartitioning"),
+        s"$n: repetition/quality signals must not shuffle")
+      assert(!p.contains("Generate"), s"$n: signals must not explode")
+      val rangeEx = "rangepartitioning\\(".r.findAllIn(p).size
+      assert(rangeEx == 1, s"$n: $rangeEx range exchanges (expected only the output sort)")
+    }
+  }
+
   test("TS analytics pack stays keyed-parallel (one tag shuffle, one output sort)") {
     // time-weighted avg and counter rate are window-then-aggregate on
     // the same tag key: the groupBy must REUSE the window's hash
