@@ -1031,6 +1031,14 @@ object SparkEntry {
         aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
     "ts3_cagg_group_tag_min" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag)))),
+    // gt/le-form bounds (`gt = T1−1 ≡ ge T1`, `le = T2−1 ≡ lt T2` at ms
+    // granularity): canonicalTsBounds normalizes BEFORE the rollup
+    // alignment gate, so this routes identically to the ge/lt twin —
+    // caggAnswer's require() is the tripwire proving it (round-9
+    // residual #1: these shapes used to silently pay the raw scan)
+    "ts3_cagg_gt_bound_routed" -> ((s, dir) => caggAnswer(s, dir,
+      QueryModel(gt = Some(T1 - 1), le = Some(T2 - 1),
+        aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
     "ts3_cagg_scalar_sum" -> ((s, dir) => caggAnswer(s, dir,
       QueryModel(ge = Some(T1), lt = Some(T2), aggFunc = Some(Agg.Sum)))
       .withColumn("result", round(col("result"), 4))),
@@ -1217,6 +1225,26 @@ object SparkEntry {
         "SELECT (timestamp DIV 86400000) * 86400000 AS window_start, tag, " +
         "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
         s"FROM $v GROUP BY 1, 2 ORDER BY window_start, tag")),
+    // the TimescaleDB-spelled tumbling key: time_bucket(w, ts) is a
+    // registered parse-time expansion to `(ts DIV w) * w`, so SQL
+    // written the Timescale way routes with no idiom knowledge — same
+    // oracle family as ts3_cagg_sql_window_1d, tripwire-proved routed
+    "ts3_cagg_sql_time_bucket" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT time_bucket(86400000, timestamp) AS window_start, tag, " +
+        "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
+        s"FROM $v GROUP BY 1, 2 ORDER BY window_start, tag")),
+    // SLIDING windows in PLAIN SQL: hop_starts(ts, slide, width)
+    // explodes each row into its width/slide window starts; the
+    // rewrite recognizes the Generate and refolds rollup buckets
+    // through the SAME explode (O(buckets × width/slide) rows, never
+    // raw events) — sliding windows reach SQL, not just answerWindow
+    "ts3_cagg_sql_hop" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT w AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, " +
+        "round(sum(value), 4) AS sum_val FROM " +
+        s"$v LATERAL VIEW explode(hop_starts(timestamp, 86400000, 172800000)) h AS w " +
+        "GROUP BY w, tag ORDER BY window_start, tag")),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -2896,6 +2924,8 @@ object SparkEntry {
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE $range GROUP BY tag ORDER BY grp""",
     "ts3_cagg_group_tag_min" ->
       s"""SELECT tag AS grp, min(value) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "ts3_cagg_gt_bound_routed" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t WHERE "timestamp" > ${T1 - 1} AND "timestamp" <= ${T2 - 1} GROUP BY tag ORDER BY grp""",
     "ts3_cagg_scalar_sum" ->
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE $range""",
     "ts3_cagg_hourly_group_tag_count" ->
@@ -2960,6 +2990,14 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_by_day_having" ->
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
+    "ts3_cagg_sql_time_bucket" ->
+      s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "ts3_cagg_sql_hop" ->
+      s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
+        |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t
+        |  UNION ALL
+        |  SELECT ("timestamp" // 86400000) * 86400000 - 86400000 AS window_start, tag, value FROM $FROM t
+        |) GROUP BY window_start, tag ORDER BY window_start, tag""".stripMargin,
     "ts3_cagg_time_weighted" ->
       s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
         |s AS (SELECT tag, value,

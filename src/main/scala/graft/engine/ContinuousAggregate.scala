@@ -623,8 +623,13 @@ final class ContinuousAggregate(spark: SparkSession,
     * inherent in ANY distributed aggregation (the raw path's partial
     * aggregates reassociate too); exact for integer-valued series.
     */
-  def answer(qm: graft.model.QueryModel): Option[DataFrame] = {
+  def answer(qm0: graft.model.QueryModel): Option[DataFrame] = {
     import graft.model._
+    // gt/le convert to ge/lt at millisecond granularity BEFORE the
+    // alignment check (gt bucketStart−1 must route exactly like
+    // ge bucketStart — the same normalization RollupSqlRewrite and
+    // MetaStats perform; round-9 verdict residual #1)
+    val qm = QueryModel.canonicalTsBounds(qm0)
     val D = 86400000L
     val aligned = qm.gt.isEmpty && qm.le.isEmpty && qm.tsEq.isEmpty &&
       qm.ge.forall(_ % bucketMs == 0) && qm.lt.forall(_ % bucketMs == 0)

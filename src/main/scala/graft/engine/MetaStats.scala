@@ -87,7 +87,14 @@ object MetaStats {
     * the query shape is not metadata-answerable.
     */
   private[graft] def coverage(store: TimeSeriesStore, qm: QueryModel)
-      : Option[(Acc, Set[Long])] = {
+      : Option[(Acc, Set[Long])] = coverage(store.liveDayStats(), qm)
+
+  /** [[coverage]] over a PINNED day-stats list — callers that must fold
+    * a specific already-validated snapshot (the SQL rewrite's TOCTOU
+    * guard) pass the list they pinned instead of re-reading live state.
+    */
+  private[graft] def coverage(dayStats: Seq[(Long, Option[DayStats])],
+                              qm: QueryModel): Option[(Acc, Set[Long])] = {
     val shapeOk = ResultShape.of(qm) == ResultShape.Scalar &&
       qm.tagEq.isEmpty && qm.tsEq.isEmpty
     if (!shapeOk) return None
@@ -102,7 +109,7 @@ object MetaStats {
     // group stats BY DAY: a day is stats-answerable only when EVERY one
     // of its entries has a sidecar — the scan reads whole days, so a
     // half-covered day in the fold would double-count the scanned part
-    val byDay = store.liveDayStats().groupBy(_._1)
+    val byDay = dayStats.groupBy(_._1)
     var acc = empty
     var scan = Set.empty[Long]
     byDay.foreach { case (d, entries) =>

@@ -179,7 +179,12 @@ object QueryEngine {
     */
   def execute(store: TimeSeriesStore, qm0: QueryModel,
               rollups: Seq[ContinuousAggregate]): Either[QueryError, DataFrame] =
-    Validation.validate(qm0).flatMap { qm =>
+    Validation.validate(qm0).flatMap { qmV =>
+      // canonical [ge, lt) bounds (gt v ≡ ge v+1, le v ≡ lt v+1 at ms
+      // granularity): result-equivalent everywhere, and required so the
+      // rollup/MetaStats gates and the routed-path guard windows see
+      // the same normalized bounds the rewrite rules already use
+      val qm = QueryModel.canonicalTsBounds(qmV)
       val routed = rollups
         .sortBy(-_.grainMs)
         .iterator.flatMap { r =>

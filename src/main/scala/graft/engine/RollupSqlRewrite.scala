@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -116,21 +116,61 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     * intermediate Project (the optimizer extracts complex grouping
     * keys into `Project [... AS _groupingexpression]` below the
     * Aggregate — resolving those back to store-column expressions is
-    * what lets window groupings match). */
-  private case class Src(leaves: Seq[Leaf], defs: Map[ExprId, Expression])
+    * what lets window groupings match), + at most one Explode
+    * generator (`gen` = its output attribute and leaf-resolved array
+    * expression — the LATERAL VIEW sliding-window idiom). */
+  private case class Src(leaves: Seq[Leaf], defs: Map[ExprId, Expression],
+                         gen: Option[(Attribute, Expression)] = None)
 
   /** Destructure a candidate source subtree into store-scan leaves.
     * Only shapes [[TimeSeriesStore.current]] plans can optimize into
     * are accepted: Union / Project (attrs + deterministic aliases) /
-    * Filter over parquet [[LogicalRelation]]s. Anything else → None.
+    * Filter / a single Explode [[Generate]] over parquet
+    * [[LogicalRelation]]s. Anything else → None.
     */
   private def destructure(plan: LogicalPlan): Option[Src] = plan match {
     case u: Union =>
       val parts = u.children.map(destructure)
-      if (parts.forall(_.isDefined))
-        Some(Src(parts.flatMap(_.get.leaves),
-          parts.flatMap(_.get.defs).toMap))
+      if (parts.forall(p => p.isDefined && p.get.gen.isEmpty)) {
+        val srcs = parts.map(_.get)
+        // positional def compatibility: the union's output column p
+        // must resolve to the SAME leaf expression in every branch.
+        // Branches that define an output DIFFERENTLY (the shifted-key
+        // sliding-window UNION ALL idiom: branch i projects
+        // `(ts DIV s)*s − i·s` under one shared column) must NOT be
+        // rewritten — `resolve` sees only the first branch's def, so a
+        // single rebuilt Aggregate would silently collapse the other
+        // branches' labels AND lose the per-row duplication. Bail to
+        // the raw plan (RollupSqlRewriteSpec pins this).
+        val compatible = u.output.indices.forall { p =>
+          u.children.zip(srcs).map { case (c, s) =>
+            val out = c.output(p)
+            norm(s.defs.getOrElse(out.exprId, out))
+          }.distinct.sizeIs == 1
+        }
+        if (!compatible) None
+        else Some(Src(srcs.flatMap(_.leaves), srcs.flatMap(_.defs).toMap))
+      }
       else None
+    case g: Generate =>
+      // one Explode over an array expression of leaf columns — the
+      // LATERAL VIEW sliding-window idiom. `outer` changes row
+      // multiplicity on empty arrays; a second generator or a
+      // non-Explode generator is outside the vocabulary.
+      g.generator match {
+        case Explode(arr) if !g.outer && g.generatorOutput.sizeIs == 1 =>
+          destructure(g.child).flatMap { src =>
+            if (src.gen.isDefined) None
+            else {
+              val resolved = arr.transformUp {
+                case a: AttributeReference if src.defs.contains(a.exprId) =>
+                  src.defs(a.exprId)
+              }
+              Some(src.copy(gen = Some((g.generatorOutput.head, resolved))))
+            }
+          }
+        case _ => None
+      }
     case Project(ps, child) if ps.forall {
         case _: AttributeReference => true
         case a: Alias => a.child.deterministic
@@ -146,19 +186,22 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
               below(ar.exprId)
           }
         }
-        Src(src.leaves, below ++ mine)
+        // copy() — NOT a fresh Src — so `gen` survives: dropping it
+        // here would hide an Explode under a pruning Project and let
+        // the metadata/rollup folds serve a row-multiplied source
+        src.copy(defs = below ++ mine)
       }
     case Filter(cond, child) =>
       destructure(child).map { src =>
         val cs = splitConjunctivePredicates(cond)
-        Src(src.leaves match {
+        src.copy(leaves = src.leaves match {
           case Seq(one) => Seq(one.copy(conds = one.conds ++ cs))
           case many =>
             // a Filter above a Union only happens for conds pushdown
             // chose not to move; attach to every leaf (they must agree
             // cross-leaf anyway)
             many.map(l => l.copy(conds = l.conds ++ cs))
-        }, src.defs)
+        })
       }
     case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.toList match {
@@ -232,7 +275,8 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     Some((days, ge, lt, tagConds.result()))
   }
 
-  /** `(timestamp DIV w) * w` — the tumbling-window grouping key. */
+  /** `(timestamp DIV w) * w` — the tumbling-window grouping key
+    * (also what a registered `time_bucket(w, ts)` expands to). */
   private def windowOf(e: Expression): Option[Long] = e match {
     case m: Multiply => m.left match {
       case idv: IntegralDivide if isAttr(idv.left, "timestamp") =>
@@ -242,6 +286,29 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         }
       case _ => None
     }
+    case _ => None
+  }
+
+  /** `sequence(tumble + (slide − width), tumble, slide)` over the
+    * timestamp — what a registered `hop_starts(ts, slide, width)`
+    * expands to: the array of sliding-window starts containing the
+    * row. Returns (slideMs, widthMs). The width == slide degenerate
+    * (lo ≡ tumble) and an explicit Add offset are both accepted.
+    */
+  private def hopOf(e: Expression): Option[(Long, Long)] = e match {
+    case Sequence(lo, hi, Some(step), _) =>
+      for {
+        s <- windowOf(hi)
+        st <- longLit(step)
+        if st == s
+        width <- lo match {
+          case Add(l, r, _) if l.semanticEquals(hi) =>
+            longLit(r).filter(_ <= 0).map(c => s - c)
+          case l if l.semanticEquals(hi) => Some(s)
+          case _ => None
+        }
+        if width > 0 && width % s == 0
+      } yield (s, width)
     case _ => None
   }
 
@@ -275,18 +342,28 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       }
       rGroup = agg.groupingExpressions.map(resolve)
       rAggEx = agg.aggregateExpressions.map(resolveNamed)
+      // an Explode in the source must be a recognized hop_starts
+      // pattern — any other generator changes row multiplicity in ways
+      // the refold can't reproduce, so the whole rewrite declines
+      hop = src.gen.flatMap { case (attr, arr) =>
+        hopOf(arr).map { case (s, w) => (attr, s, w) }
+      }
+      if src.gen.isEmpty || hop.isDefined
       if rGroup.forall {
         case a: AttributeReference if a.name == "tag" => true
         case a: AttributeReference if a.name == "g_day" => true
+        case a: AttributeReference if hop.exists(_._1.exprId == a.exprId) => true
         case e if windowOf(e).isDefined => true
         case _: Literal => true
         case _ => false
       }
       // g_day (the store's day partition column) groups like a
       // day-width window: exact iff the grain divides a day (coarse
-      // weekly/monthly buckets carry only their START day label)
+      // weekly/monthly buckets carry only their START day label);
+      // a hop's slide is its alignment unit (width is a multiple)
       windows = rGroup.flatMap(windowOf) ++
-        rGroup.collect { case a: AttributeReference if a.name == "g_day" => DayMs }
+        rGroup.collect { case a: AttributeReference if a.name == "g_day" => DayMs } ++
+        hop.map(_._2)
       (store, rollups) <- registered.values.find { case (st, _) =>
         leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
       }
@@ -305,13 +382,16 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
               leaf.segPath -> c._1
             }.groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
             // the SNAPSHOT GUARD: the plan must read exactly the
-            // store's current version
+            // store's current version (planSig rides along so the
+            // MetaStats fold can re-verify it AFTER its own state read)
             if (planSig != store.snapshotSignature) None
-            else per.flatten.headOption.map { case (_, g, l, t) => (g, l, t) }
+            else per.flatten.headOption.map { case (_, g, l, t) =>
+              (g, l, t, planSig)
+            }
           }
         }
       }
-      (ge, lt, tagConds) = classified
+      (ge, lt, tagConds, planSig) = classified
       // metadata stats beat any rollup when they apply: a GLOBAL
       // aggregate with day-aligned/absent bounds and no tag predicate
       // folds the store's .stats sidecars into a literal one-row plan —
@@ -322,7 +402,11 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       // store has dropped, which would CHANGE the plain-SQL result
       // (the engine-routed QueryModel path is the explicit
       // downsampling surface; this rule's contract is result-identity)
-      rewritten <- metaStatsRewrite(rGroup, rAggEx, store, ge, lt, tagConds)
+      rewritten <- (if (hop.isDefined) None
+        // a hop multiplies every row by width/slide — the metadata
+        // fold must never serve an exploded source
+        else metaStatsRewrite(rGroup, rAggEx, store, ge, lt, tagConds,
+          planSig))
         .orElse(rollups.filterNot(_.isFrozen)
         .sortBy(-_.grainMs).iterator.flatMap { r =>
         val aligned = ge.forall(_ % r.grainMs == 0) &&
@@ -331,7 +415,7 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         if (!aligned) Iterator.empty
         else r.currentBase().iterator.flatMap { base =>
           buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds,
-            r.isSketched)
+            r.isSketched, hop)
         }
       }.nextOption())
     } yield rewritten
@@ -351,11 +435,21 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
                                rAggEx: Seq[NamedExpression],
                                store: TimeSeriesStore,
                                ge: Option[Long], lt: Option[Long],
-                               tagConds: Seq[Expression]): Option[LogicalPlan] = {
+                               tagConds: Seq[Expression],
+                               planSig: Map[String, Set[Long]]): Option[LogicalPlan] = {
     if (rGroup.nonEmpty || tagConds.nonEmpty) return None
     val qm = graft.model.QueryModel(ge = ge, lt = lt,
       aggFunc = Some(graft.model.Agg.Count))
-    MetaStats.coverage(store, qm).filter(_._2.isEmpty).flatMap { case (acc, _) =>
+    // TOCTOU guard (round-9 ADVICE #3): the day-stats list is PINNED
+    // here and the snapshot signature re-verified AFTER the pin — a
+    // commit landing between tryRewrite's signature check and this
+    // fold would otherwise make the literal answer reflect a newer
+    // store version than the one the guard validated. Segment names
+    // are UUID-suffixed, so a signature that still equals planSig
+    // proves no commit landed in between (no A-B-A).
+    val pinned = store.liveDayStats()
+    if (store.snapshotSignature != planSig) return None
+    MetaStats.coverage(pinned, qm).filter(_._2.isEmpty).flatMap { case (acc, _) =>
       val emptyIn = acc.rows == 0L
       def dlit(d: Double): Expression =
         if (emptyIn) Literal(null, DoubleType) else Literal(d, DoubleType)
@@ -392,7 +486,9 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
                                    base: org.apache.spark.sql.DataFrame,
                                    ge: Option[Long], lt: Option[Long],
                                    tagConds: Seq[Expression],
-                                   sketched: Boolean): Option[LogicalPlan] = {
+                                   sketched: Boolean,
+                                   hop: Option[(Attribute, Long, Long)] = None)
+      : Option[LogicalPlan] = {
     val basePlan = base.queryExecution.analyzed
     def b(name: String): Attribute = basePlan.output.find(_.name == name).get
     val (bTag, bCnt, bSum, bMin, bMax, bBucket, bDay) =
@@ -420,7 +516,25 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       tagConds.map(_.transform {
         case a: AttributeReference if a.name == "tag" => bTag
       })
-    val newChild = boundConds.reduceOption(And).fold(basePlan)(Filter(_, basePlan))
+    val filtered = boundConds.reduceOption(And).fold(basePlan)(Filter(_, basePlan))
+    // hop rebuild: re-derive each bucket's window-start array from
+    // bucket_start — exact because slide (and so width) is a multiple
+    // of the grain (alignment already checked), so every event in a
+    // bucket shares the bucket's window set. The generator output
+    // keeps the ORIGINAL attribute, so the Aggregate's grouping and
+    // projections resolve unchanged. O(buckets × width/slide) rows.
+    val newChild = hop.fold(filtered) { case (attr, s, w) =>
+      val tumble = Multiply(IntegralDivide(bBucket, Literal(s)), Literal(s))
+      val lo = if (s == w) tumble else Add(tumble, Literal(s - w))
+      // timeZoneId must be filled HERE: Sequence is TimeZoneAware and
+      // the analyzer's ResolveTimeZone has already run — an optimizer-
+      // built Sequence without it is unresolved and fails plan
+      // validation (it is ignored for integral sequences)
+      Generate(Explode(Sequence(lo, tumble, Some(Literal(s)),
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(attr), child = filtered)
+    }
 
     def aggE(f: AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
@@ -431,6 +545,8 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     // checked); literals are constant either way
     var ok = true
     val newGrouping = rGroup.map {
+      case a: AttributeReference if hop.exists(_._1.exprId == a.exprId) =>
+        a // provided by the rebuilt Generate under the same exprId
       case a: AttributeReference if a.name == "tag" => bTag
       case a: AttributeReference if a.name == "g_day" => bDay
       case e if windowOf(e).isDefined =>
@@ -520,6 +636,9 @@ object RollupSqlRewrite {
     */
   def register(spark: SparkSession, store: TimeSeriesStore,
                rollups: Seq[ContinuousAggregate]): Unit = {
+    // the SQL vocabulary users route through: time_bucket (tumbling
+    // keys) and hop_starts (sliding windows via LATERAL VIEW explode)
+    graft.functions.TimeFunctions.register(spark)
     val rule = installed.synchronized {
       installed.getOrElseUpdate(spark, {
         val r = new RollupSqlRewrite()

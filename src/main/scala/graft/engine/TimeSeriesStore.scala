@@ -262,9 +262,20 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     // the data files themselves (a crash orphan is vacuumed whole);
     // toLocalIterator keeps the driver at one row however many days a
     // compaction rewrites. Dot-named, so parquet scans ignore them.
+    //
+    // Aggregated from the JUST-WRITTEN segment files, not the input
+    // DataFrame: the caller's cache of the batch is best-effort, and a
+    // nondeterministic source recomputed after block eviction could
+    // make input-derived sidecars disagree with the written bytes — a
+    // bloom false negative would then silently drop rows from pruned
+    // reads, the one failure mode the sidecar design promises never
+    // happens (round-9 ADVICE #2). Reading the segment back costs one
+    // extra pass over the batch (OS-cache-warm, local to the mutation),
+    // and the sidecars are derived from the exact bytes they index.
     TagBloom.register(df.sparkSession)
-    df.select(expr("timestamp div 86400000").as("g_day"), col("tag"),
-        col("value"), col("timestamp"))
+    df.sparkSession.read
+      .schema("timestamp LONG, tag STRING, value DOUBLE, g_day LONG")
+      .parquet(root.resolve(seg).toString)
       .groupBy(col("g_day")).agg(
         TagBloom.tagBloom(col("tag")).as("bloom"),
         count(lit(1)).as("rows"),
@@ -510,7 +521,18 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
       if (b.isEmpty) return Right(())
       val withinDup = b.groupBy(col("timestamp"), col("tag"))
         .count().filter(col("count") > 1)
-      val dupErrs = keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).")
+      // timestamps are nonnegative epoch millis BY CONTRACT, enforced
+      // here at the store's only row-creating seam: every piece of day
+      // math downstream (`g_day = timestamp div 86400000` at write,
+      // floorDiv probes in currentForTs/dropDaysBefore, MetaStats'
+      // [d·D, (d+1)·D) coverage, the rollups' pmod bucketing) agrees
+      // only on nonnegative inputs — a row at ts=−1000 would land in
+      // g_day=0 under `div` while the point probe looks in day −1,
+      // making the pruned lookup silently miss it (round-9 ADVICE #1).
+      val negErrs = keyErrors(b.filter(col("timestamp") < 0),
+        (t, g) => s"Negative timestamp not supported: ($t, $g).")
+      val dupErrs = negErrs ++
+        keyErrors(withinDup, (t, g) => s"Duplicate key in batch: ($t, $g).")
       // the batch's segment is written once and reused across retries
       // (segments are content-immutable); if a retry's re-validation
       // rejects the batch it stays behind as an age-guarded orphan for

@@ -62,6 +62,36 @@ final case class QueryModel(
     limit: Option[Int] = None
 )
 
+object QueryModel {
+  /** Canonicalize the open timestamp bounds to half-open `[ge, lt)`
+    * form at millisecond granularity: `gt v ≡ ge v+1` and
+    * `le v ≡ lt v+1` over Long timestamps. Result-equivalent for every
+    * query path (the predicates select the same rows), and it is what
+    * lets the bucket-alignment gates — [[graft.engine.ContinuousAggregate.answer]],
+    * the rollup routing in QueryEngine.execute — accept a
+    * `gt = bucketStart − 1` bound instead of silently paying the
+    * O(events) raw plan (the SQL rewrite and MetaStats already
+    * normalized this way; the QueryModel gate was the odd one out).
+    *
+    * Overflow edges stay untouched rather than wrap: `gt Long.MaxValue`
+    * (an empty range — only the raw path expresses it) is kept as gt;
+    * `le Long.MaxValue` (no bound at all) is dropped entirely.
+    * Validation forbids gt+ge and lt+le together, so no merge is
+    * needed.
+    */
+  def canonicalTsBounds(qm: QueryModel): QueryModel = {
+    val viaGe = qm.gt match {
+      case Some(v) if v != Long.MaxValue => qm.copy(gt = None, ge = Some(v + 1))
+      case _ => qm
+    }
+    viaGe.le match {
+      case Some(v) if v != Long.MaxValue => viaGe.copy(le = None, lt = Some(v + 1))
+      case Some(_) => viaGe.copy(le = None) // le MaxValue = unbounded
+      case None => viaGe
+    }
+  }
+}
+
 /** Which of the three QueryR shapes a query produces — shared by the
   * plan compiler and the JSON encoder so they can never disagree.
   *

@@ -96,10 +96,18 @@ object Repetition {
   /** Append the five repetition signals to `docs` (one scan-stage
     * projection; 4-dp rounded for cross-engine determinism). */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // the word array is MATERIALIZED once and the gram/mass folds read
+    // the attribute — inlining the split text into each fold re-split
+    // the document four times per row (Catalyst does not CSE
+    // higher-order-function subtrees across projection columns; same
+    // round-9 fix as GopherQuality.qualitySignals). Plan shape
+    // unchanged: a projection chain, no Exchange (RepetitionSpec pins
+    // it).
     val lines = s"""array_sort(filter(split($textCol, '\n'), x -> x <> ''))"""
-    val words = s"""filter(split($textCol, '\\\\s+'), x -> x <> '')"""
+    val words = "__rep_words"
     val lineFold = s"lf"
     val withArrays = docs
+      .withColumn(words, expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')"))
       .withColumn(lineFold, expr(dupFold(lines, x => s"length($x)")))
       .withColumn("w_mass",
         expr(s"aggregate($words, 0L, (a, x) -> a + length(x))"))

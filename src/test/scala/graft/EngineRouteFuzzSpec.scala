@@ -24,11 +24,13 @@ class EngineRouteFuzzSpec extends SparkSpec {
   private val DAY = 86400000L
   private val HOUR = 3600000L
 
-  test("randomized law: routed engine ≡ raw engine across the full shape space") {
-    val st = new TimeSeriesStore(spark,
-      Files.createTempDirectory("fuzz-store").toString)
+  /** Shared mutation-walked fixture: store + hourly/daily pyramid with
+    * a hot tail the rollups don't reflect (both tests fuzz over it). */
+  private lazy val (st, rollups) = {
     val rnd = new Random(20260815L)
     val tags = Seq("alpha", "beta", "gamma")
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("fuzz-store").toString)
     val rows = for {
       d <- 0L until 6L; t <- tags; r <- 0 until 8
     } yield TS(d * DAY + rnd.nextInt(86400000).toLong, t,
@@ -46,7 +48,22 @@ class EngineRouteFuzzSpec extends SparkSpec {
     hourly.refresh(); daily.refresh()
     // …and a hot tail the rollups don't reflect (hybrid path in play)
     assert(st.insert(Seq(TS(5 * DAY + 999L, "alpha", -3.25)).toDS()).isRight)
-    val rollups = Seq(hourly, daily)
+    (st, Seq(hourly, daily))
+  }
+
+  private lazy val fixtureRows: Seq[TS] = {
+    val rnd = new Random(20260815L)
+    val tags = Seq("alpha", "beta", "gamma")
+    (for {
+      d <- 0L until 6L; t <- tags; r <- 0 until 8
+    } yield TS(d * DAY + rnd.nextInt(86400000).toLong, t,
+      math.rint(rnd.nextDouble() * 200 - 100) / 10)).toSeq
+  }
+
+  test("randomized law: routed engine ≡ raw engine across the full shape space") {
+    val rnd = new Random(20260815L + 1)
+    val tags = Seq("alpha", "beta", "gamma")
+    val rows = fixtureRows
 
     def someTs(): Long = rnd.nextInt(4) match {
       case 0 => rows(rnd.nextInt(rows.size)).timestamp // present
@@ -109,5 +126,70 @@ class EngineRouteFuzzSpec extends SparkSpec {
     }
     assert(routedSomething >= 50,
       s"only $routedSomething/150 cases executed both paths — generator too narrow")
+  }
+
+  test("gt/le bounds route identically to their ge/lt-normalized twins") {
+    // round-9 residual #1: `gt v ≡ ge v+1` and `le v ≡ lt v+1` at ms
+    // granularity, so a QueryModel written in gt/le form must get the
+    // SAME plan as its normalized twin — not silently fall off the
+    // rollup/MetaStats fast paths onto the O(events) raw scan. The law
+    // is plan-equality (sameResult on the optimized plans) AND
+    // result-equality, over random bound shapes including exactly the
+    // trap case the verdict named (gt = bucketStart − 1). At least one
+    // case must prove a gt-form query ROUTES (rollup/metadata plan,
+    // i.e. no raw store segment in the scan).
+    val rnd = new Random(424242L)
+    val tags = Seq("alpha", "beta", "gamma")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    var routedGtForm = 0
+    (1 to 60).foreach { i =>
+      // bounds biased to bucket edges ± 1 so both the aligned-via-
+      // normalization and genuinely-ragged cases occur
+      def edge(): Long = {
+        val b = rnd.nextInt(6 * 24).toLong * HOUR
+        rnd.nextInt(3) match {
+          case 0 => b - 1
+          case 1 => b
+          case _ => b + rnd.nextInt(1000).toLong
+        }
+      }
+      val useGt = rnd.nextBoolean()
+      val useLe = rnd.nextBoolean()
+      val lo = edge(); val hi = edge()
+      val qm = QueryModel(
+        gt = if (useGt) Some(lo) else None,
+        ge = if (!useGt) Some(lo) else None,
+        lt = if (!useLe) Some(hi) else None,
+        le = if (useLe) Some(hi) else None,
+        tagEq = if (rnd.nextBoolean()) Some(tags(rnd.nextInt(3))) else None,
+        aggFunc = Some(Seq(Agg.Count, Agg.Sum, Agg.Avg, Agg.Min,
+          Agg.Max)(rnd.nextInt(5))),
+        groupBy = if (rnd.nextBoolean()) Some(GroupBy.Tag) else None)
+      val twin = QueryModel.canonicalTsBounds(qm)
+      val a = QueryEngine.execute(st, qm, rollups)
+      val b = QueryEngine.execute(st, twin, rollups)
+      (a, b) match {
+        case (Left(x), Left(y)) => assert(x == y, s"[case $i] $qm errors diverged")
+        case (Right(x), Right(y)) =>
+          assert(x.queryExecution.optimizedPlan
+              .sameResult(y.queryExecution.optimizedPlan),
+            s"[case $i] $qm plan diverged from normalized twin:\n" +
+              s"${x.queryExecution.optimizedPlan}\nvs\n${y.queryExecution.optimizedPlan}")
+          assert(canon(x) == canon(y), s"[case $i] $qm rows diverged")
+          // "routed" = the plan reads rollup segments, or no store
+          // files at all (the MetaStats literal plan). A hybrid routed
+          // plan still names raw partitions for the hot-tail days, so
+          // the raw path is detected by rollup-segment ABSENCE.
+          val p = x.queryExecution.optimizedPlan.toString
+          val routed = p.contains("fuzz-hourly") || p.contains("fuzz-daily") ||
+            !p.contains("fuzz-store")
+          if ((qm.gt.isDefined || qm.le.isDefined) && routed) routedGtForm += 1
+        case (x, y) => fail(s"[case $i] $qm one side errored: $x vs $y")
+      }
+    }
+    assert(routedGtForm >= 3,
+      s"only $routedGtForm gt/le-form queries actually routed off the raw " +
+        "scan — the normalization is not reaching the rollup gate")
   }
 }

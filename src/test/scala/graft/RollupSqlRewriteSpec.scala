@@ -159,6 +159,96 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("time_bucket spelling routes like the DIV idiom; hop_starts slides through SQL") {
+    val (st, daily, hourly) = fresh("sqltb")
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_tb${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // TimescaleDB-spelled tumbling key — a parse-time expansion to
+        // (ts DIV w) * w, so the rewrite needs no new vocabulary
+        (s"SELECT time_bucket(${2 * DAY}, timestamp) AS w, tag, sum(value) AS s FROM $v GROUP BY 1, 2 ORDER BY w, tag", "-daily"),
+        (s"SELECT time_bucket(${6 * HOUR}, timestamp) AS w, count(*) AS c FROM $v GROUP BY 1 ORDER BY w", "-hourly"),
+        // SLIDING windows: hop_starts + LATERAL VIEW explode — the
+        // rewrite re-derives the explode over bucket_start
+        (s"SELECT w, tag, count(*) AS c, sum(value) AS s FROM $v " +
+          s"LATERAL VIEW explode(hop_starts(timestamp, $DAY, ${2 * DAY})) h AS w " +
+          "GROUP BY w, tag ORDER BY w, tag", "-daily"),
+        // slide smaller than a day: only the hourly grain divides it
+        (s"SELECT w, max(value) AS mx FROM $v " +
+          s"LATERAL VIEW explode(hop_starts(timestamp, ${6 * HOUR}, ${12 * HOUR})) h AS w " +
+          "GROUP BY w ORDER BY w", "-hourly"),
+        // degenerate hop (width == slide) ≡ tumbling
+        (s"SELECT w, count(*) AS c FROM $v " +
+          s"LATERAL VIEW explode(hop_starts(timestamp, $DAY, $DAY)) h AS w " +
+          "GROUP BY w ORDER BY w", "-daily"))
+      cases.foreach { case (q, grain) =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, grain) && !readsStore(routed),
+          s"not rollup-routed at $grain: $q\n${planStr(routed)}")
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"routed results diverged: $q")
+      }
+      // misaligned slide (90 min) stays raw; a global agg over an
+      // explode must NEVER hit the metadata fold (row multiplicity!)
+      val bad = spark.sql(
+        s"SELECT count(*) AS c FROM $v LATERAL VIEW " +
+          s"explode(hop_starts(timestamp, ${90 * 60000}, ${180 * 60000})) h AS w")
+      assert(readsStore(bad), "misaligned hop must stay on the raw plan")
+      val cnt = spark.sql(
+        s"SELECT count(*) AS c FROM $v LATERAL VIEW " +
+          s"explode(hop_starts(timestamp, $DAY, ${2 * DAY})) h AS w")
+      assert(!readsMeta(cnt),
+        "exploded global count must not be served by the metadata fold")
+      assert(rows(cnt).head.head == 2L * st.current().count(),
+        "hop fan-out must double the row count at width/slide = 2")
+      // invalid widths fail loudly at parse time
+      intercept[Exception](spark.sql(
+        s"SELECT hop_starts(timestamp, 1000, 1500) FROM $v").collect())
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("shifted-key UNION ALL sliding idiom is never mis-rewritten") {
+    // Branch i of the idiom projects `(ts DIV s)*s − i·s` under ONE
+    // shared output column; `resolve` would see only branch 0's def,
+    // so a naive rewrite would collapse labels AND row multiplicity.
+    // The union destructure must detect the positional def conflict
+    // and decline — results stay raw-exact, plan stays raw.
+    val (st, daily, hourly) = fresh("sqlun")
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_un${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val q =
+        s"""SELECT w, tag, count(*) AS c, sum(value) AS s FROM (
+           |  SELECT (timestamp DIV $DAY) * $DAY AS w, tag, value FROM $v
+           |  UNION ALL
+           |  SELECT (timestamp DIV $DAY) * $DAY - $DAY AS w, tag, value FROM $v
+           |) GROUP BY w, tag ORDER BY w, tag""".stripMargin
+      val planned = spark.sql(q)
+      assert(!readsRollup(planned, "-daily") && !readsRollup(planned, "-hourly") &&
+        readsStore(planned),
+        s"shifted-key union was rewritten — silent wrong results:\n${planStr(planned)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val rawRows = rows(spark.sql(q))
+      RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+      assert(rows(planned) == rawRows)
+      // ...and the equivalent hop SQL gives the same rows, routed
+      val hopQ = spark.sql(
+        s"SELECT w, tag, count(*) AS c, sum(value) AS s FROM $v " +
+          s"LATERAL VIEW explode(hop_starts(timestamp, $DAY, ${2 * DAY})) h AS w " +
+          "GROUP BY w, tag ORDER BY w, tag")
+      assert(readsRollup(hopQ, "-daily"))
+      assert(rows(hopQ) == rawRows,
+        "hop routing must equal the union idiom's raw answer")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("Spark empty-input semantics survive the rewrite: sum null, count 0") {
     val (st, daily, _) = fresh()
     load(st); daily.refresh()

@@ -41,6 +41,25 @@ class TimeSeriesStoreSpec extends SparkSpec {
     assert(st.current().count() == 0)
   }
 
+  test("S1 insert: negative timestamps rejected (day-math contract)") {
+    // every day-math convention in the store (g_day = div at write,
+    // floorDiv point probes, MetaStats' [d·D,(d+1)·D) coverage) agrees
+    // only on nonnegative epoch ms — a row at ts=−1000 would land in
+    // g_day=0 while currentForTs probes day −1, silently missing it
+    // from the pruned read. Rejected at the only row-creating seam,
+    // all-or-nothing like every other batch error.
+    val st = freshStore()
+    val r = st.insert(Seq(TS(-1000L, "n", 1.0), TS(5L, "ok", 2.0)).toDS())
+    assert(r.isLeft)
+    assert(r.left.toOption.get.messages
+      .contains("Negative timestamp not supported: (-1000, n)."))
+    assert(st.current().count() == 0) // nothing applied
+    // and the boundary itself is fine
+    assert(st.insert(Seq(TS(0L, "ok", 2.0)).toDS()).isRight)
+    assert(QueryEngine.execute(st, QueryModel(tsEq = Some(0L)),
+      Seq.empty).isRight)
+  }
+
   test("S1 insert: error messages capped at 10") {
     val st = freshStore()
     st.insert((1L to 30L).map(i => TS(i, "t", i.toDouble)).toDS())
