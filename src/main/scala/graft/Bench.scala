@@ -52,6 +52,11 @@ object Bench {
     * own observed range is machine noise, not a plan change).
     * Whitespace-tolerant like [[parseBaseline]]. */
   private[graft] def parseBaselineSpread(txt: String): Map[String, Double] =
+    parseBaselineSpreadFull(txt).map { case (k, (_, hi)) => k -> hi }
+
+  /** Full [lo, hi] spread bands — [[graft.tools.MergeBaseline]] unions
+    * these across boots. */
+  private[graft] def parseBaselineSpreadFull(txt: String): Map[String, (Double, Double)] =
     raw""""spread"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
       case None => Map.empty
       case Some(m) =>
@@ -72,7 +77,33 @@ object Bench {
         }
         raw""""([^"]+)"\s*:\s*\[\s*(-?[0-9.eE+-]+)\s*,\s*(-?[0-9.eE+-]+)\s*\]""".r
           .findAllMatchIn(rest.substring(0, end))
-          .map(g => g.group(1) -> g.group(3).toDouble).toMap
+          .map(g => g.group(1) -> (g.group(2).toDouble, g.group(3).toDouble)).toMap
+    }
+
+  /** Per-entry boot provenance (`"boots": {"q": 3, …}`) — how many
+    * independent JVM boots the entry's band unions. A baseline file
+    * without the section (a raw single-run perquery file) reads as
+    * every entry at 1 boot. Round-9 lesson: a single-boot band
+    * under-estimates boot-to-boot variance ~3× on this box, so the
+    * regression alarm's first driver outing flagged five same-commit
+    * false positives — BenchBaselineSpec now rejects a committed
+    * baseline carrying any single-boot entry. */
+  private[graft] def parseBaselineBoots(txt: String): Map[String, Int] =
+    raw""""boots"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        val body = txt.substring(m.end, txt.indexOf('}', m.end))
+        raw""""([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toInt).toMap
+    }
+
+  /** All ambient-load samples the baseline unions (`"ambients":[…]`),
+    * oldest first; empty for single-run files. */
+  private[graft] def parseBaselineAmbients(txt: String): Seq[Double] =
+    raw""""ambients"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt) match {
+      case None => Seq.empty
+      case Some(m) =>
+        raw"-?[0-9.eE+-]+".r.findAllIn(m.group(1)).map(_.toDouble).toSeq
     }
 
   def main(args: Array[String]): Unit = {
@@ -264,6 +295,14 @@ object Bench {
       }.sortBy(-_._2).take(5)
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // queries this run has but the baseline doesn't (added since the
+    // last refresh): named EXPLICITLY instead of silently skipped, so
+    // the median-ratio denominator is auditable and the baseline
+    // refresh (tools.MergeBaseline) knows what still needs boots
+    val unbaselined =
+      if (baseline.isEmpty) Seq.empty
+      else medians.map(_._1).filterNot(baseline.contains).sorted
+    val unbaselinedJson = unbaselined.map(jstr).mkString("[", ",", "]")
     // the ONE robust cross-run drift number: the median of per-query
     // med/baseline ratios. Individual sub-2s queries flap up to ~3×
     // same-code across boots on this box (measured, baseline note), so
@@ -280,7 +319,7 @@ object Bench {
           .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     val medianRatioJson = medianRatio.fold("null")(_.toString)
-    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"median_ratio_vs_baseline":$medianRatioJson,"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"median_ratio_vs_baseline":$medianRatioJson,"unbaselined":$unbaselinedJson,"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
     spark.stop()
     // truthful exit status: timings were printed either way, but a
     // round with failed queries must not read as passing evidence

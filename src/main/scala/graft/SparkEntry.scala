@@ -1290,9 +1290,12 @@ object SparkEntry {
         // contains few of the 8 English stop words, so the paper's
         // stops>=2 keeps NOTHING here — one required stop word makes
         // the filter discriminating (~half the corpus survives) while
-        // every other threshold stays at the paper default
-        .filter(graft.operators.Repetition.gopherRepetitionKeep() &&
-          graft.operators.GopherQuality.gopherQualityKeep(minStopWordHits = 1L))
+        // every other threshold stays at the paper default.
+        // filterOnSignals: keep predicate pushdown from re-inlining
+        // every signal fold below the projection (4× the pipeline)
+        .transform(df => graft.operators.GopherQuality.filterOnSignals(df,
+          graft.operators.Repetition.gopherRepetitionKeep() &&
+            graft.operators.GopherQuality.gopherQualityKeep(minStopWordHits = 1L)))
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("double").as("n_docs"),
           sum(col("n_words")).as("n_words_kept"))

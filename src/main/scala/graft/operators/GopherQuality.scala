@@ -43,43 +43,75 @@ object GopherQuality {
     // (a projection chain, still no Exchange — the plan gate pins it),
     // a fraction of the per-row work; the helper columns drop at the
     // end.
+    // STAGED withColumns (plural): each withColumn call costs a full
+    // analyzer pass over the accumulated plan, and these trees are
+    // deep (nested higher-order lambdas) — a 9-call chain made PLAN
+    // time, not row time, the dominant bench cost for a pipeline that
+    // is otherwise a sub-second mapper. Three batched stages keep the
+    // same dataflow (arrays → counts → signals) at three analyses.
     val words = "__gq_words"
     val lines = "__gq_lines"
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nLines = "__gq_n_lines"
     docs
-      .withColumn(words, expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')"))
-      .withColumn(lines,
-        expr(s"filter(transform(split($textCol, '\n'), x -> trim(x)), x -> x <> '')"))
-      .withColumn("n_words", expr(s"size($words)").cast("long"))
-      .withColumn("mean_word_len",
-        round(when(col("n_words") > 0,
-          expr(s"aggregate($words, 0L, (a, x) -> a + length(x))").cast("double")
-            / col("n_words")).otherwise(lit(0.0)), 4))
-      .withColumn("symbol_word_ratio",
-        round(when(col("n_words") > 0,
-          (expr(occurrences(textCol, "#")) + expr(occurrences(textCol, "…")) +
-            expr(occurrences(textCol, "..."))).cast("double") / col("n_words"))
-          .otherwise(lit(0.0)), 4))
-      .withColumn("bullet_line_frac",
-        round(when(expr(s"size($lines)") > 0,
-          expr(s"""size(filter($lines, x ->
-              substring(x, 1, 1) IN ('•', '-', '*')))""").cast("double")
-            / expr(s"size($lines)")).otherwise(lit(0.0)), 4))
-      .withColumn("ellipsis_line_frac",
-        round(when(expr(s"size($lines)") > 0,
-          expr(s"""size(filter($lines, x ->
-              x LIKE '%…' OR x LIKE '%...'))""").cast("double")
-            / expr(s"size($lines)")).otherwise(lit(0.0)), 4))
-      .withColumn("alpha_word_frac",
-        round(when(col("n_words") > 0,
-          expr(s"size(filter($words, x -> x rlike '[A-Za-z]'))").cast("double")
-            / col("n_words")).otherwise(lit(0.0)), 4))
-      // ONE lowering pass + set intersection counts the DISTINCT stop
-      // words present (≡ the old per-word array_contains sum)
-      .withColumn("stop_word_hits",
-        expr(s"size(array_intersect(transform($words, x -> lower(x)), " +
-          s"array(${stops.map(w => s"'$w'").mkString(", ")})))").cast("long"))
-      .drop(words, lines)
+      .withColumns(Map(
+        words -> expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')"),
+        lines -> expr(
+          s"filter(transform(split($textCol, '\n'), x -> trim(x)), x -> x <> '')")))
+      .withColumns(Map(
+        "n_words" -> expr(s"size($words)").cast("long"),
+        nLines -> expr(s"size($lines)").cast("long")))
+      .withColumns(Map(
+        "mean_word_len" ->
+          round(when(col("n_words") > 0,
+            expr(s"aggregate($words, 0L, (a, x) -> a + length(x))").cast("double")
+              / col("n_words")).otherwise(lit(0.0)), 4),
+        "symbol_word_ratio" ->
+          round(when(col("n_words") > 0,
+            (expr(occurrences(textCol, "#")) + expr(occurrences(textCol, "…")) +
+              expr(occurrences(textCol, "..."))).cast("double") / col("n_words"))
+            .otherwise(lit(0.0)), 4),
+        "bullet_line_frac" ->
+          round(when(col(nLines) > 0,
+            expr(s"""size(filter($lines, x ->
+                substring(x, 1, 1) IN ('•', '-', '*')))""").cast("double")
+              / col(nLines)).otherwise(lit(0.0)), 4),
+        "ellipsis_line_frac" ->
+          round(when(col(nLines) > 0,
+            expr(s"""size(filter($lines, x ->
+                x LIKE '%…' OR x LIKE '%...'))""").cast("double")
+              / col(nLines)).otherwise(lit(0.0)), 4),
+        "alpha_word_frac" ->
+          round(when(col("n_words") > 0,
+            expr(s"size(filter($words, x -> x rlike '[A-Za-z]'))").cast("double")
+              / col("n_words")).otherwise(lit(0.0)), 4),
+        // ONE lowering pass + set intersection counts the DISTINCT
+        // stop words present (≡ a per-word array_contains sum)
+        "stop_word_hits" ->
+          expr(s"size(array_intersect(transform($words, x -> lower(x)), " +
+            s"array(${stops.map(w => s"'$w'").mkString(", ")})))").cast("long")))
+      .drop(words, lines, nLines)
+  }
+
+  /** Filter on computed signal columns WITHOUT letting predicate
+    * pushdown re-derive them: Catalyst pushes a deterministic filter
+    * through Projects by SUBSTITUTING each referenced alias with its
+    * definition — for a 12-signal Gopher keep-rule that inlines every
+    * higher-order fold 3-7× below the projection and re-evaluates
+    * them per row (measured 4× the whole pipeline's cost at sf0.1; at
+    * 100 TB it's the same 4× on every filtered curation pass). A
+    * nondeterministic column in the projection blocks the pushdown
+    * rule (`fields.forall(_.deterministic)` guard), and referencing it
+    * in the condition keeps column pruning from dissolving the
+    * barrier; the tautology never changes results. The signals are
+    * then computed ONCE per row and the filter reads attributes
+    * (GopherQualitySpec pins the plan shape).
+    */
+  def filterOnSignals(df: DataFrame, keep: Column): DataFrame = {
+    val pin = "__gq_pin"
+    df.withColumn(pin, monotonically_increasing_id())
+      .filter(keep && col(pin) >= 0)
+      .drop(pin)
   }
 
   /** The paper's keep-rule (thresholds from Gopher A1.1). Compose with

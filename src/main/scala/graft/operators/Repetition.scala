@@ -55,17 +55,17 @@ object Repetition {
         'm', a.m + ${weightOf("x")}),
       a -> named_struct('dups', a.dups, 'dupm', a.dupm, 'n', a.n, 'm', a.m))"""
 
-  /** Max of count(g) × charlen(g) over a sorted gram array (run-length
-    * walk; charlen excludes the joining spaces). */
+  /** Max of count(g) × charlen(g) over a sorted HASHED gram array
+    * (run-length walk over (h, len) structs). */
   private def topMassFold(sortedArr: String): String = s"""
     aggregate(
       $sortedArr,
-      named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+      named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'best', 0L),
       (a, x) -> named_struct(
-        'prev', x,
-        'run', IF(a.prev <=> x, a.run + 1L, 1L),
+        'prev', x.h,
+        'run', IF(a.prev <=> x.h, a.run + 1L, 1L),
         'best', greatest(a.best,
-          IF(a.prev <=> x, a.run + 1L, 1L) * length(replace(x, ' ', '')))),
+          IF(a.prev <=> x.h, a.run + 1L, 1L) * x.len)),
       a -> a.best)"""
 
   /** Σ count(g) × charlen(g) over grams with count > 1 (run-length
@@ -74,12 +74,12 @@ object Repetition {
   private def dupMassFold(sortedArr: String): String = s"""
     aggregate(
       $sortedArr,
-      named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mass', 0L),
+      named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'mass', 0L),
       (a, x) -> named_struct(
-        'prev', x,
-        'run', IF(a.prev <=> x, a.run + 1L, 1L),
-        'mass', a.mass + IF(a.prev <=> x,
-          (IF(a.run = 1L, 2L, 1L)) * length(replace(x, ' ', '')), 0L)),
+        'prev', x.h,
+        'run', IF(a.prev <=> x.h, a.run + 1L, 1L),
+        'mass', a.mass + IF(a.prev <=> x.h,
+          (IF(a.run = 1L, 2L, 1L)) * x.len, 0L)),
       a -> a.mass)"""
 
   private def grams(wordsArr: String, n: Int): String =
@@ -88,6 +88,21 @@ object Repetition {
     s"""IF(size($wordsArr) < $n, array(),
         transform(sequence(1, size($wordsArr) - ${n - 1}),
           i -> concat_ws(' ', slice($wordsArr, i, $n))))"""
+
+  /** Grams reduced to (xxhash64, charlen) structs, SORTED by hash —
+    * run-length identity checks and the array sort then compare fixed
+    * 8-byte longs instead of variable-length gram strings (the sort is
+    * the signals' dominant cost; ~12-char average grams make string
+    * compares ~3× the work for zero filtering benefit). Identity by
+    * 64-bit hash: two distinct grams of ONE document colliding is a
+    * ~2⁻⁶⁴·pairs event — far below the 4-dp rounding the signals ship
+    * with, and the DuckDB oracle (exact strings) stays hash-green.
+    * charlen excludes the joining spaces: the words carry no
+    * whitespace (split on \\s+), so len = length(gram) − (n−1).
+    */
+  private def sortedHashedGrams(wordsArr: String, n: Int): String =
+    s"""array_sort(transform(${grams(wordsArr, n)},
+        g -> named_struct('h', xxhash64(g), 'len', length(g) - ${n - 1}L)))"""
 
   private def ratio(num: String, den: String): Column =
     round(when(expr(den) > 0L, expr(num).cast("double") / expr(den))
@@ -103,26 +118,30 @@ object Repetition {
     // round-9 fix as GopherQuality.qualitySignals). Plan shape
     // unchanged: a projection chain, no Exchange (RepetitionSpec pins
     // it).
+    // STAGED withColumns: one analyzer pass per stage instead of one
+    // per column — these higher-order trees made PLAN time the
+    // dominant cost of the stacked Gopher pipeline (same fix as
+    // GopherQuality.qualitySignals).
     val lines = s"""array_sort(filter(split($textCol, '\n'), x -> x <> ''))"""
     val words = "__rep_words"
     val lineFold = s"lf"
-    val withArrays = docs
+    docs
       .withColumn(words, expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')"))
-      .withColumn(lineFold, expr(dupFold(lines, x => s"length($x)")))
-      .withColumn("w_mass",
-        expr(s"aggregate($words, 0L, (a, x) -> a + length(x))"))
-      .withColumn("g2", expr(topMassFold(s"array_sort(${grams(words, 2)})")))
-      .withColumn("g3", expr(topMassFold(s"array_sort(${grams(words, 3)})")))
-      .withColumn("g5", expr(dupMassFold(s"array_sort(${grams(words, 5)})")))
-    withArrays
-      .withColumn("dup_line_frac", ratio("lf.dups", "lf.n"))
-      .withColumn("dup_line_char_frac", ratio("lf.dupm", "lf.m"))
-      .withColumn("top_2gram_char_frac", ratio("g2", "w_mass"))
-      .withColumn("top_3gram_char_frac", ratio("g3", "w_mass"))
-      .withColumn("dup_5gram_char_frac",
-        round(least(lit(1.0), when(col("w_mass") > 0L,
-          col("g5").cast("double") / col("w_mass")).otherwise(lit(0.0))), 4))
-      .drop(lineFold, "w_mass", "g2", "g3", "g5")
+      .withColumns(Map(
+        lineFold -> expr(dupFold(lines, x => s"length($x)")),
+        "w_mass" -> expr(s"aggregate($words, 0L, (a, x) -> a + length(x))"),
+        "g2" -> expr(topMassFold(sortedHashedGrams(words, 2))),
+        "g3" -> expr(topMassFold(sortedHashedGrams(words, 3))),
+        "g5" -> expr(dupMassFold(sortedHashedGrams(words, 5)))))
+      .withColumns(Map(
+        "dup_line_frac" -> ratio("lf.dups", "lf.n"),
+        "dup_line_char_frac" -> ratio("lf.dupm", "lf.m"),
+        "top_2gram_char_frac" -> ratio("g2", "w_mass"),
+        "top_3gram_char_frac" -> ratio("g3", "w_mass"),
+        "dup_5gram_char_frac" ->
+          round(least(lit(1.0), when(col("w_mass") > 0L,
+            col("g5").cast("double") / col("w_mass")).otherwise(lit(0.0))), 4)))
+      .drop(lineFold, "w_mass", "g2", "g3", "g5", words)
   }
 
   /** The Gopher repetition FILTER: keep documents under every

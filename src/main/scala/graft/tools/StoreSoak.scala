@@ -347,6 +347,105 @@ object StoreSoak {
         f"speedups=${tRawCount / tMetaCount}%.1fx/${tRawSum / tMetaSum}%.1fx (values match)")
     }
 
+    // ---- 9. READ latency vs history size ---------------------------
+    // Refresh flatness (§4-§7) says maintenance ignores history; this
+    // measures the QUERY side of the same claim. Two stores identical
+    // except HISTORY LENGTH (days ×10, same rows/day), each with a
+    // refreshed daily rollup. Claims:
+    //  (a) an engine-ROUTED rollup-eligible query (group-by-tag count,
+    //      unbounded) is flat in history — it reads O(days × tags)
+    //      bucket rows, constant-dominated at this scale;
+    //  (b) the SAME query raw-compiled grows ~linearly — it re-reads
+    //      every event ever ingested;
+    //  (c) a tagEq query on an EPISODIC tag opens a bounded partition
+    //      count either way (tag blooms prune by content, not age), so
+    //      its pruned latency is flat while the unpruned scan grows.
+    // Relative assertions only (ambient load moves absolute numbers):
+    // raw must degrade at least 2× more than routed across the 10×,
+    // pruned partition counts must not grow, and every pair of answers
+    // must match.
+    {
+      import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
+      import graft.model.{Agg, GroupBy, QueryModel, TS}
+      val DAYMS = 86400000L
+      val rowsPerDay = 20000
+      def mkStore(days: Int): (TimeSeriesStore, ContinuousAggregate) = {
+        val st = new TimeSeriesStore(spark,
+          java.nio.file.Files.createTempDirectory(s"soak-read-$days").toString)
+        val chunk = 20
+        (0 until days by chunk).foreach { d0 =>
+          val rows = spark.range(d0.toLong * rowsPerDay,
+              math.min(d0 + chunk, days).toLong * rowsPerDay)
+            .select(
+              (col("id") / rowsPerDay).cast("long").as("day"),
+              pmod(col("id"), lit(rowsPerDay)).as("r"))
+            .select(
+              (col("day") * DAYMS + col("r") * (DAYMS / rowsPerDay)).as("timestamp"),
+              // one episodic tag per 3-day block, riding on r == 5..9;
+              // everything else cycles five dense tags
+              when(col("r").between(5, 9),
+                concat(lit("epi_"), (col("day") / 3).cast("long").cast("string")))
+                .otherwise(concat(lit("t"), pmod(col("r"), lit(5)).cast("string")))
+                .as("tag"),
+              (col("r") % 97).cast("double").as("value"))
+          import spark.implicits._
+          val res = st.insert(rows.as[TS])
+          require(res.isRight, s"soak read-store insert failed: $res")
+        }
+        val r = new ContinuousAggregate(spark, st,
+          java.nio.file.Files.createTempDirectory(s"soak-read-roll-$days").toString)
+        r.refresh()
+        (st, r)
+      }
+      val qmGroup = QueryModel(aggFunc = Some(Agg.Count),
+        groupBy = Some(GroupBy.Tag), tagEq = None)
+      def median3d(f: => Double): (Double, Double) = {
+        val v = f // warm + value
+        val ts = (0 until 3).map { _ => val (_, t) = timed(f); t }.sorted
+        (v, ts(1))
+      }
+      def measure(days: Int): (Double, Double, Double, Double, Int, Int) = {
+        val (st, roll) = mkStore(days)
+        def run(df: org.apache.spark.sql.DataFrame): Double =
+          df.agg(sum(col("result"))).head().getDouble(0)
+        val (vRouted, tRouted) = median3d(run(
+          QueryEngine.execute(st, qmGroup, Seq(roll))
+            .fold(e => throw new IllegalStateException(e.message), identity)))
+        val (vRaw, tRaw) = median3d(run(
+          QueryEngine.execute(st.current(), qmGroup)
+            .fold(e => throw new IllegalStateException(e.message), identity)))
+        require(vRouted == vRaw, s"routed/raw diverged at $days days: $vRouted vs $vRaw")
+        val epi = "epi_2" // lives in days [6, 9) — present at both sizes
+        val (hit, total) = st.partitionCountForTag(epi)
+        val (vPruned, tPruned) = median3d(
+          st.currentForTag(epi).filter(col("tag") === epi).count().toDouble)
+        val (vFull, tFull) = median3d(
+          st.current().filter(col("tag") === epi).count().toDouble)
+        require(vPruned == vFull, s"pruned tag read diverged at $days days")
+        println(f"[soak] read($days%3dd): routed=$tRouted%.3fs rawGroup=$tRaw%.3fs " +
+          f"tagPruned=$tPruned%.3fs tagFull=$tFull%.3fs epiPartitions=$hit/$total")
+        (tRouted, tRaw, tPruned, tFull, hit, total)
+      }
+      val (r20, raw20, p20, f20, hit20, _) = measure(20)
+      val (r200, raw200, p200, f200, hit200, total200) = measure(200)
+      val routedRatio = r200 / r20
+      val rawRatio = raw200 / raw20
+      val prunedRatio = p200 / p20
+      val fullRatio = f200 / f20
+      println(f"[soak] read flatness 10x history: routed=${routedRatio}%.2fx " +
+        f"raw=${rawRatio}%.2fx tagPruned=${prunedRatio}%.2fx tagFull=${fullRatio}%.2fx " +
+        f"epiPartitions $hit20 -> $hit200 (of $total200)")
+      require(rawRatio >= 2 * routedRatio,
+        f"raw group-by must degrade >=2x more than routed across 10x history " +
+          f"(raw ${rawRatio}%.2fx vs routed ${routedRatio}%.2fx)")
+      require(hit200 <= hit20 + 1,
+        s"episodic tag must open a BOUNDED partition count as history grows " +
+          s"($hit20 -> $hit200)")
+      require(fullRatio >= 2 * prunedRatio,
+        f"unpruned tag scan must degrade >=2x more than the bloom-pruned read " +
+          f"(full ${fullRatio}%.2fx vs pruned ${prunedRatio}%.2fx)")
+    }
+
     spark.stop()
   }
 }

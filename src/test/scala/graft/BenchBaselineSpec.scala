@@ -70,4 +70,72 @@ final class BenchBaselineSpec extends AnyFunSuite {
       "bench_baseline.json carries no load_avg — load-comparability gate dead")
     assert(qs.values.forall(v => v > 0 && v < 600))
   }
+
+  test("the COMMITTED baseline carries MULTI-BOOT bands for every entry") {
+    // round-9 "what's wrong" #1: a single-boot band under-estimates
+    // boot-to-boot variance ~3× on this box, and the alarm's first
+    // driver outing flagged five same-commit false positives on
+    // late-added queries whose bands came from one run. The merge
+    // policy (tools.MergeBaseline) is only evidence if the committed
+    // file proves it was followed — every entry must union ≥ 2 boots.
+    val p = java.nio.file.Paths.get("bench_baseline.json")
+    assume(java.nio.file.Files.exists(p), "bench_baseline.json not present")
+    val txt = java.nio.file.Files.readString(p)
+    val (qs, _) = Bench.parseBaseline(txt)
+    val boots = Bench.parseBaselineBoots(txt)
+    val single = qs.keySet.filter(k => boots.getOrElse(k, 1) < 2)
+    assert(single.isEmpty,
+      s"${single.size} baseline entries ship with < 2 boots (e.g. " +
+        s"${single.take(5).mkString(", ")}) — run Bench on a fresh JVM " +
+        "and `runMain graft.tools.MergeBaseline` before committing")
+    assert(Bench.parseBaselineAmbients(txt).sizeIs >= 2,
+      "baseline records fewer than 2 ambient-load samples — boot " +
+        "provenance missing")
+  }
+
+  test("MergeBaseline: best-observed median, union band, boot counting") {
+    import graft.tools.MergeBaseline
+    val boot1 =
+      """{"metric":"perquery","queries":{"q_a":0.50,"q_b":1.0},"spread":{"q_a":[0.45,0.60],"q_b":[0.9,1.4]},"load_avg_ambient":0.7}"""
+    val boot2 =
+      """{"metric":"perquery","queries":{"q_a":0.40,"q_c":2.0},"spread":{"q_a":[0.38,1.10],"q_c":[1.9,2.2]},"load_avg_ambient":2.1}"""
+    val once = MergeBaseline.merge("{}", boot1)
+    assert(Bench.parseBaselineBoots(once) === Map("q_a" -> 1, "q_b" -> 1))
+    val twice = MergeBaseline.merge(once, boot2)
+    val (med, load) = Bench.parseBaseline(twice)
+    // q_a: best observed median, band = union of both boots' [lo, hi]
+    assert(med("q_a") === 0.40)
+    assert(Bench.parseBaselineSpreadFull(twice)("q_a") === ((0.38, 1.10)))
+    // q_b: kept untouched from boot 1 (absent in boot 2), stays 1 boot
+    assert(med("q_b") === 1.0)
+    // q_c: new in boot 2, enters at boots=1
+    assert(Bench.parseBaselineBoots(twice) ===
+      Map("q_a" -> 2, "q_b" -> 1, "q_c" -> 1))
+    // ambient provenance: every boot's sample kept, median gates
+    assert(Bench.parseBaselineAmbients(twice) === Seq(0.7, 2.1))
+    assert(load.isDefined)
+    // a third boot covering everything clears the single-boot debt
+    val boot3 =
+      """{"metric":"perquery","queries":{"q_a":0.55,"q_b":0.8,"q_c":2.4},"spread":{"q_a":[0.5,0.7],"q_b":[0.7,0.9],"q_c":[2.3,2.5]},"load_avg_ambient":1.0}"""
+    val thrice = MergeBaseline.merge(twice, boot3)
+    assert(Bench.parseBaselineBoots(thrice).values.forall(_ >= 2))
+    val (med3, _) = Bench.parseBaseline(thrice)
+    assert(med3("q_a") === 0.40) // best observed survives a slower boot
+    assert(Bench.parseBaselineSpreadFull(thrice)("q_b") === ((0.7, 1.4)))
+    // an empty new run refuses to merge instead of wiping the file
+    intercept[IllegalArgumentException](MergeBaseline.merge(thrice, "{}"))
+  }
+
+  test("the bench JSON names unbaselined queries instead of skipping silently") {
+    // (format-level pin: the driver reads `unbaselined` from the top
+    // line; the field is produced in Bench.main whose run is the
+    // per-round artifact — here we pin the parse helpers it feeds on)
+    val withBoots =
+      """{"queries":{"q":0.1},"spread":{"q":[0.1,0.2]},"boots":{"q":3},"ambients":[0.5,0.9,0.7],"load_avg_ambient":0.7}"""
+    assert(Bench.parseBaselineBoots(withBoots) === Map("q" -> 3))
+    assert(Bench.parseBaselineAmbients(withBoots) === Seq(0.5, 0.9, 0.7))
+    // files without the sections degrade to empty maps, not crashes
+    assert(Bench.parseBaselineBoots(compact).isEmpty)
+    assert(Bench.parseBaselineAmbients(compact).isEmpty)
+  }
 }

@@ -952,6 +952,122 @@ class ContinuousAggSpec extends SparkSpec {
       bucketMs = 7 * DAY, freezeBeforeDay = Some(7L)) // aligned: fine
   }
 
+  test("randomized frozen-parent pyramid law: frozen weekly over live daily, mutation walk + dropDaysBefore") {
+    // Construction forbids a frozen CHILD (the parent's refresh
+    // equation would silently change when raw history drops), but a
+    // frozen PARENT over a live child is the intended downsampling
+    // pyramid: day-grain recent detail, week-grain history that
+    // survives retention. The law, held through a randomized mutation
+    // walk with a mid-walk dropDaysBefore at the freeze horizon:
+    //   (a) parent BELOW the horizon == its first-refresh truth,
+    //       forever (frozen units never recompute — mutations there
+    //       are documented-ignored, the drop is invisible);
+    //   (b) parent ABOVE the horizon == the live child's refold ==
+    //       a from-raw recompute at the parent grain (the pyramid
+    //       stays exact while its base churns);
+    //   (c) whenever the parent recomputes anything it does so from
+    //       the CHILD (raw fallback would be silently correct, so it
+    //       must be loudly absent).
+    val WEEK = 7 * DAY
+    val HORIZON_DAY = 7L
+    val rnd = new scala.util.Random(20260815L + 10)
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-frzpyr-store").toString)
+    val child = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-frzpyr-daily").toString)
+    val parent = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-frzpyr-weekly").toString,
+      bucketMs = WEEK, source = Some(child),
+      freezeBeforeDay = Some(HORIZON_DAY))
+    val seed = for (d <- 0L until 14L; i <- 0 until 4)
+      yield TS(day(d, i * 1000L), s"t${i % 2}", (d * 10 + i).toDouble)
+    assert(st.insert(seed.toDS()).isRight)
+    child.refresh()
+    assert(parent.refresh().fromChild, "pyramid refresh must use the child")
+
+    def weekShape(df: org.apache.spark.sql.DataFrame,
+                  below: Boolean): Seq[Seq[Any]] = df
+      .filter(if (below) col("bucket_start") < HORIZON_DAY * DAY
+              else col("bucket_start") >= HORIZON_DAY * DAY)
+      .select("bucket_start", "tag", "cnt", "sum_val", "min_val", "max_val")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val frozenTruth = weekShape(parent.read(), below = true)
+    assert(frozenTruth.nonEmpty, "fixture must populate the frozen week")
+    def rawAbove() = st.current()
+      .filter(col("timestamp") >= HORIZON_DAY * DAY)
+      .groupBy((expr(s"timestamp div $WEEK") * WEEK).as("bucket_start"),
+        col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+    def childRefoldAbove() = child.read()
+      .filter(col("bucket_start") >= HORIZON_DAY * DAY)
+      .groupBy((expr(s"bucket_start div $WEEK") * WEEK).as("bucket_start"),
+        col("tag"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"),
+        min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+
+    var nextId = 100L
+    val dropAtStep = 5 + rnd.nextInt(4)
+    (0 until 12).foreach { i =>
+      if (i == dropAtStep) {
+        assert(st.dropDaysBefore(day(HORIZON_DAY)) > 0,
+          "the drop step must actually drop the frozen week's raw days")
+      } else rnd.nextInt(4) match {
+        case 0 =>
+          // inserts mostly above the horizon; occasionally below, to
+          // stress the ignored-mutation path (and post-drop, the
+          // recreated-day path) — the frozen week must not move
+          val rows = (0 to rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            val d = if (rnd.nextInt(5) == 0) rnd.nextInt(7).toLong
+                    else 7L + rnd.nextInt(9).toLong
+            TS(day(d, nextId), s"t${rnd.nextInt(2)}", rnd.nextInt(100).toDouble)
+          }
+          assert(st.insert(rows.toDS()).isRight)
+        case 1 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.update(
+              Seq(TS(k.getLong(0), k.getString(1), 777.0)).toDS()).isRight)
+          }
+        case 2 =>
+          val keys = st.current().select("timestamp", "tag").collect()
+          if (keys.nonEmpty) {
+            val k = keys(rnd.nextInt(keys.length))
+            assert(st.delete(
+              Seq(TSKey(k.getLong(0), k.getString(1))).toDS()).isRight)
+          }
+        case 3 =>
+          st.compact()
+      }
+      child.refresh()
+      val s = parent.refresh()
+      assert(s.recomputedDays == 0 || s.fromChild,
+        s"frozen parent fell back to raw with a CURRENT child at step $i: $s")
+      assert(weekShape(parent.read(), below = true) == frozenTruth,
+        s"frozen week moved at step $i (drop was step $dropAtStep)")
+      val above = weekShape(parent.read(), below = false)
+      assert(above == weekShape(childRefoldAbove(), below = false),
+        s"parent != child refold above the horizon at step $i")
+      assert(above == weekShape(rawAbove(), below = false),
+        s"parent != raw recompute above the horizon at step $i")
+    }
+    // and the explicit-surface answer() covers dropped history + live:
+    // count == frozen week's rows + current above-horizon rows
+    val frozenCnt = frozenTruth.map(_(2).asInstanceOf[Long]).sum
+    val liveCnt = st.current()
+      .filter(col("timestamp") >= HORIZON_DAY * DAY).count()
+    val belowRecreated = st.current()
+      .filter(col("timestamp") < HORIZON_DAY * DAY).count()
+    val total = parent.answer(QueryModel(aggFunc = Some(Agg.Count)))
+      .get.head().getDouble(0)
+    assert(total == (frozenCnt + liveCnt).toDouble,
+      s"frozen-parent answer must be frozen history + live tail: $total " +
+        s"vs $frozenCnt + $liveCnt (recreated-below raw rows " +
+        s"$belowRecreated are rollup-invisible by design)")
+  }
+
   test("answerCounterIncrease: within-bucket incr + boundary pairs == raw counterRate") {
     val HOUR = 3600000L
     val st = new TimeSeriesStore(spark,

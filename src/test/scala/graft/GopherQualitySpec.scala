@@ -65,4 +65,39 @@ class GopherQualitySpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning") && !plan.contains("Generate"),
       s"quality signals must not shuffle or explode:\n$plan")
   }
+
+  test("filterOnSignals: the keep filter reads computed columns, not re-derived folds") {
+    // without the barrier, predicate pushdown substitutes every signal
+    // alias into the filter condition — each higher-order fold is then
+    // re-evaluated 3-7× per row BELOW the projection (the whole point
+    // of materializing signals once is lost). The law: the Filter node
+    // references signal ATTRIBUTES; a raw .filter() is pinned as the
+    // counterexample (its filter reads `text` directly), so if a Spark
+    // upgrade changes pushdown behavior this test says which side moved.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // Range-based source: a LocalRelation would be folded whole by
+    // ConvertToLocalRelation and leave no Filter node to inspect
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat(lit("the words and more of that have with a b c d e "),
+        col("id").cast("string")).as("text"),
+      lit("s").as("source"))
+    val keep = GopherQuality.gopherQualityKeep(minWords = 1L, minStopWordHits = 0L)
+    val guarded = GopherQuality.filterOnSignals(
+      GopherQuality.qualitySignals(docs), keep)
+    val refs = guarded.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.references.map(_.name).toSet
+    }.flatten.toSet
+    assert(refs.contains("n_words") && refs.contains("stop_word_hits"),
+      s"barriered filter must reference signal columns, got $refs")
+    // results identical to the naive filter
+    val naive = GopherQuality.qualitySignals(docs).filter(keep)
+    assert(guarded.collect().toSeq == naive.collect().toSeq)
+    val naiveRefs = naive.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.references.map(_.name).toSet
+    }.flatten.toSet
+    assert(naiveRefs.intersect(Set("n_words", "stop_word_hits")).isEmpty,
+      s"counterexample drifted: pushdown no longer inlines signals " +
+        s"(naive filter refs $naiveRefs) — filterOnSignals' barrier may " +
+        "be removable")
+  }
 }
