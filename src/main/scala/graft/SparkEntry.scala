@@ -1245,6 +1245,16 @@ object SparkEntry {
         "round(sum(value), 4) AS sum_val FROM " +
         s"$v LATERAL VIEW explode(hop_starts(timestamp, 86400000, 172800000)) h AS w " +
         "GROUP BY w, tag ORDER BY window_start, tag")),
+    // the same sliding shape against the DELIBERATELY-STALE rollup:
+    // the hop explode rebuilds over currentBase, so carried buckets +
+    // the re-aggregated raw hot tail refold into windows — sliding
+    // windows stay exact at any staleness through plain SQL
+    "ts3_cagg_sql_hop_realtime" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = true, v =>
+        "SELECT w AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, " +
+        "round(sum(value), 4) AS sum_val FROM " +
+        s"$v LATERAL VIEW explode(hop_starts(timestamp, 86400000, 172800000)) h AS w " +
+        "GROUP BY w, tag ORDER BY window_start, tag")),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -2996,6 +3006,12 @@ object SparkEntry {
     "ts3_cagg_sql_time_bucket" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_hop" ->
+      s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
+        |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t
+        |  UNION ALL
+        |  SELECT ("timestamp" // 86400000) * 86400000 - 86400000 AS window_start, tag, value FROM $FROM t
+        |) GROUP BY window_start, tag ORDER BY window_start, tag""".stripMargin,
+    "ts3_cagg_sql_hop_realtime" ->
       s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
         |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t
         |  UNION ALL

@@ -432,12 +432,21 @@ class RollupSqlRewriteSpec extends SparkSpec {
         val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
           .zipWithIndex.map { case (a, j) => s"$a AS a$j" }
         val w = Seq(HOUR, 6 * HOUR, DAY, 2 * DAY)(rnd.nextInt(4))
+        // the tumbling key in both spellings, plus the sliding hop —
+        // every grouping vocabulary entry rides the same sweep
+        val windowKey = rnd.nextInt(3) match {
+          case 0 => s"(timestamp DIV $w) * $w"
+          case 1 => s"time_bucket($w, timestamp)"
+          case _ => "__HOP__" // marker: group by the exploded hop column
+        }
+        val hopWidth = w * (1 + rnd.nextInt(3))
         val groupExprs = rnd.nextInt(4) match {
           case 0 => None
           case 1 => Some(Seq("tag"))
-          case 2 => Some(Seq(s"(timestamp DIV $w) * $w"))
-          case 3 => Some(Seq("tag", s"(timestamp DIV $w) * $w"))
+          case 2 => Some(Seq(windowKey))
+          case 3 => Some(Seq("tag", windowKey))
         }
+        val usesHop = groupExprs.exists(_.contains("__HOP__"))
         val where = rnd.nextInt(3) match {
           case 0 => ""
           case 1 =>
@@ -445,13 +454,18 @@ class RollupSqlRewriteSpec extends SparkSpec {
             s" WHERE timestamp >= $lo"
           case 2 => s" WHERE tag IN ('a', 'c')"
         }
-        val sel = (groupExprs.map(_.zipWithIndex.map { case (g, j) => s"$g AS g$j" })
-          .getOrElse(Nil) ++ aggs).mkString(", ")
+        val sel = (groupExprs.map(_.zipWithIndex.map {
+            case ("__HOP__", j) => s"hw AS g$j"
+            case (g, j) => s"$g AS g$j"
+          }).getOrElse(Nil) ++ aggs).mkString(", ")
+        val lateral = if (usesHop)
+          s" LATERAL VIEW explode(hop_starts(timestamp, $w, $hopWidth)) h AS hw"
+          else ""
         val grpClause = groupExprs.map(gs =>
           " GROUP BY " + gs.indices.map(_ + 1).mkString(", ")).getOrElse("")
         val ordClause = groupExprs.map(gs =>
           " ORDER BY " + gs.indices.map(j => s"g$j").mkString(", ")).getOrElse("")
-        val q = s"SELECT $sel FROM $v$where$grpClause$ordClause"
+        val q = s"SELECT $sel FROM $v$lateral$where$grpClause$ordClause"
         val routed = spark.sql(q)
         val routedRows = rows(routed)
         // rollup-routed or metadata-folded both count as rewritten (the
