@@ -1234,6 +1234,18 @@ object SparkEntry {
         "SELECT time_bucket(86400000, timestamp) AS window_start, tag, " +
         "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
         s"FROM $v GROUP BY 1, 2 ORDER BY window_start, tag")),
+    // WHERE on the window key itself — how TimescaleDB users actually
+    // bound a bucketed query. classify converts `time_bucket(w, ts)`
+    // comparisons to exact ts bounds (tumble ≥ X ⟺ ts ≥ ⌈X/w⌉·w), so
+    // the shape routes; the hi bound is deliberately UNALIGNED to
+    // exercise the ceil
+    "ts3_cagg_sql_time_bucket_where" -> ((s, dir) => caggSqlAnswer(s, dir,
+      stale = false, v =>
+        "SELECT time_bucket(86400000, timestamp) AS window_start, tag, " +
+        "CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val " +
+        s"FROM $v WHERE time_bucket(86400000, timestamp) >= $T1 " +
+        s"AND time_bucket(86400000, timestamp) < ${T2 - 1} " +
+        "GROUP BY 1, 2 ORDER BY window_start, tag")),
     // SLIDING windows in PLAIN SQL: hop_starts(ts, slide, width)
     // explodes each row into its width/slide window starts; the
     // rewrite recognizes the Generate and refolds rollup buckets
@@ -3005,6 +3017,8 @@ object SparkEntry {
       s"""SELECT ("timestamp" // 86400000) AS g_day, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1 HAVING count(*) > 10 ORDER BY g_day""",
     "ts3_cagg_sql_time_bucket" ->
       s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t GROUP BY 1, 2 ORDER BY window_start, tag""",
+    "ts3_cagg_sql_time_bucket_where" ->
+      s"""SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM $FROM t WHERE ("timestamp" // 86400000) * 86400000 >= $T1 AND ("timestamp" // 86400000) * 86400000 < ${T2 - 1} GROUP BY 1, 2 ORDER BY window_start, tag""",
     "ts3_cagg_sql_hop" ->
       s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
         |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t

@@ -237,6 +237,24 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     val tagConds = Seq.newBuilder[Expression]
     def tightenGe(v: Long): Unit = ge = Some(ge.fold(v)(math.max(_, v)))
     def tightenLt(v: Long): Unit = lt = Some(lt.fold(v)(math.min(_, v)))
+    // bounds on a WINDOW KEY — `time_bucket(w, ts) >= X` and the
+    // g_day partition column's range forms — convert to exact ts
+    // bounds (tumble = (ts div w)·w over nonneg ts):
+    //   tumble ≥ X ⟺ ts ≥ ⌈X/w⌉·w     tumble > X ⟺ ts ≥ (⌊X/w⌋+1)·w
+    //   tumble < X ⟺ ts < ⌈X/w⌉·w     tumble ≤ X ⟺ ts < (⌊X/w⌋+1)·w
+    // The magnitude guard keeps the ceil arithmetic overflow-free;
+    // anything past it stays unrecognized (raw plan, never wrong).
+    def winLit(e1: Expression, e2: Expression): Option[(Long, Long)] = {
+      val w = e1 match {
+        case a: AttributeReference if a.name == "g_day" => Some(DayMs)
+        case other => windowOf(other)
+      }
+      for { ww <- w; x0 <- longLit(e2); if math.abs(x0) < (1L << 60) }
+        // g_day compares in DAY units; window keys in ms
+        yield (ww, if (e1.isInstanceOf[AttributeReference]) x0 * ww else x0)
+    }
+    def ceilW(x: Long, w: Long): Long = Math.floorDiv(x + w - 1, w) * w
+    def floorW1(x: Long, w: Long): Long = (Math.floorDiv(x, w) + 1) * w
     conds.foreach {
       case In(a, vs) if isAttr(a, "g_day") && vs.forall(longLit(_).isDefined) =>
         days ++= vs.flatMap(longLit)
@@ -267,6 +285,23 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         tightenLt(longLit(l).get + 1)
       case GreaterThanOrEqual(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
         tightenLt(longLit(l).get + 1)
+      // window-key / g_day range bounds, both operand orders
+      case GreaterThanOrEqual(e, l) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenGe(ceilW(x, w))
+      case LessThanOrEqual(l, e) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenGe(ceilW(x, w))
+      case GreaterThan(e, l) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenGe(floorW1(x, w))
+      case LessThan(l, e) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenGe(floorW1(x, w))
+      case LessThan(e, l) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenLt(ceilW(x, w))
+      case GreaterThan(l, e) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenLt(ceilW(x, w))
+      case LessThanOrEqual(e, l) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenLt(floorW1(x, w))
+      case GreaterThanOrEqual(l, e) if winLit(e, l).isDefined =>
+        val (w, x) = winLit(e, l).get; tightenLt(floorW1(x, w))
       case c if c.deterministic && c.references.nonEmpty &&
         c.references.forall(_.name == "tag") =>
         tagConds += c

@@ -212,6 +212,64 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("WHERE on the window key / g_day ranges convert to exact ts bounds and route") {
+    // `WHERE time_bucket(w, ts) >= X` is how TimescaleDB users bound a
+    // bucketed query; `WHERE g_day BETWEEN a AND b` is the partition
+    // column's natural range form. classify converts both to ts bounds
+    // (tumble ≥ X ⟺ ts ≥ ⌈X/w⌉·w over nonneg ts) — row-exact, so the
+    // rewrite stays result-identical INCLUDING unaligned literals,
+    // where the naive reading of the bound would be off by a bucket.
+    val (st, daily, hourly) = fresh("sqlwb")
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_wb${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // aligned window-key bounds (the common dashboard shape)
+        s"SELECT time_bucket($DAY, timestamp) AS w, sum(value) AS s FROM $v " +
+          s"WHERE time_bucket($DAY, timestamp) >= $DAY AND time_bucket($DAY, timestamp) < ${3 * DAY} " +
+          "GROUP BY 1 ORDER BY w",
+        // UNALIGNED literals: ≥ X with X mid-bucket must mean ts ≥ next
+        // bucket start; < X mid-bucket must mean ts < X's bucket start
+        s"SELECT time_bucket($DAY, timestamp) AS w, count(*) AS c FROM $v " +
+          s"WHERE time_bucket($DAY, timestamp) >= ${DAY + 7} AND time_bucket($DAY, timestamp) <= ${3 * DAY - 5} " +
+          "GROUP BY 1 ORDER BY w",
+        // strict forms, hourly grain
+        s"SELECT time_bucket($HOUR, timestamp) AS w, max(value) AS mx FROM $v " +
+          s"WHERE time_bucket($HOUR, timestamp) > ${5 * HOUR} AND time_bucket($HOUR, timestamp) < ${30 * HOUR} " +
+          "GROUP BY 1 ORDER BY w",
+        // g_day range + tag grouping
+        s"SELECT tag, sum(value) AS s FROM $v WHERE g_day >= 1 AND g_day <= 2 " +
+          "GROUP BY tag ORDER BY tag",
+        // window-key bound WITHOUT window grouping (scalar over a
+        // bucketed range)
+        s"SELECT sum(value) AS s FROM $v WHERE time_bucket($DAY, timestamp) >= $DAY AND tag IN ('a', 'b')")
+      cases.foreach { q =>
+        val routed = spark.sql(q)
+        assert(readsRollup(routed, "-daily") || readsRollup(routed, "-hourly") ||
+          readsMeta(routed),
+          s"window-bound WHERE did not route: $q\n${planStr(routed)}")
+        assert(!readsStore(routed), s"routed plan still reads raw store: $q")
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"window-bound rewrite changed results: $q")
+      }
+      // a 90-minute bucket bound aligns with NO registered grain → raw
+      val bad = spark.sql(
+        s"SELECT sum(value) AS s FROM $v WHERE time_bucket(${90 * 60000}, timestamp) >= ${90 * 60000} AND tag = 'a'")
+      assert(readsStore(bad),
+        "bound at a non-dividing width must stay on the raw plan")
+      // ...but its ts-converted bound is still row-exact on the raw plan
+      RollupSqlRewrite.unregister(spark, st)
+      val badRaw = rows(spark.sql(
+        s"SELECT sum(value) AS s FROM $v WHERE time_bucket(${90 * 60000}, timestamp) >= ${90 * 60000} AND tag = 'a'"))
+      RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+      assert(rows(bad) == badRaw)
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("shifted-key UNION ALL sliding idiom is never mis-rewritten") {
     // Branch i of the idiom projects `(ts DIV s)*s − i·s` under ONE
     // shared output column; `resolve` would see only branch 0's def,
