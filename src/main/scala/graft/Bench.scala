@@ -106,6 +106,33 @@ object Bench {
         raw"-?[0-9.eE+-]+".r.findAllIn(m.group(1)).map(_.toDouble).toSeq
     }
 
+  /** Comparability verdict for a run's pre-Spark ambient load against
+    * the baseline's boot provenance: comparable iff the run ambient is
+    * within `tol` of the NEAREST boot ambient the baseline unions.
+    * Each boot's band evidence was gathered AT its recorded ambient,
+    * and the committed bands are unions across those boots — so a run
+    * landing near ANY boot's ambient has load-comparable evidence in
+    * the band by construction (a run INSIDE the observed ambient range
+    * is always within tol of some boot, since MergeBaseline only
+    * unions real samples). Pre-provenance single-run baselines fall
+    * back to the scalar `load_avg_ambient`. Round-10 lesson: gating on
+    * the single scalar ruled the driver run (ambient 2.58) incomparable
+    * against a baseline whose own boots spanned 0.62–2.29 — the alarm
+    * abstained on evidence it was already carrying. Returns
+    * (comparable, description-of-the-reference-point). */
+  private[graft] def ambientComparable(runAmbient: Double,
+                                       bootAmbients: Seq[Double],
+                                       scalarAmbient: Option[Double],
+                                       tol: Double = 1.0): (Boolean, String) =
+    if (bootAmbients.nonEmpty) {
+      val nearest = bootAmbients.minBy(a => math.abs(runAmbient - a))
+      (math.abs(runAmbient - nearest) < tol,
+        s"nearest of ${bootAmbients.size} boot ambients: $nearest")
+    } else scalarAmbient match {
+      case Some(bl) => (math.abs(runAmbient - bl) < tol, s"scalar baseline ambient: $bl")
+      case None     => (true, "no baseline ambient recorded")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -217,7 +244,11 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val diag = s""""load_avg":$loadAvg,"load_avg_ambient":$ambientLoad,"n_cpus":$nCpus,"n_errors":${errors.size},"errors":$errJson"""
+    // one id per JVM boot: MergeBaseline dedups on it, so re-merging
+    // the same perquery file cannot inflate an entry's boots count
+    // (the >=2-boots gate must count independent evidence, not merges)
+    val bootId = java.util.UUID.randomUUID().toString
+    val diag = s""""load_avg":$loadAvg,"load_avg_ambient":$ambientLoad,"n_cpus":$nCpus,"boot_id":"$bootId","n_errors":${errors.size},"errors":$errJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}""")
     // The driver's artifact capture is tail-truncated (BENCH_r07 kept
     // only ~36 of 127 per-query numbers, cut from the FRONT of the
@@ -263,19 +294,23 @@ object Bench {
     val baselineHi: Map[String, Double] =
       try parseBaselineSpread(baselineTxt) catch { case _: Throwable => Map.empty }
     // run-ambient load is the dominant noise term (r8 vs baseline was a
-    // uniform 1.15× at load 1.9 vs 1.4): when the 1-min AMBIENT load
-    // averages (pre-run sample — the post-run one measures the bench's
-    // own tail) differ by >= 1.0 the per-query ratios measure the
-    // machine, not the code, so the regression map is withheld and the
-    // JSON says WHY instead of shipping a silent empty map
-    val loadComparable = baselineLoad.forall(bl => math.abs(ambientLoad - bl) < 1.0)
+    // uniform 1.15× at load 1.9 vs 1.4): when the run's pre-Spark
+    // ambient sits >= 1.0 from EVERY boot ambient the baseline unions
+    // (ambientComparable — nearest-boot rule, scalar fallback for old
+    // files) the per-query ratios measure the machine, not the code,
+    // so the regression map is withheld and the JSON says WHY instead
+    // of shipping a silent empty map
+    val bootAmbients: Seq[Double] =
+      try parseBaselineAmbients(baselineTxt) catch { case _: Throwable => Seq.empty }
+    val (loadComparable, loadRef) =
+      ambientComparable(ambientLoad, bootAmbients, baselineLoad)
     val baselineNote =
       if (!baselineExists) "no baseline file"
       else if (baseline.isEmpty)
         s"LOUD WARNING: $baselinePath exists but parsed 0 query entries — format drift, fix the file or the parser"
       else if (!loadComparable)
-        s"baseline-incomparable (load): run ambient load_avg $ambientLoad vs baseline ${baselineLoad.get}"
-      else "comparable"
+        s"baseline-incomparable (load): run ambient load_avg $ambientLoad vs $loadRef"
+      else s"comparable (run ambient $ambientLoad vs $loadRef)"
     if (baselineExists && baseline.isEmpty)
       System.err.println(s"[bench] $baselineNote")
     val regressions =

@@ -32,13 +32,36 @@ import graft.Bench
   */
 object MergeBaseline {
 
+  /** The run's JVM-boot identity (`"boot_id":"…"`) — [[graft.Bench]]
+    * stamps one UUID per boot; a baseline accumulates them under
+    * `"boot_ids":[…]`. */
+  private[graft] def parseBootIds(txt: String): Seq[String] =
+    (raw""""boot_id"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)) ++
+      raw""""boot_ids"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt).toSeq
+        .flatMap(m => raw""""([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1))))
+      .toSeq.distinct
+
   /** Pure merge of a new perquery run into an existing baseline text;
-    * returns the merged compact-JSON baseline (spec-tested). */
+    * returns the merged compact-JSON baseline (spec-tested). Boot
+    * identity guard (round-10 ADVICE): a run whose `boot_id` the
+    * baseline already records is NOT merged again — re-merging the
+    * same file would increment every entry's boots count without
+    * adding evidence, letting one boot's data satisfy the >=2-boots
+    * gate and reintroducing the single-boot-tight-band false
+    * positives this tool exists to prevent. */
   private[graft] def merge(baselineTxt: String, newRunTxt: String): String = {
     val (newMed, newLoad) = Bench.parseBaseline(newRunTxt)
     require(newMed.nonEmpty,
       "MergeBaseline: the new run parsed to 0 query entries — refusing " +
         "to merge (format drift or an empty bench run)")
+    val oldIds = parseBootIds(baselineTxt)
+    val newId = parseBootIds(newRunTxt).filterNot(oldIds.contains)
+    val dup = parseBootIds(newRunTxt).exists(oldIds.contains)
+    if (dup) {
+      System.err.println("[merge] SKIPPED: this run's boot_id is already " +
+        "in the baseline — merging it again would double-count one boot's evidence")
+      return baselineTxt
+    }
     val newSpread = Bench.parseBaselineSpreadFull(newRunTxt)
     val (oldMed, oldLoad) = Bench.parseBaseline(baselineTxt)
     val oldSpread = Bench.parseBaselineSpreadFull(baselineTxt)
@@ -88,8 +111,10 @@ object MergeBaseline {
     val boots = merged.map { case (k, e) => s"\"$k\":${e.boots}" }
       .mkString("{", ",", "}")
     val ambientsJson = ambients.map(num).mkString("[", ",", "]")
+    val bootIdsJson = (oldIds ++ newId).map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"perquery","queries":$qs,"spread":$spread,"boots":$boots,""" +
-      s""""ambients":$ambientsJson,"load_avg_ambient":${num(ambientMedian)},""" +
+      s""""ambients":$ambientsJson,"boot_ids":$bootIdsJson,""" +
+      s""""load_avg_ambient":${num(ambientMedian)},""" +
       s""""boots_min":${if (merged.isEmpty) 0 else merged.map(_._2.boots).min}}"""
   }
 

@@ -126,6 +126,54 @@ final class BenchBaselineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MergeBaseline.merge(thrice, "{}"))
   }
 
+  test("comparability gate: nearest-BOOT ambient, not the scalar median") {
+    // round-10 "what's wrong" #1: the driver ran at ambient 2.58 and the
+    // gate compared it against the scalar 1.44 — incomparable — while
+    // the baseline's own boots spanned 0.62..2.29. The bands are UNIONS
+    // across those boots, so a run near ANY boot's ambient has
+    // load-comparable evidence in the band; the gate must say so.
+    val boots = Seq(0.88, 0.94, 1.44, 2.29, 1.99, 1.03, 1.53, 0.62)
+    // the r10 driver run: within 1.0 of boot 2.29 => comparable
+    assert(Bench.ambientComparable(2.576, boots, Some(1.435))._1)
+    // inside the observed range is always comparable (unions of real
+    // samples: some boot is within 1.0 of any in-range point when
+    // adjacent samples are < 2.0 apart — and these are)
+    assert(Bench.ambientComparable(1.2, boots, Some(1.435))._1)
+    // far beyond every boot stays incomparable
+    assert(!Bench.ambientComparable(4.5, boots, Some(1.435))._1)
+    // pre-provenance baselines (no boots list) fall back to the scalar
+    assert(Bench.ambientComparable(1.9, Seq.empty, Some(1.435))._1)
+    assert(!Bench.ambientComparable(2.576, Seq.empty, Some(1.435))._1)
+    // no ambient recorded at all: comparable by default (old files)
+    assert(Bench.ambientComparable(2.0, Seq.empty, None)._1)
+  }
+
+  test("MergeBaseline: a re-merged boot_id is skipped, not double-counted") {
+    import graft.tools.MergeBaseline
+    // round-10 ADVICE #3: merging the same perquery file twice would
+    // increment boots without adding evidence, satisfying the >=2 gate
+    // with ONE boot's data — exactly the false-positive source the
+    // multi-boot policy exists to prevent.
+    val run =
+      """{"metric":"perquery","queries":{"q_a":0.50},"spread":{"q_a":[0.45,0.60]},"boot_id":"boot-aaa","load_avg_ambient":0.7}"""
+    val once = MergeBaseline.merge("{}", run)
+    assert(MergeBaseline.parseBootIds(once) === Seq("boot-aaa"))
+    assert(Bench.parseBaselineBoots(once) === Map("q_a" -> 1))
+    // byte-identical re-merge: baseline unchanged
+    assert(MergeBaseline.merge(once, run) === once)
+    // a genuinely fresh boot still merges and records its id
+    val run2 =
+      """{"metric":"perquery","queries":{"q_a":0.40},"spread":{"q_a":[0.38,0.55]},"boot_id":"boot-bbb","load_avg_ambient":1.1}"""
+    val twice = MergeBaseline.merge(once, run2)
+    assert(Bench.parseBaselineBoots(twice) === Map("q_a" -> 2))
+    assert(MergeBaseline.parseBootIds(twice).sorted === Seq("boot-aaa", "boot-bbb"))
+    // id-less legacy runs keep merging (no identity to dedup on)
+    val legacy =
+      """{"metric":"perquery","queries":{"q_a":0.45},"spread":{"q_a":[0.44,0.50]},"load_avg_ambient":0.9}"""
+    assert(Bench.parseBaselineBoots(MergeBaseline.merge(twice, legacy)) ===
+      Map("q_a" -> 3))
+  }
+
   test("the bench JSON names unbaselined queries instead of skipping silently") {
     // (format-level pin: the driver reads `unbaselined` from the top
     // line; the field is produced in Bench.main whose run is the
