@@ -242,19 +242,30 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     // bounds (tumble = (ts div w)·w over nonneg ts):
     //   tumble ≥ X ⟺ ts ≥ ⌈X/w⌉·w     tumble > X ⟺ ts ≥ (⌊X/w⌋+1)·w
     //   tumble < X ⟺ ts < ⌈X/w⌉·w     tumble ≤ X ⟺ ts < (⌊X/w⌋+1)·w
-    // The magnitude guard keeps the ceil arithmetic overflow-free;
-    // anything past it stays unrecognized (raw plan, never wrong).
+    // Overflow DECLINES instead of being magnitude-guarded (round-10
+    // ADVICE #1): every step — the g_day day→ms unit conversion x0·ww
+    // (an epoch-ms literal mistakenly used as a g_day value wraps it)
+    // and the ceil/floor window arithmetic — runs under Math.*Exact,
+    // and any overflow leaves the conjunct unrecognized (raw plan,
+    // never wrong).
     def winLit(e1: Expression, e2: Expression): Option[(Long, Long)] = {
       val w = e1 match {
         case a: AttributeReference if a.name == "g_day" => Some(DayMs)
         case other => windowOf(other)
       }
-      for { ww <- w; x0 <- longLit(e2); if math.abs(x0) < (1L << 60) }
+      for {
+        ww <- w
+        x0 <- longLit(e2)
         // g_day compares in DAY units; window keys in ms
-        yield (ww, if (e1.isInstanceOf[AttributeReference]) x0 * ww else x0)
+        x <- if (e1.isInstanceOf[AttributeReference])
+               scala.util.Try(Math.multiplyExact(x0, ww)).toOption
+             else Some(x0)
+      } yield (ww, x)
     }
-    def ceilW(x: Long, w: Long): Long = Math.floorDiv(x + w - 1, w) * w
-    def floorW1(x: Long, w: Long): Long = (Math.floorDiv(x, w) + 1) * w
+    def ceilW(x: Long, w: Long): Option[Long] = scala.util.Try(
+      Math.multiplyExact(Math.floorDiv(Math.addExact(x, w - 1), w), w)).toOption
+    def floorW1(x: Long, w: Long): Option[Long] = scala.util.Try(
+      Math.multiplyExact(Math.addExact(Math.floorDiv(x, w), 1), w)).toOption
     conds.foreach {
       case In(a, vs) if isAttr(a, "g_day") && vs.forall(longLit(_).isDefined) =>
         days ++= vs.flatMap(longLit)
@@ -268,40 +279,61 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       case IsNotNull(a) if isAttr(a, "g_day") || isAttr(a, "timestamp") ||
         isAttr(a, "value") => ()
       // timestamp bounds, both operand orders, closed forms normalized
-      // to [ge, lt) at millisecond granularity
+      // to [ge, lt) at millisecond granularity. The `+ 1` conversions
+      // (`> l → ge l+1`, `<= l → lt l+1`) mirror the engine path's
+      // canonicalTsBounds MaxValue exception (Model.scala): at
+      // l == Long.MaxValue the increment would wrap to MinValue and
+      // the routed plan would return EVERY bucket where raw returns
+      // nothing (`> MaxValue`) or nothing where raw returns everything
+      // (`<= MaxValue`) — so MaxValue stays unrecognized (raw plan,
+      // never wrong; round-10 "what's wrong" #2).
       case GreaterThanOrEqual(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
         tightenGe(longLit(l).get)
       case LessThanOrEqual(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
         tightenGe(longLit(l).get)
-      case GreaterThan(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+      case GreaterThan(a, l) if isAttr(a, "timestamp") &&
+          longLit(l).exists(_ != Long.MaxValue) =>
         tightenGe(longLit(l).get + 1)
-      case LessThan(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+      case LessThan(l, a) if isAttr(a, "timestamp") &&
+          longLit(l).exists(_ != Long.MaxValue) =>
         tightenGe(longLit(l).get + 1)
       case LessThan(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
         tightenLt(longLit(l).get)
       case GreaterThan(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
         tightenLt(longLit(l).get)
-      case LessThanOrEqual(a, l) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+      case LessThanOrEqual(a, l) if isAttr(a, "timestamp") &&
+          longLit(l).exists(_ != Long.MaxValue) =>
         tightenLt(longLit(l).get + 1)
-      case GreaterThanOrEqual(l, a) if isAttr(a, "timestamp") && longLit(l).isDefined =>
+      case GreaterThanOrEqual(l, a) if isAttr(a, "timestamp") &&
+          longLit(l).exists(_ != Long.MaxValue) =>
         tightenLt(longLit(l).get + 1)
-      // window-key / g_day range bounds, both operand orders
+      // window-key / g_day range bounds, both operand orders; a
+      // ceil/floor that overflows declines the whole classification
+      // (None → raw plan) rather than shipping a wrapped bound
       case GreaterThanOrEqual(e, l) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenGe(ceilW(x, w))
+        val (w, x) = winLit(e, l).get
+        ceilW(x, w).fold[Unit](return None)(tightenGe)
       case LessThanOrEqual(l, e) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenGe(ceilW(x, w))
+        val (w, x) = winLit(e, l).get
+        ceilW(x, w).fold[Unit](return None)(tightenGe)
       case GreaterThan(e, l) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenGe(floorW1(x, w))
+        val (w, x) = winLit(e, l).get
+        floorW1(x, w).fold[Unit](return None)(tightenGe)
       case LessThan(l, e) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenGe(floorW1(x, w))
+        val (w, x) = winLit(e, l).get
+        floorW1(x, w).fold[Unit](return None)(tightenGe)
       case LessThan(e, l) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenLt(ceilW(x, w))
+        val (w, x) = winLit(e, l).get
+        ceilW(x, w).fold[Unit](return None)(tightenLt)
       case GreaterThan(l, e) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenLt(ceilW(x, w))
+        val (w, x) = winLit(e, l).get
+        ceilW(x, w).fold[Unit](return None)(tightenLt)
       case LessThanOrEqual(e, l) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenLt(floorW1(x, w))
+        val (w, x) = winLit(e, l).get
+        floorW1(x, w).fold[Unit](return None)(tightenLt)
       case GreaterThanOrEqual(l, e) if winLit(e, l).isDefined =>
-        val (w, x) = winLit(e, l).get; tightenLt(floorW1(x, w))
+        val (w, x) = winLit(e, l).get
+        floorW1(x, w).fold[Unit](return None)(tightenLt)
       case c if c.deterministic && c.references.nonEmpty &&
         c.references.forall(_.name == "tag") =>
         tagConds += c
@@ -362,6 +394,22 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       src <- destructure(agg.child)
       leaves = src.leaves
       if leaves.nonEmpty
+      // generator-output hygiene (round-10 ADVICE #2): a user-named
+      // lateral-view column may SHADOW a store column (`… AS tag` /
+      // `AS timestamp`), and a filter on a generator output cannot be
+      // pushed below the Generate, so it reaches classify verbatim —
+      // where name-based matching would rebind it to the rollup's real
+      // column (wrong results) or fold window-start bounds into event
+      // ts bounds. Decline when the generator output wears a store
+      // column's name, and when ANY predicate references the generator
+      // output at all (predicates on the exploded window starts are
+      // outside the rewrite vocabulary — classify's name dispatch must
+      // only ever see leaf store columns).
+      if src.gen.forall { case (attr, _) =>
+        !RollupSqlRewrite.StoreCols.contains(attr.name) &&
+          leaves.forall(_.conds.forall(c =>
+            !c.references.exists(_.exprId == attr.exprId)))
+      }
       // resolve intermediate Project aliases (the optimizer's
       // `_groupingexpression` extraction) back to leaf-column exprs
       defs = src.defs
@@ -661,6 +709,11 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
 }
 
 object RollupSqlRewrite {
+  /** The store's leaf column names — the vocabulary classify's
+    * name-based matching dispatches on. A generator output wearing one
+    * of these names is a shadowing hazard and declines the rewrite. */
+  private[engine] val StoreCols = Set("tag", "timestamp", "value", "g_day")
+
   private val installed = TrieMap.empty[SparkSession, RollupSqlRewrite]
 
   /** Register `rollups` as automatic rewrite targets for SQL/DataFrame

@@ -270,6 +270,99 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("overflow literals stay raw, never wrong: MaxValue ts bounds, g_day epoch-ms, huge widths") {
+    // round-10 "what's wrong" #2 + ADVICE #1: the closed-form bound
+    // conversions (`> l → ge l+1`, `<= l → lt l+1`), the g_day day→ms
+    // unit conversion x0·DayMs, and ceilW's `x + w − 1` all wrap at the
+    // Long edges. A wrapped bound flips the routed result wholesale
+    // (`> MaxValue` would return EVERY bucket where raw returns
+    // nothing). The rule's contract is "stays unrecognized … never
+    // wrong": every overflow literal must DECLINE to the raw plan and
+    // match it row-for-row.
+    val (st, daily, hourly) = fresh("sqlovf")
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_ovf${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val cases = Seq(
+        // ge = l+1 wraps to MinValue → routed would return everything
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp > ${Long.MaxValue}",
+        // lt = l+1 wraps → routed would return nothing
+        s"SELECT sum(value) AS s, count(*) AS c FROM $v WHERE timestamp <= ${Long.MaxValue}",
+        // and the reversed operand orders of the same closed forms
+        s"SELECT count(*) AS c FROM $v WHERE ${Long.MaxValue} < timestamp",
+        s"SELECT count(*) AS c FROM $v WHERE ${Long.MaxValue} >= timestamp",
+        // an epoch-ms literal mistakenly used as a g_day value: the
+        // day→ms conversion 1755216000000 · 86400000 wraps
+        s"SELECT sum(value) AS s FROM $v WHERE g_day >= 1755216000000",
+        // huge window-key literal: ceilW's x + w − 1 overflows
+        s"SELECT sum(value) AS s FROM $v WHERE time_bucket($DAY, timestamp) >= ${Long.MaxValue - 3}",
+        // huge tumbling width with a bound past one width: floorW1's
+        // (x div w + 1) · w = 2w overflows (x=0 instead routes fine —
+        // floorW1(0, w) = w is representable and MetaStats folds it)
+        s"SELECT count(*) AS c FROM $v WHERE time_bucket(${Long.MaxValue / DAY * DAY}, timestamp) > ${Long.MaxValue / DAY * DAY}")
+      cases.foreach { q =>
+        val routed = spark.sql(q)
+        assert(readsStore(routed),
+          s"overflow literal must stay on the raw plan: $q\n${planStr(routed)}")
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"overflow literal changed results: $q")
+      }
+      // non-edge sanity: MaxValue−1 still routes through the closed form
+      val ok = spark.sql(
+        s"SELECT sum(value) AS s FROM $v WHERE timestamp > ${Long.MaxValue - 1} AND timestamp >= 0")
+      assert(!readsStore(ok), "MaxValue−1 must still be convertible and route")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
+  test("a lateral-view output shadowing a store column never routes") {
+    // round-10 ADVICE #2: `LATERAL VIEW explode(hop_starts(…)) h AS tag`
+    // gives the generator output a store column's NAME. A filter on a
+    // generator output cannot be pushed below the Generate, so it
+    // reaches classify verbatim — where name-based matching would
+    // rebind it to the rollup's real tag column (or fold window-start
+    // bounds into event ts bounds for `AS timestamp`). The rewrite must
+    // decline: raw plan, identical results.
+    val (st, daily, hourly) = fresh("sqlshd")
+    load(st); daily.refresh(); hourly.refresh()
+    RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+    try {
+      val v = s"sqlrw_shd${System.nanoTime()}"
+      st.current().createOrReplaceTempView(v)
+      val lat = s"LATERAL VIEW explode(hop_starts(timestamp, $DAY, ${2 * DAY}))"
+      val cases = Seq(
+        // shadow the tag column, predicate on the generator output
+        s"SELECT count(*) AS c FROM $v $lat h AS tag WHERE h.tag >= $DAY GROUP BY h.tag ORDER BY 1",
+        // shadow the timestamp column: a window-start range predicate
+        // must NOT become an event-ts bound
+        s"SELECT h.timestamp AS w, count(*) AS c FROM $v $lat h AS timestamp " +
+          s"WHERE h.timestamp >= $DAY GROUP BY 1 ORDER BY 1",
+        // shadow value: sum over the generator output is NOT sum(value)
+        s"SELECT sum(h.value) AS s FROM $v $lat h AS value",
+        // non-shadowing name but a predicate on the exploded window
+        // starts: outside the vocabulary, must decline (not route with
+        // the predicate dropped)
+        s"SELECT hw AS w, count(*) AS c FROM $v $lat h AS hw " +
+          s"WHERE hw >= $DAY GROUP BY 1 ORDER BY 1")
+      cases.foreach { q =>
+        val routed = spark.sql(q)
+        assert(readsStore(routed),
+          s"shadowing generator output must stay raw: $q\n${planStr(routed)}")
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(rows(routed) == rawRows, s"shadowing output changed results: $q")
+      }
+      // sanity: the same hop under a NON-store name with no predicate
+      // on it still routes (the guard must not over-decline)
+      val ok = spark.sql(s"SELECT hw AS w, count(*) AS c FROM $v $lat h AS hw GROUP BY 1 ORDER BY 1")
+      assert(!readsStore(ok), "non-shadowing hop must still route")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("shifted-key UNION ALL sliding idiom is never mis-rewritten") {
     // Branch i of the idiom projects `(ts DIV s)*s − i·s` under ONE
     // shared output column; `resolve` would see only branch 0's def,
@@ -538,6 +631,22 @@ class RollupSqlRewriteSpec extends SparkSpec {
       }
       assert(routedCount >= 20,
         s"only $routedCount/40 random shapes routed — eligibility too narrow for the sweep to mean much")
+      // edge vocabulary appended to the sweep (round-10 verdict #2):
+      // overflow literals must stay result-identical — they decline to
+      // raw, so they don't count toward the routed floor above
+      val edgeWheres = Seq(
+        s" WHERE timestamp > ${Long.MaxValue}",
+        s" WHERE timestamp <= ${Long.MaxValue}",
+        " WHERE g_day >= 1755216000000",
+        s" WHERE time_bucket($DAY, timestamp) >= ${Long.MaxValue - 3}")
+      edgeWheres.foreach { wc =>
+        val q = s"SELECT sum(value) AS s, count(*) AS c FROM $v$wc"
+        val routedRows = rows(spark.sql(q))
+        RollupSqlRewrite.unregister(spark, st)
+        val rawRows = rows(spark.sql(q))
+        RollupSqlRewrite.register(spark, st, Seq(daily, hourly))
+        assert(routedRows == rawRows, s"[edge] overflow literal changed results: $q")
+      }
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
