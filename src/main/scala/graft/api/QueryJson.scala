@@ -195,6 +195,29 @@ object QueryJson {
     w.flush()
   }
 
+  /** Encode a dashboard series response (the `?points=` / `?window=`
+    * routes — [[Server]]'s beyond-reference surface): `{"width": W,
+    * "slide": S, "series": [{window_start, tag, cnt, sum_val, min_val,
+    * max_val}, …]}`. `cnt` is exact-integral; the float partials use
+    * the same non-finite→null rule as the QueryR encoders.
+    */
+  def encodeSeries(width: Long, slide: Long, df: DataFrame): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("width", width)
+    root.put("slide", slide)
+    val arr = root.putArray("series")
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      o.put("window_start", r.getLong(0))
+      o.put("tag", r.getString(1))
+      o.put("cnt", r.getLong(2))
+      putDouble(o, "sum_val", r.getDouble(3))
+      putDouble(o, "min_val", r.getDouble(4))
+      putDouble(o, "max_val", r.getDouble(5))
+    }
+    mapper.writeValueAsString(root)
+  }
+
   /** Encode a query result in the reference's QueryR JSON: rows /
     * [{group, result}] / {result}, chosen by the query shape.
     */

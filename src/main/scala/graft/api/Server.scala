@@ -2,8 +2,9 @@ package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
-import graft.model.QueryError
-import org.apache.spark.sql.SparkSession
+import graft.model.{QueryError, QueryModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
@@ -14,6 +15,8 @@ import java.nio.charset.StandardCharsets
   *   PUT    /timeseries        update `[TS]`        (S2)
   *   DELETE /timeseries        delete `[TS']`; `[]` truncates (S3/S4)
   *   POST   /timeseries/query  QueryModel → QueryR  (S5)
+  *   POST   /timeseries/query?points=N            downsampled series (S5+)
+  *   POST   /timeseries/query?window=W[&slide=S]  windowed series    (S5+)
   *
   * Success → 200 with JSON; validation/data errors → 400 with the
   * message, like the reference's Handler (Api.hs:78-84). Built on the
@@ -131,6 +134,152 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     }
   }
 
+  // ---- S5+ — the dashboard series surface (beyond-reference): the
+  // auto-downsampling and sliding-window operators reach HTTP, so a
+  // dashboard client gets the downsampled/windowed series built for it
+  // instead of raw collects.
+  //
+  //   POST /timeseries/query?points=N           resolution-aware series
+  //   POST /timeseries/query?window=W[&slide=S]  tumbling/sliding series
+  //
+  // The body is an OPTIONAL QueryModel carrying only timestamp bounds
+  // and `tagEq` (gt/le canonicalize exactly like the parity path);
+  // aggFunc/groupBy/tsEq/limit are 400s here — the series shape is
+  // fixed at (window_start, tag, cnt, sum_val, min_val, max_val).
+  // Rollup-routed when a registered rollup is eligible
+  // (ContinuousAggregate.answerAtResolution / answerWindow — O(buckets)
+  // refolds); EXACT raw fallback otherwise, so the route answers with
+  // or without rollups and never silently changes results. tagEq (both
+  // routes) and window_start bounds (window route — `points` consumes
+  // its bounds as the span) post-filter the series, exact because both
+  // are group keys. An empty slice is `"series": []`, not an error — a
+  // grid with no data is an empty grid (same stance as answerGapFill).
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).toSeq.flatMap(_.split("&"))
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }).toMap
+
+  /** Parse + validate the series-route body: bounds/tagEq only. */
+  private def seriesBody(body: String): Either[QueryError, QueryModel] =
+    (if (body.trim.isEmpty) Right(QueryModel())
+     else QueryJson.parseQueryModel(body)).flatMap { qm =>
+      if (qm.aggFunc.isDefined || qm.groupBy.isDefined ||
+          qm.tsEq.isDefined || qm.limit.isDefined)
+        Left(QueryError.IllegalQuery(
+          "Series routes take only timestamp bounds and 'tagEq' in the body."))
+      else Right(QueryModel.canonicalTsBounds(qm))
+    }
+
+  /** tagEq on both routes; window_start bounds on the window route
+    * (exact: both are group keys of the already-aggregated series). */
+  private def postFilter(df: DataFrame, qm: QueryModel,
+                         bounds: Boolean): DataFrame =
+    Seq(
+      qm.tagEq.map(col("tag") === _),
+      if (bounds) qm.ge.map(col("window_start") >= _) else None,
+      if (bounds) qm.lt.map(col("window_start") < _) else None,
+      // canonicalTsBounds leaves only the Long.MaxValue edge as gt
+      if (bounds) qm.gt.map(col("window_start") > _) else None
+    ).flatten.foldLeft(df)(_ filter _)
+
+  /** Exact raw-events twin of answerAtResolution's refold: `ge`-anchored
+    * `width`-ms windows over the CURRENT snapshot. */
+  private def rawResolutionSeries(ge: Long, lt: Long, width: Long): DataFrame =
+    store.current()
+      .filter(col("timestamp") >= ge && col("timestamp") < lt)
+      .groupBy((expr(s"(timestamp - $ge) div $width") * width + ge)
+          .as("window_start"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .orderBy(asc("window_start"), asc("tag"))
+
+  /** Exact raw-events twin of answerWindow's refold: width/slide hop
+    * via the same explode-of-starts plan over raw rows. */
+  private def rawWindowSeries(width: Long, slide: Long): DataFrame = {
+    val n = (width / slide).toInt
+    val starts = (0 until n).map(i =>
+      expr(s"timestamp div $slide") * slide - lit(i.toLong * slide))
+    store.current()
+      .select(col("tag"), col("value"), explode(array(starts: _*)).as("window_start"))
+      .groupBy(col("window_start"), col("tag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"))
+      .orderBy(asc("window_start"), asc("tag"))
+  }
+
+  private def resolutionSeries(qm: QueryModel, points: Long)
+      : Either[QueryError, String] = {
+    if (points < 1 || points > 100000)
+      return Left(QueryError.IllegalQuery("'points' must be in [1, 100000]."))
+    (qm.ge, qm.lt) match {
+      case (Some(ge), Some(lt)) if ge < lt =>
+        val (width, df) = ContinuousAggregate
+          .answerAtResolution(rollups, ge, lt, points.toInt)
+          .getOrElse {
+            val w = math.max(1L, ((lt - ge) + points - 1) / points)
+            (w, rawResolutionSeries(ge, lt, w))
+          }
+        Right(QueryJson.encodeSeries(width, width,
+          postFilter(df, qm, bounds = false)))
+      case (Some(ge), Some(lt)) =>
+        Left(QueryError.IllegalQuery(s"empty range [$ge, $lt)."))
+      case _ =>
+        Left(QueryError.IllegalQuery(
+          "'points' requires both a lower and an upper timestamp bound."))
+    }
+  }
+
+  private def windowSeries(qm: QueryModel, width: Long, slide: Long)
+      : Either[QueryError, String] =
+    if (width <= 0 || slide <= 0 || width % slide != 0)
+      Left(QueryError.IllegalQuery(
+        "'window' must be a positive multiple of 'slide'."))
+    else if (width / slide > 4096)
+      // each raw row / rollup bucket explodes width/slide times — cap
+      // the fan-out so one request can't demand a quadratic plan
+      Left(QueryError.IllegalQuery("'window'/'slide' ratio above 4096."))
+    else {
+      // coarsest eligible rollup first (fewest refolded rows); frozen
+      // rollups never serve (they answer over dropped raw history —
+      // same policy as the SQL rewrite); exact raw twin otherwise
+      val routed = rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerWindow(width, slide)).nextOption()
+      val df = routed.getOrElse(rawWindowSeries(width, slide))
+      Right(QueryJson.encodeSeries(width, slide,
+        postFilter(df, qm, bounds = true)))
+    }
+
+  private def handleSeries(ex: HttpExchange, body: String,
+                           params: Map[String, String]): Unit = {
+    def longParam(k: String): Either[QueryError, Option[Long]] =
+      params.get(k) match {
+        case None => Right(None)
+        case Some(v) => v.toLongOption.map(x => Right(Some(x))).getOrElse(
+          Left(QueryError.IllegalQuery(s"'$k' must be an integer.")))
+      }
+    val result: Either[QueryError, String] = for {
+      qm <- seriesBody(body)
+      points <- longParam("points")
+      window <- longParam("window")
+      slide <- longParam("slide")
+      json <- (points, window) match {
+        case (Some(_), Some(_)) => Left(QueryError.IllegalQuery(
+          "Use either 'points' or 'window', not both."))
+        case (Some(p), None) => resolutionSeries(qm, p)
+        case (None, Some(w)) => windowSeries(qm, w, slide.getOrElse(w))
+        case (None, None) => Left(QueryError.IllegalQuery(
+          "series route needs 'points' or 'window'"))
+      }
+    } yield json
+    result match {
+      case Right(json) => respond(ex, 200, json)
+      case Left(e)     => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val route = (ex.getRequestMethod, ex.getRequestURI.getPath)
@@ -138,6 +287,11 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
       .exists(_.split("&").contains("export=true"))
     try {
       if (route._1 == "OPTIONS") { preflight(ex); return }
+      val params = queryParams(ex)
+      if (route == ("POST", "/timeseries/query") &&
+          (params.contains("points") || params.contains("window"))) {
+        handleSeries(ex, body, params); return
+      }
       if (route == ("POST", "/timeseries/query") && isExport) {
         handleExport(ex, body); return
       }
@@ -190,16 +344,21 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     }
   }
 
+  // concurrent reads like warp/acid-state: queries run in parallel,
+  // writes already serialize on the store's own lock. The pool is a
+  // field so stop() can shut it down — its threads are NON-DAEMON, so
+  // a leaked pool keeps the whole JVM alive after stop() (a driver
+  // main that boots a Server would hang at exit instead of finishing)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   def start(): Server = {
     http.createContext("/", handle(_))
-    // concurrent reads like warp/acid-state: queries run in parallel,
-    // writes already serialize on the store's own lock
-    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    http.setExecutor(pool)
     http.start()
     this
   }
 
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
 }
 
 /** `sbt "runMain graft.api.ServerMain [port] [storePath] [rollupPath]"` —

@@ -130,6 +130,83 @@ class ApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("S5+ series routes: downsampled + windowed series over HTTP, rollup-routed == raw") {
+    import graft.engine.ContinuousAggregate
+    val D = 86400000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-api-ser-store").toString)
+    val rollup = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-api-ser-cagg").toString)
+    val srv = new Server(spark, st, 0, Seq(rollup)).start()     // rollup-routed
+    val srvRaw = new Server(spark, st, 0).start()               // raw fallback
+    def on(s: Server)(path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}" + path))
+        .method("POST", HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      val rows = s"""[{"timestamp":0,"tag":"foo","value":10.0},
+                     {"timestamp":5,"tag":"foo","value":20.0},
+                     {"timestamp":${D + 3},"tag":"foo","value":30.0},
+                     {"timestamp":${D + 7},"tag":"bar","value":5.0}]"""
+      assert(on(srv)("/timeseries", rows) == (200, "[]"))
+      // ?points: span [0, 2D) at a 2-point budget → day-wide windows,
+      // served by the DAILY rollup (eligibility asserted below), exact
+      val expectPoints = s"""{"width":$D,"slide":$D,"series":[""" +
+        s"""{"window_start":0,"tag":"foo","cnt":2,"sum_val":30.0,"min_val":10.0,"max_val":20.0},""" +
+        s"""{"window_start":$D,"tag":"bar","cnt":1,"sum_val":5.0,"min_val":5.0,"max_val":5.0},""" +
+        s"""{"window_start":$D,"tag":"foo","cnt":1,"sum_val":30.0,"min_val":30.0,"max_val":30.0}]}"""
+      val body = s"""{"ge":0,"lt":${2 * D}}"""
+      assert(on(srv)("/timeseries/query?points=2", body) == (200, expectPoints))
+      // routed-source law: the rollup IS eligible for this shape (so
+      // the equality below compares genuinely different plans), and the
+      // rollup-less server answers byte-identically from raw events
+      assert(ContinuousAggregate.answerAtResolution(Seq(rollup), 0, 2 * D, 2)
+        .exists(_._1 == D), "daily rollup must serve the ?points shape")
+      assert(on(srvRaw)("/timeseries/query?points=2", body) == (200, expectPoints))
+      // ?window with slide: sliding 2D/D windows, each row in 2 windows
+      val expectWin = s"""{"width":${2 * D},"slide":$D,"series":[""" +
+        s"""{"window_start":${-D},"tag":"foo","cnt":2,"sum_val":30.0,"min_val":10.0,"max_val":20.0},""" +
+        s"""{"window_start":0,"tag":"bar","cnt":1,"sum_val":5.0,"min_val":5.0,"max_val":5.0},""" +
+        s"""{"window_start":0,"tag":"foo","cnt":3,"sum_val":60.0,"min_val":10.0,"max_val":30.0},""" +
+        s"""{"window_start":$D,"tag":"bar","cnt":1,"sum_val":5.0,"min_val":5.0,"max_val":5.0},""" +
+        s"""{"window_start":$D,"tag":"foo","cnt":1,"sum_val":30.0,"min_val":30.0,"max_val":30.0}]}"""
+      assert(on(srv)(s"/timeseries/query?window=${2 * D}&slide=$D", "")
+        == (200, expectWin))
+      assert(rollup.answerWindow(2 * D, D).isDefined,
+        "daily rollup must serve the ?window shape")
+      assert(on(srvRaw)(s"/timeseries/query?window=${2 * D}&slide=$D", "")
+        == (200, expectWin))
+      // body bounds post-filter the window grid; tagEq filters tags —
+      // both exact (group keys)
+      val (200, winGe) = on(srv)(s"/timeseries/query?window=${2 * D}&slide=$D",
+        """{"ge":0}""")
+      assert(!winGe.contains(s""""window_start":${-D}""") &&
+        winGe.contains(""""window_start":0"""))
+      val (200, winTag) = on(srv)(s"/timeseries/query?window=${2 * D}&slide=$D",
+        """{"tagEq":"bar"}""")
+      assert(!winTag.contains("foo") && winTag.contains("bar"))
+      // gt/le canonicalize like every other path: gt D-1 ≡ ge D
+      val (200, winGt) = on(srv)(s"/timeseries/query?window=${2 * D}&slide=$D",
+        s"""{"gt":${-D - 1}}""")
+      assert(winGt.contains(s""""window_start":${-D}"""))
+      // an empty slice is an empty series, not an error
+      assert(on(srv)("/timeseries/query?points=5",
+        s"""{"ge":${10 * D},"lt":${12 * D}}""")._2.contains(""""series":[]"""))
+      // validation: 400s with reasons, same wire shape as the parity path
+      assert(on(srv)("/timeseries/query?points=2", "{}")._1 == 400)       // no bounds
+      assert(on(srv)("/timeseries/query?points=0", body)._1 == 400)       // bad budget
+      assert(on(srv)("/timeseries/query?points=x", body)._1 == 400)       // non-integer
+      assert(on(srv)(s"/timeseries/query?points=2&window=$D", body)._1 == 400)
+      assert(on(srv)(s"/timeseries/query?window=$D&slide=${2 * D}", "")._1 == 400)
+      assert(on(srv)(s"/timeseries/query?window=${D * 4096 * 2}&slide=1", "")._1 == 400)
+      assert(on(srv)(s"/timeseries/query?window=$D",
+        """{"aggFunc":"sum"}""")._1 == 400)                               // body beyond bounds/tagEq
+    } finally { srv.stop(); srvRaw.stop() }
+  }
+
   test("wire protocol: null fields, typed batch fields, JSON-valid error bodies") {
     // explicit null == absent (aeson Maybe parity)
     val (nc, _) = call("POST", "/timeseries/query", """{"gt":null,"aggFunc":"count"}""")
