@@ -1267,6 +1267,44 @@ object SparkEntry {
         "round(sum(value), 4) AS sum_val FROM " +
         s"$v LATERAL VIEW explode(hop_starts(timestamp, 86400000, 172800000)) h AS w " +
         "GROUP BY w, tag ORDER BY window_start, tag")),
+    // S5+ over LIVE HTTP: boot a Server on the fixture store, POST the
+    // ?window=2d&slide=1d series route with ge/lt body bounds, parse
+    // the wire JSON back into rows. The daily rollup serves the shape
+    // (answerWindow — O(buckets) refold, tripwired below); the oracle
+    // re-derives the same sliding windows from raw events, so a hash
+    // match proves the whole path — HTTP routing, rollup refold, wire
+    // encoding, window_start bound post-filter — exact end to end.
+    "s5_http_window_series" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val st = caggStoreFor(s, dir)
+      val rollup = caggFor(s, dir)
+      require(rollup.answerWindow(2 * 86400000L, 86400000L).isDefined,
+        "s5_http_window_series: daily rollup no longer serves the window shape")
+      val srv = new graft.api.Server(s, st, 0, Seq(rollup)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          s"/timeseries/query?window=${2 * 86400000L}&slide=86400000")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString(
+              s"""{"ge":$T1,"lt":$T2}""")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"series route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        require(node.get("width").asLong == 2 * 86400000L,
+          "series route echoed a drifted width")
+        val rows = node.get("series").elements().asScala.map { o =>
+          (o.get("window_start").asLong, o.get("tag").asText,
+            o.get("cnt").asLong.toDouble, o.get("sum_val").asDouble)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("window_start", "tag", "cnt", "sum_val")
+          .withColumn("sum_val", round(col("sum_val"), 4))
+          .orderBy(col("window_start"), col("tag"))
+      } finally srv.stop()
+    }),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -1497,10 +1535,17 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, dir),
         n = 3, k = 64, bands = 16, minEstJaccard = 0.5)),
     // ---- dedup: near-dup pairs clustered into components, one
-    // survivor per cluster (no oracle — minhash-derived)
+    // survivor per cluster — over the EXACT n-gram Jaccard pairs (same
+    // bounded subset as x_dedup_jaccard), so the connected-components
+    // machinery (star-contraction CC + min-id survivor pick) gets an
+    // INDEPENDENT DuckDB oracle: recursive-CTE transitive closure →
+    // min-label components → survivors. The minhash-edged composition
+    // stays covered by x_dedup_clusters_incremental (rows-only —
+    // xxhash64 signatures) and ClusterIndexSpec's equivalence laws.
     "x_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusterSurvivors(Dedup.minhashPairs(Tables.documents(s, dir),
-        n = 3, k = 64, bands = 16, minEstJaccard = 0.5))),
+      Dedup.clusterSurvivors(Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200),
+        n = 3, minJaccard = 0.5))),
     // ---- dedup: SimHash near-dup pairs (no oracle)
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
@@ -1621,9 +1666,15 @@ object SparkEntry {
         alpha = 0.5, beta = 0.25, gamma = 0.25, period = 7, horizon = 7)
     }),
     // ---- LTTB downsample of the dense minute grid (visualization
-    // shape preservation; no oracle — the per-bucket argmax feedback
-    // recurrence has no recursive-CTE form; spec-gated against an
-    // independent sequential reference)
+    // shape preservation). Fully oracled: the per-bucket argmax
+    // feedback recurrence replays in a DuckDB recursive CTE — bucket
+    // boundaries and next-bucket averages precompute outside the
+    // recursion, the working rows (one per tag) carry the previous
+    // pick, and the per-step argmax is a correlated subquery ordered
+    // (area desc, position) = the kernel's ties-earliest rule. Area
+    // inputs are deterministic doubles (integer-valued counts, one
+    // rounded mean), so the argmax agrees across engines. Also
+    // spec-gated against an independent sequential reference.
     "x_downsample_lttb" -> ((s, dir) => {
       import s.implicits._
       val grid = denseGrid(s, dir).select(col("bucket_start").as("timestamp"),
@@ -1703,8 +1754,12 @@ object SparkEntry {
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy(col("shard"), col("pos"))),
     // ---- MMR diverse exemplar selection: greedy k=12 maximizing
-    // λ·rel − (1−λ)·max-cos-to-selected (rows-only; exact-vs-reference
-    // and diversity laws in MmrSpec)
+    // λ·rel − (1−λ)·max-cos-to-selected. Fully oracled: the operator
+    // rounds every marginal score to 6 decimals BEFORE each argmax
+    // (with vec_id tie-break), so the greedy recursion replays in a
+    // DuckDB recursive CTE — one working row carrying the selected
+    // list, correlated argmax subquery per step (exact-vs-reference
+    // and diversity laws stay in MmrSpec)
     "x_sample_mmr" -> ((s, dir) =>
       graft.operators.Mmr.mmrSelect(Tables.embeddings(s, dir), k = 12)),
     // ---- similarity search: exact cosine top-5 for 10 query vectors
@@ -1713,7 +1768,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     // ---- similarity search over int8-quantized vectors (4× smaller
-    // candidate I/O; no oracle — recall-gated vs brute in the spec)
+    // candidate I/O). Fully oracled: the per-vector quantization is
+    // round(127·x/max|x|) — integer-exact in both engines — and the
+    // int8 cosine's dot/norms are sums of small exact integers, so
+    // the round-4 scores hash-match like the float brute's do
+    // (recall vs the float path stays gated in the spec)
     "x_ann_topk_int8" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -2345,9 +2404,15 @@ object SparkEntry {
       Bpe.pairCounts(Bpe.initialVocab(Tables.documents(s, dir)))
         .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(30)
     }),
-    // ---- learned BPE merge table (16 rounds; no oracle — the argmax
-    // iteration isn't SQL-expressible; pinned EXACTLY against the
-    // sequential reference learner in BpeSpec)
+    // ---- learned BPE merge table (16 rounds). Fully oracled: pair
+    // counts are exact integers and the argmax tie-break is
+    // (cnt desc, lhs, rhs), so the whole training loop replays in a
+    // DuckDB recursive CTE — the working set carries the evolving
+    // (syms, freq) vocabulary, each round re-aggregates pair counts
+    // (DuckDB allows aggregates over the recursive reference) and
+    // applies the greedy leftmost non-overlapping merge positionally
+    // (odd-run-length parity — provably equal to the engine's fold).
+    // Also pinned EXACTLY against the sequential learner in BpeSpec.
     "x_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.mergesDf(s, bpeMergesFor(s, dir))),
     // ---- apply the learned tokenizer: per-source BPE-vs-whitespace
@@ -2464,6 +2529,11 @@ object SparkEntry {
     }),
     // ---- multimodal: binary payload column → batched (stub) decode →
     // typed features (no oracle — mapPartitions codec plumbing)
+    // fully oracled: synthetic payloads are the docs' UTF-8 bytes (the
+    // fixture is all-ASCII, so DuckDB's ord() sees the same byte
+    // values), and the stub decode is plain byte arithmetic — width/
+    // height from the first two bytes, brightness = mean byte value
+    // (integer-valued sums => exact in both engines)
     "x_multimodal_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
@@ -3031,6 +3101,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT ("timestamp" // 86400000) * 86400000 - 86400000 AS window_start, tag, value FROM $FROM t
         |) GROUP BY window_start, tag ORDER BY window_start, tag""".stripMargin,
+    // the HTTP series route: sliding 2d/1d windows (each event in two
+    // windows), body bounds post-filter WINDOW_START (the grid), not
+    // event timestamps — the oracle mirrors that placement exactly
+    "s5_http_window_series" ->
+      s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
+        |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t
+        |  UNION ALL
+        |  SELECT ("timestamp" // 86400000) * 86400000 - 86400000 AS window_start, tag, value FROM $FROM t
+        |) WHERE window_start >= $T1 AND window_start < $T2
+        |GROUP BY window_start, tag ORDER BY window_start, tag""".stripMargin,
     "ts3_cagg_time_weighted" ->
       s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
         |s AS (SELECT tag, value,
@@ -3237,6 +3317,28 @@ object SparkEntry {
         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // clusters: the same exact-Jaccard pair derivation as
+    // x_dedup_jaccard, then connected components as a recursive-CTE
+    // transitive closure (UNION dedups the working set, so it
+    // terminates) → min-label per node → min-id survivor + size per
+    // component — an INDEPENDENT replay of the star-contraction CC
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle FROM d),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+        |          FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT src AS id, src AS r FROM edges
+        |          UNION
+        |          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT min(id) AS keep_id, CAST(count(*) AS DOUBLE) AS cluster_size
+        |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
     "x_dedup_ngram_frac" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
@@ -3518,6 +3620,48 @@ object SparkEntry {
         |      FROM s, unnest(range(1, len(syms))) AS t(i))
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
+    // BPE training replayed: the recursive working set is the evolving
+    // (syms, freq) vocabulary; each round re-aggregates weighted pair
+    // counts over it, picks argmax (cnt desc, lhs, rhs), and applies
+    // the merge POSITIONALLY — position p contracts iff its pair
+    // matches and the consecutive-match run ending at p has odd length
+    // (equal to the engine's leftmost-non-overlapping fold; the merged
+    // symbol can never re-pair with itself in the same round since
+    // lhs||rhs ≠ lhs). Terminates early when the best count < 2, like
+    // learnMerges' minPairFreq.
+    "x_bpe_merges" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT tok AS word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |init AS (SELECT list_concat(string_split(word, ''), ['</w>']) AS syms, freq FROM words),
+        |step AS (
+        |  SELECT 0 AS it, CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+        |         CAST(NULL AS BIGINT) AS cnt, syms, freq FROM init
+        |  UNION ALL
+        |  SELECT v.it + 1, m.lhs, m.rhs, m.cnt,
+        |    (SELECT list_filter(list_transform(range(1, len(v.syms) + 1), p -> CASE
+        |        WHEN p < len(v.syms) AND v.syms[p] = m.lhs AND v.syms[p+1] = m.rhs
+        |             AND (p - coalesce(list_max(list_filter(range(1, p),
+        |                   j -> NOT (j < len(v.syms) AND v.syms[j] = m.lhs AND v.syms[j+1] = m.rhs))), 0)) % 2 = 1
+        |          THEN m.lhs || m.rhs
+        |        WHEN p > 1 AND v.syms[p-1] = m.lhs AND v.syms[p] = m.rhs
+        |             AND (p - 1 - coalesce(list_max(list_filter(range(1, p - 1),
+        |                   j -> NOT (j < len(v.syms) AND v.syms[j] = m.lhs AND v.syms[j+1] = m.rhs))), 0)) % 2 = 1
+        |          THEN NULL
+        |        ELSE v.syms[p] END), s -> s IS NOT NULL)),
+        |    v.freq
+        |  FROM step v,
+        |    (SELECT lhs, rhs, cnt FROM (
+        |       SELECT p.pair[1] AS lhs, p.pair[2] AS rhs, CAST(sum(p.freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS pair, freq
+        |         FROM step WHERE len(syms) >= 2) p
+        |       GROUP BY 1, 2) c
+        |     WHERE cnt >= 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1) m
+        |  WHERE v.it < 16
+        |)
+        |SELECT DISTINCT CAST(it - 1 AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt
+        |FROM step WHERE it >= 1 ORDER BY rank""".stripMargin,
     "x_url_canonical_dedup" ->
       """WITH u0 AS (SELECT doc_id,
         |        'http://w' || CAST((doc_id - doc_id % 2) % 23 AS VARCHAR)
@@ -4316,6 +4460,46 @@ object SparkEntry {
     // term cannot name intermediates. Every weight is a binary-exact
     // double and the op order mirrors Forecast.holtWinters exactly.
     "x_forecast_hw" -> hwOracleSql,
+    // LTTB replayed: bucket index ranges and next-bucket averages
+    // precompute OUTSIDE the recursion (integer boundary arithmetic +
+    // one rounded mean — deterministic doubles); the recursion carries
+    // one row per tag holding the previous pick and selects each
+    // bucket's point by a correlated argmax ordered (area desc,
+    // position) = the kernel's strict-> ties-earliest rule. threshold
+    // 100 ⇒ 98 interior buckets; first/last points pass through.
+    "x_downsample_lttb" -> (
+      denseGridSql.replace("WITH t AS", "WITH RECURSIVE t AS") + """,
+        |pts AS (SELECT tag, CAST(bucket_start AS DOUBLE) AS x, cnt AS y,
+        |        row_number() OVER (PARTITION BY tag ORDER BY bucket_start) - 1 AS i,
+        |        count(*) OVER (PARTITION BY tag) AS n
+        |        FROM dense),
+        |buckets AS (
+        |  SELECT p.tag, b.b, 1 + b.b*(p.n-2)//98 AS lo, 1 + (b.b+1)*(p.n-2)//98 AS hi,
+        |         CASE WHEN b.b+1 < 98 THEN 1 + (b.b+1)*(p.n-2)//98 ELSE p.n-1 END AS nlo,
+        |         CASE WHEN b.b+1 < 98 THEN 1 + (b.b+2)*(p.n-2)//98 ELSE p.n END AS nhi
+        |  FROM (SELECT tag, max(n) AS n FROM pts GROUP BY tag) p,
+        |       (SELECT unnest(range(0, 98)) AS b) b),
+        |navg AS (SELECT b.tag, b.b, b.lo, b.hi, sum(p.x)/(b.nhi-b.nlo) AS ax, sum(p.y)/(b.nhi-b.nlo) AS ay
+        |         FROM buckets b JOIN pts p ON p.tag = b.tag AND p.i >= b.nlo AND p.i < b.nhi
+        |         GROUP BY b.tag, b.b, b.lo, b.hi, b.nhi, b.nlo),
+        |sel AS (
+        |  SELECT tag, CAST(-1 AS BIGINT) AS b, x AS px, y AS py FROM pts WHERE i = 0
+        |  UNION ALL
+        |  SELECT u.tag, u.b, u.pick.x AS px, u.pick.y AS py FROM (
+        |    SELECT s.tag, s.b + 1 AS b,
+        |      (SELECT struct_pack(x := p.x, y := p.y) FROM pts p, navg a
+        |        WHERE p.tag = s.tag AND a.tag = s.tag AND a.b = s.b + 1
+        |          AND p.i >= a.lo AND p.i < a.hi
+        |        ORDER BY abs((s.px - a.ax)*(p.y - s.py) - (s.px - p.x)*(a.ay - s.py)) DESC, p.i
+        |        LIMIT 1) AS pick
+        |    FROM sel s WHERE s.b + 1 < 98
+        |  ) u),
+        |lastp AS (SELECT tag, x, y FROM pts WHERE i = n - 1),
+        |allout AS (SELECT tag, px AS x, py AS y FROM sel
+        |           UNION ALL
+        |           SELECT tag, x, y FROM lastp)
+        |SELECT tag, CAST(x AS BIGINT) AS "timestamp", y AS value
+        |FROM allout ORDER BY tag, 2""".stripMargin),
     "x_anomaly_zscore" -> (
       denseGridSql + """,
         |stats AS (SELECT tag, bucket_start, cnt,
@@ -4419,5 +4603,65 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
         |           FROM scored)
         |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // int8 path: replay the symmetric quantization — q_i =
+    // round(127·x/max|x|), widened back to DOUBLE — then the same
+    // cosine/rank/round-4 pipeline as the float brute. All dot/norm
+    // inputs are small exact integers, so the scores agree bit-for-bit
+    // before the round.
+    "x_ann_topk_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+        |q8 AS (SELECT e.vec_id,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |              ELSE list_transform(v, x -> CAST(CAST(round(x * 127.0 / m) AS TINYINT) AS DOUBLE)) END AS qv
+        |       FROM e JOIN mx USING (vec_id)),
+        |qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 10),
+        |scored AS (SELECT qq.query_id, c.vec_id, round(list_cosine_similarity(c.qv, qq.qqv), 4) AS score
+        |           FROM q8 c, qq WHERE c.vec_id <> qq.query_id),
+        |ranked AS (SELECT query_id, vec_id, score,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // MMR greedy replay: the operator rounds every marginal score to 6
+    // decimals BEFORE each (score desc, vec_id) argmax, so the greedy
+    // recursion is engine-independent — one recursive working row
+    // carries the selected list; the correlated argmax subquery appears
+    // three times (vec_id / score / append) because a recursive term
+    // cannot name intermediates. rel ≡ 1.0 ⇒ first pick = min vec_id
+    // at score λ·1 = 0.5.
+    "x_sample_mmr" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib, list_cosine_similarity(a.v, b.v) AS sim
+        |         FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT CAST(0 AS BIGINT) AS rank, (SELECT min(vec_id) FROM e) AS vec_id,
+        |         CAST(0.5 AS DOUBLE) AS score, [(SELECT min(vec_id) FROM e)] AS chosen
+        |  UNION ALL
+        |  SELECT s.rank + 1,
+        |    (SELECT c.vec_id FROM e c WHERE NOT list_contains(s.chosen, c.vec_id)
+        |     ORDER BY round(0.5 - 0.5 * (SELECT max(sim) FROM sims WHERE ia = c.vec_id AND list_contains(s.chosen, ib)), 6) DESC, c.vec_id
+        |     LIMIT 1),
+        |    (SELECT round(0.5 - 0.5 * (SELECT max(sim) FROM sims WHERE ia = c.vec_id AND list_contains(s.chosen, ib)), 6)
+        |     FROM e c WHERE NOT list_contains(s.chosen, c.vec_id)
+        |     ORDER BY 1 DESC, c.vec_id LIMIT 1),
+        |    list_append(s.chosen,
+        |      (SELECT c.vec_id FROM e c WHERE NOT list_contains(s.chosen, c.vec_id)
+        |       ORDER BY round(0.5 - 0.5 * (SELECT max(sim) FROM sims WHERE ia = c.vec_id AND list_contains(s.chosen, ib)), 6) DESC, c.vec_id
+        |       LIMIT 1))
+        |  FROM sel s WHERE s.rank < 11
+        |)
+        |SELECT rank, vec_id, score FROM sel ORDER BY rank""".stripMargin,
+    // stub decode replay: payload = UTF-8 bytes of the (all-ASCII)
+    // fixture text, so ord() per char IS the byte; width/height from
+    // the first two bytes, brightness = mean byte value (integer-
+    // valued double sums — exact in both engines)
+    "x_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(64 + (ord(substr(text, 1, 1)) % 128) AS INT) AS width,
+        |  CAST(64 + (ord(substr(text, 2, 1)) % 128) AS INT) AS height,
+        |  round(list_aggregate(list_transform(range(1, len(text) + 1),
+        |          i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE)), 'sum')
+        |        / len(text), 4) AS brightness
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

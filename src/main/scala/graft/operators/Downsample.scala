@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * / OHLC first, then LTTB the result for the chart.
   *
   * Deterministic: input order pinned by (timestamp, tag) uniqueness +
-  * explicit sort; area ties keep the EARLIEST point; no RNG. No SQL
-  * oracle (the recurrence needs per-bucket argmax over a carried
-  * state, which a recursive CTE cannot aggregate) — gated instead by
-  * the spec's independent sequential reference implementation.
+  * explicit sort; area ties keep the EARLIEST point; no RNG. The
+  * feedback recurrence replays in a DuckDB recursive CTE (the driver
+  * query's oracle: precomputed bucket ranges + next-bucket averages,
+  * correlated argmax per step carrying the previous pick), and the
+  * spec additionally gates against an independent sequential
+  * reference implementation.
   */
 object Downsample {
 
