@@ -428,9 +428,16 @@ final class AnnIndexStore(spark: SparkSession, pathStr: String) {
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
       .join(broadcast(qVec), Seq("query_id"))
-    // candidates are small (bucket-bounded) => broadcast them against
-    // the vectors table; the scan streams, nothing shuffles
-    val withVec = st.vectors.join(broadcast(cand), Seq("vec_id"))
+    // candidates join the vectors table WITHOUT a broadcast hint: their
+    // size is bucket-density-bounded — |queries| × tables × corpus/2^planes
+    // — which grows LINEARLY with the corpus at fixed planes. A forced
+    // broadcast therefore breaks exactly when the index is most needed
+    // (this soaked out at a 200k-corpus × 100-query probe: Spark
+    // estimated the candidate table at 8 GiB and refused). AQE
+    // broadcasts from runtime sizes when the batch is genuinely small
+    // (the common dashboard probe) and falls back to a shuffle join on
+    // vec_id when it isn't — the only plan that survives 100 TB.
+    val withVec = st.vectors.join(cand, Seq("vec_id"))
     Similarity.rankTopK(withVec, k)
   }
 
