@@ -218,6 +218,44 @@ object QueryJson {
     mapper.writeValueAsString(root)
   }
 
+  /** AggR / [GroupAggR] for the sketch routes (`?percentile` /
+    * `?distinct`) — the same wire shapes as the parity query path, with
+    * NULL results (empty windows) encoded as JSON null. */
+  def encodeAggRows(df: DataFrame, grouped: Boolean): String = {
+    val rows = df.collect()
+    if (!grouped) {
+      val o: ObjectNode = mapper.createObjectNode()
+      if (rows.head.isNullAt(0)) o.putNull("result")
+      else putDouble(o, "result", rows.head.getDouble(0))
+      mapper.writeValueAsString(o)
+    } else {
+      val arr = mapper.createArrayNode()
+      rows.foreach { r =>
+        val o = arr.addObject()
+        o.put("group", r.getString(0))
+        if (r.isNullAt(1)) o.putNull("result")
+        else putDouble(o, "result", r.getDouble(1))
+      }
+      mapper.writeValueAsString(arr)
+    }
+  }
+
+  /** Encode a gap-filled series (`?gapfill=` route): `{"grain": G,
+    * "series": [{tag, bucket_start, value}, …]}` — value null where the
+    * fill leaves a bucket empty (Fill.None, one-sided Interp edges). */
+  def encodeGapFill(grain: Long, df: DataFrame): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("grain", grain)
+    val arr = root.putArray("series")
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      o.put("tag", r.getString(0))
+      o.put("bucket_start", r.getLong(1))
+      if (r.isNullAt(2)) o.putNull("value") else putDouble(o, "value", r.getDouble(2))
+    }
+    mapper.writeValueAsString(root)
+  }
+
   /** Encode a query result in the reference's QueryR JSON: rows /
     * [{group, result}] / {result}, chosen by the query shape.
     */

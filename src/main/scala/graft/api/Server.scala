@@ -17,6 +17,9 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query  QueryModel → QueryR  (S5)
   *   POST   /timeseries/query?points=N            downsampled series (S5+)
   *   POST   /timeseries/query?window=W[&slide=S]  windowed series    (S5+)
+  *   POST   /timeseries/query?percentile=q[&by=tag]  sketch quantile (S5+)
+  *   POST   /timeseries/query?distinct=true[&by=tag] distinct values (S5+)
+  *   POST   /timeseries/query?gapfill=locf&agg=count gap-filled grid (S5+)
   *
   * Success → 200 with JSON; validation/data errors → 400 with the
   * message, like the reference's Handler (Api.hs:78-84). Built on the
@@ -252,6 +255,97 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
         postFilter(df, qm, bounds = true)))
     }
 
+  // ---- the SKETCH + GAP-FILL dashboard routes (same opt-in body) ----
+  //
+  //   POST /timeseries/query?percentile=q[&by=tag]   p-quantile (AggR shape)
+  //   POST /timeseries/query?distinct=true[&by=tag]  count-distinct value
+  //   POST /timeseries/query?gapfill=locf|interp|zero|none&agg=count|…
+  //
+  // percentile/distinct route to a registered SKETCH-BEARING rollup
+  // when one serves the slice (O(buckets) GK/HLL merges — the
+  // TimescaleDB approx_percentile-over-percentile_agg two-step), and
+  // fall back to `percentile_approx`/`approx_count_distinct` over the
+  // raw snapshot otherwise — both answers live inside the functions'
+  // approximate contract; the ERROR BOUND is the serving path's own.
+  // gapfill densifies [ge, lt) at the finest aligned rollup's grain
+  // with TimescaleDB's locf()/interpolate() semantics; it has no raw
+  // fallback (the grid IS the rollup grain), so no aligned rollup is a
+  // 400, not a silent full scan.
+
+  /** Bounds+tagEq filters over the raw snapshot for the sketch
+    * fallbacks (includes the canonical-leftover gt MaxValue edge). */
+  private def rawSlice(qm: QueryModel) = Seq(
+    qm.ge.map(col("timestamp") >= _),
+    qm.lt.map(col("timestamp") < _),
+    qm.gt.map(col("timestamp") > _),
+    qm.tagEq.map(col("tag") === _)
+  ).flatten.foldLeft(store.current())(_ filter _)
+
+  private def aggRows(df: DataFrame, aggCol: org.apache.spark.sql.Column,
+                      byTag: Boolean): DataFrame =
+    if (byTag) df.groupBy(col("tag").as("grp")).agg(aggCol.as("result"))
+      .orderBy(asc("grp"))
+    else df.agg(aggCol.as("result"))
+
+  private def percentileRoute(qm: QueryModel, q: Double, byTag: Boolean)
+      : Either[QueryError, String] =
+    if (q < 0 || q > 1)
+      Left(QueryError.IllegalQuery("'percentile' must be in [0, 1]."))
+    else {
+      val routed =
+        if (qm.gt.isDefined) None // MaxValue edge: only raw expresses it
+        else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+          .flatMap(_.answerPercentile(q, qm.ge, qm.lt, qm.tagEq, byTag))
+          .nextOption()
+      val df = routed.getOrElse(
+        aggRows(rawSlice(qm), expr(s"percentile_approx(value, $q)"), byTag))
+      Right(QueryJson.encodeAggRows(df, byTag))
+    }
+
+  private def distinctRoute(qm: QueryModel, byTag: Boolean)
+      : Either[QueryError, String] = {
+    val routed =
+      if (qm.gt.isDefined) None
+      else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerDistinct(qm.ge, qm.lt, qm.tagEq, byTag)).nextOption()
+    val df = routed.getOrElse(
+      aggRows(rawSlice(qm),
+        expr("approx_count_distinct(value)").cast("double"), byTag))
+    Right(QueryJson.encodeAggRows(df, byTag))
+  }
+
+  private def gapFillRoute(qm: QueryModel, fillName: String, aggName: String)
+      : Either[QueryError, String] = {
+    import graft.engine.ContinuousAggregate.Fill
+    val fill = fillName match {
+      case "locf"   => Some(Fill.Locf)
+      case "interp" => Some(Fill.Interp)
+      case "zero"   => Some(Fill.Zero)
+      case "none"   => Some(Fill.None)
+      case _        => scala.None
+    }
+    (fill, graft.model.Agg.parse(aggName), qm.ge, qm.lt) match {
+      case (None, _, _, _) => Left(QueryError.IllegalQuery(
+        "'gapfill' must be one of locf, interp, zero, none."))
+      case (_, None, _, _) => Left(QueryError.IllegalQuery(
+        s"unknown 'agg': $aggName."))
+      case (Some(f), Some(a), Some(ge), Some(lt)) if ge < lt =>
+        rollups.filterNot(_.isFrozen).sortBy(_.grainMs).iterator
+          .flatMap(r => r.answerGapFill(ge, lt, a, f, qm.tagEq)
+            .map(df => (r.grainMs, df)))
+          .nextOption() match {
+          case Some((grain, df)) => Right(QueryJson.encodeGapFill(grain, df))
+          case None => Left(QueryError.IllegalQuery(
+            "no registered rollup aligns with the requested bounds."))
+        }
+      case _ => Left(QueryError.IllegalQuery(
+        "'gapfill' requires both a lower and an upper timestamp bound."))
+    }
+  }
+
+  private val seriesParams =
+    Set("points", "window", "percentile", "distinct", "gapfill")
+
   private def handleSeries(ex: HttpExchange, body: String,
                            params: Map[String, String]): Unit = {
     def longParam(k: String): Either[QueryError, Option[Long]] =
@@ -260,17 +354,30 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
         case Some(v) => v.toLongOption.map(x => Right(Some(x))).getOrElse(
           Left(QueryError.IllegalQuery(s"'$k' must be an integer.")))
       }
+    val byTag = params.get("by").contains("tag")
     val result: Either[QueryError, String] = for {
       qm <- seriesBody(body)
       points <- longParam("points")
       window <- longParam("window")
       slide <- longParam("slide")
-      json <- (points, window) match {
-        case (Some(_), Some(_)) => Left(QueryError.IllegalQuery(
-          "Use either 'points' or 'window', not both."))
-        case (Some(p), None) => resolutionSeries(qm, p)
-        case (None, Some(w)) => windowSeries(qm, w, slide.getOrElse(w))
-        case (None, None) => Left(QueryError.IllegalQuery(
+      modes = params.keySet.intersect(seriesParams)
+      json <- modes.toList match {
+        case _ :: _ :: _ => Left(QueryError.IllegalQuery(
+          s"Use exactly one of ${seriesParams.mkString("'", "'/'", "'")}."))
+        case List("points") => points.fold[Either[QueryError, String]](
+          Left(QueryError.IllegalQuery("'points' must be an integer.")))(
+          resolutionSeries(qm, _))
+        case List("window") => window.fold[Either[QueryError, String]](
+          Left(QueryError.IllegalQuery("'window' must be an integer.")))(
+          w => windowSeries(qm, w, slide.getOrElse(w)))
+        case List("percentile") =>
+          params("percentile").toDoubleOption.fold[Either[QueryError, String]](
+            Left(QueryError.IllegalQuery("'percentile' must be a number.")))(
+            percentileRoute(qm, _, byTag))
+        case List("distinct") => distinctRoute(qm, byTag)
+        case List("gapfill") => gapFillRoute(qm, params("gapfill"),
+          params.getOrElse("agg", "count"))
+        case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))
       }
     } yield json
@@ -289,7 +396,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
       if (route._1 == "OPTIONS") { preflight(ex); return }
       val params = queryParams(ex)
       if (route == ("POST", "/timeseries/query") &&
-          (params.contains("points") || params.contains("window"))) {
+          params.keySet.exists(seriesParams.contains)) {
         handleSeries(ex, body, params); return
       }
       if (route == ("POST", "/timeseries/query") && isExport) {

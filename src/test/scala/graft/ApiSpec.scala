@@ -207,6 +207,87 @@ class ApiSpec extends SparkSpec {
     } finally { srv.stop(); srvRaw.stop() }
   }
 
+  test("S5+ sketch + gapfill routes: percentile/distinct route to sketch rollups, gapfill densifies") {
+    import graft.api.QueryJson
+    import graft.engine.ContinuousAggregate
+    val D = 86400000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-api-sk-store").toString)
+    val plain = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-api-sk-plain").toString)
+    val sketch = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-api-sk-sk").toString,
+      sketchRelErr = Some(0.01))
+    val srv = new Server(spark, st, 0, Seq(plain, sketch)).start()
+    val srvRaw = new Server(spark, st, 0).start()
+    def on(s: Server)(path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}" + path))
+        .method("POST", HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // day 0 and day 2 populated, day 1 EMPTY (the gapfill target)
+      val rows = (0 until 5).map(i =>
+        s"""{"timestamp":${i.toLong},"tag":"foo","value":${i + 1}.0}""") ++
+        Seq(s"""{"timestamp":${2 * D + 1},"tag":"foo","value":11.0}""",
+          s"""{"timestamp":${2 * D + 2},"tag":"foo","value":12.0}""",
+          s"""{"timestamp":${2 * D + 3},"tag":"bar","value":7.0}""")
+      assert(on(srv)("/timeseries", rows.mkString("[", ",", "]")) == (200, "[]"))
+      // percentile: routed answer == the sketch rollup's own refold,
+      // wire-encoded identically (eligibility asserted so the equality
+      // is between the HTTP layer and a real sketch-merge plan)
+      assert(sketch.answerPercentile(0.5).isDefined,
+        "sketch rollup must serve the scalar percentile")
+      val expP = QueryJson.encodeAggRows(sketch.answerPercentile(0.5).get,
+        grouped = false)
+      assert(on(srv)("/timeseries/query?percentile=0.5", "") == (200, expP))
+      val expPT = QueryJson.encodeAggRows(
+        sketch.answerPercentile(0.5, byTag = true).get, grouped = true)
+      val (200, pByTag) = on(srv)("/timeseries/query?percentile=0.5&by=tag", "")
+      assert(pByTag == expPT && pByTag.contains("\"group\":\"bar\""))
+      // distinct: HLL-union-routed == engine answerDistinct
+      val expD = QueryJson.encodeAggRows(sketch.answerDistinct().get,
+        grouped = false)
+      assert(on(srv)("/timeseries/query?distinct=true", "") == (200, expD))
+      // raw fallback: a rollup-less server answers the same routes from
+      // percentile_approx / approx_count_distinct over the snapshot
+      val (200, rawP) = on(srvRaw)("/timeseries/query?percentile=0.5", "")
+      assert(rawP.startsWith("""{"result":"""))
+      // unaligned bounds decline the sketch path on BOTH servers — the
+      // two raw fallbacks must agree byte-for-byte
+      val unaligned = s"""{"ge":1,"lt":${3 * D}}"""
+      assert(on(srv)("/timeseries/query?percentile=0.5", unaligned)
+        == on(srvRaw)("/timeseries/query?percentile=0.5", unaligned))
+      // gapfill: locf fills the empty day 1 from day 0; wire output ==
+      // the engine's own answerGapFill encoding at the serving grain
+      val bounds = s"""{"ge":0,"lt":${3 * D}}"""
+      val expG = QueryJson.encodeGapFill(D,
+        plain.answerGapFill(0, 3 * D, graft.model.Agg.Count,
+          ContinuousAggregate.Fill.Locf).get)
+      val (200, gBody) = on(srv)("/timeseries/query?gapfill=locf&agg=count", bounds)
+      assert(gBody == expG)
+      // day 1 present in the grid with foo's carried count (5 rows day 0)
+      assert(gBody.contains(s""""bucket_start":$D""") && gBody.contains("5.0"))
+      // interp + tagEq body: engine equality again
+      val expGI = QueryJson.encodeGapFill(D,
+        plain.answerGapFill(0, 3 * D, graft.model.Agg.Avg,
+          ContinuousAggregate.Fill.Interp, tagEq = Some("foo")).get)
+      assert(on(srv)("/timeseries/query?gapfill=interp&agg=avg",
+        s"""{"ge":0,"lt":${3 * D},"tagEq":"foo"}""") == (200, expGI))
+      // 400 semantics
+      assert(on(srv)("/timeseries/query?percentile=1.5", "")._1 == 400)
+      assert(on(srv)("/timeseries/query?percentile=x", "")._1 == 400)
+      assert(on(srv)("/timeseries/query?gapfill=bogus&agg=count", bounds)._1 == 400)
+      assert(on(srv)("/timeseries/query?gapfill=locf&agg=median", bounds)._1 == 400)
+      assert(on(srv)("/timeseries/query?gapfill=locf&agg=count", "")._1 == 400)
+      assert(on(srv)("/timeseries/query?points=3&percentile=0.5", bounds)._1 == 400)
+      assert(on(srvRaw)("/timeseries/query?gapfill=locf&agg=count", bounds)._1 == 400,
+        "gapfill without any registered rollup must 400, not full-scan")
+    } finally { srv.stop(); srvRaw.stop() }
+  }
+
   test("wire protocol: null fields, typed batch fields, JSON-valid error bodies") {
     // explicit null == absent (aeson Maybe parity)
     val (nc, _) = call("POST", "/timeseries/query", """{"gt":null,"aggFunc":"count"}""")
