@@ -1305,6 +1305,40 @@ object SparkEntry {
           .orderBy(col("window_start"), col("tag"))
       } finally srv.stop()
     }),
+    // the HTTP gapfill route end-to-end: ?gapfill=locf&agg=count over
+    // a server registered with the HOURLY rollup densifies the same
+    // 7-day hour grid as ts3_cagg_gapfill_locf — the raw-events DuckDB
+    // oracle (window-function LOCF re-derivation) checks the whole
+    // path: routing, rollup grid refold, fill, wire encoding
+    "s5_http_gapfill_locf" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val st = caggStoreFor(s, dir)
+      val hourly = caggFor(s, dir, 3600000L)
+      val srv = new graft.api.Server(s, st, 0, Seq(hourly)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          "/timeseries/query?gapfill=locf&agg=count")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString(
+              s"""{"ge":$T1,"lt":${T1 + 7 * 86400000L}}""")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"gapfill route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        require(node.get("grain").asLong == 3600000L,
+          "gapfill route served a drifted grain")
+        val rows = node.get("series").elements().asScala.map { o =>
+          (o.get("tag").asText, o.get("bucket_start").asLong,
+            if (o.get("value").isNull) null
+            else java.lang.Double.valueOf(o.get("value").asDouble))
+        }.toSeq
+        import s.implicits._
+        rows.toDF("grp", "bucket_start", "result")
+          .orderBy(col("grp"), col("bucket_start"))
+      } finally srv.stop()
+    }),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -3151,6 +3185,22 @@ object SparkEntry {
     // of the same real ratio at any scaling, so hour-unit arithmetic
     // here bit-matches the engine's millisecond-unit arithmetic
     "ts3_cagg_gapfill_locf" ->
+      s"""WITH obs AS (
+         |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
+         |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.tag, g.b FROM (SELECT DISTINCT tag FROM obs) t
+         |  CROSS JOIN (SELECT unnest(generate_series(${T1 / 3600000L}, ${(T1 + 7 * 86400000L) / 3600000L - 1})) AS b) g),
+         |dense AS (SELECT grid.tag, grid.b, obs.v FROM grid LEFT JOIN obs ON obs.tag = grid.tag AND obs.b = grid.b)
+         |SELECT tag AS grp, b * 3600000 AS bucket_start,
+         |  max(v) OVER (PARTITION BY tag, pb) AS result
+         |FROM (SELECT tag, b, v,
+         |        max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+         |      FROM dense) m
+         |ORDER BY grp, bucket_start""".stripMargin,
+    // the HTTP gapfill route densifies the same 7-day hour grid —
+    // identical raw-events LOCF re-derivation
+    "s5_http_gapfill_locf" ->
       s"""WITH obs AS (
          |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
          |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
