@@ -1,0 +1,508 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.api.Server
+import graft.engine.{ContinuousAggregate, TimeSeriesStore}
+import graft.model._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import scala.util.Random
+
+/** Randomized wire-parity law for the WHOLE HTTP surface — the
+  * reference's only user surface (server/src/Api.hs:31-38).
+  *
+  * For every seeded-random QueryModel (rendered as a wire JSON body
+  * with shuffled field order), the live server's response must be
+  * BYTE-identical to a pure-Scala reference model evaluated over the
+  * driver-side row list: same status code, same JSON bytes on 200,
+  * same error text on 400. The reference model re-types the validation
+  * messages, the three QueryR shapes (including the tagEq+tsEq
+  * scalar short-circuit, Queries/Tag.hs:67), the guard order
+  * (tag miss → tsEq miss → "Average failed."), the mempty folds
+  * (sum 0, min +∞, max −∞ → JSON null), and the tagEq singleton
+  * group — all independent of the engine/encoder code, so the law covers JSON
+  * parse, validation, rollup routing, sidecar fast paths, refolds,
+  * result encoding and HTTP transport in one composition.
+  *
+  * Byte-exactness is deliberate, not hopeful: every fixture value is
+  * an exact quarter (k/4, |k| ≤ 200), so ANY fold association — raw
+  * scan, hourly/daily rollup refold, window refold, sequential
+  * driver-side fold — produces bit-identical doubles, and Jackson
+  * formats both sides. A sum that differed in the last ulp would be a
+  * real association-visible result change, and the law would rightly
+  * fail.
+  *
+  * The series routes (`?points=`, `?window=`) get the same treatment
+  * with a driver-side window fold as the oracle, plus the routing
+  * tripwire that hour-aligned `points` bounds MUST be served at a
+  * rollup-grain width (the O(buckets) path, not the raw scan).
+  */
+class ApiFuzzSpec extends SparkSpec {
+
+  private val DAY = 86400000L
+  private val HOUR = 3600000L
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+  private val fixTags = Vector("alpha", "beta", "gamma")
+
+  /** Fixture store + hourly/daily rollups behind a LIVE server; all
+    * mutations go through the wire (insert ×2, update, late insert) so
+    * the fixture itself exercises S1/S2 and the post-mutation rollup
+    * refresh. `rows` is the driver-side truth the reference model
+    * evaluates over.
+    */
+  private lazy val (server, base, rows) = {
+    val rnd = new Random(20260816L)
+    def v(): Double = math.rint(rnd.nextDouble() * 400 - 200) / 4.0
+    def mk(d0: Int, d1: Int): Vector[TS] =
+      (for { d <- d0 until d1; t <- fixTags; _ <- 0 until 6 }
+        yield TS(d * DAY + rnd.nextInt(86400000).toLong, t, v()))
+        .toVector.distinctBy(r => (r.timestamp, r.tag))
+    val batch1 = mk(0, 2)
+    val batch2 = mk(2, 4)
+    val late = TS(3 * DAY + 999L, "late", -3.25)
+
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("apifuzz-store").toString)
+    val hourly = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("apifuzz-hourly").toString, bucketMs = HOUR)
+    val daily = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("apifuzz-daily").toString)
+    val srv = new Server(spark, st, 0, Seq(hourly, daily)).start()
+    val b = s"http://127.0.0.1:${srv.boundPort}"
+
+    def tsJson(rs: Seq[TS]): String = rs.map(r =>
+      s"""{"timestamp":${r.timestamp},"tag":"${r.tag}","value":${r.value}}""")
+      .mkString("[", ",", "]")
+    def call(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(b + path))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    assert(call("POST", "/timeseries", tsJson(batch1)) == (200, "[]"))
+    assert(call("POST", "/timeseries", tsJson(batch2)) == (200, "[]"))
+    val updated = batch1.head.copy(value = 42.0)
+    assert(call("PUT", "/timeseries", tsJson(Seq(updated))) == (200, "[]"))
+    assert(call("POST", "/timeseries", tsJson(Seq(late))) == (200, "[]"))
+
+    val truth = (updated +: batch1.tail) ++ batch2 :+ late
+    (srv, b, truth)
+  }
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def call(method: String, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(base + path))
+      .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def putD(o: ObjectNode, name: String, v: Double): Unit =
+    if (java.lang.Double.isFinite(v)) { o.put(name, v); () } else { o.putNull(name); () }
+
+  // ---------------------------------------------------------------
+  // the pure-Scala reference model: QueryModel → (status, body)
+  // ---------------------------------------------------------------
+
+  private def fold(agg: Agg, vs: Seq[Double]): Double = agg match {
+    case Agg.Count => vs.size.toDouble
+    case Agg.Sum   => vs.sum
+    case Agg.Avg   => vs.sum / vs.size
+    case Agg.Min   => if (vs.isEmpty) Double.PositiveInfinity else vs.min
+    case Agg.Max   => if (vs.isEmpty) Double.NegativeInfinity else vs.max
+  }
+
+  private def refAnswer(all: Vector[TS], qm: QueryModel): (Int, String) = {
+    // 1. validation — messages re-typed from the reference's illegalQM
+    //    (Model.hs:126-134), not imported from graft.model.Validation
+    if (qm.groupBy.isDefined && qm.aggFunc.isEmpty)
+      return (400, "You must provie 'aggFunc' with 'groupBy'.")
+    if (qm.gt.isDefined && qm.ge.isDefined)
+      return (400, "Can't query 'gt' and 'ge' at the same time.")
+    if (qm.lt.isDefined && qm.le.isDefined)
+      return (400, "Can't query 'lt' and 'le' at the same time.")
+    if (qm.tsEq.isDefined && (qm.gt.isDefined || qm.ge.isDefined ||
+        qm.lt.isDefined || qm.le.isDefined))
+      return (400, "Can't query 'tsEq' with any other timestamp condition.")
+
+    def keep(r: TS): Boolean =
+      qm.gt.forall(r.timestamp > _) && qm.ge.forall(r.timestamp >= _) &&
+        qm.lt.forall(r.timestamp < _) && qm.le.forall(r.timestamp <= _) &&
+        qm.tsEq.forall(r.timestamp == _) && qm.tagEq.forall(r.tag == _)
+    val hits = all.filter(keep)
+
+    // 2. result shape, tagEq+tsEq scalar short-circuit included
+    sealed trait Shape
+    case object Collect extends Shape
+    case class Grouped(by: GroupBy) extends Shape
+    case object Scalar extends Shape
+    val shape: Shape = (qm.aggFunc, qm.groupBy) match {
+      case (None, _) => Collect
+      case (Some(_), Some(_)) if qm.tagEq.isDefined && qm.tsEq.isDefined => Scalar
+      case (Some(_), Some(gb)) => Grouped(gb)
+      case (Some(_), None) => Scalar
+    }
+
+    // 3. guards, in engine order: tag miss, tsEq miss, empty scalar avg
+    for (t <- qm.tagEq)
+      if (!all.exists(_.tag == t)) return (400, s"""No data for tag "$t".""")
+    val tsEqErrors = qm.tsEq.isDefined &&
+      (qm.tagEq.isDefined || !qm.groupBy.contains(GroupBy.Tag))
+    for (t <- qm.tsEq)
+      if (tsEqErrors && hits.isEmpty) return (400, s"No data for timestamp $t.")
+    if (qm.aggFunc.contains(Agg.Avg) && shape == Scalar && hits.isEmpty)
+      return (400, "Average failed.")
+
+    // 4. evaluate + encode
+    val body = shape match {
+      case Collect =>
+        val ordered = qm.sort match {
+          case SortDir.Asc => hits.sortBy(r => (r.timestamp, r.tag))
+          case SortDir.Desc => hits.sortBy(r => (r.timestamp, r.tag))(
+            Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+        }
+        val arr = mapper.createArrayNode()
+        qm.limit.fold(ordered)(ordered.take).foreach { r =>
+          val o = arr.addObject()
+          o.put("timestamp", r.timestamp); o.put("tag", r.tag)
+          putD(o, "value", r.value)
+        }
+        mapper.writeValueAsString(arr)
+      case Grouped(GroupBy.Tag) =>
+        val agg = qm.aggFunc.get
+        val groups = hits.groupBy(_.tag).view
+          .mapValues(g => fold(agg, g.map(_.value))).toMap
+        // tagEq always yields its singleton group, mempty-folded over
+        // an empty range (queryTag', Tag.hs:27-29); the grouped avg is
+        // `fromMaybe 0` there (Queries.hs:151), NOT NaN → null
+        def memptyVal: Double = agg match {
+          case Agg.Count | Agg.Sum | Agg.Avg => 0.0
+          case Agg.Min => Double.PositiveInfinity
+          case Agg.Max => Double.NegativeInfinity
+        }
+        val withSingleton = qm.tagEq.filterNot(groups.contains)
+          .fold(groups)(t => groups + (t -> memptyVal))
+        val arr = mapper.createArrayNode()
+        qm.limit.fold(withSingleton.toSeq.sortBy(_._1))(
+          withSingleton.toSeq.sortBy(_._1).take(_)).foreach { case (t, v) =>
+          val o = arr.addObject(); o.put("group", t); putD(o, "result", v)
+        }
+        mapper.writeValueAsString(arr)
+      case Grouped(GroupBy.Timestamp) =>
+        val agg = qm.aggFunc.get
+        val groups = hits.groupBy(_.timestamp).view
+          .mapValues(g => fold(agg, g.map(_.value))).toSeq
+        val ordered = qm.sort match {
+          case SortDir.Asc  => groups.sortBy(_._1)
+          case SortDir.Desc => groups.sortBy(_._1)(Ordering.Long.reverse)
+        }
+        val arr = mapper.createArrayNode()
+        qm.limit.fold(ordered)(ordered.take).foreach { case (ts, v) =>
+          val o = arr.addObject(); o.put("group", ts); putD(o, "result", v)
+        }
+        mapper.writeValueAsString(arr)
+      case Scalar =>
+        val o = mapper.createObjectNode()
+        putD(o, "result", fold(qm.aggFunc.get, hits.map(_.value)))
+        mapper.writeValueAsString(o)
+    }
+    (200, body)
+  }
+
+  // ---------------------------------------------------------------
+  // wire rendering: shuffled field order, optional explicit nulls
+  // ---------------------------------------------------------------
+
+  private def renderBody(qm: QueryModel, rnd: Random): String = {
+    val fs = scala.collection.mutable.ArrayBuffer.empty[String]
+    qm.gt.foreach(x => fs += s""""gt":$x""")
+    qm.ge.foreach(x => fs += s""""ge":$x""")
+    qm.lt.foreach(x => fs += s""""lt":$x""")
+    qm.le.foreach(x => fs += s""""le":$x""")
+    qm.tsEq.foreach(x => fs += s""""tsEq":$x""")
+    qm.tagEq.foreach(t => fs += s""""tagEq":"$t"""")
+    qm.aggFunc.foreach(a => fs += s""""aggFunc":"${a.name}"""")
+    qm.groupBy.foreach(g => fs += s""""groupBy":"${g.name}"""")
+    if (qm.sort == SortDir.Desc || rnd.nextBoolean())
+      fs += s""""sort":"${qm.sort.name}""""
+    qm.limit.foreach(l => fs += s""""limit":$l""")
+    // aeson parity: explicit null decodes as absent
+    if (qm.tagEq.isEmpty && rnd.nextDouble() < 0.15) fs += """"tagEq":null"""
+    rnd.shuffle(fs).mkString("{", ",", "}")
+  }
+
+  private def someTs(rnd: Random): Long = rnd.nextInt(5) match {
+    case 0 => rows(rnd.nextInt(rows.size)).timestamp // present
+    case 1 => rnd.nextInt(5).toLong * DAY            // day-aligned
+    case 2 => rnd.nextInt(5 * 24).toLong * HOUR      // hour-aligned
+    case 3 if rnd.nextBoolean() => 0L                // edges
+    case 3 => Long.MaxValue
+    case _ => rnd.nextLong(5 * DAY)                  // arbitrary
+  }
+
+  private def genQm(rnd: Random): QueryModel = {
+    def opt[A](p: Double)(a: => A): Option[A] =
+      if (rnd.nextDouble() < p) Some(a) else None
+    val tsEq = opt(0.15)(someTs(rnd))
+    val (gt, ge, lt, le) =
+      if (tsEq.isDefined && rnd.nextDouble() < 0.85) (None, None, None, None)
+      else {
+        val lo = opt(0.5)(someTs(rnd))
+        val hi = opt(0.5)(someTs(rnd))
+        (if (rnd.nextBoolean()) lo else None,
+          if (lo.isDefined && rnd.nextBoolean()) lo else None,
+          if (rnd.nextBoolean()) hi else None,
+          if (hi.isDefined && rnd.nextBoolean()) hi else None)
+      }
+    QueryModel(
+      gt = gt, ge = ge, lt = lt, le = le, tsEq = tsEq,
+      tagEq = opt(0.3)(if (rnd.nextBoolean()) fixTags(rnd.nextInt(3)) else "ghost"),
+      aggFunc = opt(0.7)(Agg.all(rnd.nextInt(Agg.all.size))),
+      groupBy = opt(0.4)(if (rnd.nextBoolean()) GroupBy.Tag else GroupBy.Timestamp),
+      sort = if (rnd.nextBoolean()) SortDir.Asc else SortDir.Desc,
+      limit = opt(0.3)(if (rnd.nextDouble() < 0.1) 0 else rnd.nextInt(10) + 1))
+  }
+
+  /** Handcrafted models pinning the paths a 60-case random draw can
+    * miss (verified by mutation: dropping the reference model's
+    * singleton-group rule survived the random sweep alone). Each runs
+    * through the same wire-parity assert as the random cases.
+    */
+  private def directedCases: Seq[QueryModel] = {
+    val present = rows.head
+    Seq(
+      // tagEq singleton group over an EMPTY range: the reference emits
+      // the mempty-folded group, not [] (queryTag', Tag.hs:27-29) —
+      // one per agg so every mempty value crosses the wire
+      QueryModel(ge = Some(20 * DAY), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag)),
+      QueryModel(ge = Some(20 * DAY), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Min), groupBy = Some(GroupBy.Tag)),
+      QueryModel(ge = Some(20 * DAY), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Max), groupBy = Some(GroupBy.Tag)),
+      QueryModel(ge = Some(20 * DAY), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Avg), groupBy = Some(GroupBy.Tag)),
+      QueryModel(ge = Some(20 * DAY), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)),
+      // groupBy=tag + tsEq WITHOUT tagEq: a tsEq miss returns [] here,
+      // not NoData (Tag.hs:49-53)
+      QueryModel(tsEq = Some(13L), aggFunc = Some(Agg.Sum),
+        groupBy = Some(GroupBy.Tag)),
+      // ...but WITH tagEq the scalar short-circuit + NoData applies
+      QueryModel(tsEq = Some(13L), tagEq = Some("alpha"),
+        aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Tag)),
+      // tsEq hit through the short-circuit: scalar, not grouped
+      QueryModel(tsEq = Some(present.timestamp), tagEq = Some(present.tag),
+        aggFunc = Some(Agg.Max), groupBy = Some(GroupBy.Timestamp)),
+      // scalar avg over an empty range: "Average failed."
+      QueryModel(ge = Some(20 * DAY), aggFunc = Some(Agg.Avg)),
+      // scalar min/max over an empty range: ±∞ → JSON null
+      QueryModel(ge = Some(20 * DAY), aggFunc = Some(Agg.Min)),
+      QueryModel(ge = Some(20 * DAY), aggFunc = Some(Agg.Max)),
+      // limit 0 (Haskell take 0) and limit on groups
+      QueryModel(limit = Some(0)),
+      QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag),
+        limit = Some(2)),
+      // desc collect: ties on timestamp break by tag asc
+      QueryModel(sort = SortDir.Desc),
+      // canonicalization edges: gt/le MaxValue, gt 0, le of a present ts
+      QueryModel(gt = Some(Long.MaxValue)),
+      QueryModel(le = Some(Long.MaxValue), aggFunc = Some(Agg.Count)),
+      QueryModel(gt = Some(0L), le = Some(present.timestamp),
+        aggFunc = Some(Agg.Sum), groupBy = Some(GroupBy.Timestamp),
+        sort = SortDir.Desc, limit = Some(3)))
+  }
+
+  test("randomized wire parity: live HTTP ≡ pure-Scala reference model, byte-exact") {
+    val rnd = new Random(20260816L + 1)
+    var oks = 0; var errs = 0; var exports = 0
+    val cases = directedCases.map(qm => (qm, renderBody(qm, rnd))) ++
+      (1 to 60).map { _ => val qm = genQm(rnd); (qm, renderBody(qm, rnd)) }
+    cases.zipWithIndex.foreach { case ((qm, body), i) =>
+      val expected = refAnswer(rows, qm)
+      val got = call("POST", "/timeseries/query", body)
+      assert(got == expected,
+        s"[case $i] wire mismatch for $qm\n body=$body\n got=$got\n expected=$expected")
+      if (expected._1 == 200) {
+        oks += 1
+        // the export download must stream the SAME bytes the plain
+        // route encodes (streamResult ≡ encodeResult over the full
+        // shape space, not just the fixed QueryJsonSpec cases)
+        if (exports < 15) {
+          exports += 1
+          assert(call("POST", "/timeseries/query?export=true", body) == expected,
+            s"[case $i] export body diverged from query body for $qm")
+        }
+      } else errs += 1
+    }
+    assert(oks >= 20, s"generator too narrow: only $oks/${cases.size} cases answered 200")
+    assert(errs >= 10, s"generator too narrow: only $errs/${cases.size} cases answered 400")
+  }
+
+  test("malformed and ill-typed bodies: exact 400 texts through the wire") {
+    assert(call("POST", "/timeseries/query", """{"gt":"x"}""")
+      == (400, "Field 'gt' must be an integer."))
+    assert(call("POST", "/timeseries/query", """{"limit":1.5}""")
+      == (400, "Field 'limit' must be an integer."))
+    assert(call("POST", "/timeseries/query", """{"tagEq":7}""")
+      == (400, "Field 'tagEq' must be a string."))
+    assert(call("POST", "/timeseries/query", """{"aggFunc":"median"}""")
+      == (400, "Invalid value for 'aggFunc': median"))
+    assert(call("POST", "/timeseries/query", """{"bogus":1}""")
+      == (400, "Unknown field: bogus"))
+    assert(call("POST", "/timeseries/query", """[1,2]""")
+      == (400, "Expected a JSON object."))
+    val (code, msg) = call("POST", "/timeseries/query", "{{{")
+    assert(code == 400 && msg.startsWith("Malformed JSON:"))
+  }
+
+  // ---------------------------------------------------------------
+  // series routes: driver-side window folds as the oracle
+  // ---------------------------------------------------------------
+
+  private def seriesJson(width: Long, slide: Long,
+                         cells: Seq[(Long, String, Seq[Double])]): String = {
+    val root = mapper.createObjectNode()
+    root.put("width", width); root.put("slide", slide)
+    val arr = root.putArray("series")
+    cells.sortBy(c => (c._1, c._2)).foreach { case (ws, tag, vs) =>
+      val o = arr.addObject()
+      o.put("window_start", ws); o.put("tag", tag)
+      o.put("cnt", vs.size.toLong)
+      putD(o, "sum_val", vs.sum); putD(o, "min_val", vs.min)
+      putD(o, "max_val", vs.max)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Driver-side truth for the `?window` route: every row lands in
+    * width/slide hopping windows anchored on the slide grid; tagEq and
+    * canonicalized window_start bounds post-filter (both group keys).
+    */
+  private def windowCells(width: Long, slide: Long, qm: QueryModel)
+      : Seq[(Long, String, Seq[Double])] = {
+    val n = (width / slide).toInt
+    val qmC = QueryModel.canonicalTsBounds(qm)
+    rows.flatMap(r => (0 until n).map(i =>
+        ((Math.floorDiv(r.timestamp, slide) - i) * slide, r.tag, r.value)))
+      .groupBy(c => (c._1, c._2)).toSeq
+      .map { case ((ws, t), cs) => (ws, t, cs.map(_._3)) }
+      .filter { case (ws, t, _) =>
+        qm.tagEq.forall(t == _) && qmC.ge.forall(ws >= _) &&
+          qmC.lt.forall(ws < _) && qmC.gt.forall(ws > _)
+      }
+  }
+
+  /** Driver-side truth for the `?points` route at the width the server
+    * chose: `ge`-anchored tumbling windows over rows in [ge, lt). */
+  private def pointsCells(ge: Long, lt: Long, width: Long, qm: QueryModel)
+      : Seq[(Long, String, Seq[Double])] =
+    rows.filter(r => r.timestamp >= ge && r.timestamp < lt)
+      .map(r => (Math.floorDiv(r.timestamp - ge, width) * width + ge, r.tag, r.value))
+      .groupBy(c => (c._1, c._2)).toSeq
+      .map { case ((ws, t), cs) => (ws, t, cs.map(_._3)) }
+      .filter { case (_, t, _) => qm.tagEq.forall(t == _) }
+
+  private def renderSeriesBody(qm: QueryModel, rnd: Random): String = {
+    val fs = scala.collection.mutable.ArrayBuffer.empty[String]
+    qm.gt.foreach(x => fs += s""""gt":$x""")
+    qm.ge.foreach(x => fs += s""""ge":$x""")
+    qm.lt.foreach(x => fs += s""""lt":$x""")
+    qm.le.foreach(x => fs += s""""le":$x""")
+    qm.tagEq.foreach(t => fs += s""""tagEq":"$t"""")
+    if (fs.isEmpty && rnd.nextBoolean()) "" // empty body = no filters
+    else rnd.shuffle(fs).mkString("{", ",", "}")
+  }
+
+  test("randomized series parity: ?window and ?points ≡ driver-side window folds") {
+    val rnd = new Random(20260816L + 2)
+    val slides = Vector(15 * 60000L, HOUR, 2 * HOUR, DAY)
+    var nonEmpty = 0
+    (1 to 25).foreach { i =>
+      val slide = slides(rnd.nextInt(slides.size))
+      val width = slide * (rnd.nextInt(4) + 1)
+      def opt[A](p: Double)(a: => A): Option[A] =
+        if (rnd.nextDouble() < p) Some(a) else None
+      val lo = opt(0.4)(someTs(rnd)); val hi = opt(0.4)(someTs(rnd))
+      val qm = QueryModel(
+        gt = if (rnd.nextBoolean()) lo else None,
+        ge = if (rnd.nextBoolean()) lo else None,
+        lt = if (rnd.nextBoolean()) hi else None,
+        le = if (rnd.nextBoolean()) hi else None,
+        tagEq = opt(0.3)(if (rnd.nextBoolean()) fixTags(rnd.nextInt(3)) else "late"))
+      val qmOk = if (qm.gt.isDefined && qm.ge.isDefined) qm.copy(gt = None)
+        else if (qm.lt.isDefined && qm.le.isDefined) qm.copy(le = None) else qm
+      val body = renderSeriesBody(qmOk, rnd)
+      val slideParam = if (slide == width && rnd.nextBoolean()) ""
+        else s"&slide=$slide"
+      val got = call("POST", s"/timeseries/query?window=$width$slideParam", body)
+      val cells = windowCells(width, slide, qmOk)
+      assert(got == (200, seriesJson(width, slide, cells)),
+        s"[case $i] window series mismatch for width=$width slide=$slide $qmOk\n got=$got")
+      if (cells.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 8, s"generator too narrow: only $nonEmpty/25 window cases non-empty")
+
+    var routedPts = 0
+    (1 to 25).foreach { i =>
+      // bounds: half the cases rollup-aligned so the refold path serves
+      val aligned = rnd.nextBoolean()
+      val (ge, lt) =
+        if (aligned) {
+          val a = rnd.nextInt(4 * 24).toLong * HOUR
+          (a, a + (rnd.nextInt(48) + 1).toLong * HOUR)
+        } else {
+          val a = rnd.nextLong(4 * DAY)
+          (a, a + rnd.nextLong(2 * DAY) + 1)
+        }
+      val points = rnd.nextInt(50) + 1
+      val qm = QueryModel(ge = Some(ge), lt = Some(lt),
+        tagEq = if (rnd.nextDouble() < 0.3) Some(fixTags(rnd.nextInt(3))) else None)
+      val got = call("POST", s"/timeseries/query?points=$points",
+        renderSeriesBody(qm, rnd))
+      assert(got._1 == 200, s"[case $i] points route failed: $got")
+      val node = mapper.readTree(got._2)
+      val width = node.get("width").asLong()
+      assert(node.get("slide").asLong() == width)
+      // the resolution contract: ≤ points windows cover [ge, lt)
+      assert(width >= ((lt - ge) + points - 1) / points,
+        s"[case $i] width $width yields more than $points windows over [$ge, $lt)")
+      // routing tripwire: hour-aligned bounds MUST be served off a
+      // rollup (grain-multiple width), never the raw resolution scan
+      if (aligned) {
+        assert(width % HOUR == 0,
+          s"[case $i] aligned bounds [$ge, $lt) answered at raw width $width")
+        routedPts += 1
+      }
+      assert(got == (200, seriesJson(width, width, pointsCells(ge, lt, width, qm))),
+        s"[case $i] points series mismatch at width=$width for [$ge,$lt) $qm\n got=$got")
+    }
+    assert(routedPts >= 6, s"only $routedPts/25 points cases exercised the rollup path")
+  }
+
+  test("series routes: exact 400 texts") {
+    assert(call("POST", "/timeseries/query?window=100&slide=7", "")
+      == (400, "'window' must be a positive multiple of 'slide'."))
+    assert(call("POST", "/timeseries/query?window=0", "")
+      == (400, "'window' must be a positive multiple of 'slide'."))
+    assert(call("POST", s"/timeseries/query?window=${4097L * HOUR}&slide=$HOUR", "")
+      == (400, "'window'/'slide' ratio above 4096."))
+    assert(call("POST", "/timeseries/query?window=x", "")
+      == (400, "'window' must be an integer."))
+    assert(call("POST", "/timeseries/query?points=0", """{"ge":0,"lt":100}""")
+      == (400, "'points' must be in [1, 100000]."))
+    assert(call("POST", "/timeseries/query?points=5", "")
+      == (400, "'points' requires both a lower and an upper timestamp bound."))
+    assert(call("POST", "/timeseries/query?points=5", """{"ge":100,"lt":100}""")
+      == (400, "empty range [100, 100)."))
+    assert(call("POST", s"/timeseries/query?window=$HOUR",
+      """{"aggFunc":"sum"}""")
+      == (400, "Series routes take only timestamp bounds and 'tagEq' in the body."))
+    assert(call("POST", s"/timeseries/query?window=$HOUR&points=3", "")._2
+      .startsWith("Use exactly one of"))
+  }
+}
