@@ -484,6 +484,155 @@ class ApiFuzzSpec extends SparkSpec {
     assert(routedPts >= 6, s"only $routedPts/25 points cases exercised the rollup path")
   }
 
+  // ---------------------------------------------------------------
+  // gapfill route: pure-Scala LOCF/interp/zero model as the oracle
+  // ---------------------------------------------------------------
+
+  /** Driver-side truth for `?gapfill=`: dense (tag, bucket) grid over
+    * [ge, lt) at `grain`, per-bucket fold from raw rows, then the fill
+    * policy replayed sequentially. Interp uses the engine's exact
+    * linear form `(pv·(nb−b) + nv·(b−pb)) / (nb−pb)` so the IEEE ops
+    * match bit-for-bit.
+    */
+  private def refGapFill(grain: Long, ge: Long, lt: Long, agg: Agg,
+                         fill: String, tagEq: Option[String])
+      : Seq[(String, Long, Option[Double])] = {
+    val inWin = rows.filter(r => r.timestamp >= ge && r.timestamp < lt &&
+      tagEq.forall(r.tag == _))
+    val obs: Map[(String, Long), Double] = inWin
+      .groupBy(r => (r.tag, Math.floorDiv(r.timestamp, grain) * grain))
+      .view.mapValues(g => fold(agg, g.map(_.value))).toMap
+    // tags = observed in the window, or exactly tagEq (dense all-null
+    // series even for a tag with no data — the singleton stance)
+    val seriesTags: Seq[String] =
+      tagEq.fold[Seq[String]](inWin.map(_.tag).distinct.sorted)(Seq(_))
+    val buckets = (ge until lt by grain).toVector
+    seriesTags.flatMap { t =>
+      val series = buckets.map(b => (b, obs.get((t, b))))
+      val filled: Seq[(Long, Option[Double])] = fill match {
+        case "none" => series
+        case "zero" => series.map { case (b, v) => (b, Some(v.getOrElse(0.0))) }
+        case "locf" =>
+          var last: Option[Double] = None
+          series.map { case (b, v) =>
+            if (v.isDefined) { last = v; (b, v) } else (b, last) }
+        case "interp" =>
+          series.map { case (b, v) =>
+            if (v.isDefined) (b, v)
+            else {
+              val prev = series.filter(s => s._1 < b && s._2.isDefined).lastOption
+              val next = series.find(s => s._1 > b && s._2.isDefined)
+              val interp = for { (pb, pvO) <- prev; (nb, nvO) <- next }
+                yield (pvO.get * (nb - b) + nvO.get * (b - pb)) / (nb - pb)
+              (b, interp)
+            }
+          }
+      }
+      filled.map { case (b, v) => (t, b, v) }
+    }
+  }
+
+  private def gapFillJson(grain: Long,
+                          cells: Seq[(String, Long, Option[Double])]): String = {
+    val root = mapper.createObjectNode()
+    root.put("grain", grain)
+    val arr = root.putArray("series")
+    cells.sortBy(c => (c._1, c._2)).foreach { case (tag, b, v) =>
+      val o = arr.addObject()
+      o.put("tag", tag); o.put("bucket_start", b)
+      v.fold[Unit] { o.putNull("value"); () } (putD(o, "value", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  test("randomized gapfill parity: ?gapfill ≡ pure-Scala grid model, byte-exact") {
+    val rnd = new Random(20260816L + 3)
+    val fills = Vector("none", "zero", "locf", "interp")
+    var interped = 0
+    (1 to 30).foreach { i =>
+      // bounds hour-aligned (the finest registered rollup) or
+      // day-aligned — the route must pick the FINEST aligned grain,
+      // which is the hourly rollup in both cases (DAY % HOUR == 0)
+      val unit = if (rnd.nextBoolean()) HOUR else DAY
+      val a = rnd.nextInt(if (unit == HOUR) 4 * 24 else 4).toLong * unit
+      val (ge, lt) = (a, a + (rnd.nextInt(if (unit == HOUR) 48 else 2) + 1) * unit)
+      val fill = fills(rnd.nextInt(fills.size))
+      val agg = Agg.all(rnd.nextInt(Agg.all.size))
+      val tagEq = if (rnd.nextDouble() < 0.35)
+        Some(if (rnd.nextBoolean()) fixTags(rnd.nextInt(3)) else "ghost")
+      else None
+      val body = tagEq.fold(s"""{"ge":$ge,"lt":$lt}""")(t =>
+        s"""{"ge":$ge,"lt":$lt,"tagEq":"$t"}""")
+      val aggParam = if (agg == Agg.Count && rnd.nextBoolean()) ""
+        else s"&agg=${agg.name}"
+      val got = call("POST", s"/timeseries/query?gapfill=$fill$aggParam", body)
+      val expected = gapFillJson(HOUR, refGapFill(HOUR, ge, lt, agg, fill, tagEq))
+      assert(got == (200, expected),
+        s"[case $i] gapfill mismatch for fill=$fill agg=$agg [$ge,$lt) tagEq=$tagEq\n got=$got")
+      if (fill == "interp" &&
+          refGapFill(HOUR, ge, lt, agg, fill, tagEq).exists(_._3.isEmpty))
+        interped += 1 // saw a one-sided interp edge staying null
+    }
+    assert(interped >= 1, "no interp case exercised a one-sided null edge")
+  }
+
+  test("gapfill route: exact 400 texts") {
+    assert(call("POST", "/timeseries/query?gapfill=cubic", """{"ge":0,"lt":3600000}""")
+      == (400, "'gapfill' must be one of locf, interp, zero, none."))
+    assert(call("POST", "/timeseries/query?gapfill=locf&agg=median",
+      """{"ge":0,"lt":3600000}""")
+      == (400, "unknown 'agg': median."))
+    assert(call("POST", "/timeseries/query?gapfill=locf", """{"ge":0}""")
+      == (400, "'gapfill' requires both a lower and an upper timestamp bound."))
+    assert(call("POST", "/timeseries/query?gapfill=locf", """{"ge":100,"lt":100}""")
+      == (400, "'gapfill' requires both a lower and an upper timestamp bound."))
+    // unaligned bounds: no rollup aligns — loud 400, never a raw scan
+    assert(call("POST", "/timeseries/query?gapfill=locf", """{"ge":7,"lt":3600007}""")
+      == (400, "no registered rollup aligns with the requested bounds."))
+  }
+
+  /** The sketch routes are approximate by design, so no byte oracle —
+    * the law here is dispatch correctness: group support equals the
+    * exact tags in the slice, estimates land inside the slice's exact
+    * [min, max] (percentile) or within the spec-gated 10% HLL band
+    * (distinct), and the empty slice encodes as null, not an error.
+    */
+  test("sketch routes: support + bounds laws over the wire") {
+    val rnd = new Random(20260816L + 4)
+    (1 to 12).foreach { i =>
+      val aligned = rnd.nextBoolean() // rollup-routed half the time
+      val (ge, lt) =
+        if (aligned) { val a = rnd.nextInt(3 * 24).toLong * HOUR
+          (a, a + (rnd.nextInt(24) + 1) * HOUR) }
+        else { val a = rnd.nextLong(3 * DAY); (a, a + rnd.nextLong(DAY) + 1) }
+      val slice = rows.filter(r => r.timestamp >= ge && r.timestamp < lt)
+      val body = s"""{"ge":$ge,"lt":$lt}"""
+      val q = math.rint(rnd.nextDouble() * 100) / 100.0
+      val (pc, pBody) = call("POST", s"/timeseries/query?percentile=$q", body)
+      assert(pc == 200, s"[case $i] percentile route failed: $pBody")
+      val pNode = mapper.readTree(pBody)
+      if (slice.isEmpty) assert(pNode.get("result").isNull)
+      else {
+        val est = pNode.get("result").asDouble()
+        assert(est >= slice.map(_.value).min && est <= slice.map(_.value).max,
+          s"[case $i] p$q=$est outside exact [min,max] of the slice")
+      }
+      val (dc, dBody) = call("POST", "/timeseries/query?distinct=true&by=tag", body)
+      assert(dc == 200, s"[case $i] distinct route failed: $dBody")
+      val arr = mapper.readTree(dBody)
+      val gotTags = (0 until arr.size).map(arr.get(_).get("group").asText())
+      assert(gotTags == slice.map(_.tag).distinct.sorted,
+        s"[case $i] distinct-by-tag support diverged: $gotTags")
+      (0 until arr.size).foreach { j =>
+        val t = arr.get(j).get("group").asText()
+        val exact = slice.filter(_.tag == t).map(_.value).distinct.size
+        val est = arr.get(j).get("result").asDouble()
+        assert(math.abs(est - exact) <= math.max(1.0, 0.1 * exact),
+          s"[case $i] distinct($t)=$est vs exact $exact beyond 10%")
+      }
+    }
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))
