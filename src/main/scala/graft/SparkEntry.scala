@@ -1199,6 +1199,24 @@ object SparkEntry {
       .withColumn("result", round(col("result"), 4))),
     "ts3_cagg_realtime_group_tag_count" -> ((s, dir) => caggRtAnswer(s, dir,
       QueryModel(aggFunc = Some(Agg.Count), groupBy = Some(GroupBy.Tag)))),
+    // ---- S7 time travel as an ORACLED query: the realtime fixture's
+    // two commits are (events < T2, all events); versionAsOf(first)
+    // must reproduce the pre-tail state EXACTLY — the oracle aggregates
+    // raw events under `timestamp < T2`, so a hash match proves the
+    // versioned manifest replays the past, not an approximation of it.
+    // (The HTTP twin — `?asof=V` — replays a full mutation walk in
+    // ApiConcurrencySpec; this pins the engine surface cross-engine.)
+    "s7_asof_pre_tail" -> ((s, dir) => {
+      val (st, _) = caggRtFor(s, dir)
+      val vs = st.versions
+      require(vs.size == 2,
+        s"asof fixture expects exactly the 2 scripted commits, got $vs")
+      st.versionAsOf(vs.head)
+        .groupBy(col("tag").as("grp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(sum(col("value")), 4).as("sum_v"))
+        .orderBy(asc("grp"))
+    }),
     // SQL-LEVEL routing: PLAIN Spark SQL over a temp view of the
     // store, rewritten by the Catalyst rule (RollupSqlRewrite) to
     // refold rollup segments — no QueryModel anywhere. The multi-agg
@@ -3103,6 +3121,8 @@ object SparkEntry {
       s"""SELECT round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < 1706054400000""",
     "ts3_cagg_realtime_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
+    "s7_asof_pre_tail" ->
+      s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS n, round(sum(value), 4) AS sum_v FROM $FROM t WHERE "timestamp" < $T2 GROUP BY tag ORDER BY grp""",
     "ts3_cagg_sql_group_tag_sum" ->
       s"""SELECT tag AS grp, round(sum(value), 4) AS result FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 3 * 86400000L} GROUP BY tag ORDER BY grp""",
     "ts3_cagg_sql_scalar_stats" ->

@@ -20,6 +20,8 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?percentile=q[&by=tag]  sketch quantile (S5+)
   *   POST   /timeseries/query?distinct=true[&by=tag] distinct values (S5+)
   *   POST   /timeseries/query?gapfill=locf&agg=count gap-filled grid (S5+)
+  *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
+  *   GET    /timeseries/versions      committed versions, ascending  (S7+)
   *
   * Success → 200 with JSON; validation/data errors → 400 with the
   * message, like the reference's Handler (Api.hs:78-84). Built on the
@@ -107,10 +109,12 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     * (client/src/Api.elm:281-311); serving it here closes the surface
     * without a browser.
     */
-  private def handleExport(ex: HttpExchange, body: String): Unit = {
+  private def handleExport(ex: HttpExchange, body: String,
+                           run: graft.model.QueryModel => Either[QueryError, DataFrame]
+                             = runQuery): Unit = {
     val parsed = for {
       qm <- QueryJson.parseQueryModel(body)
-      df <- runQuery(qm)
+      df <- run(qm)
     } yield (qm, df)
     parsed match {
       case Right((qm, df)) =>
@@ -346,6 +350,50 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
   private val seriesParams =
     Set("points", "window", "percentile", "distinct", "gapfill")
 
+  // ---- S7+ — time travel over the wire: the store's immutable
+  // versioned manifests make every committed state queryable, so the
+  // capability reaches users instead of staying an engine method.
+  //
+  //   POST /timeseries/query?asof=V   the parity QueryModel evaluated
+  //                                   against versionAsOf(V) — same
+  //                                   shapes, same 400 semantics;
+  //                                   composes with ?export=true
+  //   GET  /timeseries/versions       `[v0,v1,…]` ascending
+  //
+  // Deliberately RAW: rollups and sidecar fast paths reflect the
+  // CURRENT version, so a historical read pays the pruned scan — time
+  // travel is an audit tool, not the serving path. A version vacuum
+  // already reaped is a loud 400, mirroring versionAsOf's require.
+  private def handleAsOf(ex: HttpExchange, body: String,
+                         params: Map[String, String]): Unit = {
+    val snap: Either[QueryError, DataFrame] = for {
+      _ <- if (params.keySet.intersect(seriesParams).isEmpty) Right(())
+           else Left(QueryError.IllegalQuery(
+             "'asof' applies only to the plain query route."))
+      v <- params("asof").toLongOption.toRight(
+        QueryError.IllegalQuery("'asof' must be an integer version."))
+      df <- if (store.versions.contains(v)) Right(store.versionAsOf(v))
+            else Left(QueryError.IllegalQuery(
+              s"version $v not found (never committed, or removed by vacuum)."))
+    } yield df
+    snap match {
+      case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
+      case Right(df) =>
+        val run = (qm: QueryModel) => QueryEngine.execute(df, qm)
+        if (params.get("export").contains("true")) handleExport(ex, body, run)
+        else {
+          val result = for {
+            qm <- QueryJson.parseQueryModel(body)
+            out <- run(qm)
+          } yield QueryJson.encodeResult(qm, out)
+          result match {
+            case Right(json) => respond(ex, 200, json)
+            case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")
+          }
+        }
+    }
+  }
+
   private def handleSeries(ex: HttpExchange, body: String,
                            params: Map[String, String]): Unit = {
     def longParam(k: String): Either[QueryError, Option[Long]] =
@@ -395,6 +443,9 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     try {
       if (route._1 == "OPTIONS") { preflight(ex); return }
       val params = queryParams(ex)
+      if (route == ("POST", "/timeseries/query") && params.contains("asof")) {
+        handleAsOf(ex, body, params); return
+      }
       if (route == ("POST", "/timeseries/query") &&
           params.keySet.exists(seriesParams.contains)) {
         handleSeries(ex, body, params); return
@@ -422,6 +473,8 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
           // bodyless DELETE = truncate (reference's bare Delete route,
           // Api.hs:91)
           store.truncate(); refreshRollups(); Right("[]")
+        case ("GET", "/timeseries/versions") =>
+          Right(store.versions.mkString("[", ",", "]"))
         case ("DELETE", "/timeseries") =>
           QueryJson.parseKeyBatch(body).flatMap {
             case keys if keys.isEmpty =>

@@ -221,6 +221,42 @@ class ApiConcurrencySpec extends SparkSpec {
       assert(all.exists { case (_, qn, _, resp) =>
         valid(qn).indexOf(resp) < script.size - 1 },
         "no read landed before the last commit — race window too narrow")
+
+      // Law 4 — time travel reconciles the race: after the dust
+      // settles, the committed history is REPLAYABLE over the wire.
+      // Every version's asof-collect must equal a scripted state, the
+      // states must appear in version order, and all five commits must
+      // be covered — the same immutable manifests that made the
+      // concurrent reads consistent make the past queryable.
+      val (vc, vBody) = call("GET", "/timeseries/versions", "")
+      assert(vc == 200, s"versions endpoint failed: $vBody")
+      val vNode = mapper.readTree(vBody)
+      val versions = (0 until vNode.size).map(vNode.get(_).asLong()).toVector
+      assert(versions == versions.sorted && versions.nonEmpty,
+        s"versions endpoint not ascending: $versions")
+      val stateIdx = versions.map { v =>
+        val (c, resp) = call("POST", s"/timeseries/query?asof=$v", "{}")
+        assert(c == 200, s"asof=$v failed: $resp")
+        val j = valid("collect").indexOf(resp)
+        assert(j >= 0, s"asof=$v matches no committed state: $resp")
+        j
+      }
+      assert(stateIdx == stateIdx.sorted,
+        s"asof states out of version order: $stateIdx")
+      assert(stateIdx.last == script.size - 1 &&
+        stateIdx.toSet.size >= script.size - 1,
+        s"history not fully replayable: $stateIdx")
+      // asof composes with export: identical bytes
+      assert(call("POST", s"/timeseries/query?asof=${versions.head}&export=true", "{}")
+        == call("POST", s"/timeseries/query?asof=${versions.head}", "{}"))
+      // loud 400s: unknown version, non-integer, asof on a series route
+      val badV = versions.max + 999
+      assert(call("POST", s"/timeseries/query?asof=$badV", "{}")
+        == (400, s"version $badV not found (never committed, or removed by vacuum)."))
+      assert(call("POST", "/timeseries/query?asof=x", "{}")
+        == (400, "'asof' must be an integer version."))
+      assert(call("POST", s"/timeseries/query?asof=${versions.max}&window=$HOUR", "")
+        == (400, "'asof' applies only to the plain query route."))
     } finally server.stop()
   }
 
