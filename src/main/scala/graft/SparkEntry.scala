@@ -1085,9 +1085,16 @@ object SparkEntry {
     // over the whole range from the rollup's ADDITIVE moments — the
     // TimescaleDB stats_agg two-step; all moment arithmetic is exact
     // decimal, the oracle mirrors the final float ops bit-for-bit
+    // slope/intercept/r are ratios of >2^53 exact integers, so the
+    // final integer→double casts can land one ulp apart across engines
+    // at some SFs (observed at sf0.001) — both sides round to 10
+    // decimals, far above the 1e-16 ulp noise, far below the signal
     "ts3_cagg_regression_by_tag" -> ((s, dir) =>
       caggStatsFor(s, dir).answerRegression()
-        .getOrElse(throw new IllegalStateException("stats rollup ineligible"))),
+        .getOrElse(throw new IllegalStateException("stats rollup ineligible"))
+        .select(col("grp"), round(col("slope_per_day"), 10).as("slope_per_day"),
+          round(col("intercept"), 10).as("intercept"),
+          round(col("r"), 10).as("r"), col("n_points"))),
     // HIERARCHICAL: this weekly rollup was refreshed by REFOLDING the
     // daily rollup's buckets (fixture asserts fromChild — a silent raw
     // fallback fails the build); the raw-events oracles prove the
@@ -1320,6 +1327,42 @@ object SparkEntry {
         import s.implicits._
         rows.toDF("window_start", "tag", "cnt", "sum_val")
           .withColumn("sum_val", round(col("sum_val"), 4))
+          .orderBy(col("window_start"), col("tag"))
+      } finally srv.stop()
+    }),
+    // the HTTP OHLC route end-to-end: ?ohlc=2d over a server registered
+    // with the DAILY rollup — day-aligned bounds so the refold path
+    // serves (open/close from the buckets' (first_ts, first_val,
+    // last_ts, last_val) columns); the raw-events DuckDB oracle checks
+    // routing, refold, and wire encoding in one hash
+    "s5_http_ohlc" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val st = caggStoreFor(s, dir)
+      val rollup = caggFor(s, dir)
+      require(rollup.answerOhlc(2 * 86400000L, Some(T1), Some(T2)).isDefined,
+        "s5_http_ohlc: daily rollup no longer serves the OHLC shape")
+      val srv = new graft.api.Server(s, st, 0, Seq(rollup)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          s"/timeseries/query?ohlc=${2 * 86400000L}")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString(
+              s"""{"ge":$T1,"lt":$T2}""")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"ohlc route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        require(node.get("width").asLong == 2 * 86400000L,
+          "ohlc route echoed a drifted width")
+        val rows = node.get("series").elements().asScala.map { o =>
+          (o.get("window_start").asLong, o.get("tag").asText,
+            o.get("open").asDouble, o.get("high").asDouble,
+            o.get("low").asDouble, o.get("close").asDouble)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("window_start", "tag", "open", "high", "low", "close")
           .orderBy(col("window_start"), col("tag"))
       } finally srv.stop()
     }),
@@ -3100,17 +3143,17 @@ object SparkEntry {
         |        sum(t * v) AS stv, sum(t * t) AS st2, sum(v * v) AS sv2
         |      FROM t GROUP BY tag)
         |SELECT tag AS grp,
-        |  CASE WHEN n*st2 - st*st > 0
+        |  round(CASE WHEN n*st2 - st*st > 0
         |       THEN CAST(n*stv - st*sv AS DOUBLE) / CAST(n*st2 - st*st AS DOUBLE)
-        |            / 100.0 * 86400000.0 END AS slope_per_day,
-        |  CASE WHEN n*st2 - st*st > 0
+        |            / 100.0 * 86400000.0 END, 10) AS slope_per_day,
+        |  round(CASE WHEN n*st2 - st*st > 0
         |       THEN CAST(sv AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
         |            - (CAST(n*stv - st*sv AS DOUBLE) / CAST(n*st2 - st*st AS DOUBLE) / 100.0)
-        |              * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) END AS intercept,
-        |  CASE WHEN n*st2 - st*st > 0 AND n*sv2 - sv*sv > 0
+        |              * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) END, 10) AS intercept,
+        |  round(CASE WHEN n*st2 - st*st > 0 AND n*sv2 - sv*sv > 0
         |       THEN CAST(n*stv - st*sv AS DOUBLE)
         |            / sqrt(CAST(n*st2 - st*st AS DOUBLE) * CAST(n*sv2 - sv*sv AS DOUBLE))
-        |       END AS r,
+        |       END, 10) AS r,
         |  n AS n_points
         |FROM m ORDER BY grp""".stripMargin,
     "ts3_cagg_hier_group_tag_count" ->
@@ -3158,6 +3201,12 @@ object SparkEntry {
     // the HTTP series route: sliding 2d/1d windows (each event in two
     // windows), body bounds post-filter WINDOW_START (the grid), not
     // event timestamps — the oracle mirrors that placement exactly
+    "s5_http_ohlc" ->
+      s"""SELECT ("timestamp" // ${2 * 86400000L}) * ${2 * 86400000L} AS window_start, tag,
+         |  arg_min(value, "timestamp") AS open, max(value) AS high,
+         |  min(value) AS low, arg_max(value, "timestamp") AS close
+         |FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < $T2
+         |GROUP BY 1, 2 ORDER BY window_start, tag""".stripMargin,
     "s5_http_window_series" ->
       s"""SELECT window_start, tag, CAST(count(*) AS DOUBLE) AS cnt, round(sum(value), 4) AS sum_val FROM (
         |  SELECT ("timestamp" // 86400000) * 86400000 AS window_start, tag, value FROM $FROM t

@@ -240,6 +240,24 @@ object QueryJson {
     }
   }
 
+  /** Encode OHLC bars (`?ohlc=` route): `{"width": W, "series":
+    * [{window_start, tag, open, high, low, close}, …]}`. */
+  def encodeOhlc(width: Long, df: DataFrame): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("width", width)
+    val arr = root.putArray("series")
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      o.put("window_start", r.getLong(0))
+      o.put("tag", r.getString(1))
+      putDouble(o, "open", r.getDouble(2))
+      putDouble(o, "high", r.getDouble(3))
+      putDouble(o, "low", r.getDouble(4))
+      putDouble(o, "close", r.getDouble(5))
+    }
+    mapper.writeValueAsString(root)
+  }
+
   /** Encode a gap-filled series (`?gapfill=` route): `{"grain": G,
     * "series": [{tag, bucket_start, value}, …]}` — value null where the
     * fill leaves a bucket empty (Fill.None, one-sided Interp edges). */

@@ -20,6 +20,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?percentile=q[&by=tag]  sketch quantile (S5+)
   *   POST   /timeseries/query?distinct=true[&by=tag] distinct values (S5+)
   *   POST   /timeseries/query?gapfill=locf&agg=count gap-filled grid (S5+)
+  *   POST   /timeseries/query?ohlc=W  open/high/low/close bars       (S5+)
   *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
   *   GET    /timeseries/versions      committed versions, ascending  (S7+)
   *
@@ -347,8 +348,46 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     }
   }
 
+  /** OHLC bars (`?ohlc=W`): open/high/low/close per `W`-ms window per
+    * tag — the candlestick dashboard query. Rollup-routed when a
+    * registered rollup's grain divides `W` and the body bounds are
+    * bucket-aligned (the buckets carry (first_ts, first_val, last_ts,
+    * last_val) precisely so open/close REFOLD — O(buckets)); EXACT
+    * raw-events twin otherwise: same window grid (`ts div W · W` —
+    * bucket contraction preserves it since grain | W), open/close by
+    * min_by/max_by over the event timestamps, which are unique per
+    * (window, tag) by the primary key.
+    */
+  private def ohlcSeries(qm: QueryModel, width: Long)
+      : Either[QueryError, String] =
+    if (width <= 0)
+      Left(QueryError.IllegalQuery("'ohlc' must be a positive window width."))
+    else {
+      val routed =
+        if (qm.gt.isDefined) None // canonical-leftover gt MaxValue: raw only
+        else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+          .flatMap(_.answerOhlc(width, qm.ge, qm.lt, qm.tagEq)).nextOption()
+      val df = routed.getOrElse {
+        val sliced = Seq(
+          qm.ge.map(col("timestamp") >= _),
+          qm.lt.map(col("timestamp") < _),
+          qm.gt.map(col("timestamp") > _),
+          qm.tagEq.map(col("tag") === _)
+        ).flatten.foldLeft(store.current())(_ filter _)
+        sliced
+          .withColumn("window_start", expr(s"timestamp div $width") * width)
+          .groupBy(col("window_start"), col("tag"))
+          .agg(min_by(col("value"), col("timestamp")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("timestamp")).as("close"))
+          .orderBy(asc("window_start"), asc("tag"))
+      }
+      Right(QueryJson.encodeOhlc(width, df))
+    }
+
   private val seriesParams =
-    Set("points", "window", "percentile", "distinct", "gapfill")
+    Set("points", "window", "percentile", "distinct", "gapfill", "ohlc")
 
   // ---- S7+ — time travel over the wire: the store's immutable
   // versioned manifests make every committed state queryable, so the
@@ -425,6 +464,10 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
         case List("distinct") => distinctRoute(qm, byTag)
         case List("gapfill") => gapFillRoute(qm, params("gapfill"),
           params.getOrElse("agg", "count"))
+        case List("ohlc") =>
+          params("ohlc").toLongOption.fold[Either[QueryError, String]](
+            Left(QueryError.IllegalQuery("'ohlc' must be an integer.")))(
+            ohlcSeries(qm, _))
         case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))
       }

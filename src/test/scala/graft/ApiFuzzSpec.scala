@@ -633,6 +633,69 @@ class ApiFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------
+  // OHLC route: driver-side candlestick folds as the oracle
+  // ---------------------------------------------------------------
+
+  /** Driver-side truth for `?ohlc=W`: per (window, tag), open = value
+    * at the earliest event, close at the latest (timestamps unique per
+    * tag by the primary key), high/low = max/min. Bounds filter events;
+    * the grid anchors at 0 (`ts div W · W`).
+    */
+  private def ohlcJson(width: Long, qm: QueryModel): String = {
+    val qmC = QueryModel.canonicalTsBounds(qm)
+    val inWin = rows.filter(r =>
+      qmC.ge.forall(r.timestamp >= _) && qmC.lt.forall(r.timestamp < _) &&
+        qmC.gt.forall(r.timestamp > _) && qm.tagEq.forall(r.tag == _))
+    val root = mapper.createObjectNode()
+    root.put("width", width)
+    val arr = root.putArray("series")
+    inWin.groupBy(r => (Math.floorDiv(r.timestamp, width) * width, r.tag))
+      .toSeq.sortBy(_._1).foreach { case ((ws, tag), g) =>
+        val o = arr.addObject()
+        o.put("window_start", ws); o.put("tag", tag)
+        putD(o, "open", g.minBy(_.timestamp).value)
+        putD(o, "high", g.map(_.value).max)
+        putD(o, "low", g.map(_.value).min)
+        putD(o, "close", g.maxBy(_.timestamp).value)
+      }
+    mapper.writeValueAsString(root)
+  }
+
+  test("randomized OHLC parity: ?ohlc ≡ driver-side candlestick folds") {
+    val rnd = new Random(20260816L + 5)
+    val widths = Vector(30 * 60000L, HOUR, 6 * HOUR, DAY, 2 * DAY)
+    var nonEmpty = 0
+    (1 to 25).foreach { i =>
+      val width = widths(rnd.nextInt(widths.size))
+      def opt[A](p: Double)(a: => A): Option[A] =
+        if (rnd.nextDouble() < p) Some(a) else None
+      val lo = opt(0.4)(someTs(rnd)); val hi = opt(0.4)(someTs(rnd))
+      val qm0 = QueryModel(
+        gt = if (rnd.nextBoolean()) lo else None,
+        ge = if (rnd.nextBoolean()) lo else None,
+        lt = if (rnd.nextBoolean()) hi else None,
+        le = if (rnd.nextBoolean()) hi else None,
+        tagEq = opt(0.3)(if (rnd.nextBoolean()) fixTags(rnd.nextInt(3)) else "late"))
+      val qm = if (qm0.gt.isDefined && qm0.ge.isDefined) qm0.copy(gt = None)
+        else if (qm0.lt.isDefined && qm0.le.isDefined) qm0.copy(le = None) else qm0
+      val got = call("POST", s"/timeseries/query?ohlc=$width",
+        renderSeriesBody(qm, rnd))
+      val exp = ohlcJson(width, qm)
+      assert(got == (200, exp),
+        s"[case $i] OHLC mismatch for width=$width $qm\n got=$got\n exp=$exp")
+      if (exp.contains("window_start")) nonEmpty += 1
+    }
+    assert(nonEmpty >= 10, s"generator too narrow: only $nonEmpty/25 OHLC cases non-empty")
+    // exact 400s
+    assert(call("POST", "/timeseries/query?ohlc=0", "")
+      == (400, "'ohlc' must be a positive window width."))
+    assert(call("POST", "/timeseries/query?ohlc=x", "")
+      == (400, "'ohlc' must be an integer."))
+    assert(call("POST", s"/timeseries/query?ohlc=$HOUR", """{"limit":3}""")
+      == (400, "Series routes take only timestamp bounds and 'tagEq' in the body."))
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))
