@@ -240,6 +240,21 @@ object QueryJson {
     }
   }
 
+  /** Encode top-k frequent values (`?top=k` route): `[{group?, rank,
+    * item, est}]` — est is the serving path's count (exact on the raw
+    * fallback, within the Misra-Gries band when sketch-routed). */
+  def encodeTop(df: DataFrame, grouped: Boolean): String = {
+    val arr = mapper.createArrayNode()
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      val base = if (grouped) { o.put("group", r.getString(0)); 1 } else 0
+      o.put("rank", r.getLong(base))
+      o.put("item", r.getString(base + 1)) // sketch items are strings
+      putDouble(o, "est", r.getDouble(base + 2))
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   /** Encode OHLC bars (`?ohlc=` route): `{"width": W, "series":
     * [{window_start, tag, open, high, low, close}, …]}`. */
   def encodeOhlc(width: Long, df: DataFrame): String = {

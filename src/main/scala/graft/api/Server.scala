@@ -21,6 +21,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?distinct=true[&by=tag] distinct values (S5+)
   *   POST   /timeseries/query?gapfill=locf&agg=count gap-filled grid (S5+)
   *   POST   /timeseries/query?ohlc=W  open/high/low/close bars       (S5+)
+  *   POST   /timeseries/query?top=k[&by=tag] top-k frequent values    (S5+)
   *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
   *   GET    /timeseries/versions      committed versions, ascending  (S7+)
   *
@@ -319,6 +320,57 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     Right(QueryJson.encodeAggRows(df, byTag))
   }
 
+  /** Top-k frequent values (`?top=k[&by=tag]`): Misra-Gries-routed
+    * when a sketch-bearing rollup serves the slice (O(buckets) summary
+    * merges, estimates within N/(capacity+1), exact under capacity);
+    * EXACT raw top-k otherwise — counts per value, (count desc, item
+    * asc) tie-break. The global raw rank windows only the k rows a
+    * TakeOrdered already bounded; the byTag rank partitions by tag.
+    */
+  private def topValuesRoute(qm: QueryModel, k: Long, byTag: Boolean)
+      : Either[QueryError, String] =
+    if (k < 1 || k > 1000)
+      Left(QueryError.IllegalQuery("'top' must be in [1, 1000]."))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val routed =
+        if (qm.gt.isDefined) None // MaxValue edge: only raw expresses it
+        else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+          .flatMap(_.answerTopValues(k.toInt, qm.ge, qm.lt, qm.tagEq, byTag))
+          .nextOption()
+      val df = routed.getOrElse {
+        // items stringify exactly like the sketch build does
+        // (value.cast(string)), so the two paths share a vocabulary
+        // AND the (cnt desc, item asc) tie-break is the same
+        // lexicographic order the Misra-Gries top-k uses
+        if (byTag) {
+          val w = Window.partitionBy(col("grp"))
+            .orderBy(desc("cnt"), asc("item"))
+          rawSlice(qm).groupBy(col("tag").as("grp"),
+              col("value").cast("string").as("item"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("grp"), col("rank"), col("item"),
+              col("cnt").cast("double").as("est"))
+            .orderBy(asc("grp"), asc("rank"))
+        } else {
+          val topK = rawSlice(qm)
+            .groupBy(col("value").cast("string").as("item"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(desc("cnt"), asc("item")).limit(k.toInt)
+          // the global rank windows ONLY these ≤k rows
+          topK.withColumn("rank",
+              row_number().over(Window.orderBy(desc("cnt"), asc("item")))
+                .cast("long"))
+            .select(col("rank"), col("item"),
+              col("cnt").cast("double").as("est"))
+            .orderBy(asc("rank"))
+        }
+      }
+      Right(QueryJson.encodeTop(df, byTag))
+    }
+
   private def gapFillRoute(qm: QueryModel, fillName: String, aggName: String)
       : Either[QueryError, String] = {
     import graft.engine.ContinuousAggregate.Fill
@@ -387,7 +439,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     }
 
   private val seriesParams =
-    Set("points", "window", "percentile", "distinct", "gapfill", "ohlc")
+    Set("points", "window", "percentile", "distinct", "gapfill", "ohlc", "top")
 
   // ---- S7+ — time travel over the wire: the store's immutable
   // versioned manifests make every committed state queryable, so the
@@ -468,6 +520,10 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
           params("ohlc").toLongOption.fold[Either[QueryError, String]](
             Left(QueryError.IllegalQuery("'ohlc' must be an integer.")))(
             ohlcSeries(qm, _))
+        case List("top") =>
+          params("top").toLongOption.fold[Either[QueryError, String]](
+            Left(QueryError.IllegalQuery("'top' must be an integer.")))(
+            topValuesRoute(qm, _, byTag))
         case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))
       }

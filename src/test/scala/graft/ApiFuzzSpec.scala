@@ -696,6 +696,59 @@ class ApiFuzzSpec extends SparkSpec {
       == (400, "Series routes take only timestamp bounds and 'tagEq' in the body."))
   }
 
+  /** The fixture rollups carry no sketches, so `?top=k` always takes
+    * the EXACT raw fallback — byte-comparable against a driver-side
+    * count/rank model with the route's (count desc, item asc)
+    * tie-break. (The sketch-routed estimates are SketchRollupSpec's
+    * domain.)
+    */
+  test("randomized top-k parity: ?top ≡ driver-side exact counts") {
+    val rnd = new Random(20260816L + 6)
+    (1 to 15).foreach { i =>
+      def opt[A](p: Double)(a: => A): Option[A] =
+        if (rnd.nextDouble() < p) Some(a) else None
+      val lo = opt(0.5)(someTs(rnd)); val hi = opt(0.5)(someTs(rnd))
+      val qm = QueryModel(ge = lo, lt = hi,
+        tagEq = opt(0.3)(fixTags(rnd.nextInt(3))))
+      val k = rnd.nextInt(8) + 1
+      val byTag = rnd.nextBoolean()
+      val by = if (byTag) "&by=tag" else ""
+      val got = call("POST", s"/timeseries/query?top=$k$by",
+        renderSeriesBody(qm, rnd))
+      val inWin = rows.filter(r =>
+        qm.ge.forall(r.timestamp >= _) && qm.lt.forall(r.timestamp < _) &&
+          qm.tagEq.forall(r.tag == _))
+      val arr = mapper.createArrayNode()
+      // items are the sketch vocabulary: value.cast(string), so the
+      // tie-break is LEXICOGRAPHIC on the rendered double
+      def ranked(g: Seq[TS]): Seq[(String, Long, Double)] =
+        g.groupBy(_.value.toString).view.mapValues(_.size).toSeq
+          .sortBy { case (item, cnt) => (-cnt, item) }.take(k)
+          .zipWithIndex.map { case ((item, cnt), j) =>
+            (item, (j + 1).toLong, cnt.toDouble) }
+      if (byTag)
+        inWin.map(_.tag).distinct.sorted.foreach { t =>
+          ranked(inWin.filter(_.tag == t)).foreach { case (item, rank, est) =>
+            val o = arr.addObject()
+            o.put("group", t); o.put("rank", rank)
+            o.put("item", item); putD(o, "est", est)
+          }
+        }
+      else
+        ranked(inWin).foreach { case (item, rank, est) =>
+          val o = arr.addObject()
+          o.put("rank", rank); o.put("item", item); putD(o, "est", est)
+        }
+      val exp = mapper.writeValueAsString(arr)
+      assert(got == (200, exp),
+        s"[case $i] top-$k mismatch (byTag=$byTag) for $qm\n got=$got\n exp=$exp")
+    }
+    assert(call("POST", "/timeseries/query?top=0", "")
+      == (400, "'top' must be in [1, 1000]."))
+    assert(call("POST", "/timeseries/query?top=x", "")
+      == (400, "'top' must be an integer."))
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))

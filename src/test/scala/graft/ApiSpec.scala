@@ -251,6 +251,21 @@ class ApiSpec extends SparkSpec {
       val expD = QueryJson.encodeAggRows(sketch.answerDistinct().get,
         grouped = false)
       assert(on(srv)("/timeseries/query?distinct=true", "") == (200, expD))
+      // top-k: Misra-Gries-routed == engine answerTopValues, wire-
+      // encoded identically; byTag grouped shape included
+      assert(sketch.answerTopValues(2).isDefined,
+        "sketch rollup must serve top-k")
+      val expT = QueryJson.encodeTop(sketch.answerTopValues(2).get,
+        grouped = false)
+      assert(on(srv)("/timeseries/query?top=2", "") == (200, expT))
+      val expTT = QueryJson.encodeTop(
+        sketch.answerTopValues(2, byTag = true).get, grouped = true)
+      val (200, tByTag) = on(srv)("/timeseries/query?top=2&by=tag", "")
+      assert(tByTag == expTT && tByTag.contains("\"group\":\"bar\""))
+      // rollup-less server: the exact raw top-k (this fixture is under
+      // MG capacity, so values AND counts agree with the sketch route)
+      assert(on(srvRaw)("/timeseries/query?top=2", "")
+        == on(srv)("/timeseries/query?top=2", ""))
       // raw fallback: a rollup-less server answers the same routes from
       // percentile_approx / approx_count_distinct over the snapshot
       val (200, rawP) = on(srvRaw)("/timeseries/query?percentile=0.5", "")
