@@ -240,6 +240,30 @@ object QueryJson {
     }
   }
 
+  /** Schema-driven row encoding for the counter-family routes
+    * (`?increase` / `?twa`): every column by name, nulls preserved,
+    * non-finite doubles → null like the fixed shapes. */
+  def encodeRows(df: DataFrame): String = {
+    val fields = df.schema.fields
+    val arr = mapper.createArrayNode()
+    df.collect().foreach { r =>
+      val o = arr.addObject()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        import org.apache.spark.sql.types._
+        if (r.isNullAt(i)) { o.putNull(f.name); () }
+        else f.dataType match {
+          case LongType    => o.put(f.name, r.getLong(i)); ()
+          case IntegerType => o.put(f.name, r.getInt(i).toLong); ()
+          case DoubleType  => putDouble(o, f.name, r.getDouble(i))
+          case StringType  => o.put(f.name, r.getString(i)); ()
+          case other => throw new IllegalStateException(
+            s"encodeRows: unhandled column type $other for '${f.name}'")
+        }
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   /** Encode top-k frequent values (`?top=k` route): `[{group?, rank,
     * item, est}]` — est is the serving path's count (exact on the raw
     * fallback, within the Misra-Gries band when sketch-routed). */

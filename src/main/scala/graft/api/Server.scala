@@ -22,6 +22,8 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?gapfill=locf&agg=count gap-filled grid (S5+)
   *   POST   /timeseries/query?ohlc=W  open/high/low/close bars       (S5+)
   *   POST   /timeseries/query?top=k[&by=tag] top-k frequent values    (S5+)
+  *   POST   /timeseries/query?increase=true  reset-aware counter inc. (S5+)
+  *   POST   /timeseries/query?twa=true  LOCF time-weighted average    (S5+)
   *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
   *   GET    /timeseries/versions      committed versions, ascending  (S7+)
   *
@@ -371,6 +373,67 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
       Right(QueryJson.encodeTop(df, byTag))
     }
 
+  // ---- the COUNTER-family routes (`?increase=true`, `?twa=true`):
+  // PromQL counter_agg / TimescaleDB time_weight('LOCF') over HTTP.
+  // Counter-mode rollups refold at O(buckets) from stored pairwise
+  // witnesses; the raw twins re-derive the identical pair set over the
+  // sliced events (exact — for `twa`, bit-matching scaled-integer
+  // arithmetic; for `increase`, exact on integer-valued counters).
+
+  /** Reset-aware counter increase per tag:
+    * `[{grp, total_increase, n_resets, n_points}]`. */
+  private def increaseRoute(qm: QueryModel): Either[QueryError, String] = {
+    import org.apache.spark.sql.expressions.Window
+    val routed =
+      if (qm.gt.isDefined) None
+      else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerCounterIncrease(qm.ge, qm.lt, qm.tagEq)).nextOption()
+    val df = routed.getOrElse {
+      val w = Window.partitionBy(col("tag")).orderBy(col("timestamp"))
+      rawSlice(qm)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("inc", when(col("prev").isNull, lit(0.0))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")))
+        .withColumn("rst", when(col("prev").isNotNull &&
+          col("value") < col("prev"), 1L).otherwise(0L))
+        .groupBy(col("tag").as("grp"))
+        .agg(sum(col("inc")).as("total_increase"),
+          sum(col("rst")).as("n_resets"),
+          count(lit(1)).as("n_points"))
+        .orderBy(asc("grp"))
+    }
+    Right(QueryJson.encodeRows(df))
+  }
+
+  /** LOCF time-weighted average per tag:
+    * `[{grp, twa, n_points, span_ms}]` — single-sample tags omitted
+    * (no time span), same as the refold and the raw operator. */
+  private def twaRoute(qm: QueryModel): Either[QueryError, String] = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.NumericFunctions.register(spark)
+    val routed =
+      if (qm.gt.isDefined) None
+      else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerTimeWeighted(qm.ge, qm.lt, qm.tagEq)).nextOption()
+    val df = routed.getOrElse {
+      val w = Window.partitionBy(col("tag")).orderBy(col("timestamp"))
+      rawSlice(qm)
+        .withColumn("dt", lead(col("timestamp"), 1).over(w) - col("timestamp"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("tag").as("grp"))
+        .agg(
+          round(graft.functions.NumericFunctions
+              .sum128(round(col("value") * 100).cast("long") * col("dt"))
+              .cast("double") / lit(100.0) / sum(col("dt")).cast("double"), 4)
+            .as("twa"),
+          (count(lit(1)) + 1).as("n_points"),
+          sum(col("dt")).as("span_ms"))
+        .orderBy(asc("grp"))
+    }
+    Right(QueryJson.encodeRows(df))
+  }
+
   private def gapFillRoute(qm: QueryModel, fillName: String, aggName: String)
       : Either[QueryError, String] = {
     import graft.engine.ContinuousAggregate.Fill
@@ -439,7 +502,8 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     }
 
   private val seriesParams =
-    Set("points", "window", "percentile", "distinct", "gapfill", "ohlc", "top")
+    Set("points", "window", "percentile", "distinct", "gapfill", "ohlc",
+      "top", "increase", "twa")
 
   // ---- S7+ — time travel over the wire: the store's immutable
   // versioned manifests make every committed state queryable, so the
@@ -524,6 +588,8 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
           params("top").toLongOption.fold[Either[QueryError, String]](
             Left(QueryError.IllegalQuery("'top' must be an integer.")))(
             topValuesRoute(qm, _, byTag))
+        case List("increase") => increaseRoute(qm)
+        case List("twa") => twaRoute(qm)
         case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))
       }

@@ -749,6 +749,64 @@ class ApiFuzzSpec extends SparkSpec {
       == (400, "'top' must be an integer."))
   }
 
+  /** The fixture rollups are not counter-mode, so `?increase` / `?twa`
+    * take the exact raw twins — byte-comparable against driver-side
+    * pair replays (quarter values keep the difference sums exact; the
+    * TWA area is integer arithmetic by construction).
+    */
+  test("randomized counter-route parity: ?increase and ?twa ≡ driver-side pair folds") {
+    val rnd = new Random(20260816L + 7)
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    (1 to 15).foreach { i =>
+      def opt[A](p: Double)(a: => A): Option[A] =
+        if (rnd.nextDouble() < p) Some(a) else None
+      val lo = opt(0.5)(someTs(rnd)); val hi = opt(0.5)(someTs(rnd))
+      val qm = QueryModel(ge = lo, lt = hi,
+        tagEq = opt(0.3)(if (rnd.nextBoolean()) fixTags(rnd.nextInt(3)) else "ghost"))
+      val inWin = rows.filter(r =>
+        qm.ge.forall(r.timestamp >= _) && qm.lt.forall(r.timestamp < _) &&
+          qm.tagEq.forall(r.tag == _))
+      val byTag = inWin.groupBy(_.tag).view
+        .mapValues(_.sortBy(_.timestamp)).toSeq.sortBy(_._1)
+
+      val incArr = mapper.createArrayNode()
+      byTag.foreach { case (t, g) =>
+        var total = 0.0; var resets = 0L
+        g.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b.value >= a.value) total += b.value - a.value
+            else { total += b.value; resets += 1 }
+          case _ => ()
+        }
+        val o = incArr.addObject()
+        o.put("grp", t); putD(o, "total_increase", total)
+        o.put("n_resets", resets); o.put("n_points", g.size.toLong)
+      }
+      val gotInc = call("POST", "/timeseries/query?increase=true",
+        renderSeriesBody(qm, rnd))
+      assert(gotInc == (200, mapper.writeValueAsString(incArr)),
+        s"[case $i] increase mismatch for $qm\n got=$gotInc")
+
+      val twaArr = mapper.createArrayNode()
+      byTag.filter(_._2.size >= 2).foreach { case (t, g) =>
+        val area = g.sliding(2).collect { case Seq(a, b) =>
+          BigInt(math.round(a.value * 100)) * BigInt(b.timestamp - a.timestamp)
+        }.sum
+        val span = g.last.timestamp - g.head.timestamp
+        val o = twaArr.addObject()
+        o.put("grp", t)
+        putD(o, "twa", round4(area.toDouble / 100.0 / span.toDouble))
+        o.put("n_points", g.size.toLong); o.put("span_ms", span)
+      }
+      val gotTwa = call("POST", "/timeseries/query?twa=true",
+        renderSeriesBody(qm, rnd))
+      assert(gotTwa == (200, mapper.writeValueAsString(twaArr)),
+        s"[case $i] twa mismatch for $qm\n got=$gotTwa")
+    }
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))

@@ -303,6 +303,58 @@ class ApiSpec extends SparkSpec {
     } finally { srv.stop(); srvRaw.stop() }
   }
 
+  test("S5+ counter routes: increase/twa route to counter-mode rollups, raw twins agree") {
+    import graft.api.QueryJson
+    import graft.engine.ContinuousAggregate
+    val D = 86400000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-api-ctr-store").toString)
+    val counter = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-api-ctr-cagg").toString,
+      counterMode = true)
+    val srv = new Server(spark, st, 0, Seq(counter)).start()
+    val srvRaw = new Server(spark, st, 0).start()
+    def on(s: Server)(path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s.boundPort}" + path))
+        .method("POST", HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // an integer counter rising across two days with ONE reset —
+      // integer-valued so the refold and the raw twin are BOTH exact
+      val rows = Seq(
+        (0L, 10.0), (3600000L, 25.0), (7200000L, 40.0),  // +15 +15
+        (D, 55.0), (D + 3600000L, 5.0),                  // +15, reset +5
+        (D + 7200000L, 30.0))                            // +25
+        .map { case (t, v) => s"""{"timestamp":$t,"tag":"c","value":$v}""" }
+      assert(on(srv)("/timeseries", rows.mkString("[", ",", "]")) == (200, "[]"))
+      assert(counter.answerCounterIncrease().isDefined,
+        "counter rollup must serve the increase")
+      val expI = QueryJson.encodeRows(counter.answerCounterIncrease().get)
+      assert(on(srv)("/timeseries/query?increase=true", "") == (200, expI))
+      // the numbers themselves: 15+15+15+5+25 = 75, one reset, 6 points
+      assert(expI ==
+        """[{"grp":"c","total_increase":75.0,"n_resets":1,"n_points":6}]""")
+      // raw twin (rollup-less server): exact equality on integer counters
+      assert(on(srvRaw)("/timeseries/query?increase=true", "")
+        == on(srv)("/timeseries/query?increase=true", ""))
+      // twa: routed == engine refold == raw twin (bit-matching
+      // scaled-integer areas), including a bounds body
+      val expT = QueryJson.encodeRows(counter.answerTimeWeighted().get)
+      assert(on(srv)("/timeseries/query?twa=true", "") == (200, expT))
+      assert(on(srvRaw)("/timeseries/query?twa=true", "")
+        == on(srv)("/timeseries/query?twa=true", ""))
+      val bounds = s"""{"ge":$D,"lt":${2 * D}}"""
+      assert(on(srv)("/timeseries/query?twa=true", bounds)
+        == on(srvRaw)("/timeseries/query?twa=true", bounds))
+      // 400: series-body discipline holds on the counter routes too
+      assert(on(srv)("/timeseries/query?increase=true",
+        """{"aggFunc":"sum"}""")._1 == 400)
+    } finally { srv.stop(); srvRaw.stop() }
+  }
+
   test("wire protocol: null fields, typed batch fields, JSON-valid error bodies") {
     // explicit null == absent (aeson Maybe parity)
     val (nc, _) = call("POST", "/timeseries/query", """{"gt":null,"aggFunc":"count"}""")
