@@ -257,6 +257,27 @@ class ApiConcurrencySpec extends SparkSpec {
         == (400, "'asof' must be an integer version."))
       assert(call("POST", s"/timeseries/query?asof=${versions.max}&window=$HOUR", "")
         == (400, "'asof' applies only to the plain query route."))
+
+      // vacuum ends the replayable window LOUDLY: superseded manifests
+      // reap, the versions endpoint shrinks to the current version,
+      // every reaped asof is an exact 400, and the CURRENT state keeps
+      // serving (the registered rollup may lose its diff base to the
+      // vacuum — the engine then falls back to raw, still exact)
+      val reaped = versions.dropRight(1)
+      st.vacuum(retentionMs = 0L)
+      val (vc2, vBody2) = call("GET", "/timeseries/versions", "")
+      val vNode2 = mapper.readTree(vBody2)
+      val after = (0 until vNode2.size).map(vNode2.get(_).asLong()).toVector
+      assert(vc2 == 200 && after == Vector(versions.max),
+        s"vacuum left versions $after, expected only ${versions.max}")
+      reaped.foreach { v =>
+        assert(call("POST", s"/timeseries/query?asof=$v", "{}")
+          == (400, s"version $v not found (never committed, or removed by vacuum)."))
+      }
+      assert(call("POST", "/timeseries/query", """{"aggFunc":"count"}""")
+        == (200, valid("count").last))
+      assert(call("POST", s"/timeseries/query?asof=${versions.max}", "{}")
+        == (200, valid("collect").last))
     } finally server.stop()
   }
 
