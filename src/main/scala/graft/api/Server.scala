@@ -24,6 +24,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?top=k[&by=tag] top-k frequent values    (S5+)
   *   POST   /timeseries/query?increase=true  reset-aware counter inc. (S5+)
   *   POST   /timeseries/query?twa=true  LOCF time-weighted average    (S5+)
+  *   POST   /timeseries/query?regression=true[&by=tag]  slope/r fits  (S5+)
   *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
   *   GET    /timeseries/versions      committed versions, ascending  (S7+)
   *
@@ -434,6 +435,62 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     Right(QueryJson.encodeRows(df))
   }
 
+  /** Linear regression of value over time (`?regression=true[&by=tag]`):
+    * slope per day / intercept / Pearson r — stats-rollup-routed
+    * (O(buckets) moment refolds) with a raw twin that computes the
+    * IDENTICAL decimal(38,0) moments over the sliced events and then
+    * applies the same centered closed form, so the two paths produce
+    * identical integers and therefore identical bytes.
+    */
+  private def regressionRoute(qm: QueryModel, byTag: Boolean)
+      : Either[QueryError, String] = {
+    val routed =
+      if (qm.gt.isDefined) None
+      else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerRegression(qm.ge, qm.lt, qm.tagEq, byTag)).nextOption()
+    val df = routed.getOrElse {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = rawSlice(qm)
+        .withColumn("t", col("timestamp").cast(dec))
+        .withColumn("v", round(col("value") * 100).cast(dec))
+      val moments = Seq(count(lit(1)).as("n"),
+        sum(col("t")).cast(dec).as("r_sum_t"),
+        sum(col("v")).cast(dec).as("r_sum_v"),
+        sum(col("t") * col("v")).cast(dec).as("r_sum_tv"),
+        sum(col("t") * col("t")).cast(dec).as("r_sum_t2"),
+        sum(col("v") * col("v")).cast(dec).as("r_sum_v2"))
+      val grouped =
+        if (byTag) e.groupBy(col("tag").as("grp")).agg(moments.head, moments.tail: _*)
+        else e.agg(moments.head, moments.tail: _*)
+      // the centered closed form, expression-for-expression the refold's
+      // (ContinuousAggregate.answerRegression) so doubles bit-match
+      val n = col("n").cast(dec)
+      val c0 = lit(qm.ge.getOrElse(0L)).cast(dec)
+      val st = (col("r_sum_t") - n * c0).cast(dec)
+      val stv = (col("r_sum_tv") - c0 * col("r_sum_v")).cast(dec)
+      val st2 = (col("r_sum_t2") - lit(2L).cast(dec) * c0 * col("r_sum_t")
+        + n * c0 * c0).cast(dec)
+      val num = (n * stv - st * col("r_sum_v")).cast(dec)
+      val denT = (n * st2 - st * st).cast(dec)
+      val denV = (n * col("r_sum_v2")
+        - col("r_sum_v") * col("r_sum_v")).cast(dec)
+      val slopeMs = num.cast("double") / denT.cast("double") / lit(100.0)
+      val out = grouped.select(
+        (if (byTag) Seq(col("grp")) else Seq.empty[org.apache.spark.sql.Column]) ++ Seq(
+          when(denT > 0, slopeMs * lit(86400000.0)).as("slope_per_day"),
+          when(denT > 0,
+            col("r_sum_v").cast("double") / lit(100.0) / col("n").cast("double")
+              - slopeMs * (st.cast("double") / col("n").cast("double")))
+            .as("intercept"),
+          when(denT > 0 && denV > 0,
+            num.cast("double")
+              / sqrt(denT.cast("double") * denV.cast("double"))).as("r"),
+          col("n").as("n_points")): _*)
+      if (byTag) out.orderBy(asc("grp")) else out
+    }
+    Right(QueryJson.encodeRows(df))
+  }
+
   private def gapFillRoute(qm: QueryModel, fillName: String, aggName: String)
       : Either[QueryError, String] = {
     import graft.engine.ContinuousAggregate.Fill
@@ -503,7 +560,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
 
   private val seriesParams =
     Set("points", "window", "percentile", "distinct", "gapfill", "ohlc",
-      "top", "increase", "twa")
+      "top", "increase", "twa", "regression")
 
   // ---- S7+ — time travel over the wire: the store's immutable
   // versioned manifests make every committed state queryable, so the
@@ -590,6 +647,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
             topValuesRoute(qm, _, byTag))
         case List("increase") => increaseRoute(qm)
         case List("twa") => twaRoute(qm)
+        case List("regression") => regressionRoute(qm, byTag)
         case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))
       }

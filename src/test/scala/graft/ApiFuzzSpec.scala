@@ -807,6 +807,64 @@ class ApiFuzzSpec extends SparkSpec {
     }
   }
 
+  /** `?regression` raw twin: the route computes decimal(38,0) moments
+    * over sliced events and applies the refold's centered closed form
+    * — a BigInt replay of those exact integers followed by the same
+    * IEEE ops reproduces the bytes.
+    */
+  test("randomized regression parity: ?regression ≡ driver-side exact moments") {
+    val rnd = new Random(20260816L + 8)
+    (1 to 12).foreach { i =>
+      def opt[A](p: Double)(a: => A): Option[A] =
+        if (rnd.nextDouble() < p) Some(a) else None
+      val lo = opt(0.5)(someTs(rnd)); val hi = opt(0.5)(someTs(rnd))
+      val qm = QueryModel(ge = lo, lt = hi,
+        tagEq = opt(0.3)(fixTags(rnd.nextInt(3))))
+      val byTag = rnd.nextBoolean()
+      val inWin = rows.filter(r =>
+        qm.ge.forall(r.timestamp >= _) && qm.lt.forall(r.timestamp < _) &&
+          qm.tagEq.forall(r.tag == _))
+      val c0 = BigInt(qm.ge.getOrElse(0L))
+      def fit(o: ObjectNode, g: Seq[TS]): Unit = {
+        val n = BigInt(g.size)
+        val st0 = g.map(r => BigInt(r.timestamp)).sum
+        val sv = g.map(r => BigInt(math.round(r.value * 100))).sum
+        val stv = g.map(r => BigInt(r.timestamp) * BigInt(math.round(r.value * 100))).sum
+        val st2 = g.map(r => BigInt(r.timestamp) * BigInt(r.timestamp)).sum
+        val sv2 = g.map(r => { val v = BigInt(math.round(r.value * 100)); v * v }).sum
+        val st = st0 - n * c0
+        val stvC = stv - c0 * sv
+        val st2C = st2 - 2 * c0 * st0 + n * c0 * c0
+        val num = n * stvC - st * sv
+        val denT = n * st2C - st * st
+        val denV = n * sv2 - sv * sv
+        val slopeMs = num.toDouble / denT.toDouble / 100.0
+        if (denT > 0) putD(o, "slope_per_day", slopeMs * 86400000.0)
+        else { o.putNull("slope_per_day"); () }
+        if (denT > 0)
+          putD(o, "intercept",
+            sv.toDouble / 100.0 / n.toDouble - slopeMs * (st.toDouble / n.toDouble))
+        else { o.putNull("intercept"); () }
+        if (denT > 0 && denV > 0)
+          putD(o, "r", num.toDouble / math.sqrt(denT.toDouble * denV.toDouble))
+        else { o.putNull("r"); () }
+        o.put("n_points", g.size.toLong); ()
+      }
+      val arr = mapper.createArrayNode()
+      if (byTag)
+        inWin.map(_.tag).distinct.sorted.foreach { t =>
+          val o = arr.addObject(); o.put("grp", t)
+          fit(o, inWin.filter(_.tag == t))
+        }
+      else fit(arr.addObject(), inWin)
+      val by = if (byTag) "&by=tag" else ""
+      val got = call("POST", s"/timeseries/query?regression=true$by",
+        renderSeriesBody(qm, rnd))
+      assert(got == (200, mapper.writeValueAsString(arr)),
+        s"[case $i] regression mismatch (byTag=$byTag) for $qm\n got=$got")
+    }
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))

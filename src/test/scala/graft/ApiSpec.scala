@@ -352,6 +352,22 @@ class ApiSpec extends SparkSpec {
       // 400: series-body discipline holds on the counter routes too
       assert(on(srv)("/timeseries/query?increase=true",
         """{"aggFunc":"sum"}""")._1 == 400)
+      // regression: a stats-mode rollup routes ?regression=true, and
+      // the raw twin's identical decimal moments give identical bytes
+      val stats = new ContinuousAggregate(spark, st,
+        Files.createTempDirectory("graft-api-ctr-stats").toString,
+        statsMode = true)
+      stats.refresh()
+      val srvStats = new Server(spark, st, 0, Seq(stats)).start()
+      try {
+        assert(stats.answerRegression().isDefined,
+          "stats rollup must serve the regression")
+        val expR = QueryJson.encodeRows(stats.answerRegression().get)
+        assert(on(srvStats)("/timeseries/query?regression=true&by=tag", "")
+          == (200, expR))
+        assert(on(srvRaw)("/timeseries/query?regression=true&by=tag", "")
+          == (200, expR))
+      } finally srvStats.stop()
     } finally { srv.stop(); srvRaw.stop() }
   }
 
