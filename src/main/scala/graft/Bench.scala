@@ -106,6 +106,25 @@ object Bench {
         raw"-?[0-9.eE+-]+".r.findAllIn(m.group(1)).map(_.toDouble).toSeq
     }
 
+  /** Per-query regression flag, gated on the MIN of the 3 timed passes
+    * (round-11 verdict: the alarm went 0-for-3 on driver runs — r9
+    * false positives, r10 abstention, r11 false positives — because a
+    * load burst landing on one or two passes lifts the MEDIAN out of
+    * band while the MIN stays put; BENCH_r11's `ts3_cagg_sql_window_1d`
+    * shipped a 5.58× median flag with its min pass sitting AT the band
+    * edge. A true plan regression lifts all three passes, so the min is
+    * the load-robust witness). Kept conditions: `base > 0` (entry must
+    * exist), `med > 0.2` (sub-noise-floor absolute times are never
+    * signal), `med/base ≥ 1.25` (the headline ratio still reports the
+    * median). New condition: the MIN pass must ALSO clear the
+    * baseline's 22-boot observed MAX by 15% — any single pass inside
+    * anything ever observed same-code is machine noise by definition.
+    */
+  private[graft] def regressionFlag(med: Double, min: Double,
+                                    base: Double, hi: Double): Boolean =
+    base > 0 && med > 0.2 && med / base >= 1.25 &&
+      min >= hi * 1.15 && med >= hi * 1.15
+
   /** Comparability verdict for a run's pre-Spark ambient load against
     * the baseline's boot provenance: comparable iff the run ambient is
     * within `tol` of the NEAREST boot ambient the baseline unions.
@@ -262,6 +281,15 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         perQueryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // boot-stamped twin (round-11 verdict hygiene): the unstamped
+      // file is the MergeBaseline handoff and gets clobbered by any
+      // local re-run — judge/builder benches after a driver round
+      // erased the driver's map. The stamp is the run's boot_id (also
+      // inside the JSON and the BENCH_r{N} line), so the driver's
+      // artifact stays addressable after any number of local re-runs.
+      java.nio.file.Files.write(
+        out.resolveSibling(s"bench_perquery_${bootId.take(8)}.json"),
+        perQueryJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] perquery file write failed: ${errHead(e)}")
     }
@@ -313,18 +341,18 @@ object Bench {
       else s"comparable (run ambient $ambientLoad vs $loadRef)"
     if (baselineExists && baseline.isEmpty)
       System.err.println(s"[bench] $baselineNote")
+    val minsByQ = results.collect {
+      case (k, (med, lo, _)) if med >= 0 => k -> lo
+    }.toMap
     val regressions =
       if (!loadComparable) Seq.empty
       else medians.flatMap { case (k, med) =>
+        // flag rule lives in [[regressionFlag]] (min-of-3 gated,
+        // BenchBaselineSpec-lawed): ambient load lifts medians, not
+        // mins, so the min pass is the witness a plan change must move
         baseline.get(k).collect {
-          // floor small absolute times (a 0.05→0.12 s jitter is not a
-          // regression signal worth the last-line budget) AND require
-          // the median to clear the baseline run's own observed MAX by
-          // 15% — same-code sub-second queries measured up to 1.6×
-          // run-to-run swing on this box, so a ratio test against the
-          // baseline MEDIAN alone flags machine noise as plan changes
-          case base if base > 0 && med > 0.2 && med / base >= 1.25 &&
-              med >= baselineHi.getOrElse(k, base) * 1.15 =>
+          case base if regressionFlag(med, minsByQ.getOrElse(k, med),
+              base, baselineHi.getOrElse(k, base)) =>
             k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }.sortBy(-_._2).take(5)

@@ -174,6 +174,31 @@ final class BenchBaselineSpec extends AnyFunSuite {
       Map("q_a" -> 3))
   }
 
+  test("regression flag gates on the MIN of the 3 passes, not the median") {
+    // round-11 "what's wrong" #1: the driver run flagged 5 phantom
+    // regressions at 2.5-5.6× — load bursts lifted the MEDIAN of 3
+    // passes out of band while the MIN pass sat at the band edge
+    // (ts3_cagg_sql_window_1d: med 5.58× baseline, min pass 0.334 s
+    // inside the 22-boot band [., 1.081]). A true plan change lifts
+    // ALL passes, so the min is the load-robust witness.
+    val base = 0.30; val hi = 1.081
+    // the r11 driver-run shape: median way out, min in band => NO flag
+    assert(!Bench.regressionFlag(med = 1.67, min = 0.334, base, hi))
+    // a genuine regression lifts every pass => flag
+    assert(Bench.regressionFlag(med = 1.67, min = 1.45, base, hi))
+    // min barely below the band's cleared threshold => still no flag
+    assert(!Bench.regressionFlag(med = 2.0, min = hi * 1.15 - 0.01, base, hi))
+    // sub-noise-floor absolute times are never signal
+    assert(!Bench.regressionFlag(med = 0.15, min = 0.14, base = 0.05, hi = 0.06))
+    // median ratio below 1.25 never flags, whatever the min says
+    assert(!Bench.regressionFlag(med = 0.36, min = 0.36, base, hi = 0.1))
+    // missing/invalid baseline entry never flags
+    assert(!Bench.regressionFlag(med = 9.0, min = 9.0, base = 0.0, hi = 0.0))
+    // the median itself must also clear the band (min >= hi*1.15 with
+    // a median inside the band can only happen on inverted inputs)
+    assert(!Bench.regressionFlag(med = 1.0, min = 1.3, base, hi))
+  }
+
   test("the bench JSON names unbaselined queries instead of skipping silently") {
     // (format-level pin: the driver reads `unbaselined` from the top
     // line; the field is produced in Bench.main whose run is the
