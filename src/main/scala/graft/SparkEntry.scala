@@ -3137,8 +3137,15 @@ object SparkEntry {
     // regression from raw events with the SAME integer moments and the
     // SAME float op order as answerRegression (C = 0: no ge bound)
     "ts3_cagg_regression_by_tag" ->
+      // the engine anchors the fit on the SLICE minimum timestamp when
+      // no lower bound is given (decimal-ceiling headroom, round-11
+      // ADVICE #4): slope and r are exact integer identities in the
+      // anchor (the centered num/denT cancel it), so only the
+      // intercept term mirrors the centered st = Σt − n·c0 — c0 is
+      // the GLOBAL slice min, shared by every tag group
       s"""WITH t AS (SELECT tag, CAST("timestamp" AS HUGEINT) AS t,
         |             CAST(round(value * 100) AS HUGEINT) AS v FROM $FROM f),
+        |c AS (SELECT min(t) AS c0 FROM t),
         |m AS (SELECT tag, count(*) AS n, sum(t) AS st, sum(v) AS sv,
         |        sum(t * v) AS stv, sum(t * t) AS st2, sum(v * v) AS sv2
         |      FROM t GROUP BY tag)
@@ -3149,13 +3156,13 @@ object SparkEntry {
         |  round(CASE WHEN n*st2 - st*st > 0
         |       THEN CAST(sv AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
         |            - (CAST(n*stv - st*sv AS DOUBLE) / CAST(n*st2 - st*st AS DOUBLE) / 100.0)
-        |              * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) END, 10) AS intercept,
+        |              * (CAST(st - n*c.c0 AS DOUBLE) / CAST(n AS DOUBLE)) END, 10) AS intercept,
         |  round(CASE WHEN n*st2 - st*st > 0 AND n*sv2 - sv*sv > 0
         |       THEN CAST(n*stv - st*sv AS DOUBLE)
         |            / sqrt(CAST(n*st2 - st*st AS DOUBLE) * CAST(n*sv2 - sv*sv AS DOUBLE))
         |       END, 10) AS r,
         |  n AS n_points
-        |FROM m ORDER BY grp""".stripMargin,
+        |FROM m, c ORDER BY grp""".stripMargin,
     "ts3_cagg_hier_group_tag_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_hier_weekly_min" ->

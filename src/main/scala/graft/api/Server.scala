@@ -450,7 +450,8 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
         .flatMap(_.answerRegression(qm.ge, qm.lt, qm.tagEq, byTag)).nextOption()
     val df = routed.getOrElse {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val e = rawSlice(qm)
+      val sliced = rawSlice(qm)
+      val e = sliced
         .withColumn("t", col("timestamp").cast(dec))
         .withColumn("v", round(col("value") * 100).cast(dec))
       val moments = Seq(count(lit(1)).as("n"),
@@ -465,7 +466,16 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
       // the centered closed form, expression-for-expression the refold's
       // (ContinuousAggregate.answerRegression) so doubles bit-match
       val n = col("n").cast(dec)
-      val c0 = lit(qm.ge.getOrElse(0L)).cast(dec)
+      // anchor mirrors the refold (ContinuousAggregate.answerRegression,
+      // round-11 ADVICE #4): ge when given, else the slice's minimum
+      // timestamp computed once — min over the identical slice, so the
+      // routed and raw intercepts stay byte-identical while the decimal
+      // cross products stay far from the (38,0) ceiling at any depth
+      val c0v: Long = qm.ge.getOrElse {
+        val r = sliced.agg(min(col("timestamp"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val c0 = lit(c0v).cast(dec)
       val st = (col("r_sum_t") - n * c0).cast(dec)
       val stv = (col("r_sum_tv") - c0 * col("r_sum_v")).cast(dec)
       val st2 = (col("r_sum_t2") - lit(2L).cast(dec) * c0 * col("r_sum_t")
@@ -540,13 +550,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
         else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
           .flatMap(_.answerOhlc(width, qm.ge, qm.lt, qm.tagEq)).nextOption()
       val df = routed.getOrElse {
-        val sliced = Seq(
-          qm.ge.map(col("timestamp") >= _),
-          qm.lt.map(col("timestamp") < _),
-          qm.gt.map(col("timestamp") > _),
-          qm.tagEq.map(col("tag") === _)
-        ).flatten.foldLeft(store.current())(_ filter _)
-        sliced
+        rawSlice(qm)
           .withColumn("window_start", expr(s"timestamp div $width") * width)
           .groupBy(col("window_start"), col("tag"))
           .agg(min_by(col("value"), col("timestamp")).as("open"),
@@ -584,9 +588,17 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
              "'asof' applies only to the plain query route."))
       v <- params("asof").toLongOption.toRight(
         QueryError.IllegalQuery("'asof' must be an integer version."))
-      df <- if (store.versions.contains(v)) Right(store.versionAsOf(v))
-            else Left(QueryError.IllegalQuery(
-              s"version $v not found (never committed, or removed by vacuum)."))
+      // NO contains() pre-check (round-11 ADVICE #2): a concurrent
+      // vacuum reaping the manifest between the check and the read
+      // would turn versionAsOf's require into a generic 500. Calling
+      // directly and mapping the require failure keeps the documented
+      // loud 400 under any interleaving — and saves a directory
+      // listing per request.
+      df <- try Right(store.versionAsOf(v))
+            catch { case _: IllegalArgumentException =>
+              Left(QueryError.IllegalQuery(
+                s"version $v not found (never committed, or removed by vacuum)."))
+            }
     } yield df
     snap match {
       case Left(e) => respond(ex, 400, QueryJson.encodeError(e), "text/plain")

@@ -958,9 +958,11 @@ final class ContinuousAggregate(spark: SparkSession,
     * story: `slope(stats_agg(ts, value))`). Moments refold losslessly
     * (they are plain sums, unlike the slope itself, which is a ratio),
     * so the answer is EXACT in the moment arithmetic: everything is
-    * decimal(38,0) integers, centered on the window start at query
-    * time (Σ(t−C) = Σt − n·C exactly — centering keeps the cross
-    * products far from the decimal ceiling at any history depth); the
+    * decimal(38,0) integers, centered at query time on the window
+    * start — or, when no lower bound is given, on the slice's minimum
+    * timestamp (Σ(t−C) = Σt − n·C exactly — centering keeps the cross
+    * products far from the decimal ceiling at any history depth, and
+    * an epoch-ms anchor of 0 would reach it around ~10^7 rows); the
     * only floats are the final divisions, whose operand order an
     * oracle mirrors bit-for-bit.
     *
@@ -982,7 +984,11 @@ final class ContinuousAggregate(spark: SparkSession,
         lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
         tagEq.map(col("tag") === _)
       ).flatten.foldLeft(base)(_ filter _)
-      val moments = Seq(sum(col("cnt")).as("n")) ++
+      // n coalesces so an EMPTY aligned window encodes n_points 0,
+      // byte-matching the raw twin's count(lit(1)) (round-11 ADVICE #1:
+      // sum(cnt) over zero rows is NULL and the non-grouped route
+      // shipped n_points null where raw shipped 0)
+      val moments = Seq(coalesce(sum(col("cnt")), lit(0L)).as("n")) ++
         Seq("r_sum_t", "r_sum_v", "r_sum_tv", "r_sum_t2", "r_sum_v2")
           .map(c => sum(col(c)).cast(dec).as(c))
       val grouped =
@@ -990,7 +996,23 @@ final class ContinuousAggregate(spark: SparkSession,
           .agg(moments.head, moments.tail: _*)
         else sliced.agg(moments.head, moments.tail: _*)
       val n = col("n").cast(dec)
-      val c0 = lit(ge.getOrElse(0L)).cast(dec)
+      // centering anchor: the window start when given, else the slice's
+      // own minimum timestamp, computed ONCE for the whole slice
+      // (round-11 ADVICE #4: an unbounded fit over epoch-ms timestamps
+      // with c0 = 0 pushes st·st and n·st2 toward the decimal(38,0)
+      // ceiling around ~10^7 rows, where non-ANSI overflow silently
+      // NULLs slope/intercept/r). slope and r are EXACT integer
+      // identities in the center (num and denT cancel C), so only the
+      // intercept's meaning shifts — documented as the fitted value at
+      // the slice start. min(first_ts) over buckets == min raw
+      // timestamp over the same slice, so the raw twin's anchor is
+      // byte-identical. The one-row pre-pass runs only on the
+      // unbounded path.
+      val c0v: Long = ge.getOrElse {
+        val r = sliced.agg(min(col("first_ts"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val c0 = lit(c0v).cast(dec)
       // centered first/second moments, exact integer identities
       val st = (col("r_sum_t") - n * c0).cast(dec)
       val stv = (col("r_sum_tv") - c0 * col("r_sum_v")).cast(dec)

@@ -824,7 +824,11 @@ class ApiFuzzSpec extends SparkSpec {
       val inWin = rows.filter(r =>
         qm.ge.forall(r.timestamp >= _) && qm.lt.forall(r.timestamp < _) &&
           qm.tagEq.forall(r.tag == _))
-      val c0 = BigInt(qm.ge.getOrElse(0L))
+      // anchor mirrors the route: ge when given, else the SLICE's
+      // (not the group's) minimum timestamp — computed once, shared by
+      // every by-tag group; 0 only on an empty slice
+      val c0 = BigInt(qm.ge.getOrElse(
+        if (inWin.isEmpty) 0L else inWin.map(_.timestamp).min))
       def fit(o: ObjectNode, g: Seq[TS]): Unit = {
         val n = BigInt(g.size)
         val st0 = g.map(r => BigInt(r.timestamp)).sum
