@@ -503,6 +503,45 @@ object SparkEntry {
     df
   }
 
+  /** PLAIN SQL over the COUNTER fixture store (counter_increase /
+    * counter_resets — [[graft.functions.CounterFunctions]]): the
+    * Catalyst rule swaps the ordered-fold expansions for O(buckets)
+    * refolds over the counter-mode rollup's stored incr/n_resets +
+    * first/last boundary witnesses. Tripwired like [[caggSqlAnswer]]:
+    * the raw fold would pass the oracle too, so the plan must prove
+    * it reads rollup segments.
+    */
+  private def ctrSqlAnswer(s: SparkSession, dir: String,
+                           sql: String => String): DataFrame = {
+    val r = caggCounterFor(s, dir)
+    val st = new graft.engine.TimeSeriesStore(s, caggCounterPaths(dir)._1)
+    graft.engine.RollupSqlRewrite.register(s, st, Seq(r))
+    val v = s"graft_ts_ctr_${math.abs(dir.hashCode)}"
+    st.current().createOrReplaceTempView(v)
+    val df = s.sql(sql(v))
+    require(df.queryExecution.executedPlan.toString.contains("graft-cagg-ctr-rollup"),
+      "counter SQL query did not route to the rollup — the Catalyst rewrite regressed")
+    df
+  }
+
+  /** PLAIN SQL `time_weight_locf` over the SHARED cagg store, with
+    * BOTH the plain daily rollup and the counter-mode one registered —
+    * the counter vocabulary must land on the COUNTER rollup (the plain
+    * one lacks twsum and is passed over), mirroring the sketch-routing
+    * pass-over proof. */
+  private def twSqlAnswer(s: SparkSession, dir: String,
+                          sql: String => String): DataFrame = {
+    val st = caggStoreFor(s, dir)
+    graft.engine.RollupSqlRewrite.register(s, st,
+      Seq(caggFor(s, dir), caggTwFor(s, dir)))
+    val v = s"graft_ts_tw_${math.abs(dir.hashCode)}"
+    st.current().createOrReplaceTempView(v)
+    val df = s.sql(sql(v))
+    require(df.queryExecution.executedPlan.toString.contains("graft-cagg-tw-rollup"),
+      "time-weight SQL query did not route to the counter rollup — the Catalyst rewrite regressed")
+    df
+  }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -1292,6 +1331,27 @@ object SparkEntry {
         "round(sum(value), 4) AS sum_val FROM " +
         s"$v LATERAL VIEW explode(hop_starts(timestamp, 86400000, 172800000)) h AS w " +
         "GROUP BY w, tag ORDER BY window_start, tag")),
+    // COUNTER FAMILY in PLAIN SQL (the TimescaleDB counter_agg /
+    // time_weight('LOCF') vocabulary as registered SQL functions —
+    // CounterFunctions): the expansions are exact raw ordered folds on
+    // their own, and the rewrite swaps them for O(buckets) refolds
+    // over the counter-mode rollup (stored incr/n_resets/twsum +
+    // boundary pairs from the first/last witnesses). Tripwire-proved
+    // routed; the oracles are the SAME raw-events pair walks that pin
+    // answerCounterIncrease / answerTimeWeighted.
+    "ts3_cagg_sql_counter_increase" -> ((s, dir) => ctrSqlAnswer(s, dir, v =>
+      "SELECT tag AS grp, " +
+      "counter_increase(timestamp, value) / 100.0 AS total_increase, " +
+      "counter_resets(timestamp, value) AS n_resets, " +
+      "CAST(count(*) AS BIGINT) AS n_points " +
+      s"FROM $v GROUP BY tag ORDER BY grp")),
+    "ts3_cagg_sql_twa" -> ((s, dir) => twSqlAnswer(s, dir, v =>
+      "SELECT tag AS grp, " +
+      "time_weight_locf(timestamp, value) AS twa, " +
+      "CAST(count(*) AS BIGINT) AS n_points, " +
+      "max(timestamp) - min(timestamp) AS span_ms " +
+      s"FROM $v GROUP BY tag " +
+      "HAVING max(timestamp) - min(timestamp) > 0 ORDER BY grp")),
     // S5+ over LIVE HTTP: boot a Server on the fixture store, POST the
     // ?window=2d&slide=1d series route with ge/lt body bounds, parse
     // the wire JSON back into rows. The daily rollup serves the shape
@@ -3245,6 +3305,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
         |  count(*) + 1 AS n_points
         |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    // the SQL-spelled counter family shares the engine queries' raw
+    // pair-walk oracles: same derivation, same column names, with
+    // n_points spelled as the full per-tag event count (count(*) on
+    // the Spark side ≡ pairs + 1 here)
+    "ts3_cagg_sql_counter_increase" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag AS grp,
+        |  CAST(sum(CASE WHEN counter >= prev THEN counter - prev
+        |                ELSE counter END) AS DOUBLE) / 100.0 AS total_increase,
+        |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  count(*) + 1 AS n_points
+        |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    "ts3_cagg_sql_twa" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |s AS (SELECT tag, value,
+        |        lead(t) OVER (PARTITION BY tag ORDER BY t) - t AS dt FROM t)
+        |SELECT tag AS grp,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dt) AS DOUBLE)
+        |        / 100.0 / CAST(sum(dt) AS DOUBLE), 4) AS twa,
+        |  count(*) + 1 AS n_points,
+        |  CAST(sum(dt) AS BIGINT) AS span_ms
+        |FROM s WHERE dt IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
     "ts3_cagg_frozen_history_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_frozen_history_sum" ->

@@ -125,6 +125,13 @@ final class ContinuousAggregate(spark: SparkSession,
     * change its results. */
   def isFrozen: Boolean = freezeBeforeDay.isDefined
 
+  /** Whether this rollup carries the counter-family columns (incr /
+    * n_resets / twsum + the first/last witnesses) — [[RollupSqlRewrite]]
+    * only refolds the SQL `counter_increase` / `counter_resets` /
+    * `time_weight_locf` vocabulary ([[graft.functions.CounterFunctions]])
+    * on counter-mode rollups. */
+  def isCounter: Boolean = counterMode
+
   /** Misra-Gries capacity of the per-bucket frequent-values sketch
     * (sketch mode only): merged estimates are within N/(capacity+1) of
     * true counts, and exact while a window's distinct values fit. */

@@ -498,7 +498,7 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         if (!aligned) Iterator.empty
         else r.currentBase().iterator.flatMap { base =>
           buildRollupAggregate(rGroup, rAggEx, base, ge, lt, tagConds,
-            r.isSketched, hop)
+            r.isSketched, hop, r.isCounter)
         }
       }.nextOption())
     } yield rewritten
@@ -570,7 +570,8 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
                                    ge: Option[Long], lt: Option[Long],
                                    tagConds: Seq[Expression],
                                    sketched: Boolean,
-                                   hop: Option[(Attribute, Long, Long)] = None)
+                                   hop: Option[(Attribute, Long, Long)] = None,
+                                   counter: Boolean = false)
       : Option[LogicalPlan] = {
     val basePlan = base.queryExecution.analyzed
     def b(name: String): Attribute = basePlan.output.find(_.name == name).get
@@ -622,6 +623,85 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     def aggE(f: AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
 
+    // ---- counter-family refolds (SQL counter_increase / counter_resets
+    // / time_weight_locf over a counter-mode rollup): in-bucket parts
+    // are the stored additive columns (incr / n_resets / twsum); the
+    // pairs SPANNING bucket boundaries re-derive from the (first_ts,
+    // first_val, last_ts, last_val) witnesses by an ordered fold over
+    // ONE collected per-group bucket array — O(buckets-per-group)
+    // memory, the same cost class answerCounterIncrease's lag-window
+    // pays, but expressible INSIDE the rebuilt Aggregate so the
+    // leaf-swap architecture (and exprId preservation) is untouched.
+    // Eligibility (checked at the swap): counter-mode rollup, no hop
+    // (an exploded source multiplies buckets across windows — the raw
+    // fold's pair walk then differs per window label in a way a single
+    // shared array can still serve, but tag mixing cannot), and `tag`
+    // among the grouping keys (a GLOBAL fold over a multi-tag store
+    // interleaves tags at EVENT granularity in the raw semantics —
+    // bucket granularity cannot reproduce that pair set, so the
+    // rewrite declines rather than approximates).
+    lazy val decT = org.apache.spark.sql.types.DecimalType(38, 0)
+    // ONE CollectList instance shared by every counter refold in the
+    // query (planner aggregate dedup is instance-based, same reason
+    // qMerged/hMerged above are single instances)
+    lazy val ctrCollect: Expression = SortArray(
+      aggE(CollectList(CreateNamedStruct(Seq(
+        Literal("ft"), bFirstTs, Literal("fv"), bFirstVal,
+        Literal("lt"), bLastTs, Literal("lv"), bLastVal)))),
+      Literal(true))
+    // fold over the sorted bucket array: acc = (prev last_val, prev
+    // last_ts, boundary increase, boundary resets, boundary area),
+    // value-for-value the arithmetic of answerCounterIncrease /
+    // answerTimeWeighted's lag columns (b_inc / b_rst / b_area)
+    def ctrBoundary(field: String): Expression = {
+      val elemType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ft", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fv", DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("lt", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lv", DoubleType, nullable = false)))
+      val accType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p", DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("pt", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("bi", DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("br", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("ba", decT, nullable = true)))
+      val zero = CreateNamedStruct(Seq(
+        Literal("p"), Literal(null, DoubleType),
+        Literal("pt"), Literal(null, LongType),
+        Literal("bi"), Literal(0.0),
+        Literal("br"), Literal(0L),
+        Literal("ba"), Literal.create(org.apache.spark.sql.types.Decimal(0), decT)))
+      val accVar = NamedLambdaVariable("a", accType, nullable = false)
+      val xVar = NamedLambdaVariable("x", elemType, nullable = false)
+      def af(i: Int, n: String) = GetStructField(accVar, i, Some(n))
+      def xf(i: Int, n: String) = GetStructField(xVar, i, Some(n))
+      val (p, pt) = (af(0, "p"), af(1, "pt"))
+      val (ft, fv, lt2, lv) = (xf(0, "ft"), xf(1, "fv"), xf(2, "lt"), xf(3, "lv"))
+      val biNext = Add(af(2, "bi"), CaseWhen(Seq(
+        (IsNull(p), Literal(0.0)),
+        (GreaterThanOrEqual(fv, p), Subtract(fv, p))), Some(fv)))
+      val brNext = Add(af(3, "br"), CaseWhen(Seq(
+        (And(IsNotNull(p), LessThan(fv, p)), Literal(1L))), Some(Literal(0L))))
+      val baNext = Cast(Add(af(4, "ba"), CaseWhen(Seq(
+        (IsNull(pt), Literal.create(org.apache.spark.sql.types.Decimal(0), decT))),
+        Some(Multiply(
+          Cast(Round(Multiply(p, Literal(100.0)), Literal(0)), decT),
+          Cast(Subtract(ft, pt),
+            org.apache.spark.sql.types.DecimalType(20, 0)))))), decT)
+      val merge = LambdaFunction(CreateNamedStruct(Seq(
+        Literal("p"), lv, Literal("pt"), lt2,
+        Literal("bi"), biNext, Literal("br"), brNext,
+        Literal("ba"), baNext)), Seq(accVar, xVar))
+      val accF = NamedLambdaVariable("af", accType, nullable = false)
+      val idx = Seq("p", "pt", "bi", "br", "ba").indexOf(field)
+      val finish = LambdaFunction(GetStructField(accF, idx, Some(field)), Seq(accF))
+      ArrayAggregate(ctrCollect, zero, merge, finish)
+    }
+    lazy val counterEligible = counter && hop.isEmpty && rGroup.exists {
+      case a: AttributeReference => a.name == "tag"
+      case _ => false
+    }
+
     // grouping keys rebuild over the base: tag passes through at full
     // granularity; a tumbling-window key re-derives from bucket_start
     // (exact because w is a multiple of the grain — alignment already
@@ -657,6 +737,23 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       groupRewrites.collectFirst {
         case (g, n) if g.semanticEquals(e) => n
       }.getOrElse(e match {
+        // the counter-family ordered folds (registered SQL functions —
+        // CounterFunctions.matchFold keys on their reserved marker
+        // fields): in-bucket additive columns + boundary-witness folds
+        case ctr if graft.functions.CounterFunctions.matchFold(ctr).isDefined =>
+          graft.functions.CounterFunctions.matchFold(ctr) match {
+            case Some((kind, ts0, v0)) if counterEligible &&
+                isAttr(ts0, "timestamp") && isAttr(v0, "value") =>
+              kind match {
+                case graft.functions.CounterFunctions.Increase =>
+                  Add(aggE(Sum(b("incr"))), ctrBoundary("bi"))
+                case graft.functions.CounterFunctions.Resets =>
+                  Add(aggE(Sum(b("n_resets"))), ctrBoundary("br"))
+                case graft.functions.CounterFunctions.Area =>
+                  Add(aggE(Sum(b("twsum"))), ctrBoundary("ba"))
+              }
+            case _ => ok = false; ctr
+          }
         case ae: AggregateExpression
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
@@ -666,6 +763,14 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
               aggE(Min(bMin))
             case m: Max if isAttr(m.child, "value") =>
               aggE(Max(bMax))
+            // timestamp extrema refold exactly from the bucket
+            // witnesses (a bucket's first_ts IS its min event ts) —
+            // the span term of time_weight_locf and a useful
+            // vocabulary entry on its own
+            case m: Min if isAttr(m.child, "timestamp") =>
+              aggE(Min(bFirstTs))
+            case m: Max if isAttr(m.child, "timestamp") =>
+              aggE(Max(bLastTs))
             case a: Average if isAttr(a.child, "value") =>
               Divide(aggE(Sum(bSum)), Cast(aggE(Sum(bCnt)), DoubleType))
             case c: Count if c.children.forall(ch => !ch.nullable) =>
@@ -725,8 +830,11 @@ object RollupSqlRewrite {
   def register(spark: SparkSession, store: TimeSeriesStore,
                rollups: Seq[ContinuousAggregate]): Unit = {
     // the SQL vocabulary users route through: time_bucket (tumbling
-    // keys) and hop_starts (sliding windows via LATERAL VIEW explode)
+    // keys), hop_starts (sliding windows via LATERAL VIEW explode),
+    // and the counter family (counter_increase / counter_resets /
+    // time_weight_locf ordered folds)
     graft.functions.TimeFunctions.register(spark)
+    graft.functions.CounterFunctions.register(spark)
     val rule = installed.synchronized {
       installed.getOrElseUpdate(spark, {
         val r = new RollupSqlRewrite()

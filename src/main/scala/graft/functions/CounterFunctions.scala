@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions.call_function
+
+/** SQL counter-family vocabulary — the TimescaleDB `counter_agg` /
+  * `time_weight('LOCF')` surface (SURVEY §2.8's north star names;
+  * reference has no SQL surface, this extends ours): parse-time
+  * expansions into ORDERED-FOLD expression trees that are (a) exact
+  * raw-semantics aggregates on their own — `collect_list` → `sort_array`
+  * → `aggregate(...)` walks every consecutive (timestamp, value) pair
+  * per group, the same pair walk [[graft.operators.TsAnalytics]] and
+  * the HTTP routes perform — and (b) recognizable by
+  * [[graft.engine.RollupSqlRewrite]], which swaps them for O(buckets)
+  * refolds over a counter-mode [[graft.engine.ContinuousAggregate]]
+  * (per-bucket stored `incr`/`n_resets`/`twsum` + boundary pairs
+  * re-derived from the first/last witnesses).
+  *
+  *  - `counter_increase(ts, value)` — PromQL reset-aware total
+  *    increase: Σ over consecutive pairs of (v ≥ prev ? v − prev : v),
+  *    0 for the group's first point. DOUBLE. Exact for integer-valued
+  *    counters; for fractional values the rollup refold re-associates
+  *    the float sum (the caveat every Sum refold already carries).
+  *  - `counter_resets(ts, value)` — number of resets (v < prev).
+  *    BIGINT, exact.
+  *  - `time_weight_locf(ts, value)` — LOCF time-weighted average:
+  *    Σ round(prev·100)·(ts − prev_ts) in exact decimal(38,0), then
+  *    `round(area / 100 / (max(ts) − min(ts)), 4)` — bit-matching
+  *    [[graft.operators.TsAnalytics.timeWeightedAvg]] and the
+  *    `answerTimeWeighted` refold (same scaled-integer arithmetic,
+  *    same finish). NULL-spanned groups (single sample) divide by 0 →
+  *    NULL; filter `max(ts) − min(ts) > 0` to drop them like the
+  *    engine surfaces do.
+  *
+  * All three share ONE fold over ONE collected struct (the physical
+  * planner dedups the semantically-equal `collect_list` buffers), so a
+  * query asking for increase + resets + n_points pays one
+  * O(group-size) buffer, not three. The raw fold is the FALLBACK
+  * path: at scale the rewrite serves these from rollup buckets without
+  * collecting events at all.
+  *
+  * The `__gc*` struct-field names are a RESERVED marker namespace: the
+  * rewrite recognizes the expansion by them (plus the fold skeleton),
+  * so user SQL must reach these shapes only through the registered
+  * functions.
+  */
+object CounterFunctions {
+
+  /** Marker field names of the collected pair struct. */
+  private[graft] val TsField = "__gct"
+  private[graft] val VField = "__gcv"
+  /** Accumulator fields, in struct order. */
+  private[graft] val AccFields =
+    Seq("__gcp", "__gcpt", "__gci", "__gcr", "__gca")
+
+  sealed trait Kind
+  case object Increase extends Kind
+  case object Resets extends Kind
+  /** The scaled-integer LOCF area (decimal) — `time_weight_locf`
+    * wraps it in the /100 / span round(4) finish. */
+  case object Area extends Kind
+
+  /** One shared fold template; `%FIELD%` selects what the finish
+    * extracts. The acc tracks (prev value, prev ts, increase, resets,
+    * area); every arithmetic step mirrors
+    * [[graft.engine.ContinuousAggregate]]'s counter-mode refresh so the
+    * rollup refold is value-identical.
+    */
+  private val foldSql =
+    s"""aggregate(
+       |  sort_array(collect_list(named_struct(
+       |    '$TsField', __graft_ts_arg, '$VField', __graft_v_arg))),
+       |  named_struct(
+       |    '__gcp', CAST(NULL AS DOUBLE),
+       |    '__gcpt', CAST(NULL AS BIGINT),
+       |    '__gci', CAST(0 AS DOUBLE),
+       |    '__gcr', CAST(0 AS BIGINT),
+       |    '__gca', CAST(0 AS DECIMAL(38,0))),
+       |  (a, x) -> named_struct(
+       |    '__gcp', x.$VField,
+       |    '__gcpt', x.$TsField,
+       |    '__gci', a.__gci + (CASE WHEN a.__gcp IS NULL THEN CAST(0 AS DOUBLE)
+       |                             WHEN x.$VField >= a.__gcp THEN x.$VField - a.__gcp
+       |                             ELSE x.$VField END),
+       |    '__gcr', a.__gcr + (CASE WHEN a.__gcp IS NOT NULL AND x.$VField < a.__gcp
+       |                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |    '__gca', CAST(a.__gca + (CASE WHEN a.__gcpt IS NULL THEN CAST(0 AS DECIMAL(38,0))
+       |                             ELSE CAST(round(a.__gcp * 100) AS DECIMAL(38,0))
+       |                                  * (x.$TsField - a.__gcpt) END) AS DECIMAL(38,0))),
+       |  a -> a.%FIELD%)""".stripMargin
+
+  private def parsedFold(field: String): Expression =
+    CatalystSqlParser.parseExpression(foldSql.replace("%FIELD%", field))
+
+  /** Splice the call-site ts/value expressions into the parsed
+    * template (the registry hands us raw argument trees). */
+  private def fold(field: String, ts: Expression, v: Expression): Expression =
+    parsedFold(field).transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts == Seq("__graft_ts_arg") => ts
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts == Seq("__graft_v_arg") => v
+    }
+
+  /** `time_weight_locf`'s finish over the area fold: the exact
+    * scaled-decimal area unscaled and divided by the group's time
+    * span, rounded like the engine (`answerTimeWeighted` /
+    * `TsAnalytics.timeWeightedAvg`). */
+  private def twaFinish(area: Expression, ts: Expression): Expression =
+    CatalystSqlParser
+      .parseExpression(
+        """round(CAST(__graft_area_arg AS DOUBLE) / 100.0D /
+          |  CAST(max(__graft_ts_arg) - min(__graft_ts_arg) AS DOUBLE), 4)""".stripMargin)
+      .transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts == Seq("__graft_area_arg") => area
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts == Seq("__graft_ts_arg") => ts
+      }
+
+  /** Column forms (SQL-callable after [[register]]). */
+  def counterIncrease(ts: Column, v: Column): Column =
+    call_function("counter_increase", ts, v)
+  def counterResets(ts: Column, v: Column): Column =
+    call_function("counter_resets", ts, v)
+  def timeWeightLocf(ts: Column, v: Column): Column =
+    call_function("time_weight_locf", ts, v)
+
+  /** Register the three SQL functions on a session (idempotent;
+    * [[graft.engine.RollupSqlRewrite.register]] calls this alongside
+    * [[TimeFunctions.register]]). */
+  def register(spark: SparkSession): Unit = {
+    def reg2(name: String)(build: (Expression, Expression) => Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => {
+          require(exprs.size == 2,
+            s"$name(ts, value) takes 2 arguments, got ${exprs.size}")
+          build(exprs.head, exprs(1))
+        }, "built-in")
+    reg2("counter_increase")((ts, v) => fold("__gci", ts, v))
+    reg2("counter_resets")((ts, v) => fold("__gcr", ts, v))
+    reg2("time_weight_locf")((ts, v) => twaFinish(fold("__gca", ts, v), ts))
+  }
+
+  /** Recognize a (resolved, optimized) expansion of one of the three
+    * registered functions: returns (kind, tsExpr, valueExpr). Keys on
+    * the reserved `__gc*` marker fields of the collected struct plus
+    * the fold skeleton — `aggregate(sort_array(collect_list(struct)),
+    * zero, merge, a -> a.field)` — which nothing else in the dialect
+    * produces (the names are namespaced and the functions are the only
+    * producers). The finish field selects the kind. */
+  private[graft] def matchFold(e: Expression)
+      : Option[(Kind, Expression, Expression)] = e match {
+    case ArrayAggregate(
+          SortArray(ae: AggregateExpression, Literal(true, _)),
+          _, _, LambdaFunction(gsf: GetStructField, _, _))
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case CollectList(cns: CreateNamedStruct, _, _) =>
+          cns.children match {
+            case Seq(Literal(n1, _), ts, Literal(n2, _), v)
+                if n1.toString == TsField && n2.toString == VField =>
+              val field = gsf.name.getOrElse(
+                AccFields.lift(gsf.ordinal).getOrElse(""))
+              val kind = field match {
+                case "__gci" => Some(Increase)
+                case "__gcr" => Some(Resets)
+                case "__gca" => Some(Area)
+                case _       => None
+              }
+              kind.map((_, ts, v))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+}

@@ -680,6 +680,95 @@ class RollupSqlRewriteSpec extends SparkSpec {
     } finally RollupSqlRewrite.unregister(spark, st)
   }
 
+  test("counter family SQL: routes to counter rollups only, matches raw fold AND a sequential model") {
+    val (st, daily, _) = fresh("sqlctr")
+    // non-monotone integer series => genuine resets under the counter
+    // interpretation; irregular spacing => non-trivial LOCF areas
+    val data = for {
+      d <- 0L until 4L; h <- Seq(0L, 5L, 23L); t <- Seq("a", "b")
+    } yield TS(d * DAY + h * HOUR + d + h, t,
+      ((d * 31 + h * 7 + t.length) % 13).toDouble)
+    assert(st.insert(data.toDS()).isRight)
+    daily.refresh()
+    val ctr = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("sqlctr-ctr").toString, counterMode = true)
+    ctr.refresh()
+    val v = s"sqlctr_v${System.nanoTime()}"
+    st.current().createOrReplaceTempView(v)
+    val q = s"SELECT tag AS grp, counter_increase(timestamp, value) AS inc, " +
+      "counter_resets(timestamp, value) AS rst, " +
+      "time_weight_locf(timestamp, value) AS twa, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      s"max(timestamp) - min(timestamp) AS span FROM $v " +
+      "GROUP BY tag ORDER BY grp"
+    // 1. plain rollup only: the counter vocabulary stays raw (no
+    //    incr/twsum columns to refold)
+    RollupSqlRewrite.register(spark, st, Seq(daily))
+    try {
+      val unrouted = spark.sql(q)
+      assert(!readsRollup(unrouted, "-ctr") && readsStore(unrouted),
+        s"counter shapes must not route to a PLAIN rollup:\n${planStr(unrouted)}")
+      // 2. counter rollup registered alongside: routes, rollup-only plan
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      val routed = spark.sql(q)
+      assert(readsRollup(routed, "-ctr"),
+        s"counter shapes did not route:\n${planStr(routed)}")
+      assert(!readsStore(routed),
+        s"routed counter plan still reads raw store:\n${planStr(routed)}")
+      // 3. routed == raw fold, row for row (integer values: bit-exact)
+      RollupSqlRewrite.unregister(spark, st)
+      val rawRows = rows(spark.sql(q))
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      assert(rows(routed) == rawRows, "counter refold changed results")
+      // 4. BOTH equal an independent sequential model (not just each
+      //    other): the PromQL reset rule + exact scaled-integer LOCF
+      val expected = data.groupBy(_.tag).toSeq.sortBy(_._1).map { case (t, g) =>
+        val s = g.sortBy(_.timestamp)
+        val pairs = s.zip(s.tail)
+        val inc = pairs.map { case (p, c) =>
+          if (c.value >= p.value) c.value - p.value else c.value }.sum
+        val rst = pairs.count { case (p, c) => c.value < p.value }
+        val area = pairs.map { case (p, c) =>
+          BigInt(math.round(p.value * 100)) * BigInt(c.timestamp - p.timestamp)
+        }.sum
+        val span = s.last.timestamp - s.head.timestamp
+        val twa = BigDecimal(area.toDouble / 100.0 / span.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq[Any](t, inc, rst.toLong, twa, s.size.toLong, span)
+      }
+      assert(rows(routed) == expected,
+        s"counter SQL drifted from the sequential model:\n${rows(routed)}\nvs\n$expected")
+      // 5. eligibility edges: a GLOBAL fold (no tag grouping) mixes
+      //    tags at event granularity — must stay raw; unaligned bounds
+      //    must stay raw; aligned bounds route
+      val global = spark.sql(
+        s"SELECT counter_increase(timestamp, value) AS inc FROM $v")
+      assert(!readsRollup(global, "-ctr") && readsStore(global),
+        "global counter fold must not route (event-granularity tag interleaving)")
+      val unaligned = spark.sql(s"SELECT tag AS grp, " +
+        s"counter_increase(timestamp, value) AS inc FROM $v " +
+        s"WHERE timestamp >= ${DAY + 1} GROUP BY tag")
+      assert(!readsRollup(unaligned, "-ctr") && readsStore(unaligned),
+        "unaligned bounds must stay raw")
+      val bounded = spark.sql(s"SELECT tag AS grp, " +
+        s"counter_increase(timestamp, value) AS inc, " +
+        s"counter_resets(timestamp, value) AS rst FROM $v " +
+        s"WHERE timestamp >= $DAY AND timestamp < ${3 * DAY} " +
+        "GROUP BY tag ORDER BY grp")
+      assert(readsRollup(bounded, "-ctr") && !readsStore(bounded),
+        s"aligned bounded counter query did not route:\n${planStr(bounded)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val boundedRaw = rows(spark.sql(
+        s"SELECT tag AS grp, counter_increase(timestamp, value) AS inc, " +
+        s"counter_resets(timestamp, value) AS rst FROM $v " +
+        s"WHERE timestamp >= $DAY AND timestamp < ${3 * DAY} " +
+        "GROUP BY tag ORDER BY grp"))
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      assert(rows(bounded) == boundedRaw,
+        "bounded counter refold changed results")
+    } finally RollupSqlRewrite.unregister(spark, st)
+  }
+
   test("APPROX aggregates route to sketch-bearing rollups only, within the sketches' bounds") {
     val EPS = 0.01
     val (st, daily, _) = fresh()
