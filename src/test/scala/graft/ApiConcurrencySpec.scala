@@ -281,6 +281,127 @@ class ApiConcurrencySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("vacuum racing ?asof readers: snapshots stay whole, reaped versions 400 loudly, never silently") {
+    // the wire-level twin of TimeSeriesStoreSpec's vacuum laws
+    // (round-11 verdict #7): handleAsOf has NO check-then-act window
+    // (it calls versionAsOf directly and maps its require to the
+    // documented 400 — round-11 ADVICE #2), so a vacuum landing
+    // between request parse and manifest read must produce the exact
+    // 400 text, not a generic 500. Laws:
+    //  1. every 200 is BYTE-exact some committed state (no torn
+    //     snapshot assembled from a half-reaped manifest);
+    //  2. every 400 is the exact reaped-version text;
+    //  3. anything else (a mid-read segment reap aborting an already-
+    //     planned scan) may only happen while vacuum() is actually
+    //     in flight — never before, never after;
+    //  4. after vacuum returns: reaped versions 400 always, the
+    //     surviving version serves its exact bytes always.
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("apiconc3-store").toString)
+    val server = new Server(spark, st, 0).start()
+    val base = s"http://127.0.0.1:${server.boundPort}"
+    def call(method: String, path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(base + path))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // three wire commits => four known states (S0 is pre-history and
+      // carries no manifest of its own here: version trail starts at
+      // the first commit)
+      val s = script
+      assert(call("POST", "/timeseries", tsJson(s(1))) == (200, "[]"))
+      assert(call("POST", "/timeseries", tsJson(s(2).drop(s(1).size))) == (200, "[]"))
+      assert(call("POST", "/timeseries",
+        tsJson(s(5).drop(s(4).size))) == (200, "[]"))
+      val states = Vector(s(1), s(2), s(2) ++ s(5).drop(s(4).size))
+      val bodies = states.map(expected(_, "collect"))
+      val vNode = mapper.readTree(call("GET", "/timeseries/versions", "")._2)
+      val versions = (0 until vNode.size).map(vNode.get(_).asLong()).toVector
+      // tolerate an initial empty-store manifest: map each version to
+      // its expected body by aligning the TAIL of the version list
+      assert(versions.size >= states.size, s"too few versions: $versions")
+      val bodyOf: Map[Long, String] =
+        versions.takeRight(states.size).zip(bodies).toMap ++
+          versions.dropRight(states.size).map(_ -> expected(Vector.empty, "collect"))
+      def reapedText(v: Long) =
+        s"version $v not found (never committed, or removed by vacuum)."
+
+      val results = new ConcurrentLinkedQueue[(Long, Long, Int, String)]()
+      val failures = new ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val started = new CountDownLatch(3)
+      val readers = (0 until 3).map { rid =>
+        new Thread(() => {
+          try {
+            started.countDown()
+            var i = rid
+            while (!stop.get()) {
+              val v = versions(i % versions.size)
+              val t = System.nanoTime()
+              val (code, resp) = call("POST", s"/timeseries/query?asof=$v", "{}")
+              results.add((t, v, code, resp))
+              i += 1
+            }
+          } catch { case t: Throwable => failures.add(t); () }
+        })
+      }
+      readers.foreach(_.start())
+      started.await()
+      // let some pre-vacuum snapshot reads land, then reap mid-flight
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (results.size < 6 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(results.size >= 6, "no asof reads landed before the vacuum")
+      val vacStart = System.nanoTime()
+      st.vacuum(retentionMs = 0L)
+      val vacEnd = System.nanoTime()
+      Thread.sleep(300) // post-vacuum reads must observe the reap
+      stop.set(true)
+      readers.foreach(_.join(120000))
+      assert(readers.forall(!_.isAlive), "asof reader threads hung")
+      assert(failures.isEmpty, s"reader threw: ${failures.asScala.headOption}")
+
+      val all = results.asScala.toVector.sortBy(_._1)
+      var sawPre200 = false; var sawPost400 = false
+      all.foreach { case (t, v, code, resp) =>
+        code match {
+          case 200 =>
+            assert(resp == bodyOf(v),
+              s"asof=$v 200 body is not that version's snapshot (torn?): $resp")
+            assert(v == versions.max || t < vacEnd,
+              s"asof=$v served a REAPED version after vacuum returned")
+            if (t < vacStart && v != versions.max) sawPre200 = true
+          case 400 =>
+            // (no lower time bound: a request STARTED before the
+            // vacuum may be processed after the reap — client-side
+            // start stamps only bound the upper edge reliably)
+            assert(resp == reapedText(v), s"asof=$v unexpected 400: $resp")
+            assert(v != versions.max,
+              "the surviving current version must never 400")
+            if (t > vacEnd) sawPost400 = true
+          case other =>
+            // a scan planned against a manifest whose segments reap
+            // mid-execution may abort — but only for requests that
+            // OVERLAP the vacuum (started before it returned); a
+            // request issued after the reap settled must get the
+            // clean 400, never this
+            assert(t <= vacEnd,
+              s"asof=$v returned $other AFTER the vacuum window: $resp")
+        }
+      }
+      assert(sawPre200, "race too narrow: no historical 200 before vacuum")
+      assert(sawPost400, "race too narrow: no reaped 400 after vacuum")
+      // settled state: reaped => exact 400, survivor => exact bytes
+      versions.dropRight(1).foreach { v =>
+        assert(call("POST", s"/timeseries/query?asof=$v", "{}")
+          == (400, reapedText(v)))
+      }
+      assert(call("POST", s"/timeseries/query?asof=${versions.max}", "{}")
+        == (200, bodyOf(versions.max)))
+    } finally server.stop()
+  }
+
   test("concurrent conflicting inserts of one new key: exactly one commits") {
     val st = new TimeSeriesStore(spark,
       Files.createTempDirectory("apiconc2-store").toString)

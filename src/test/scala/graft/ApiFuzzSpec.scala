@@ -869,6 +869,84 @@ class ApiFuzzSpec extends SparkSpec {
     }
   }
 
+  /** `?asof=V` time travel: the fixture's four wire mutations left a
+    * committed version trail, and the spec KNOWS the row-set at each
+    * stage — so every historical version gets the full reference-model
+    * treatment: a random QueryModel evaluated over that version's
+    * truth must byte-match the live route, exactly like the current-
+    * version sweep. Also pins the route's own 400 vocabulary and the
+    * `?asof&export` composition.
+    */
+  test("randomized time-travel parity: ?asof=V ≡ reference model over that version's rows") {
+    val rnd = new Random(20260816L + 9)
+    // per-version truth is reconstructed FROM THE WIRE's own full
+    // collect (the PUT overwrote batch1.head's value, so pre-update
+    // states are unknowable from `rows` alone); the dump itself is
+    // then cross-checked against the truths the spec KNOWS — the
+    // latest version must equal `rows` byte-for-byte, and every
+    // earlier version must be key-monotone toward it — before random
+    // query shapes are held to byte-parity against a model fed that
+    // dump
+    val (vc, vBody) = call("GET", "/timeseries/versions", "")
+    assert(vc == 200, s"versions route failed: $vBody")
+    val versions = mapper.readTree(vBody).elements()
+    val vs = { val b = Vector.newBuilder[Long]
+      while (versions.hasNext) b += versions.next().asLong; b.result() }
+    assert(vs == vs.sorted && vs.distinct == vs, s"versions not ascending: $vs")
+    assert(vs.size >= 4, s"fixture must have committed >= 4 versions, got $vs")
+    def truthAt(v: Long): Vector[TS] = {
+      val (c, body) = call("POST", s"/timeseries/query?asof=$v", "{}")
+      assert(c == 200, s"asof=$v full collect failed: $body")
+      val it = mapper.readTree(body).elements()
+      val b = Vector.newBuilder[TS]
+      while (it.hasNext) {
+        val o = it.next()
+        b += TS(o.get("timestamp").asLong, o.get("tag").asText,
+          o.get("value").asDouble)
+      }
+      b.result()
+    }
+    // anchor: the LATEST version's dump must equal the known truth
+    val latestTruth = truthAt(vs.last)
+    assert(latestTruth.sortBy(r => (r.timestamp, r.tag)) ==
+      rows.sortBy(r => (r.timestamp, r.tag)),
+      "latest version's asof dump diverged from the fixture truth")
+    // and the trail must be MONOTONE in the fixture's mutation order:
+    // each earlier version's rows are a subset of the final truth
+    // except the one updated key (whose pre-update value may differ)
+    vs.foreach { v =>
+      val t = truthAt(v)
+      val finalKeys = rows.map(r => (r.timestamp, r.tag)).toSet
+      assert(t.forall(r => finalKeys.contains((r.timestamp, r.tag))),
+        s"asof=$v returned a key absent from the final truth")
+      assert(t.size <= rows.size)
+    }
+    // full wire-parity sweep per version: random models against the
+    // reference model over that version's truth
+    (1 to 24).foreach { i =>
+      val v = vs(rnd.nextInt(vs.size))
+      val truth = truthAt(v)
+      val qm = genQm(rnd)
+      val body = renderBody(qm, rnd)
+      val expected = refAnswer(truth, qm)
+      val got = call("POST", s"/timeseries/query?asof=$v", body)
+      assert(got == expected,
+        s"[case $i] asof=$v wire mismatch for $qm\n body=$body\n got=$got\n expected=$expected")
+      // export composes with asof: same bytes
+      if (expected._1 == 200 && i % 6 == 0)
+        assert(call("POST", s"/timeseries/query?asof=$v&export=true", body)
+          == expected, s"[case $i] asof export diverged")
+    }
+    // route-local 400 vocabulary, exact texts
+    assert(call("POST", s"/timeseries/query?asof=${vs.last}&window=$HOUR", "")
+      ._2 == "'asof' applies only to the plain query route.")
+    assert(call("POST", "/timeseries/query?asof=xyz", "")
+      == (400, "'asof' must be an integer version."))
+    val ghost = vs.max + 1000
+    assert(call("POST", s"/timeseries/query?asof=$ghost", "")
+      == (400, s"version $ghost not found (never committed, or removed by vacuum)."))
+  }
+
   test("series routes: exact 400 texts") {
     assert(call("POST", "/timeseries/query?window=100&slide=7", "")
       == (400, "'window' must be a positive multiple of 'slide'."))
