@@ -1460,6 +1460,70 @@ object SparkEntry {
           .orderBy(col("grp"), col("bucket_start"))
       } finally srv.stop()
     }),
+    // the COUNTER routes end-to-end over LIVE HTTP: ?increase=true on
+    // a server registered with the counter-mode rollup (engine refold
+    // tripwired — the route's raw twin would be hash-green too), wire
+    // JSON parsed back, checked by the same raw-events pair-walk
+    // oracle as the SQL/engine paths — routing + refold + encoding in
+    // one hash
+    "s5_http_increase" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rollup = caggCounterFor(s, dir)
+      val st = new graft.engine.TimeSeriesStore(s, caggCounterPaths(dir)._1)
+      require(rollup.answerCounterIncrease().isDefined,
+        "s5_http_increase: counter rollup no longer serves the increase shape")
+      val srv = new graft.api.Server(s, st, 0, Seq(rollup)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          "/timeseries/query?increase=true")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"increase route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        val rows = node.elements().asScala.map { o =>
+          (o.get("grp").asText, o.get("total_increase").asDouble / 100.0,
+            o.get("n_resets").asLong, o.get("n_points").asLong)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("grp", "total_increase", "n_resets", "n_points")
+          .orderBy(col("grp"))
+      } finally srv.stop()
+    }),
+    // ...and ?twa=true (LOCF time-weighted average) on the shared
+    // store with the counter-mode rollup — same oracle family as
+    // ts3_cagg_sql_twa
+    "s5_http_twa" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val st = caggStoreFor(s, dir)
+      val rollup = caggTwFor(s, dir)
+      require(rollup.answerTimeWeighted().isDefined,
+        "s5_http_twa: counter rollup no longer serves the time-weight shape")
+      val srv = new graft.api.Server(s, st, 0, Seq(rollup)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          "/timeseries/query?twa=true")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"twa route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        val rows = node.elements().asScala.map { o =>
+          (o.get("grp").asText, o.get("twa").asDouble,
+            o.get("n_points").asLong, o.get("span_ms").asLong)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("grp", "twa", "n_points", "span_ms")
+          .withColumn("twa", round(col("twa"), 4))
+          .orderBy(col("grp"))
+      } finally srv.stop()
+    }),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -3324,6 +3388,31 @@ object SparkEntry {
         |  count(*) + 1 AS n_points
         |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
     "ts3_cagg_sql_twa" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |s AS (SELECT tag, value,
+        |        lead(t) OVER (PARTITION BY tag ORDER BY t) - t AS dt FROM t)
+        |SELECT tag AS grp,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dt) AS DOUBLE)
+        |        / 100.0 / CAST(sum(dt) AS DOUBLE), 4) AS twa,
+        |  count(*) + 1 AS n_points,
+        |  CAST(sum(dt) AS BIGINT) AS span_ms
+        |FROM s WHERE dt IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    // the live-HTTP counter routes share the same pair-walk oracles
+    "s5_http_increase" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag AS grp,
+        |  CAST(sum(CASE WHEN counter >= prev THEN counter - prev
+        |                ELSE counter END) AS DOUBLE) / 100.0 AS total_increase,
+        |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  count(*) + 1 AS n_points
+        |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    "s5_http_twa" ->
       s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
         |s AS (SELECT tag, value,
         |        lead(t) OVER (PARTITION BY tag ORDER BY t) - t AS dt FROM t)

@@ -226,6 +226,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("graft-cagg-ctr-store") && !p.contains("events.parquet"),
         "ts3_cagg_counter_increase: plan reads raw events — refold fell through")
     }
+    // the SQL-spelled counter family (RollupSqlRewrite swapping the
+    // registered counter_increase/counter_resets/time_weight_locf
+    // folds): rollup segments only — the raw ordered fold would be
+    // hash-green too, which is exactly why the plan must prove itself
+    locally {
+      val p = planOf("ts3_cagg_sql_counter_increase")
+      assert(p.contains("graft-cagg-ctr-rollup"),
+        "ts3_cagg_sql_counter_increase: plan does not read the counter rollup")
+      assert(!p.contains("graft-cagg-ctr-store") && !p.contains("events.parquet"),
+        "ts3_cagg_sql_counter_increase: plan reads raw events — rewrite fell through")
+    }
+    locally {
+      val p = planOf("ts3_cagg_sql_twa")
+      assert(p.contains("graft-cagg-tw-rollup"),
+        "ts3_cagg_sql_twa: plan does not read the tw rollup")
+      assert(!p.contains("graft-cagg-store") && !p.contains("events.parquet"),
+        "ts3_cagg_sql_twa: plan reads raw events — rewrite fell through")
+    }
     // the stats-mode (regression) rollup shares the main fixture store
     // — moments come from rollup segments only
     locally {
