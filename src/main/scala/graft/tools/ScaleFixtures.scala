@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *     replication would hand every doc `factor−1` near-dup partners
   *     and blow the LSH candidate space quadratically, measuring a
   *     fixture artifact instead of the operator.
-  *   - `events`: `factor` copies under fresh event/user ids, same
-  *     timestamps — more users at 10× density over the same window,
-  *     which is how an event stream actually grows. Per-user history
-  *     length (session/funnel state) stays constant.
+  *   - `events`: `factor` copies under fresh event/user ids, with
+  *     copy k's timestamps displaced +k ms (unique under the TS
+  *     store's (timestamp, tag) primary key; residual sub-factor-ms
+  *     collisions deduped) — more users at 10× density over the same
+  *     window, which is how an event stream actually grows. Per-user
+  *     history length (session/funnel state) stays constant.
   *   - everything else is copied verbatim (file-level).
   *
   * Deterministic end-to-end: ids shift by computed offsets, the
@@ -76,17 +78,33 @@ object ScaleFixtures {
       .repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    // ---- events: fresh event/user ids, same timestamps (ts copied
-    // verbatim in the source fixture's physical shape)
+    // ---- events: fresh event/user ids; copy k's timestamps displace
+    // by +k MILLISECONDS. The displacement exists for the TS-store
+    // family: the engine's primary key is (ms timestamp, event_type),
+    // so verbatim-timestamp copies made every cagg/ts3 fixture load
+    // fail with duplicate keys at factor > 1 (measured in round 12 —
+    // 50 of 214 bench queries errored at the 10x fixture). A ≤(factor
+    // −1) ms perturbation is invisible to every window/density shape
+    // the queries measure (minute-scale gaps, hour/day buckets).
+    // Residual collisions — an original same-tag pair closer than
+    // `factor` ms — dedupe away below (arbitrary survivor: scaled
+    // fixtures are soak inputs, not oracle inputs, FIXTURES.md).
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     val Array(evSpan, userSpan) = events
       .agg(max(col("event_id")), max(col("user_id"))).head() match {
         case r => Array(r.getLong(0) + 1L, r.getLong(1) + 1L)
       }
+    val tsIsLong = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType // nanos-as-long source
     copies(events)
       .withColumn("event_id", col("event_id") + col("k") * evSpan)
       .withColumn("user_id", col("user_id") + col("k") * userSpan)
-      .drop("k")
+      .withColumn("ts",
+        if (tsIsLong) col("ts") + col("k") * lit(1000000L)
+        else expr("timestampadd(MILLISECOND, k, ts)")) // TS and NTZ both
+      .withColumn("__ms", graft.sources.Tables.tsMillis(events))
+      .dropDuplicates("__ms", "event_type")
+      .drop("k", "__ms")
       .repartition(col("event_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
