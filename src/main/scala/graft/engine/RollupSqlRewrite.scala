@@ -635,11 +635,15 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     // Eligibility (checked at the swap): counter-mode rollup, no hop
     // (an exploded source multiplies buckets across windows — the raw
     // fold's pair walk then differs per window label in a way a single
-    // shared array can still serve, but tag mixing cannot), and `tag`
-    // among the grouping keys (a GLOBAL fold over a multi-tag store
-    // interleaves tags at EVENT granularity in the raw semantics —
-    // bucket granularity cannot reproduce that pair set, so the
-    // rewrite declines rather than approximates).
+    // shared array can still serve, but tag mixing cannot), and the
+    // fold must be SINGLE-SERIES per group: either `tag` is among the
+    // grouping keys, or a tag-EQUALITY predicate pins one tag (a
+    // GLOBAL fold over a multi-tag store interleaves tags at EVENT
+    // granularity in the raw semantics — bucket granularity cannot
+    // reproduce that pair set, so the rewrite declines rather than
+    // approximates). Window-key grouping composes: buckets nest in
+    // grain-multiple windows, so per-(tag, window) boundary pairs are
+    // exactly the raw per-group pair walk.
     lazy val decT = org.apache.spark.sql.types.DecimalType(38, 0)
     // ONE CollectList instance shared by every counter refold in the
     // query (planner aggregate dedup is instance-based, same reason
@@ -697,10 +701,20 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       val finish = LambdaFunction(GetStructField(accF, idx, Some(field)), Seq(accF))
       ArrayAggregate(ctrCollect, zero, merge, finish)
     }
-    lazy val counterEligible = counter && hop.isEmpty && rGroup.exists {
-      case a: AttributeReference => a.name == "tag"
-      case _ => false
-    }
+    lazy val counterEligible = counter && hop.isEmpty && (
+      rGroup.exists {
+        case a: AttributeReference => a.name == "tag"
+        case _ => false
+      } ||
+      // a tag-equality predicate pins the fold to ONE tag, so a
+      // scalar/window-grouped shape is single-series too (the
+      // TimescaleDB `WHERE tag = 'x'` counter query); any OTHER tag
+      // predicate (IN, <>, LIKE) can admit multiple tags and stays raw
+      tagConds.exists {
+        case EqualTo(a: AttributeReference, _: Literal) => a.name == "tag"
+        case EqualTo(_: Literal, a: AttributeReference) => a.name == "tag"
+        case _ => false
+      })
 
     // grouping keys rebuild over the base: tag passes through at full
     // granularity; a tumbling-window key re-derives from bucket_start

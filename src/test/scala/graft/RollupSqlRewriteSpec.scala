@@ -738,6 +738,38 @@ class RollupSqlRewriteSpec extends SparkSpec {
       }
       assert(rows(routed) == expected,
         s"counter SQL drifted from the sequential model:\n${rows(routed)}\nvs\n$expected")
+      // 4b. window-key grouping composes: per-(tag, 2-day window)
+      //     counter increases refold per group (buckets nest in the
+      //     window, boundary pairs stay inside it in BOTH semantics)
+      val winQ = s"SELECT tag, (timestamp DIV ${2 * DAY}) * ${2 * DAY} AS w, " +
+        "counter_increase(timestamp, value) AS inc, " +
+        s"counter_resets(timestamp, value) AS rst FROM $v " +
+        "GROUP BY tag, 2 ORDER BY tag, w"
+      val winRouted = spark.sql(winQ)
+      assert(readsRollup(winRouted, "-ctr") && !readsStore(winRouted),
+        s"windowed counter grouping did not route:\n${planStr(winRouted)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val winRaw = rows(spark.sql(winQ))
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      assert(rows(winRouted) == winRaw, "windowed counter refold changed results")
+      // 4c. a tag-EQUALITY predicate pins one series, so the SCALAR
+      //     shape routes too (the TimescaleDB `WHERE tag='x'` query);
+      //     row-identical to the raw fold
+      val eqQ = s"SELECT counter_increase(timestamp, value) AS inc, " +
+        s"time_weight_locf(timestamp, value) AS twa FROM $v WHERE tag = 'a'"
+      val eqRouted = spark.sql(eqQ)
+      assert(readsRollup(eqRouted, "-ctr") && !readsStore(eqRouted),
+        s"tagEq-pinned scalar counter did not route:\n${planStr(eqRouted)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val eqRaw = rows(spark.sql(eqQ))
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      assert(rows(eqRouted) == eqRaw, "tagEq scalar counter refold changed results")
+      // ...but a non-equality tag predicate can admit several tags:
+      // the scalar fold then mixes them at event granularity — raw
+      val neQ = spark.sql(s"SELECT counter_increase(timestamp, value) AS inc " +
+        s"FROM $v WHERE tag <> 'zzz'")
+      assert(!readsRollup(neQ, "-ctr") && readsStore(neQ),
+        "non-equality tag predicate must not make a scalar counter route")
       // 5. eligibility edges: a GLOBAL fold (no tag grouping) mixes
       //    tags at event granularity — must stay raw; unaligned bounds
       //    must stay raw; aligned bounds route
