@@ -632,18 +632,18 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     // memory, the same cost class answerCounterIncrease's lag-window
     // pays, but expressible INSIDE the rebuilt Aggregate so the
     // leaf-swap architecture (and exprId preservation) is untouched.
-    // Eligibility (checked at the swap): counter-mode rollup, no hop
-    // (an exploded source multiplies buckets across windows — the raw
-    // fold's pair walk then differs per window label in a way a single
-    // shared array can still serve, but tag mixing cannot), and the
+    // Eligibility (checked at the swap): counter-mode rollup, and the
     // fold must be SINGLE-SERIES per group: either `tag` is among the
     // grouping keys, or a tag-EQUALITY predicate pins one tag (a
     // GLOBAL fold over a multi-tag store interleaves tags at EVENT
     // granularity in the raw semantics — bucket granularity cannot
     // reproduce that pair set, so the rewrite declines rather than
-    // approximates). Window-key grouping composes: buckets nest in
-    // grain-multiple windows, so per-(tag, window) boundary pairs are
-    // exactly the raw per-group pair walk.
+    // approximates). Window groupings compose: buckets nest in
+    // grain-multiple tumbling windows AND in hop windows (grain |
+    // slide | width), so per-(tag, window) boundary pairs are exactly
+    // the raw per-group pair walk — sliding counter increase in plain
+    // SQL rides the existing hop rebuild. The one hop shape that must
+    // stay raw is an UNGROUPED explode (see hopGrouped below).
     lazy val decT = org.apache.spark.sql.types.DecimalType(38, 0)
     // ONE CollectList instance shared by every counter refold in the
     // query (planner aggregate dedup is instance-based, same reason
@@ -701,7 +701,20 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
       val finish = LambdaFunction(GetStructField(accF, idx, Some(field)), Seq(accF))
       ArrayAggregate(ctrCollect, zero, merge, finish)
     }
-    lazy val counterEligible = counter && hop.isEmpty && (
+    // a hop composes with the counter folds ONLY when the exploded
+    // window-start is itself a grouping key: each (tag, window) group
+    // then holds every nested bucket exactly once, and the boundary
+    // pair walk inside the window matches the raw exploded fold's.
+    // An ungrouped explode duplicates buckets INSIDE one group — the
+    // raw fold would interleave duplicated events pair-by-pair, which
+    // no bucket-level fold can reproduce — so that shape stays raw.
+    lazy val hopGrouped = hop.forall { case (attr, _, _) =>
+      rGroup.exists {
+        case a: AttributeReference => a.exprId == attr.exprId
+        case _ => false
+      }
+    }
+    lazy val counterEligible = counter && hopGrouped && (
       rGroup.exists {
         case a: AttributeReference => a.name == "tag"
         case _ => false

@@ -770,6 +770,29 @@ class RollupSqlRewriteSpec extends SparkSpec {
         s"FROM $v WHERE tag <> 'zzz'")
       assert(!readsRollup(neQ, "-ctr") && readsStore(neQ),
         "non-equality tag predicate must not make a scalar counter route")
+      // 4d. SLIDING windows: the hop explode composes with the counter
+      //     folds when the window start is a grouping key (buckets
+      //     nest per window, so the per-(tag, w) pair walk matches the
+      //     raw exploded fold) — sliding counter increase in plain SQL
+      val hopQ = s"SELECT tag, w, counter_increase(timestamp, value) AS inc, " +
+        "time_weight_locf(timestamp, value) AS twa FROM " +
+        s"$v LATERAL VIEW explode(hop_starts(timestamp, $DAY, ${2 * DAY})) h AS w " +
+        "GROUP BY tag, w ORDER BY tag, w"
+      val hopRouted = spark.sql(hopQ)
+      assert(readsRollup(hopRouted, "-ctr") && !readsStore(hopRouted),
+        s"hop-grouped counter did not route:\n${planStr(hopRouted)}")
+      RollupSqlRewrite.unregister(spark, st)
+      val hopRaw = rows(spark.sql(hopQ))
+      RollupSqlRewrite.register(spark, st, Seq(daily, ctr))
+      assert(rows(hopRouted) == hopRaw, "hop counter refold changed results")
+      // an UNGROUPED explode duplicates buckets inside a group — the
+      // raw fold interleaves duplicated events, which no bucket-level
+      // fold reproduces: stays raw
+      val hopBad = spark.sql(s"SELECT tag, counter_increase(timestamp, value) AS inc FROM " +
+        s"$v LATERAL VIEW explode(hop_starts(timestamp, $DAY, ${2 * DAY})) h AS w " +
+        "GROUP BY tag")
+      assert(!readsRollup(hopBad, "-ctr") && readsStore(hopBad),
+        "ungrouped hop explode must not make a counter fold route")
       // 5. eligibility edges: a GLOBAL fold (no tag grouping) mixes
       //    tags at event granularity — must stay raw; unaligned bounds
       //    must stay raw; aligned bounds route
