@@ -35,12 +35,13 @@ import org.apache.spark.sql.functions.call_function
   *    NULL; filter `max(ts) − min(ts) > 0` to drop them like the
   *    engine surfaces do.
   *
-  * All three share ONE fold over ONE collected struct (the physical
-  * planner dedups the semantically-equal `collect_list` buffers), so a
-  * query asking for increase + resets + n_points pays one
-  * O(group-size) buffer, not three. The raw fold is the FALLBACK
-  * path: at scale the rewrite serves these from rollup buckets without
-  * collecting events at all.
+  * All three share one fold SHAPE over the same collected struct; on
+  * the rollup-refold path the rewrite builds them around a single
+  * shared CollectList instance, so increase + resets + n_points pay
+  * one O(buckets-per-group) buffer. The raw fold is the FALLBACK
+  * path (each call site carries its own buffer there — aggregate
+  * dedup is instance-based): at scale the rewrite serves these from
+  * rollup buckets without collecting events at all.
   *
   * The `__gc*` struct-field names are a RESERVED marker namespace: the
   * rewrite recognizes the expansion by them (plus the fold skeleton),

@@ -367,6 +367,16 @@ class ApiSpec extends SparkSpec {
           == (200, expR))
         assert(on(srvRaw)("/timeseries/query?regression=true&by=tag", "")
           == (200, expR))
+        // round-11 ADVICE #1: a non-grouped fit over an EMPTY aligned
+        // window must encode n_points 0 (not null) on the ROUTED path
+        // too — answerRegression's n refolds through coalesce, so the
+        // stats-routed and raw twins stay byte-identical on emptiness
+        val emptyWin = s"""{"ge":${100 * D},"lt":${101 * D}}"""
+        val gotEmpty = on(srvStats)("/timeseries/query?regression=true", emptyWin)
+        assert(gotEmpty == on(srvRaw)("/timeseries/query?regression=true", emptyWin),
+          s"routed vs raw empty-window regression bytes diverge: $gotEmpty")
+        assert(gotEmpty._1 == 200 && gotEmpty._2.contains("\"n_points\":0"),
+          s"empty-window regression must carry n_points 0: $gotEmpty")
       } finally srvStats.stop()
     } finally { srv.stop(); srvRaw.stop() }
   }
