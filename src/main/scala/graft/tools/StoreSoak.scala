@@ -383,7 +383,12 @@ object StoreSoak {
       import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
       import graft.model.{Agg, GroupBy, QueryModel, TS}
       val DAYMS = 86400000L
-      val rowsPerDay = 20000
+      // 60k rows/day (round 12, was 20k): at 20k the 20-day raw scan
+      // was SCHEDULING-dominated (~0.3 s for 400k rows, flapping 1.5x
+      // run-to-run), so the raw-vs-routed growth margins measured the
+      // box's mood, not the plans — 3x the data puts the raw side
+      // safely in data-dominated territory at both sizes
+      val rowsPerDay = 60000
       def mkStore(days: Int): (TimeSeriesStore, ContinuousAggregate) = {
         val st = new TimeSeriesStore(spark,
           java.nio.file.Files.createTempDirectory(s"soak-read-$days").toString)
@@ -419,7 +424,8 @@ object StoreSoak {
         val ts = (0 until 3).map { _ => val (_, t) = timed(f); t }.sorted
         (v, ts(1))
       }
-      def measure(days: Int): (Double, Double, Double, Double, Int, Int, Double, Double) = {
+      def measure(days: Int)
+          : (Double, Double, Double, Double, Int, Int, Double, Double, Double, Double) = {
         val (st, roll) = mkStore(days)
         def run(df: org.apache.spark.sql.DataFrame): Double =
           df.agg(sum(col("result"))).head().getDouble(0)
@@ -469,21 +475,61 @@ object StoreSoak {
         val (vFull, tFull) = median3d(
           st.current().filter(col("tag") === epi).count().toDouble)
         require(vPruned == vFull, s"pruned tag read diverged at $days days")
+        // §9c — the round-12 counter SQL rides the same harness, run
+        // LAST so the pre-existing §9/§9b measurement sequence (and
+        // its warm-up state) is untouched: the per-tag ordered fold
+        // (counter_increase) routed to a counter-mode rollup folds
+        // O(buckets-per-group) witness structs, while its RAW twin
+        // re-collects and re-sorts every event per tag — the most
+        // history-hungry read shape in the SQL surface. Both sides
+        // are timed; integer values => sums compare with ==.
+        val ctrRoll = new ContinuousAggregate(spark, st,
+          java.nio.file.Files.createTempDirectory(s"soak-read-ctr-$days").toString,
+          counterMode = true)
+        ctrRoll.refresh()
+        val sqlCtr = s"SELECT tag, counter_increase(timestamp, value) " +
+          s"AS result FROM $v GROUP BY tag"
+        RollupSqlRewrite.register(spark, st, Seq(roll, ctrRoll))
+        val (tCtrRouted, vCtrRouted) =
+          try {
+            val plan = spark.sql(sqlCtr).queryExecution.executedPlan.toString
+            require(!plan.contains(s"soak-read-$days"),
+              s"counter SQL did not route off the raw store at $days days")
+            require(plan.contains(s"soak-read-ctr-$days"),
+              s"counter SQL did not land on the COUNTER rollup at $days days")
+            val (vC, tC) = median3d(run(spark.sql(sqlCtr)))
+            (tC, vC)
+          } finally RollupSqlRewrite.unregister(spark, st)
+        val (vCtrRaw, tCtrRaw) = median3d(run(spark.sql(sqlCtr)))
+        require(vCtrRouted == vCtrRaw,
+          s"counter SQL routed answer diverged from the raw fold at $days days")
+        // absolute separation law AT THIS SIZE (ratio-of-ratio laws on
+        // sub-second medians are jitter-fragile; the absolute gap is
+        // the design claim): at 10x history the raw fold must cost
+        // >= 2x the routed one
+        if (days >= 200) require(tCtrRaw >= 2 * tCtrRouted,
+          f"raw counter fold must cost >=2x the routed refold at $days days " +
+            f"(raw $tCtrRaw%.3fs vs routed $tCtrRouted%.3fs)")
         println(f"[soak] read($days%3dd): routed=$tRouted%.3fs rawGroup=$tRaw%.3fs " +
           f"sqlBucket=$tSqlRouted%.3fs sqlHop=$tHopRouted%.3fs " +
+          f"sqlCtr=$tCtrRouted%.3fs rawCtr=$tCtrRaw%.3fs " +
           f"tagPruned=$tPruned%.3fs tagFull=$tFull%.3fs epiPartitions=$hit/$total")
-        (tRouted, tRaw, tPruned, tFull, hit, total, tSqlRouted, tHopRouted)
+        (tRouted, tRaw, tPruned, tFull, hit, total, tSqlRouted, tHopRouted,
+          tCtrRouted, tCtrRaw)
       }
-      val (r20, raw20, p20, f20, hit20, _, sql20, hop20) = measure(20)
-      val (r200, raw200, p200, f200, hit200, total200, sql200, hop200) = measure(200)
+      val (r20, raw20, p20, f20, hit20, _, sql20, hop20, ctr20, ctrRaw20) = measure(20)
+      val (r200, raw200, p200, f200, hit200, total200, sql200, hop200, ctr200, ctrRaw200) = measure(200)
       val routedRatio = r200 / r20
       val rawRatio = raw200 / raw20
       val prunedRatio = p200 / p20
       val fullRatio = f200 / f20
       val sqlRatio = sql200 / sql20
       val hopRatio = hop200 / hop20
+      val ctrRatio = ctr200 / ctr20
+      val ctrRawRatio = ctrRaw200 / ctrRaw20
       println(f"[soak] read flatness 10x history: routed=${routedRatio}%.2fx " +
         f"raw=${rawRatio}%.2fx sqlBucket=${sqlRatio}%.2fx sqlHop=${hopRatio}%.2fx " +
+        f"sqlCtr=${ctrRatio}%.2fx rawCtr=${ctrRawRatio}%.2fx " +
         f"tagPruned=${prunedRatio}%.2fx tagFull=${fullRatio}%.2fx " +
         f"epiPartitions $hit20 -> $hit200 (of $total200)")
       require(rawRatio >= 2 * routedRatio,
@@ -492,6 +538,9 @@ object StoreSoak {
       require(rawRatio >= 2 * sqlRatio && rawRatio >= 2 * hopRatio,
         f"SQL-routed shapes must track the engine-routed flatness, not raw's " +
           f"(raw ${rawRatio}%.2fx vs sqlBucket ${sqlRatio}%.2fx / sqlHop ${hopRatio}%.2fx)")
+      require(ctrRawRatio >= 1.3 * ctrRatio,
+        f"the raw counter fold must degrade clearly more than the routed one " +
+          f"across 10x history (rawCtr ${ctrRawRatio}%.2fx vs sqlCtr ${ctrRatio}%.2fx)")
       require(hit200 <= hit20 + 1,
         s"episodic tag must open a BOUNDED partition count as history grows " +
           s"($hit20 -> $hit200)")
