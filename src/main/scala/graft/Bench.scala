@@ -115,9 +115,11 @@ object Bench {
     * edge. A true plan regression lifts all three passes, so the min is
     * the load-robust witness; a burst SUSTAINED across all three
     * passes of a sub-second query can still fool it — boot 4 of round
-    * 12 measured exactly that shape at ambient 1.9 — which is why the
-    * committed baseline keeps unioning every boot's band: one such
-    * boot widens the band and immunizes the entry thereafter). Kept
+    * 12 measured exactly that shape at ambient 1.9 — which is why (a)
+    * run-level uniform inflation withholds the whole per-query map,
+    * see [[regressionVerdict]], and (b) the committed baseline unions
+    * IDLE boots' bands only — MergeBaseline's desensitization guard
+    * refuses a uniformly-inflated boot). Kept
     * conditions: `base > 0` (entry must
     * exist), `med > 0.2` (sub-noise-floor absolute times are never
     * signal), `med/base ≥ 1.25` (the headline ratio still reports the
@@ -129,6 +131,77 @@ object Bench {
                                     base: Double, hi: Double): Boolean =
     base > 0 && med > 0.2 && med / base >= 1.25 &&
       min >= hi * 1.15 && med >= hi * 1.15
+
+  /** Uniform-inflation cutoff for the run's median med/baseline ratio.
+    * Idle boots on this box measure 1.23–1.26 (the baseline median is
+    * the best-ever-observed, so even a clean run sits ~1.25); the two
+    * load-contaminated round-12 runs measured 1.607 and 1.859. 1.4
+    * splits the populations with margin on both sides. */
+  private[graft] val UniformInflationCutoff = 1.4
+
+  /** The run-level regression verdict — medianRatio, the per-query
+    * flag map, and an optional loud-abstention note. Factored out of
+    * main so BenchBaselineSpec can law it.
+    *
+    * UNIFORM-INFLATION GUARD (round-12 verdict #1 — the alarm's 4th
+    * consecutive driver outing shipped phantom flags): the min-of-3
+    * gate is robust to load BURSTS but not to a load PLATEAU spanning
+    * the whole run — sustained ambient load (r12 driver: ambient 4.92,
+    * 96% of ALL 216 queries >1.25× baseline, run median 1.859) lifts
+    * all three passes of every query together, and per-query flags
+    * then measure the machine, not the code. When the run's own median
+    * med/baseline ratio shows that shape (≥ [[UniformInflationCutoff]]),
+    * the per-query map is WITHHELD with a note saying why — the same
+    * loud-abstention shape the load-incomparable branch uses. Evidence
+    * the cutoff works: it abstains on BENCH_r12 (median 1.859, all 16
+    * driver flags refuted by idle boots at the same HEAD) and on the
+    * r12 judge's contaminated re-run (1.607, 28 disjoint phantom
+    * flags), while every idle boot (1.23–1.26) keeps full flagging
+    * power.
+    */
+  private[graft] def regressionVerdict(medians: Seq[(String, Double)],
+                                       mins: Map[String, Double],
+                                       baseline: Map[String, Double],
+                                       baselineHi: Map[String, Double],
+                                       loadComparable: Boolean)
+      : (Option[Double], Seq[(String, Double)], Option[String]) = {
+    // the ONE robust cross-run drift number: the median of per-query
+    // med/baseline ratios. Individual sub-2s queries flap up to ~3×
+    // same-code across boots on this box (measured, baseline note), so
+    // per-query flags need the band guard — but their MEDIAN is stable
+    // to a few percent and moves only when the code broadly does (or
+    // the machine is loaded, which is exactly what the guard detects).
+    val medianRatio: Option[Double] =
+      if (!loadComparable || baseline.isEmpty) None
+      else {
+        val rs = medians.flatMap { case (k, m) =>
+          baseline.get(k).collect { case b if b > 0 && m > 0 => m / b }
+        }.sorted
+        if (rs.isEmpty) None
+        else Some(BigDecimal(rs(rs.size / 2))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val inflated = medianRatio.exists(_ >= UniformInflationCutoff)
+    val note =
+      if (!inflated) None
+      else Some(s"uniform-inflation (run medianRatio ${medianRatio.get}): " +
+        "per-query flags withheld — every query inflated together, which " +
+        "measures the machine, not the code; rerun at idle")
+    val regressions =
+      if (!loadComparable || inflated) Seq.empty[(String, Double)]
+      else medians.flatMap { case (k, med) =>
+        // flag rule lives in [[regressionFlag]] (min-of-3 gated,
+        // BenchBaselineSpec-lawed): ambient load lifts medians, not
+        // mins, so the min pass is the witness a plan change must move
+        baseline.get(k).collect {
+          case base if regressionFlag(med, mins.getOrElse(k, med),
+              base, baselineHi.getOrElse(k, base)) =>
+            k -> BigDecimal(med / base)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }.sortBy(-_._2).take(5)
+    (medianRatio, regressions, note)
+  }
 
   /** Comparability verdict for a run's pre-Spark ambient load against
     * the baseline's boot provenance: comparable iff the run ambient is
@@ -337,30 +410,21 @@ object Bench {
       try parseBaselineAmbients(baselineTxt) catch { case _: Throwable => Seq.empty }
     val (loadComparable, loadRef) =
       ambientComparable(ambientLoad, bootAmbients, baselineLoad)
+    val minsByQ = results.collect {
+      case (k, (med, lo, _)) if med >= 0 => k -> lo
+    }.toMap
+    val (medianRatio, regressions, inflationNote) =
+      regressionVerdict(medians, minsByQ, baseline, baselineHi, loadComparable)
     val baselineNote =
       if (!baselineExists) "no baseline file"
       else if (baseline.isEmpty)
         s"LOUD WARNING: $baselinePath exists but parsed 0 query entries — format drift, fix the file or the parser"
       else if (!loadComparable)
         s"baseline-incomparable (load): run ambient load_avg $ambientLoad vs $loadRef"
-      else s"comparable (run ambient $ambientLoad vs $loadRef)"
+      else inflationNote.getOrElse(
+        s"comparable (run ambient $ambientLoad vs $loadRef)")
     if (baselineExists && baseline.isEmpty)
       System.err.println(s"[bench] $baselineNote")
-    val minsByQ = results.collect {
-      case (k, (med, lo, _)) if med >= 0 => k -> lo
-    }.toMap
-    val regressions =
-      if (!loadComparable) Seq.empty
-      else medians.flatMap { case (k, med) =>
-        // flag rule lives in [[regressionFlag]] (min-of-3 gated,
-        // BenchBaselineSpec-lawed): ambient load lifts medians, not
-        // mins, so the min pass is the witness a plan change must move
-        baseline.get(k).collect {
-          case base if regressionFlag(med, minsByQ.getOrElse(k, med),
-              base, baselineHi.getOrElse(k, base)) =>
-            k -> BigDecimal(med / base).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }
-      }.sortBy(-_._2).take(5)
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // queries this run has but the baseline doesn't (added since the
@@ -371,21 +435,6 @@ object Bench {
       if (baseline.isEmpty) Seq.empty
       else medians.map(_._1).filterNot(baseline.contains).sorted
     val unbaselinedJson = unbaselined.map(jstr).mkString("[", ",", "]")
-    // the ONE robust cross-run drift number: the median of per-query
-    // med/baseline ratios. Individual sub-2s queries flap up to ~3×
-    // same-code across boots on this box (measured, baseline note), so
-    // per-query flags need the band guard above — but their MEDIAN is
-    // stable to a few percent and moves only when the code broadly does
-    val medianRatio: Option[Double] =
-      if (!loadComparable || baseline.isEmpty) None
-      else {
-        val rs = medians.flatMap { case (k, m) =>
-          baseline.get(k).collect { case b if b > 0 && m > 0 => m / b }
-        }.toSeq.sorted
-        if (rs.isEmpty) None
-        else Some(BigDecimal(rs(rs.size / 2))
-          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
     val medianRatioJson = medianRatio.fold("null")(_.toString)
     println(s"""{"metric":"top","total":$total,"n_queries":${names.size},"n_errors":${errors.size},"slowest10":${numMap(slowest)},"regressions_vs_baseline":${numMap(regressions)},"median_ratio_vs_baseline":$medianRatioJson,"unbaselined":$unbaselinedJson,"baseline_found":${baseline.nonEmpty},"baseline_n":${baseline.size},"baseline_note":${jstr(baselineNote)},"sf":"$sfDir"}""")
     spark.stop()

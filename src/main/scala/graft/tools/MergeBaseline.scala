@@ -48,8 +48,21 @@ object MergeBaseline {
     * same file would increment every entry's boots count without
     * adding evidence, letting one boot's data satisfy the >=2-boots
     * gate and reintroducing the single-boot-tight-band false
-    * positives this tool exists to prevent. */
-  private[graft] def merge(baselineTxt: String, newRunTxt: String): String = {
+    * positives this tool exists to prevent.
+    *
+    * Desensitization guard (round-12 ADVICE #5): union-every-boot
+    * means ONE boot whose run was uniformly slow — sustained load, or
+    * an unnoticed machine-wide regression — would widen EVERY band and
+    * immunize every entry thereafter, with nothing proving the merged
+    * boots were regression-free. So a run whose median ratio vs the
+    * baseline shows the uniform-inflation shape
+    * ([[Bench.UniformInflationCutoff]], same cutoff the alarm's
+    * abstention uses) is REFUSED unless `force` (the `--force` CLI
+    * flag, for deliberately merging a known-hot boot after verifying
+    * the code is unchanged — the r12 ambient-4.29 calibration boot's
+    * use case). */
+  private[graft] def merge(baselineTxt: String, newRunTxt: String,
+                           force: Boolean = false): String = {
     val (newMed, newLoad) = Bench.parseBaseline(newRunTxt)
     require(newMed.nonEmpty,
       "MergeBaseline: the new run parsed to 0 query entries — refusing " +
@@ -64,6 +77,20 @@ object MergeBaseline {
     }
     val newSpread = Bench.parseBaselineSpreadFull(newRunTxt)
     val (oldMed, oldLoad) = Bench.parseBaseline(baselineTxt)
+    val ratios = newMed.flatMap { case (k, m) =>
+      oldMed.get(k).collect { case b if b > 0 && m > 0 => m / b }
+    }.toSeq.sorted
+    val runMedianRatio =
+      if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+    if (!force && runMedianRatio.exists(_ >= Bench.UniformInflationCutoff)) {
+      System.err.println(f"[merge] REFUSED: this run is uniformly " +
+        f"inflated vs the baseline (median ratio ${runMedianRatio.get}%.3f " +
+        f">= ${Bench.UniformInflationCutoff}) — merging it would widen " +
+        "every band with load evidence and desensitize the alarm. Rerun " +
+        "at idle, or pass --force if this hot boot is a deliberate " +
+        "calibration point on verified-unchanged code.")
+      return baselineTxt
+    }
     val oldSpread = Bench.parseBaselineSpreadFull(baselineTxt)
     val oldBoots = Bench.parseBaselineBoots(baselineTxt)
     val oldAmbients = {
@@ -119,14 +146,16 @@ object MergeBaseline {
   }
 
   def main(args: Array[String]): Unit = {
-    val newRun = args.lift(0).getOrElse("target/bench_perquery.json")
-    val baseline = args.lift(1).getOrElse("bench_baseline.json")
+    val force = args.contains("--force")
+    val positional = args.filterNot(_ == "--force")
+    val newRun = positional.lift(0).getOrElse("target/bench_perquery.json")
+    val baseline = positional.lift(1).getOrElse("bench_baseline.json")
     def readOr(p: String, default: => String): String =
       try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
       catch { case _: java.io.IOException => default }
     val out = merge(readOr(baseline, "{}"), readOr(newRun,
-      sys.error(s"MergeBaseline: new run file $newRun unreadable")))
+      sys.error(s"MergeBaseline: new run file $newRun unreadable")), force)
     java.nio.file.Files.write(java.nio.file.Paths.get(baseline),
       out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val boots = Bench.parseBaselineBoots(out)

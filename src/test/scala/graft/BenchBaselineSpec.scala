@@ -199,6 +199,68 @@ final class BenchBaselineSpec extends AnyFunSuite {
     assert(!Bench.regressionFlag(med = 1.0, min = 1.3, base, hi))
   }
 
+  test("uniform inflation withholds the per-query map and says why") {
+    // round-12 "what's wrong" #1: the min-of-3 gate is robust to load
+    // BURSTS but not to a PLATEAU spanning the whole run — the r12
+    // driver run (ambient 4.92) had 96% of all 216 queries >1.25×
+    // baseline with run median 1.859, and shipped 5 phantom flags (all
+    // refuted by idle boots at the same HEAD). When every query
+    // inflates together the map measures the machine — withhold it.
+    val baseline = (1 to 20).map(i => s"q_$i" -> 0.4).toMap
+    val baselineHi = (1 to 20).map(i => s"q_$i" -> 0.6).toMap
+    // the r12 driver-run shape: EVERYTHING ~1.86× with min passes also
+    // lifted (sustained load lifts all three passes together)
+    val hotMedians = (1 to 20).map(i => s"q_$i" -> 0.745)
+    val hotMins = (1 to 20).map(i => s"q_$i" -> 0.72).toMap
+    val (ratioH, flagsH, noteH) = Bench.regressionVerdict(
+      hotMedians, hotMins, baseline, baselineHi, loadComparable = true)
+    assert(ratioH.exists(_ > 1.8))
+    assert(flagsH.isEmpty, s"uniform inflation must withhold flags, got $flagsH")
+    assert(noteH.exists(_.contains("uniform-inflation")))
+
+    // an idle-shaped run (median ~1.0) with ONE genuine all-passes
+    // outlier: that one flag must SURVIVE the guard
+    val idleMedians = (1 to 19).map(i => s"q_$i" -> 0.41) :+ ("q_20" -> 2.0)
+    val idleMins = ((1 to 19).map(i => s"q_$i" -> 0.39) :+ ("q_20" -> 1.9)).toMap
+    val (ratioI, flagsI, noteI) = Bench.regressionVerdict(
+      idleMedians, idleMins, baseline, baselineHi, loadComparable = true)
+    assert(ratioI.exists(_ < Bench.UniformInflationCutoff))
+    assert(noteI.isEmpty)
+    assert(flagsI.map(_._1) === Seq("q_20"),
+      s"the genuine regression must flag on an idle-shaped run, got $flagsI")
+    assert(flagsI.head._2 === 5.0)
+
+    // load-incomparable runs still withhold everything (pre-existing
+    // branch, pinned so the new guard didn't reorder it away)
+    val (ratioL, flagsL, _) = Bench.regressionVerdict(
+      idleMedians, idleMins, baseline, baselineHi, loadComparable = false)
+    assert(ratioL.isEmpty && flagsL.isEmpty)
+  }
+
+  test("MergeBaseline refuses a uniformly-inflated boot (desensitization guard)") {
+    import graft.tools.MergeBaseline
+    // round-12 ADVICE #5: union-every-boot + one sustained-load boot
+    // would widen every band and immunize entries forever. A run whose
+    // median ratio vs the baseline shows the uniform-inflation shape
+    // is refused; --force (deliberate hot-calibration boot on
+    // verified-unchanged code) overrides.
+    val base =
+      """{"metric":"perquery","queries":{"q_a":0.40,"q_b":1.0},"spread":{"q_a":[0.38,0.55],"q_b":[0.9,1.4]},"boots":{"q_a":2,"q_b":2},"boot_ids":["b1","b2"],"ambients":[0.5,0.8],"load_avg_ambient":0.65}"""
+    val hot =
+      """{"metric":"perquery","queries":{"q_a":0.80,"q_b":1.9},"spread":{"q_a":[0.75,0.9],"q_b":[1.8,2.1]},"boot_id":"hot-1","load_avg_ambient":4.9}"""
+    // refused: baseline text returned unchanged
+    assert(MergeBaseline.merge(base, hot) === base)
+    // forced: merges (bands widen, boots increment)
+    val forced = MergeBaseline.merge(base, hot, force = true)
+    assert(Bench.parseBaselineBoots(forced) === Map("q_a" -> 3, "q_b" -> 3))
+    assert(Bench.parseBaselineSpreadFull(forced)("q_a") === ((0.38, 0.9)))
+    // an idle-shaped boot (ratios ~1.1) merges without force
+    val idle =
+      """{"metric":"perquery","queries":{"q_a":0.44,"q_b":1.1},"spread":{"q_a":[0.42,0.5],"q_b":[1.0,1.2]},"boot_id":"idle-1","load_avg_ambient":0.6}"""
+    assert(Bench.parseBaselineBoots(MergeBaseline.merge(base, idle)) ===
+      Map("q_a" -> 3, "q_b" -> 3))
+  }
+
   test("the bench JSON names unbaselined queries instead of skipping silently") {
     // (format-level pin: the driver reads `unbaselined` from the top
     // line; the field is produced in Bench.main whose run is the
