@@ -1345,6 +1345,19 @@ object SparkEntry {
       "counter_resets(timestamp, value) AS n_resets, " +
       "CAST(count(*) AS BIGINT) AS n_points " +
       s"FROM $v GROUP BY tag ORDER BY grp")),
+    // counter_rate (increase / span-in-seconds — PromQL's other
+    // household name) and counter_delta (last − first, NOT reset-aware
+    // — TimescaleDB's `delta`): both are round-12-verdict additions,
+    // pure COMPOSITIONS over already-recognized pieces (the increase
+    // fold + min/max-timestamp refolds; the first/last witnesses), so
+    // they route through ctrSqlAnswer's tripwire like the rest of the
+    // family. The /100.0 unscales the synthetic counter; round(…, 6)
+    // pins the identical IEEE division order on both sides.
+    "ts3_cagg_sql_rate" -> ((s, dir) => ctrSqlAnswer(s, dir, v =>
+      "SELECT tag AS grp, " +
+      "round(counter_rate(timestamp, value) / 100.0, 6) AS rate_per_s, " +
+      "counter_delta(timestamp, value) / 100.0 AS delta " +
+      s"FROM $v GROUP BY tag ORDER BY grp")),
     "ts3_cagg_sql_twa" -> ((s, dir) => twSqlAnswer(s, dir, v =>
       "SELECT tag AS grp, " +
       "time_weight_locf(timestamp, value) AS twa, " +
@@ -3387,6 +3400,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
         |  count(*) + 1 AS n_points
         |FROM d WHERE prev IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    // rate = increase / span-seconds (identical division order to the
+    // Spark side: inc / (span/1000) / 100, then round 6); delta =
+    // last counter − first counter, reset-blind, via arg_max/arg_min
+    "ts3_cagg_sql_rate" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, t, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag AS grp,
+        |  round(CAST(sum(CASE WHEN prev IS NULL THEN 0
+        |                      WHEN counter >= prev THEN counter - prev
+        |                      ELSE counter END) AS DOUBLE)
+        |        / (CAST(max(t) - min(t) AS DOUBLE) / 1000.0) / 100.0, 6)
+        |    AS rate_per_s,
+        |  (CAST(arg_max(counter, t) AS DOUBLE)
+        |   - CAST(arg_min(counter, t) AS DOUBLE)) / 100.0 AS delta
+        |FROM d GROUP BY tag ORDER BY grp""".stripMargin,
     "ts3_cagg_sql_twa" ->
       s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
         |s AS (SELECT tag, value,

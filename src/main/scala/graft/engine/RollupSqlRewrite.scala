@@ -103,9 +103,11 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
   private val DayMs = 86400000L
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registered.isEmpty) plan
-    else plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    plan.transformDown {
+      case agg: Aggregate =>
+        (if (registered.isEmpty) None else tryRewrite(agg))
+          .orElse(lagFallback(agg))
+          .getOrElse(agg)
     }
 
   /** One parquet leaf of a store scan: segment dir + the g_day set its
@@ -377,6 +379,127 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
         if width > 0 && width % s == 0
       } yield (s, width)
     case _ => None
+  }
+
+  /** FALLBACK rewrite for recognized counter-family folds that did NOT
+    * route to a rollup refold (no counter rollup registered, a global
+    * multi-tag fold, an ungrouped hop explode, an unregistered source —
+    * every shape [[tryRewrite]] declines): swap the
+    * `collect_list → sort_array → aggregate` ordered fold for the
+    * WINDOW-LAG formulation the engine/HTTP raw twins already use
+    * (`lag(v)/lag(ts) OVER (PARTITION BY <group keys> ORDER BY ts, v)`
+    * + a plain Sum of the per-pair terms).
+    *
+    * Round-12 "what's wrong" #2: the collect_list fold was the one raw
+    * path whose EXECUTOR MEMORY grows linearly with a single group's
+    * event count — one tag's year of raw events in one array. The
+    * window-lag plan sorts within partitions (spillable
+    * WindowExec) and keeps O(1) aggregation state per group, same
+    * exact semantics:
+    *  - ordering: `sort_array` on the (ts, v) struct sorts
+    *    lexicographically by (ts, v); the window ORDER BY ts, v walks
+    *    the identical sequence (ties produce equal-struct neighbors —
+    *    any permutation of equal pairs folds to the same terms);
+    *  - first element: the fold's null-prev accumulator contributes 0 /
+    *    0 / decimal 0; lag's default-null row produces the same term,
+    *    and Sum over a non-empty group never returns null for these
+    *    never-null terms;
+    *  - arithmetic: term-for-term the fold's merge steps (increase
+    *    CASE, reset CASE, scaled-decimal area). Long/decimal sums are
+    *    exact in any order; the double increase re-associates exactly
+    *    like the rollup refold's Sum (the caveat the function doc
+    *    already carries).
+    * Exactness requires NON-NULL (ts, v): the fold POISONS a group to
+    * NULL once a null value enters the arithmetic, while Sum would
+    * skip that pair's term — so nullable inputs decline (raw plan,
+    * never wrong). Idempotent under the optimizer's fixpoint batch:
+    * the rewritten plan contains no ArrayAggregate fold to re-match.
+    */
+  private def lagFallback(agg: Aggregate): Option[LogicalPlan] = {
+    import graft.functions.CounterFunctions
+    val folds = agg.aggregateExpressions.flatMap(_.collect {
+      case e if CounterFunctions.matchFold(e).isDefined =>
+        CounterFunctions.matchFold(e).get
+    })
+    if (folds.isEmpty) return None
+    // every fold in the aggregate must share ONE (ts, v) argument pair:
+    // a logical Window node carries a single node-level ordering, so
+    // mixed-argument folds (two counters in one SELECT) stay on the raw
+    // plan rather than risking a second ordering being silently ignored
+    val (ts, v) = (folds.head._2, folds.head._3)
+    if (!folds.forall { case (_, t2, v2) =>
+        t2.semanticEquals(ts) && v2.semanticEquals(v) }) return None
+    if (!ts.deterministic || !v.deterministic ||
+      ts.exists(_.isInstanceOf[AggregateExpression]) ||
+      v.exists(_.isInstanceOf[AggregateExpression])) return None
+    // NULL-exactness: the fold poisons a group to NULL once a null
+    // value enters its arithmetic; Sum would skip the term instead. So
+    // inputs must be provably non-null — by attribute nullability, or
+    // by being the timestamp/value columns of a registered store scan
+    // (the store schema declares them non-null and insert enforces it).
+    val nonNull = (!ts.nullable && !v.nullable) || {
+      def storeCol(e: Expression, n: String) = e match {
+        case a: AttributeReference => a.name == n
+        case _ => false
+      }
+      storeCol(ts, "timestamp") && storeCol(v, "value") &&
+        destructure(agg.child).exists(src => src.leaves.nonEmpty &&
+          registered.values.exists { case (st, _) =>
+            src.leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
+          })
+    }
+    if (!nonNull) return None
+    // grouping literals can't partition (and don't affect the groups)
+    val partition = agg.groupingExpressions.filterNot(_.foldable)
+    if (partition.exists(!_.deterministic)) return None
+    val order = Seq(SortOrder(ts, Ascending), SortOrder(v, Ascending))
+    def lagOf(e: Expression, n: String): Alias = {
+      val fn = new Lag(e, Literal(1), Literal(null, e.dataType), false)
+      Alias(WindowExpression(fn,
+        WindowSpecDefinition(partition, order, fn.frame)), n)()
+    }
+    val (lagV0, lagT0) = (lagOf(v, "__gc_lag_v"), lagOf(ts, "__gc_lag_t"))
+    val (lagV, lagT) = (lagV0.toAttribute, lagT0.toAttribute)
+    lazy val decT = org.apache.spark.sql.types.DecimalType(38, 0)
+    def aggE(f: AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    // per-kind replacement, mirroring the fold's merge arithmetic
+    // term-for-term (same CASE shapes, same scaled-decimal area). The
+    // Coalesce preserves the fold's EMPTY-INPUT value: an ungrouped
+    // fold over zero rows returns its zero accumulator (0.0 / 0 /
+    // decimal 0), where a bare Sum would return NULL — reachable when
+    // a tag-pinned scalar's predicate matches nothing.
+    def term(kind: CounterFunctions.Kind): Expression = kind match {
+      case CounterFunctions.Increase => Coalesce(Seq(aggE(Sum(CaseWhen(Seq(
+        (IsNull(lagV), Literal(0.0)),
+        (GreaterThanOrEqual(v, lagV), Subtract(v, lagV))), Some(v)))),
+        Literal(0.0)))
+      case CounterFunctions.Resets => Coalesce(Seq(aggE(Sum(CaseWhen(Seq(
+        (And(IsNotNull(lagV), LessThan(v, lagV)), Literal(1L))),
+        Some(Literal(0L))))), Literal(0L)))
+      case CounterFunctions.Area => Cast(Coalesce(Seq(aggE(Sum(CaseWhen(Seq(
+        (IsNull(lagT), Literal.create(org.apache.spark.sql.types.Decimal(0), decT))),
+        Some(Multiply(
+          Cast(Round(Multiply(lagV, Literal(100.0)), Literal(0)), decT),
+          Cast(Subtract(ts, lagT),
+            org.apache.spark.sql.types.DecimalType(20, 0))))))),
+        Literal.create(org.apache.spark.sql.types.Decimal(0), decT))), decT)
+    }
+    var swapped = false
+    def rewriteExpr(e: Expression): Expression =
+      CounterFunctions.matchFold(e) match {
+        case Some((kind, _, _)) => swapped = true; term(kind)
+        case None => e.withNewChildren(e.children.map(rewriteExpr))
+      }
+    val newAggExprs = agg.aggregateExpressions.map {
+      case al: Alias =>
+        al.withNewChildren(Seq(rewriteExpr(al.child))).asInstanceOf[Alias]
+      case other => other
+    }
+    if (!swapped) None
+    else Some(Aggregate(agg.groupingExpressions, newAggExprs,
+      org.apache.spark.sql.catalyst.plans.logical.Window(
+        Seq(lagV0, lagT0), partition, order, agg.child)))
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -771,13 +894,21 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
           graft.functions.CounterFunctions.matchFold(ctr) match {
             case Some((kind, ts0, v0)) if counterEligible &&
                 isAttr(ts0, "timestamp") && isAttr(v0, "value") =>
+              // Coalesce preserves the raw fold's EMPTY-INPUT value (a
+              // tag-pinned scalar whose bounds match no bucket): the
+              // fold returns its zero accumulator, a bare Sum NULL —
+              // and Add(NULL, boundary-0) would poison the whole term
               kind match {
                 case graft.functions.CounterFunctions.Increase =>
-                  Add(aggE(Sum(b("incr"))), ctrBoundary("bi"))
+                  Add(Coalesce(Seq(aggE(Sum(b("incr"))), Literal(0.0))),
+                    ctrBoundary("bi"))
                 case graft.functions.CounterFunctions.Resets =>
-                  Add(aggE(Sum(b("n_resets"))), ctrBoundary("br"))
+                  Add(Coalesce(Seq(aggE(Sum(b("n_resets"))), Literal(0L))),
+                    ctrBoundary("br"))
                 case graft.functions.CounterFunctions.Area =>
-                  Add(aggE(Sum(b("twsum"))), ctrBoundary("ba"))
+                  Add(Coalesce(Seq(aggE(Sum(b("twsum"))),
+                    Literal.create(org.apache.spark.sql.types.Decimal(0), decT))),
+                    ctrBoundary("ba"))
               }
             case _ => ok = false; ctr
           }
@@ -859,7 +990,8 @@ object RollupSqlRewrite {
     // the SQL vocabulary users route through: time_bucket (tumbling
     // keys), hop_starts (sliding windows via LATERAL VIEW explode),
     // and the counter family (counter_increase / counter_resets /
-    // time_weight_locf ordered folds)
+    // time_weight_locf ordered folds + the counter_rate / counter_delta
+    // compositions over them)
     graft.functions.TimeFunctions.register(spark)
     graft.functions.CounterFunctions.register(spark)
     val rule = installed.synchronized {

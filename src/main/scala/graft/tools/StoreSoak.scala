@@ -424,9 +424,16 @@ object StoreSoak {
         val ts = (0 until 3).map { _ => val (_, t) = timed(f); t }.sorted
         (v, ts(1))
       }
+      // builds its own store INSIDE the call (build → measure → build →
+      // measure: the 200d build must not sit between the 20d build and
+      // its measurement — round 13 measured the reordered variant
+      // inflating the 20d routed read's ratio enough to flap the
+      // flatness law) and returns the pair so §9d can reuse the stores
       def measure(days: Int)
-          : (Double, Double, Double, Double, Int, Int, Double, Double, Double, Double) = {
-        val (st, roll) = mkStore(days)
+          : ((Double, Double, Double, Double, Int, Int, Double, Double, Double, Double),
+             (TimeSeriesStore, ContinuousAggregate)) = {
+        val pair = mkStore(days)
+        val (st, roll) = pair
         def run(df: org.apache.spark.sql.DataFrame): Double =
           df.agg(sum(col("result"))).head().getDouble(0)
         val (vRouted, tRouted) = median3d(run(
@@ -514,11 +521,11 @@ object StoreSoak {
           f"sqlBucket=$tSqlRouted%.3fs sqlHop=$tHopRouted%.3fs " +
           f"sqlCtr=$tCtrRouted%.3fs rawCtr=$tCtrRaw%.3fs " +
           f"tagPruned=$tPruned%.3fs tagFull=$tFull%.3fs epiPartitions=$hit/$total")
-        (tRouted, tRaw, tPruned, tFull, hit, total, tSqlRouted, tHopRouted,
-          tCtrRouted, tCtrRaw)
+        ((tRouted, tRaw, tPruned, tFull, hit, total, tSqlRouted, tHopRouted,
+          tCtrRouted, tCtrRaw), pair)
       }
-      val (r20, raw20, p20, f20, hit20, _, sql20, hop20, ctr20, ctrRaw20) = measure(20)
-      val (r200, raw200, p200, f200, hit200, total200, sql200, hop200, ctr200, ctrRaw200) = measure(200)
+      val ((r20, raw20, p20, f20, hit20, _, sql20, hop20, ctr20, ctrRaw20), pair20) = measure(20)
+      val ((r200, raw200, p200, f200, hit200, total200, sql200, hop200, ctr200, ctrRaw200), pair200) = measure(200)
       val routedRatio = r200 / r20
       val rawRatio = raw200 / raw20
       val prunedRatio = p200 / p20
@@ -547,6 +554,99 @@ object StoreSoak {
       require(fullRatio >= 2 * prunedRatio,
         f"unpruned tag scan must degrade >=2x more than the bloom-pruned read " +
           f"(full ${fullRatio}%.2fx vs pruned ${prunedRatio}%.2fx)")
+
+      // §9d — the UNROUTED counter fold's MEMORY behavior (round-12
+      // verdict #2): with no counter rollup registered, the SQL
+      // counter_increase used to execute a per-group collect_list
+      // whose buffer holds the group's ENTIRE event history as
+      // UNTRACKED JVM objects — invisible to Spark's memory manager
+      // (the fold run below measures tracked peak ≈ 0 MiB while
+      // holding millions of structs), hence unspillable: the true OOM
+      // cliff. The fallback now plans window-lag — per-partition sort
+      // + a TRACKED, bounded, SPILLABLE window buffer. Laws:
+      //  (a) the unrouted plan is Window + Sort, never collect_list;
+      //  (b) its answer equals the fold's, both sizes;
+      //  (c) with the window buffer forced to spill (64k-row
+      //      threshold; the largest group is ~240k rows at 20d, ~2.4M
+      //      at 200d) the run SPILLS >0 bytes and still matches —
+      //      operator state is bounded by the threshold, not by the
+      //      largest group;
+      //  (d) the fold twin's tracked peak stays ≈0 across 10× history
+      //      — documentation-by-law that its memory is unmanaged (if
+      //      a future Spark starts tracking these buffers, this alerts
+      //      and the row should be re-read).
+      {
+        import graft.engine.RollupSqlRewrite
+        val peak = new java.util.concurrent.atomic.AtomicLong
+        val spilledB = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+              spilledB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            }
+          }
+        }
+        def meter(f: => Double): (Double, Double, Double, Double) = {
+          f // warm (also JIT/codegen)
+          peak.set(0); spilledB.set(0)
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            val t0 = System.nanoTime()
+            val v = f
+            val t = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500) // listener bus drain
+            (v, t, peak.get / 1048576.0, spilledB.get / 1048576.0)
+          } finally spark.sparkContext.removeSparkListener(listener)
+        }
+        def sumOf(q: String): Double =
+          spark.sql(q).agg(sum(col("result"))).head().getDouble(0)
+        def at(days: Int, pair: (TimeSeriesStore, ContinuousAggregate)): Unit = {
+          val (st, roll) = pair
+          val v = s"soak_read_v$days" // temp view measure() registered
+          val q = s"SELECT tag, counter_increase(timestamp, value) " +
+            s"AS result FROM $v GROUP BY tag"
+          val largest = st.current().groupBy(col("tag")).count()
+            .agg(max(col("count"))).head().getLong(0)
+          // fold twin: store unregistered => collect_list plan
+          val foldPlan = spark.sql(q).queryExecution.executedPlan.toString
+          require(foldPlan.toLowerCase.contains("collect_list"),
+            s"unregistered counter SQL no longer folds at $days d — twin invalid")
+          val (vFold, tFold, pFold, _) = meter(sumOf(q))
+          // fallback: plain rollup registered => window-lag plan
+          RollupSqlRewrite.register(spark, st, Seq(roll))
+          try {
+            val lagPlan = spark.sql(q).queryExecution.executedPlan.toString
+            require(lagPlan.contains("Window") &&
+              !lagPlan.toLowerCase.contains("collect_list"),
+              s"unrouted counter SQL must plan window-lag at $days d:\n$lagPlan")
+            val (vLag, tLag, pLag, _) = meter(sumOf(q))
+            require(vLag == vFold,
+              s"window-lag diverged from the fold at $days d: $vLag vs $vFold")
+            // forced-spill pass: bounded state regardless of group size
+            spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", 65536)
+            val (vSp, tSp, pSp, spilled) =
+              try meter(sumOf(q))
+              finally spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+            require(vSp == vFold,
+              s"forced-spill window-lag diverged at $days d: $vSp vs $vFold")
+            require(spilled > 0,
+              f"window buffer did not spill at $days d (largest group $largest rows " +
+                f"vs 64k threshold) — the bounded-state law measured nothing")
+            println(f"[soak] ctrFallback($days%3dd, largestGroup=$largest%8d): " +
+              f"lag=$tLag%6.2fs peak=$pLag%7.1fMiB | " +
+              f"lagSpill=$tSp%6.2fs peak=$pSp%7.1fMiB spilled=$spilled%8.1fMiB | " +
+              f"fold=$tFold%6.2fs trackedPeak=$pFold%5.1fMiB (untracked buffers)")
+            require(pFold <= 1.0,
+              f"fold twin's tracked peak is $pFold%.1f MiB — Spark now tracks " +
+                "collect buffers; re-evaluate this row's untracked-memory claim")
+          } finally RollupSqlRewrite.unregister(spark, st)
+        }
+        at(20, pair20)
+        at(200, pair200)
+      }
     }
 
     // ---- 10. Index PROBE latency vs corpus size --------------------
