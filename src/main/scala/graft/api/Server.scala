@@ -593,11 +593,19 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
       // would turn versionAsOf's require into a generic 500. Calling
       // directly and mapping the require failure keeps the documented
       // loud 400 under any interleaving — and saves a directory
-      // listing per request.
+      // listing per request. NARROW catch (round-12 ADVICE #1):
+      // versionAsOf also raises IAE from read(verifyExists=true) when
+      // the manifest EXISTS but a day partition is gone — an integrity
+      // failure (mid-vacuum tear or corruption), not a client error.
+      // Only the manifest-missing require maps to the 400; anything
+      // else rethrows to handle()'s 500.
       df <- try Right(store.versionAsOf(v))
-            catch { case _: IllegalArgumentException =>
-              Left(QueryError.IllegalQuery(
-                s"version $v not found (never committed, or removed by vacuum)."))
+            catch {
+              case e: IllegalArgumentException
+                  if String.valueOf(e.getMessage)
+                    .contains(s"version $v not found") =>
+                Left(QueryError.IllegalQuery(
+                  s"version $v not found (never committed, or removed by vacuum)."))
             }
     } yield df
     snap match {

@@ -87,8 +87,11 @@ object ScaleFixtures {
     // −1) ms perturbation is invisible to every window/density shape
     // the queries measure (minute-scale gaps, hour/day buckets).
     // Residual collisions — an original same-tag pair closer than
-    // `factor` ms — dedupe away below (arbitrary survivor: scaled
-    // fixtures are soak inputs, not oracle inputs, FIXTURES.md).
+    // `factor` ms — dedupe away below with a DETERMINISTIC survivor
+    // (min event_id per key; round-12 ADVICE #4: a shuffle-order
+    // survivor made regenerated fixtures differ run to run, quietly
+    // confounding soak comparisons across regenerations and
+    // contradicting the class doc's determinism claim).
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     val Array(evSpan, userSpan) = events
       .agg(max(col("event_id")), max(col("user_id"))).head() match {
@@ -103,8 +106,12 @@ object ScaleFixtures {
         if (tsIsLong) col("ts") + col("k") * lit(1000000L)
         else expr("timestampadd(MILLISECOND, k, ts)")) // TS and NTZ both
       .withColumn("__ms", graft.sources.Tables.tsMillis(events))
-      .dropDuplicates("__ms", "event_type")
-      .drop("k", "__ms")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__ms"), col("event_type"))
+          .orderBy(col("event_id")))) // event_id is unique post-shift
+      .filter(col("__rn") === 1)
+      .drop("k", "__ms", "__rn")
       .repartition(col("event_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
