@@ -240,6 +240,21 @@ object Bench {
     // gating on it would mark nearly every run incomparable.
     val ambientLoad = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // /proc/stat (total, steal) ticks — sampled before and after the
+    // run so the JSON can report STEAL share across the whole run.
+    // Round-13 lesson: an idle-ambient boot (load_avg 0.56) still
+    // measured 34% slower than a same-code boot an hour earlier — the
+    // loadavg gate cannot see hypervisor steal or host-level
+    // contention, so the run now carries the one counter that can.
+    def cpuTicks(): Option[(Long, Long)] = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .asScala.find(_.startsWith("cpu ")).map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (f.sum, if (f.length > 7) f(7) else 0L)
+        }
+    } catch { case _: Throwable => None }
+    val ticks0 = cpuTicks()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -329,6 +344,15 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvg = osBean.getSystemLoadAverage // -1.0 where unsupported
     val nCpus = osBean.getAvailableProcessors
+    // steal share across the whole run (percent of all cpu ticks the
+    // hypervisor withheld); null where /proc/stat is unavailable
+    val stealPct: Option[Double] = for {
+      (t0, s0) <- ticks0
+      (t1, s1) <- cpuTicks()
+      if t1 > t0
+    } yield BigDecimal(100.0 * (s1 - s0) / (t1 - t0))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stealJson = stealPct.fold("null")(_.toString)
     // failed queries ship their exception head INSIDE the JSON line —
     // a failing round then still parses, names the query, and carries
     // the root cause, instead of the round-6 shape (rc=1, parsed=null,
@@ -345,7 +369,7 @@ object Bench {
     // the same perquery file cannot inflate an entry's boots count
     // (the >=2-boots gate must count independent evidence, not merges)
     val bootId = java.util.UUID.randomUUID().toString
-    val diag = s""""load_avg":$loadAvg,"load_avg_ambient":$ambientLoad,"n_cpus":$nCpus,"boot_id":"$bootId","n_errors":${errors.size},"errors":$errJson"""
+    val diag = s""""load_avg":$loadAvg,"load_avg_ambient":$ambientLoad,"steal_pct":$stealJson,"n_cpus":$nCpus,"boot_id":"$bootId","n_errors":${errors.size},"errors":$errJson"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$diag,"sf":"$sfDir"}""")
     // The driver's artifact capture is tail-truncated (BENCH_r07 kept
     // only ~36 of 127 per-query numbers, cut from the FRONT of the
