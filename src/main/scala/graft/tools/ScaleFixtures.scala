@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * its row count:
   *   - `documents`: `factor` copies under fresh ids; copies beyond the
   *     first carry a deterministic hash-order PERMUTATION of the token
-  *     multiset. Token/vocab frequencies (LM, heavy-hitter, quality
-  *     paths) are preserved exactly; n-gram identity is not, so the
-  *     copies are NOT near-duplicates of their source — naive
-  *     replication would hand every doc `factor−1` near-dup partners
-  *     and blow the LSH candidate space quadratically, measuring a
-  *     fixture artifact instead of the operator.
+  *     multiset plus a ~1/8 copy-salted token replacement. The
+  *     permutation breaks n-gram identity (MinHash/Jaccard); the
+  *     replacement breaks ORDER-INVARIANT fingerprints too (simhash —
+  *     without it, permuted copies were signature-identical twins and
+  *     the pair join measured `factor`²-deep duplicate clusters, a
+  *     fixture artifact, not the operator). Token COUNTS are preserved
+  *     exactly (1:1 swap); token/vocab FREQUENCIES (LM, heavy-hitter,
+  *     quality paths) are ~7/8 preserved, with the remainder moved to
+  *     per-copy salted variants.
   *   - `events`: `factor` copies under fresh event/user ids, with
   *     copy k's timestamps displaced +k ms (unique under the TS
   *     store's (timestamp, tag) primary key; residual sub-factor-ms
@@ -61,6 +64,19 @@ object ScaleFixtures {
     }
 
     // ---- documents: fresh ids + per-copy hash-order token permutation
+    // + a ~1/8 copy-salted token REPLACEMENT. The permutation breaks
+    // n-gram identity (MinHash/Jaccard paths), but simhash is
+    // ORDER-INVARIANT over the token multiset — permuted copies were
+    // simhash-IDENTICAL twins, so duplicate-cluster depth grew with
+    // `factor` and the pigeonhole pair join exploded quadratically
+    // (measured round 13: x_dedup_simhash 425 s at 50×, dominated by
+    // 2500-deep true-positive pair output — a fixture artifact, not
+    // operator scaling; real corpora don't deepen every duplicate
+    // cluster linearly with corpus size). Swapping ~1/8 of positions
+    // to a copy-salted variant flips enough signature bits that copies
+    // stop being fingerprint-twins under ANY order-invariant measure,
+    // while token COUNTS stay exact (1:1 swap) and head-of-Zipf
+    // frequencies stay ~7/8 preserved (stated in the class doc).
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val toks = split(col("text"), " ")
@@ -68,8 +84,12 @@ object ScaleFixtures {
     // then 2, so equal-hash ties (repeated tokens) stay deterministic
     val permuted = concat_ws(" ",
       transform(
-        array_sort(transform(toks, (t, i) =>
-          struct(xxhash64(col("doc_id"), col("k"), t, i).as("h"), t.as("t")))),
+        array_sort(transform(toks, (t, i) => {
+          val h = xxhash64(col("doc_id"), col("k"), t, i)
+          struct(h.as("h"),
+            when(pmod(h, lit(8)) === 0,
+              concat(t, lit("~"), col("k").cast("string"))).otherwise(t).as("t"))
+        })),
         s => s.getField("t")))
     copies(docs)
       .withColumn("text", when(col("k") === 0, col("text")).otherwise(permuted))
