@@ -1537,6 +1537,41 @@ object SparkEntry {
           .orderBy(col("grp"))
       } finally srv.stop()
     }),
+    // ...and ?rate=true (reset-aware increase over the slice's own
+    // span in seconds + the reset-blind delta) on the counter fixture
+    // — the wire twin of ts3_cagg_sql_rate, rollup-routed
+    // (answerCounterRate — O(buckets) refold, tripwired below); the
+    // /100.0 unscales the synthetic counter AFTER the wire's own
+    // division so the parse mirrors the oracle's operand order.
+    "s5_http_rate" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val rollup = caggCounterFor(s, dir)
+      val st = new graft.engine.TimeSeriesStore(s, caggCounterPaths(dir)._1)
+      require(rollup.answerCounterRate().isDefined,
+        "s5_http_rate: counter rollup no longer serves the rate shape")
+      val srv = new graft.api.Server(s, st, 0, Seq(rollup)).start()
+      try {
+        val uri = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}" +
+          "/timeseries/query?rate=true")
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(uri).POST(
+            java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"rate route: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(resp.body())
+        val rows = node.elements().asScala.map { o =>
+          (o.get("grp").asText, o.get("rate_per_s").asDouble,
+            o.get("delta").asDouble / 100.0,
+            o.get("span_ms").asLong, o.get("n_points").asLong)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("grp", "rate_per_s", "delta", "span_ms", "n_points")
+          .withColumn("rate_per_s", round(col("rate_per_s") / 100.0, 6))
+          .orderBy(col("grp"))
+      } finally srv.stop()
+    }),
     // g_day (the store's partition column) as a grouping key, plus a
     // HAVING clause — exprId preservation keeps the post-aggregate
     // Filter resolving against the rewritten node
@@ -3455,6 +3490,28 @@ object SparkEntry {
         |  count(*) + 1 AS n_points,
         |  CAST(sum(dt) AS BIGINT) AS span_ms
         |FROM s WHERE dt IS NOT NULL GROUP BY tag ORDER BY grp""".stripMargin,
+    // the wire rate: same pair walk as ts3_cagg_sql_rate plus the
+    // span/count columns the route reports; single-sample tags (span
+    // 0) are omitted on the wire, hence the HAVING
+    "s5_http_rate" ->
+      s"""WITH t AS (SELECT tag, "timestamp" AS t, value FROM $FROM f),
+        |c AS (SELECT tag, t,
+        |        sum(CAST(round(value * 100) AS BIGINT))
+        |          OVER (PARTITION BY tag ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |          % 1000000 AS counter FROM t),
+        |d AS (SELECT tag, t, counter,
+        |        lag(counter) OVER (PARTITION BY tag ORDER BY t) AS prev FROM c)
+        |SELECT tag AS grp,
+        |  round(CAST(sum(CASE WHEN prev IS NULL THEN 0
+        |                      WHEN counter >= prev THEN counter - prev
+        |                      ELSE counter END) AS DOUBLE)
+        |        / (CAST(max(t) - min(t) AS DOUBLE) / 1000.0) / 100.0, 6)
+        |    AS rate_per_s,
+        |  (CAST(arg_max(counter, t) AS DOUBLE)
+        |   - CAST(arg_min(counter, t) AS DOUBLE)) / 100.0 AS delta,
+        |  CAST(max(t) - min(t) AS BIGINT) AS span_ms,
+        |  count(*) AS n_points
+        |FROM d GROUP BY tag HAVING max(t) > min(t) ORDER BY grp""".stripMargin,
     "ts3_cagg_frozen_history_count" ->
       s"""SELECT tag AS grp, CAST(count(*) AS DOUBLE) AS result FROM $FROM t GROUP BY tag ORDER BY grp""",
     "ts3_cagg_frozen_history_sum" ->

@@ -24,6 +24,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /timeseries/query?top=k[&by=tag] top-k frequent values    (S5+)
   *   POST   /timeseries/query?increase=true  reset-aware counter inc. (S5+)
   *   POST   /timeseries/query?twa=true  LOCF time-weighted average    (S5+)
+  *   POST   /timeseries/query?rate=true  counter rate + delta          (S5+)
   *   POST   /timeseries/query?regression=true[&by=tag]  slope/r fits  (S5+)
   *   POST   /timeseries/query?asof=V  time-travel query at version V (S7+)
   *   GET    /timeseries/versions      committed versions, ascending  (S7+)
@@ -435,6 +436,45 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
     Right(QueryJson.encodeRows(df))
   }
 
+  /** PromQL `rate` + TimescaleDB `delta` per tag (`?rate=true`):
+    * `[{grp, rate_per_s, delta, span_ms, n_points}]` — reset-aware
+    * increase divided by the slice's own span in seconds, plus the
+    * reset-blind last−first delta; single-sample tags omitted (no
+    * span), like `?twa` and the `counter_rate` SQL NULL. Counter-
+    * rollup-routed (O(buckets) refold from stored witnesses); the raw
+    * twin re-derives the identical pair set window-lag style —
+    * increase/span/delta are exact integers on integer-valued counters
+    * and the rate is the same single IEEE division, so routing never
+    * changes wire bytes. */
+  private def rateRoute(qm: QueryModel): Either[QueryError, String] = {
+    import org.apache.spark.sql.expressions.Window
+    val routed =
+      if (qm.gt.isDefined) None
+      else rollups.filterNot(_.isFrozen).sortBy(-_.grainMs).iterator
+        .flatMap(_.answerCounterRate(qm.ge, qm.lt, qm.tagEq)).nextOption()
+    val df = routed.getOrElse {
+      val w = Window.partitionBy(col("tag")).orderBy(col("timestamp"))
+      rawSlice(qm)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .withColumn("inc", when(col("prev").isNull, lit(0.0))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")))
+        .groupBy(col("tag").as("grp"))
+        .agg(sum(col("inc")).as("total_increase"),
+          (max(col("timestamp")) - min(col("timestamp"))).as("span_ms"),
+          (max_by(col("value"), col("timestamp"))
+            - min_by(col("value"), col("timestamp"))).as("delta"),
+          count(lit(1)).as("n_points"))
+        .filter(col("span_ms") > 0) // single-sample tags: no time span
+        .select(col("grp"),
+          (col("total_increase")
+            / (col("span_ms").cast("double") / lit(1000.0))).as("rate_per_s"),
+          col("delta"), col("span_ms"), col("n_points"))
+        .orderBy(asc("grp"))
+    }
+    Right(QueryJson.encodeRows(df))
+  }
+
   /** Linear regression of value over time (`?regression=true[&by=tag]`):
     * slope per day / intercept / Pearson r — stats-rollup-routed
     * (O(buckets) moment refolds) with a raw twin that computes the
@@ -564,7 +604,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
 
   private val seriesParams =
     Set("points", "window", "percentile", "distinct", "gapfill", "ohlc",
-      "top", "increase", "twa", "regression")
+      "top", "increase", "twa", "rate", "regression")
 
   // ---- S7+ — time travel over the wire: the store's immutable
   // versioned manifests make every committed state queryable, so the
@@ -667,6 +707,7 @@ final class Server(spark: SparkSession, store: TimeSeriesStore, port: Int,
             topValuesRoute(qm, _, byTag))
         case List("increase") => increaseRoute(qm)
         case List("twa") => twaRoute(qm)
+        case List("rate") => rateRoute(qm)
         case List("regression") => regressionRoute(qm, byTag)
         case _ => Left(QueryError.IllegalQuery(
           "series route needs 'points' or 'window'"))

@@ -914,6 +914,54 @@ final class ContinuousAggregate(spark: SparkSession,
     }
   }
 
+  /** PromQL-style `rate` plus the reset-blind TimescaleDB `delta` over
+    * a bucket-aligned window, refolded from the counter rollup: the
+    * [[answerCounterIncrease]] fold's total divided by the slice's own
+    * time span in SECONDS, and last-value-minus-first-value from the
+    * stored bucket witnesses — O(buckets), no raw scan. The increase,
+    * span, and delta are exact integers on integer-valued counters and
+    * the rate is ONE IEEE division in the same operand order as the
+    * raw window-lag twin and the `counter_rate` SQL finish, so routing
+    * never changes wire bytes. Tags with a single in-window sample
+    * have no span and are omitted (the `answerTimeWeighted` /
+    * `counter_rate`-NULL rule). Rows: (grp, rate_per_s, delta,
+    * span_ms, n_points) in tag order. None unless `counterMode` is on
+    * and the bounds align.
+    */
+  def answerCounterRate(ge: Option[Long] = None, lt: Option[Long] = None,
+                        tagEq: Option[String] = None): Option[DataFrame] = {
+    val aligned = ge.forall(_ % bucketMs == 0) && lt.forall(_ % bucketMs == 0)
+    if (!counterMode || !aligned) None
+    else currentBase().map { base =>
+      val sliced = Seq(
+        ge.map(v => col("bucket_start") >= v && col("g_day") >= v / DayMs),
+        lt.map(v => col("bucket_start") < v && col("g_day") <= (v - 1) / DayMs),
+        tagEq.map(col("tag") === _)
+      ).flatten.foldLeft(base)(_ filter _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tag")).orderBy(col("bucket_start"))
+      sliced
+        .withColumn("prev_last", lag(col("last_val"), 1).over(w))
+        .withColumn("b_inc", when(col("prev_last").isNull, lit(0.0))
+          .when(col("first_val") >= col("prev_last"),
+            col("first_val") - col("prev_last"))
+          .otherwise(col("first_val")))
+        .groupBy(col("tag").as("grp"))
+        .agg(
+          (sum(col("incr")) + sum(col("b_inc"))).as("total_increase"),
+          (max(col("last_ts")) - min(col("first_ts"))).as("span_ms"),
+          (max_by(col("last_val"), col("bucket_start"))
+            - min_by(col("first_val"), col("bucket_start"))).as("delta"),
+          sum(col("cnt")).as("n_points"))
+        .filter(col("span_ms") > 0) // single-sample tags: no time span
+        .select(col("grp"),
+          (col("total_increase")
+            / (col("span_ms").cast("double") / lit(1000.0))).as("rate_per_s"),
+          col("delta"), col("span_ms"), col("n_points"))
+        .orderBy(asc("grp"))
+    }
+  }
+
   /** LOCF time-weighted average over a bucket-aligned window, refolded
     * from the rollup — the TimescaleDB `time_weight('LOCF')` cagg
     * story: each bucket stores the exact scaled-integer area of its

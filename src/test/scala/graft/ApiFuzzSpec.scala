@@ -804,6 +804,29 @@ class ApiFuzzSpec extends SparkSpec {
         renderSeriesBody(qm, rnd))
       assert(gotTwa == (200, mapper.writeValueAsString(twaArr)),
         s"[case $i] twa mismatch for $qm\n got=$gotTwa")
+
+      // ?rate=true — the increase fold over the span in seconds, plus
+      // the reset-blind delta; single-sample tags omitted like twa.
+      // Quarter values sum exactly, so the replay is byte-faithful.
+      val rateArr = mapper.createArrayNode()
+      byTag.filter(_._2.size >= 2).foreach { case (t, g) =>
+        var total = 0.0
+        g.sliding(2).foreach {
+          case Seq(a, b) =>
+            total += (if (b.value >= a.value) b.value - a.value else b.value)
+          case _ => ()
+        }
+        val span = g.last.timestamp - g.head.timestamp
+        val o = rateArr.addObject()
+        o.put("grp", t)
+        putD(o, "rate_per_s", total / (span.toDouble / 1000.0))
+        putD(o, "delta", g.last.value - g.head.value)
+        o.put("span_ms", span); o.put("n_points", g.size.toLong)
+      }
+      val gotRate = call("POST", "/timeseries/query?rate=true",
+        renderSeriesBody(qm, rnd))
+      assert(gotRate == (200, mapper.writeValueAsString(rateArr)),
+        s"[case $i] rate mismatch for $qm\n got=$gotRate")
     }
   }
 

@@ -349,6 +349,27 @@ class ApiSpec extends SparkSpec {
       val bounds = s"""{"ge":$D,"lt":${2 * D}}"""
       assert(on(srv)("/timeseries/query?twa=true", bounds)
         == on(srvRaw)("/timeseries/query?twa=true", bounds))
+      // rate: routed == engine refold == raw twin. 75 of increase over
+      // the 93,600 s span; delta is reset-BLIND last − first = 30 − 10.
+      val expR = QueryJson.encodeRows(counter.answerCounterRate().get)
+      assert(on(srv)("/timeseries/query?rate=true", "") == (200, expR))
+      locally {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(expR)
+        assert(n.size == 1)
+        val o = n.get(0)
+        assert(o.get("grp").asText == "c")
+        assert(math.abs(o.get("rate_per_s").asDouble - 75.0 / 93600.0) < 1e-15)
+        assert(o.get("delta").asDouble == 20.0)
+        assert(o.get("span_ms").asLong == 93600000L)
+        assert(o.get("n_points").asLong == 6L)
+      }
+      assert(on(srvRaw)("/timeseries/query?rate=true", "")
+        == on(srv)("/timeseries/query?rate=true", ""))
+      // bounded slice D..2D: pairs (55→5 reset, 5→30) ⇒ increase 30
+      // over 7,200 s, delta −25 — identical bytes on both paths
+      assert(on(srv)("/timeseries/query?rate=true", bounds)
+        == on(srvRaw)("/timeseries/query?rate=true", bounds))
       // 400: series-body discipline holds on the counter routes too
       assert(on(srv)("/timeseries/query?increase=true",
         """{"aggFunc":"sum"}""")._1 == 400)
