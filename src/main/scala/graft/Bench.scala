@@ -139,6 +139,21 @@ object Bench {
     * splits the populations with margin on both sides. */
   private[graft] val UniformInflationCutoff = 1.4
 
+  /** Steal-contamination cutoff for the run's whole-run CPU-steal
+    * share (percent of all ticks the hypervisor withheld). Clean boots
+    * on this box measure ~0.03%; the round-13 boot the median-ratio
+    * cutoff missed by 0.001 (ratio 1.399 — per-query flags would have
+    * shipped) recorded 2.79% — host-level contention the loadavg gates
+    * cannot see. 1.0 splits the two populations with more than a
+    * decade of margin on each side. */
+  private[graft] val StealContaminationCutoff = 1.0
+
+  /** The run's recorded whole-run CPU-steal share (`"steal_pct":N`);
+    * None where absent or null (no /proc/stat on the box). */
+  private[graft] def parseStealPct(txt: String): Option[Double] =
+    raw""""steal_pct"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+
   /** The run-level regression verdict — medianRatio, the per-query
     * flag map, and an optional loud-abstention note. Factored out of
     * main so BenchBaselineSpec can law it.
@@ -163,7 +178,8 @@ object Bench {
                                        mins: Map[String, Double],
                                        baseline: Map[String, Double],
                                        baselineHi: Map[String, Double],
-                                       loadComparable: Boolean)
+                                       loadComparable: Boolean,
+                                       stealPct: Option[Double] = None)
       : (Option[Double], Seq[(String, Double)], Option[String]) = {
     // the ONE robust cross-run drift number: the median of per-query
     // med/baseline ratios. Individual sub-2s queries flap up to ~3×
@@ -182,13 +198,24 @@ object Bench {
           .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     val inflated = medianRatio.exists(_ >= UniformInflationCutoff)
+    // STEAL GUARD (round-13): a boot can sit 0.001 UNDER the median
+    // cutoff while the hypervisor withheld 2.79% of all cpu ticks —
+    // direct evidence the timings measured a contended host. Steal is
+    // measured, not inferred, so it withholds flags on its own even
+    // when the ratio shape looks borderline-clean.
+    val stolen = stealPct.exists(_ >= StealContaminationCutoff)
     val note =
-      if (!inflated) None
-      else Some(s"uniform-inflation (run medianRatio ${medianRatio.get}): " +
+      if (stolen) Some(f"steal-contaminated (run steal_pct " +
+        f"${stealPct.get}%.2f%%, clean boots ~0.03%%): per-query flags " +
+        "withheld — the hypervisor withheld cpu across the run; rerun " +
+        "when the host is quiet")
+      else if (inflated)
+        Some(s"uniform-inflation (run medianRatio ${medianRatio.get}): " +
         "per-query flags withheld — every query inflated together, which " +
         "measures the machine, not the code; rerun at idle")
+      else None
     val regressions =
-      if (!loadComparable || inflated) Seq.empty[(String, Double)]
+      if (!loadComparable || inflated || stolen) Seq.empty[(String, Double)]
       else medians.flatMap { case (k, med) =>
         // flag rule lives in [[regressionFlag]] (min-of-3 gated,
         // BenchBaselineSpec-lawed): ambient load lifts medians, not
@@ -438,7 +465,8 @@ object Bench {
       case (k, (med, lo, _)) if med >= 0 => k -> lo
     }.toMap
     val (medianRatio, regressions, inflationNote) =
-      regressionVerdict(medians, minsByQ, baseline, baselineHi, loadComparable)
+      regressionVerdict(medians, minsByQ, baseline, baselineHi, loadComparable,
+        stealPct)
     val baselineNote =
       if (!baselineExists) "no baseline file"
       else if (baseline.isEmpty)

@@ -75,6 +75,22 @@ object MergeBaseline {
         "in the baseline — merging it again would double-count one boot's evidence")
       return baselineTxt
     }
+    // Steal guard (round-13): the 2b6f47d boot sat 0.001 UNDER the
+    // median-ratio cutoff while recording 2.79% CPU steal (clean boots
+    // ~0.03%) — direct /proc/stat evidence of host contention the
+    // loadavg and ratio gates cannot see. Such a boot's bands are
+    // stolen-cpu evidence; merging them would desensitize the alarm
+    // exactly like a uniformly-inflated boot.
+    val steal = Bench.parseStealPct(newRunTxt)
+    if (!force && steal.exists(_ >= Bench.StealContaminationCutoff)) {
+      System.err.println(f"[merge] REFUSED: this run recorded " +
+        f"${steal.get}%.2f%% CPU steal (clean boots ~0.03%%; cutoff " +
+        f"${Bench.StealContaminationCutoff}%.1f%%) — the hypervisor " +
+        "withheld cpu across the run, so its bands measure contention, " +
+        "not the code. Rerun when the host is quiet, or pass --force " +
+        "for a deliberate calibration boot on verified-unchanged code.")
+      return baselineTxt
+    }
     val newSpread = Bench.parseBaselineSpreadFull(newRunTxt)
     val (oldMed, oldLoad) = Bench.parseBaseline(baselineTxt)
     val ratios = newMed.flatMap { case (k, m) =>

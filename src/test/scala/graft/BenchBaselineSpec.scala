@@ -261,6 +261,50 @@ final class BenchBaselineSpec extends AnyFunSuite {
       Map("q_a" -> 3, "q_b" -> 3))
   }
 
+  test("steal gate: a steal-contaminated boot is refused at merge and withheld at verdict") {
+    import graft.tools.MergeBaseline
+    // parse helper: numeric, null, absent
+    assert(Bench.parseStealPct("""{"steal_pct":2.79,"n_cpus":32}""") === Some(2.79))
+    assert(Bench.parseStealPct("""{"steal_pct":null,"n_cpus":32}""") === None)
+    assert(Bench.parseStealPct("{}") === None)
+
+    val base =
+      """{"metric":"perquery","queries":{"q_a":0.40,"q_b":1.0},"spread":{"q_a":[0.38,0.55],"q_b":[0.9,1.4]},"boots":{"q_a":2,"q_b":2},"boot_ids":["b1","b2"],"ambients":[0.5,0.8],"load_avg_ambient":0.65}"""
+    // the 2b6f47d shape: ratios look idle (~1.1 — the median cutoff
+    // alone would merge this boot) but /proc/stat recorded the
+    // hypervisor withholding cpu across the run
+    val stolen =
+      """{"metric":"perquery","queries":{"q_a":0.44,"q_b":1.1},"spread":{"q_a":[0.42,0.5],"q_b":[1.0,1.2]},"boot_id":"steal-1","load_avg_ambient":0.6,"steal_pct":2.79}"""
+    assert(MergeBaseline.merge(base, stolen) === base)
+    // --force (deliberate calibration boot) still merges
+    assert(Bench.parseBaselineBoots(MergeBaseline.merge(base, stolen,
+      force = true)) === Map("q_a" -> 3, "q_b" -> 3))
+    // a clean-steal boot (0.03%) merges without force
+    val clean = stolen
+      .replace("\"boot_id\":\"steal-1\"", "\"boot_id\":\"clean-1\"")
+      .replace("\"steal_pct\":2.79", "\"steal_pct\":0.03")
+    assert(Bench.parseBaselineBoots(MergeBaseline.merge(base, clean)) ===
+      Map("q_a" -> 3, "q_b" -> 3))
+
+    // verdict side: a genuine-looking all-passes flag is withheld when
+    // the run recorded steal, and the note names the evidence
+    val baseline = Map("q_a" -> 0.4, "q_b" -> 1.0, "q_c" -> 1.0)
+    val hi = Map("q_a" -> 0.55, "q_b" -> 1.4, "q_c" -> 1.2)
+    val medians = Seq("q_a" -> 2.0, "q_b" -> 1.1, "q_c" -> 1.05)
+    val mins = Map("q_a" -> 2.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    val (ratioS, flagsS, noteS) = Bench.regressionVerdict(
+      medians, mins, baseline, hi, loadComparable = true,
+      stealPct = Some(2.79))
+    assert(flagsS.isEmpty, "steal-contaminated run must withhold flags")
+    assert(noteS.exists(_.contains("steal-contaminated")))
+    assert(ratioS.nonEmpty, "the headline median ratio still reports")
+    // identical run with clean steal: the genuine q_a flag ships
+    val (_, flagsC, noteC) = Bench.regressionVerdict(
+      medians, mins, baseline, hi, loadComparable = true,
+      stealPct = Some(0.03))
+    assert(flagsC.map(_._1) === Seq("q_a") && noteC.isEmpty)
+  }
+
   test("the bench JSON names unbaselined queries instead of skipping silently") {
     // (format-level pin: the driver reads `unbaselined` from the top
     // line; the field is produced in Bench.main whose run is the
