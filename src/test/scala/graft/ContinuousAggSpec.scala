@@ -1124,6 +1124,49 @@ class ContinuousAggSpec extends SparkSpec {
     assert(plain.answerCounterIncrease().isEmpty)
   }
 
+  test("answerCounterRate: increase/span + reset-blind delta from witnesses — exact") {
+    val HOUR = 3600000L
+    val st = new TimeSeriesStore(spark,
+      Files.createTempDirectory("graft-cagg-rate-store").toString)
+    val agg = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-rate").toString, bucketMs = HOUR,
+      counterMode = true)
+    def h(k: Long, offs: Long): Long = k * HOUR + offs
+    // same fixture shape as the increase battery: resets inside
+    // buckets, at boundaries, and across a missing-bucket gap
+    val rows = Seq(
+      TS(1000L, "a", 10.0), TS(2000L, "a", 25.0), TS(3000L, "a", 5.0),
+      TS(h(1, 0), "a", 50.0), TS(h(1, 500), "a", 60.0), TS(h(2, 0), "a", 3.0),
+      TS(h(0, 100), "b", 100.0), TS(h(3, 0), "b", 40.0))
+    assert(st.insert(rows.toDS()).isRight)
+    agg.refresh()
+    def grab(ge: Option[Long] = None, lt: Option[Long] = None) =
+      agg.answerCounterRate(ge, lt).get.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // hand-computed; rate = increase / span-seconds as ONE IEEE
+    // division (the literals below share it bit-for-bit), delta is
+    // reset-BLIND last − first, so it goes negative through resets
+    assert(grab() == Seq(
+      ("a", 78.0 / 7199.0, -7.0, 7199000L, 6L),
+      ("b", 40.0 / 10799.9, -60.0, 10799900L, 2L)))
+    // window slicing: only in-window pairs and witnesses count
+    assert(grab(ge = Some(h(1, 0)), lt = Some(h(3, 0))) ==
+      Seq(("a", 13.0 / 3600.0, -47.0, 3600000L, 3L)))
+    // single-sample tags are omitted (b has one sample in [0, h1))
+    assert(grab(lt = Some(h(1, 0))) == Seq(("a", 20.0 / 2.0, -5.0, 2000L, 3L)))
+    // staleness: the hot tail reflects without a refresh (hybrid base)
+    assert(st.insert(Seq(TS(h(3, 900), "a", 9.0)).toDS()).isRight)
+    assert(!agg.reflectedStoreVersion.contains(st.version))
+    assert(grab().head == ("a", 84.0 / 10799.9, -1.0, 10799900L, 7L))
+    // declines: unaligned bounds; non-counter rollup
+    assert(agg.answerCounterRate(ge = Some(5L)).isEmpty)
+    val plain = new ContinuousAggregate(spark, st,
+      Files.createTempDirectory("graft-cagg-rate-plain").toString)
+    plain.refresh()
+    assert(plain.answerCounterRate().isEmpty)
+  }
+
   test("answerTimeWeighted: in-bucket areas + boundary areas == raw timeWeightedAvg") {
     val HOUR = 3600000L
     val st = new TimeSeriesStore(spark,
