@@ -1001,10 +1001,11 @@ class RollupSqlRewriteSpec extends SparkSpec {
     val v = s"ctrfuzz_v${System.nanoTime()}"
     st.current().createOrReplaceTempView(v)
 
-    final case class Walk(inc: Double, rst: Long, twa: Any, rate: Any)
+    final case class Walk(inc: Double, rst: Long, twa: Any, rate: Any,
+                          dlt: Any)
     def walk(rowsIn: Seq[TS]): Walk = {
       val s = rowsIn.sortBy(r => (r.timestamp, r.value))
-      if (s.isEmpty) return Walk(0.0, 0L, null, null)
+      if (s.isEmpty) return Walk(0.0, 0L, null, null, null)
       val pairs = s.zip(s.tail)
       val inc = pairs.map { case (p, c) =>
         if (c.value >= p.value) c.value - p.value else c.value }.sum
@@ -1013,17 +1014,19 @@ class RollupSqlRewriteSpec extends SparkSpec {
         BigInt(math.round(p.value * 100)) * BigInt(c.timestamp - p.timestamp)
       }.sum
       val span = s.last.timestamp - s.head.timestamp
-      if (span == 0L) Walk(inc, rst, null, null)
+      val dlt = s.last.value - s.head.value // reset-blind, 0.0 on singles
+      if (span == 0L) Walk(inc, rst, null, null, dlt)
       else Walk(inc, rst,
         BigDecimal(area.toDouble / 100.0 / span.toDouble)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        inc / (span.toDouble / 1000.0))
+        inc / (span.toDouble / 1000.0), dlt)
     }
     val funcs = "counter_increase(timestamp, value) AS inc, " +
       "counter_resets(timestamp, value) AS rst, " +
       "time_weight_locf(timestamp, value) AS twa, " +
-      "counter_rate(timestamp, value) AS rate"
-    def walkCols(w: Walk): Seq[Any] = Seq(w.inc, w.rst, w.twa, w.rate)
+      "counter_rate(timestamp, value) AS rate, " +
+      "counter_delta(timestamp, value) AS dlt"
+    def walkCols(w: Walk): Seq[Any] = Seq(w.inc, w.rst, w.twa, w.rate, w.dlt)
 
     val rnd = new scala.util.Random(20260816L)
     val geChoices = Seq(None, Some(0L), Some(DAY), Some(DAY + 7),
