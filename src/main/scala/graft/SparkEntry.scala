@@ -542,6 +542,30 @@ object SparkEntry {
     df
   }
 
+  /** PLAIN SQL `time_bucket_gapfill` + `locf()`/`interpolate()`
+    * ([[graft.functions.GapFillFunctions]]) over the shared cagg
+    * store, with the daily AND hourly rollups registered — the hourly
+    * gapfill must land on the HOURLY rollup (the daily grain cannot
+    * align) and must never scan raw segments: gap-filling is the one
+    * SQL shape with NO raw execution (the markers throw unrouted), so
+    * the tripwire proves the densify-and-fill plan refolds buckets.
+    */
+  private def gapfillSqlAnswer(s: SparkSession, dir: String,
+                               sql: String => String): DataFrame = {
+    val st = caggStoreFor(s, dir)
+    graft.engine.RollupSqlRewrite.register(s, st,
+      Seq(caggFor(s, dir), caggFor(s, dir, 3600000L)))
+    val v = s"graft_ts_gf_${math.abs(dir.hashCode)}"
+    st.current().createOrReplaceTempView(v)
+    val df = s.sql(sql(v))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("graft-cagg-rollup"),
+      "gapfill SQL query did not route to the rollup — the Catalyst rewrite regressed")
+    require(!plan.contains("graft-cagg-store"),
+      "gapfill SQL query still scans raw segments — the rollup routing regressed")
+    df
+  }
+
   private def digestIndexFor(s: SparkSession, dir: String): graft.operators.DigestIndex =
     digestIndexPaths.synchronized {
       val p = digestIndexPaths.getOrElseUpdate(dir, {
@@ -1358,6 +1382,24 @@ object SparkEntry {
       "round(counter_rate(timestamp, value) / 100.0, 6) AS rate_per_s, " +
       "counter_delta(timestamp, value) / 100.0 AS delta " +
       s"FROM $v GROUP BY tag ORDER BY grp")),
+    // GAP-FILL in PLAIN SQL (TimescaleDB's time_bucket_gapfill +
+    // locf()/interpolate() spelling — GapFillFunctions markers +
+    // the gapfillRewrite densify-and-fill plan): same 7-day hourly
+    // grid as ts3_cagg_gapfill_locf, same raw-events DuckDB oracle —
+    // a hash match proves the third surface (engine, HTTP, now SQL)
+    // bit-identical. Tripwire-proved routed to the hourly rollup.
+    "ts3_cagg_sql_gapfill_locf" -> ((s, dir) => gapfillSqlAnswer(s, dir, v =>
+      "SELECT tag AS grp, time_bucket_gapfill(3600000, timestamp) AS bucket_start, " +
+      "locf(CAST(count(*) AS DOUBLE)) AS result " +
+      s"FROM $v WHERE timestamp >= $T1 AND timestamp < ${T1 + 7 * 86400000L} " +
+      "GROUP BY tag, time_bucket_gapfill(3600000, timestamp) " +
+      "ORDER BY grp, bucket_start")),
+    "ts3_cagg_sql_gapfill_interp" -> ((s, dir) => gapfillSqlAnswer(s, dir, v =>
+      "SELECT tag AS grp, time_bucket_gapfill(3600000, timestamp) AS bucket_start, " +
+      "interpolate(CAST(count(*) AS DOUBLE)) AS result " +
+      s"FROM $v WHERE timestamp >= $T1 AND timestamp < ${T1 + 7 * 86400000L} " +
+      "GROUP BY tag, time_bucket_gapfill(3600000, timestamp) " +
+      "ORDER BY grp, bucket_start")),
     "ts3_cagg_sql_twa" -> ((s, dir) => twSqlAnswer(s, dir, v =>
       "SELECT tag AS grp, " +
       "time_weight_locf(timestamp, value) AS twa, " +
@@ -3556,6 +3598,42 @@ object SparkEntry {
          |FROM (SELECT tag, b, v,
          |        max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
          |      FROM dense) m
+         |ORDER BY grp, bucket_start""".stripMargin,
+    // the SQL gapfill spelling densifies the same 7-day hour grid —
+    // identical raw-events LOCF / interpolation re-derivations
+    "ts3_cagg_sql_gapfill_locf" ->
+      s"""WITH obs AS (
+         |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
+         |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.tag, g.b FROM (SELECT DISTINCT tag FROM obs) t
+         |  CROSS JOIN (SELECT unnest(generate_series(${T1 / 3600000L}, ${(T1 + 7 * 86400000L) / 3600000L - 1})) AS b) g),
+         |dense AS (SELECT grid.tag, grid.b, obs.v FROM grid LEFT JOIN obs ON obs.tag = grid.tag AND obs.b = grid.b)
+         |SELECT tag AS grp, b * 3600000 AS bucket_start,
+         |  max(v) OVER (PARTITION BY tag, pb) AS result
+         |FROM (SELECT tag, b, v,
+         |        max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+         |      FROM dense) m
+         |ORDER BY grp, bucket_start""".stripMargin,
+    "ts3_cagg_sql_gapfill_interp" ->
+      s"""WITH obs AS (
+         |  SELECT tag, "timestamp" // 3600000 AS b, CAST(count(*) AS DOUBLE) AS v
+         |  FROM $FROM t WHERE "timestamp" >= $T1 AND "timestamp" < ${T1 + 7 * 86400000L} GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.tag, g.b FROM (SELECT DISTINCT tag FROM obs) t
+         |  CROSS JOIN (SELECT unnest(generate_series(${T1 / 3600000L}, ${(T1 + 7 * 86400000L) / 3600000L - 1})) AS b) g),
+         |dense AS (SELECT grid.tag, grid.b, obs.v FROM grid LEFT JOIN obs ON obs.tag = grid.tag AND obs.b = grid.b),
+         |marked AS (
+         |  SELECT tag, b, v,
+         |    max(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |    min(CASE WHEN v IS NOT NULL THEN b END) OVER (PARTITION BY tag ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM dense)
+         |SELECT m.tag AS grp, m.b * 3600000 AS bucket_start,
+         |  COALESCE(m.v, CASE WHEN m.pb IS NOT NULL AND m.nb IS NOT NULL THEN
+         |    (p.v * (m.nb - m.b) + n.v * (m.b - m.pb)) / (m.nb - m.pb) END) AS result
+         |FROM marked m
+         |LEFT JOIN obs p ON p.tag = m.tag AND p.b = m.pb
+         |LEFT JOIN obs n ON n.tag = m.tag AND n.b = m.nb
          |ORDER BY grp, bucket_start""".stripMargin,
     "ts3_cagg_gapfill_interp" ->
       s"""WITH obs AS (

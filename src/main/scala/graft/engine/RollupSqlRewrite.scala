@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, OneRowRelation, Project, Union, Window => LWindow}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -70,7 +70,14 @@ import scala.collection.concurrent.TrieMap
   *    Spark's running double moments), but NOT result-identically,
   *    and these functions' contract (unlike percentile_approx's) is a
   *    deterministic float — regression stays an explicit-surface
-  *    opt-in, same as `answerGapFill`;
+  *    opt-in;
+  *  - GAP-FILLING has its own SQL spelling (`time_bucket_gapfill` +
+  *    `locf`/`interpolate`/`gapfill_null` markers,
+  *    [[graft.functions.GapFillFunctions]]) handled by
+  *    [[gapfillRewrite]] — a whole-plan replacement rather than an
+  *    expression swap, because gap rows do not exist in the user's
+  *    aggregate; unlike every other entry it has NO raw execution and
+  *    fails loudly when ineligible;
   *  - grouping: global, by `tag`, by `g_day` (the store's day
   *    partition column — exact iff the grain divides a day), by a
   *    tumbling-window key `(timestamp DIV w) * w` with `w` a multiple
@@ -104,11 +111,28 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
+      case agg: Aggregate if hasGapfillMarkers(agg) =>
+        gapfillRewrite(agg)
       case agg: Aggregate =>
         (if (registered.isEmpty) None else tryRewrite(agg))
           .orElse(lagFallback(agg))
           .getOrElse(agg)
     }
+
+  /** Marker scan for [[gapfillRewrite]]: the bucket marker may have
+    * been extracted into the child Project by the optimizer's
+    * PullOutGroupingExpressions, so look one Project down too. */
+  private def hasGapfillMarkers(agg: Aggregate): Boolean = {
+    import graft.functions.GapFillFunctions.{GapfillBucket, GapfillFill}
+    def has(e: Expression): Boolean = e.exists {
+      case _: GapfillBucket | _: GapfillFill => true
+      case _ => false
+    }
+    agg.expressions.exists(has) || (agg.child match {
+      case p: Project => p.projectList.exists(has)
+      case _ => false
+    })
+  }
 
   /** One parquet leaf of a store scan: segment dir + the g_day set its
     * snapshot filter pins, + every other predicate conjunct. */
@@ -500,6 +524,360 @@ final class RollupSqlRewrite private () extends Rule[LogicalPlan]
     else Some(Aggregate(agg.groupingExpressions, newAggExprs,
       org.apache.spark.sql.catalyst.plans.logical.Window(
         Seq(lagV0, lagT0), partition, order, agg.child)))
+  }
+
+  /** Replace a `time_bucket_gapfill`-marked Aggregate with a
+    * densify-and-fill plan ([[graft.functions.GapFillFunctions]]).
+    * Gap-filling is the ONE vocabulary entry that cannot be an
+    * expression swap — it emits rows (one per empty bucket of a dense
+    * spine) the user's grouped aggregate never produces — so this
+    * rewrite replaces the whole Aggregate:
+    *
+    *  1. strip the markers into a PLAIN bucketed aggregate over the
+    *     store's current snapshot (`(ts DIV g)·g` keys — rebuilt from
+    *     `store.current()` so the raw path has the timestamp column in
+    *     scope even when the optimizer pruned it above the marker
+    *     Project), and route THAT through [[tryRewrite]] /
+    *     [[lagFallback]] — the observed-buckets stage composes with
+    *     the session's entire routed vocabulary (rollup refolds,
+    *     sketches, counter folds) for free;
+    *  2. densify to the `[ge, lt)` spine: per-tag via a row_number
+    *     fan-out (the first observed bucket of each tag explodes the
+    *     full spine index sequence, every other row just its own) +
+    *     a (tag, bucket) re-aggregate with `first(ignoreNulls)` —
+    *     join-free, union-free, no plan-subtree reuse, every operator
+    *     spillable; global via a one-row spine union. Observed tags
+    *     define the series set (a tag absent from the window
+    *     contributes no series), matching `answerGapFill`'s default;
+    *  3. one logical Window pass (partition tag, order bucket) serves
+    *     every fill: `locf` = `last(v, ignoreNulls)` over the
+    *     preceding frame; `interpolate` = the engine's exact linear
+    *     form `(pv·(nb−b) + nv·(b−pb)) / (nb−pb)` from
+    *     last/first-non-null marks over the two frames — window-only,
+    *     no joins back to the observed buckets (the same values, one
+    *     fewer shuffle than answerGapFill's formulation);
+    *  4. project to the original output names and exprIds, so sorts /
+    *     havings above resolve unchanged (HAVING filters FILLED rows).
+    *
+    * A NULL observed bucket value (e.g. `sum(CASE …)` that matched
+    * nothing) is a gap to the fills — TimescaleDB's `locf` semantics.
+    *
+    * Ineligible shapes THROW with the specific reason instead of
+    * returning the un-densified aggregate — a marker that executes
+    * raises [[graft.functions.GapFillFunctions.UnroutedMsg]], so no
+    * shape silently changes meaning (the class contract holds: the
+    * rewrite never changes semantics, because unrewritten gapfill HAS
+    * no execution semantics). Required: registered-store source,
+    * exactly one bare gapfill key (plus optionally `tag`, nothing
+    * else), explicit grain-aligned `timestamp >= lo AND timestamp <
+    * hi` bounds, ≤ [[RollupSqlRewrite.MaxSpineBuckets]] buckets (the
+    * per-series spine sequence is one executor-resident array),
+    * `interpolate` over DOUBLE only.
+    */
+  private def gapfillRewrite(agg: Aggregate): LogicalPlan = {
+    import graft.functions.GapFillFunctions.{GapfillBucket, GapfillFill, Locf, Interp, NullFill, FillKind}
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"time_bucket_gapfill: $msg")
+
+    if (registered.isEmpty)
+      fail("no TimeSeriesStore is registered for SQL routing in this " +
+        "session — call RollupSqlRewrite.register(spark, store, rollups) first")
+    val src = destructure(agg.child).getOrElse(fail(
+      "the source must be a registered store's current() scan (a temp " +
+        "view of store.current()); arbitrary sources are outside the " +
+        "gapfill vocabulary"))
+    if (src.gen.isDefined)
+      fail("cannot combine with a lateral-view generator (hop_starts): " +
+        "the gapfill spine defines its own bucket set")
+    if (src.leaves.isEmpty)
+      fail("the source scan has no segments — an empty store snapshot " +
+        "has no series to fill")
+
+    val defs = src.defs
+    val resolve: Expression => Expression = e => e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+    }
+    val rGroup = agg.groupingExpressions.map(resolve)
+    val rAggEx: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if defs.contains(a.exprId) =>
+        Alias(defs(a.exprId), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        al.withNewChildren(Seq(resolve(al.child))).asInstanceOf[Alias]
+      case other => other
+    }
+
+    // --- the bucket key and the grouping vocabulary
+    val gbs = rGroup.flatMap(_.collect { case g: GapfillBucket => g }).distinct
+    if (gbs.size != 1)
+      fail(s"exactly one time_bucket_gapfill grouping key is required, found ${gbs.size}")
+    val gb = gbs.head
+    val grain = gb.width match {
+      case Literal(w: Long, _) if w > 0 => w
+      case Literal(w: Int, _) if w > 0 => w.toLong
+      case _ => fail("widthMs must be a positive integer literal")
+    }
+    if (!isAttr(gb.ts, "timestamp"))
+      fail("the bucket argument must be the store's timestamp column")
+    var hasTagKey = false
+    rGroup.foreach {
+      case _: GapfillBucket => ()
+      case a: AttributeReference if a.name == "tag" => hasTagKey = true
+      case _: Literal => ()
+      case e => fail(s"unsupported grouping key ${e.sql}: only tag and " +
+        "the bare time_bucket_gapfill key may appear")
+    }
+
+    // --- bounds + snapshot guard (tryRewrite's laws)
+    val per = src.leaves.map(l => classify(l.conds.map(resolve)))
+    if (per.exists(_.isEmpty))
+      fail("unsupported WHERE predicate: only timestamp/time_bucket " +
+        "bounds and tag predicates are in the vocabulary")
+    val sigs = per.flatten.map { case (_, g, l, t) => (g, l, t.map(norm).sorted) }
+    if (sigs.distinct.size != 1)
+      fail("scan branches disagree on predicates — not a uniform snapshot scan")
+    val (geOpt, ltOpt, tagConds) =
+      { val h = per.flatten.head; (h._2, h._3, h._4) }
+    val ge = geOpt.getOrElse(fail("an explicit lower bound " +
+      "(timestamp >= lo) is required: the dense spine needs finite bounds"))
+    val lt = ltOpt.getOrElse(fail("an explicit upper bound " +
+      "(timestamp < hi) is required: the dense spine needs finite bounds"))
+    if (lt <= ge) fail(s"empty bound range [$ge, $lt)")
+    if (ge % grain != 0 || lt % grain != 0)
+      fail(s"bounds [$ge, $lt) must be aligned to the bucket width $grain")
+    val nBuckets = (lt - ge) / grain
+    if (nBuckets > RollupSqlRewrite.MaxSpineBuckets)
+      fail(s"the spine would have $nBuckets buckets (cap " +
+        s"${RollupSqlRewrite.MaxSpineBuckets}): use a coarser width or " +
+        "tighter bounds — each series' spine sequence is one " +
+        "executor-resident array")
+    val (store, _) = registered.values.find { case (st, _) =>
+      src.leaves.forall(_.segPath.startsWith(st.rootDir + "/"))
+    }.getOrElse(fail("the scanned parquet is not a registered store's segments"))
+    val planSig = src.leaves.zip(per.flatten).map { case (leaf, c) =>
+      leaf.segPath -> c._1
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
+    if (planSig != store.snapshotSignature)
+      fail("the scan is not the store's CURRENT snapshot (a DataFrame " +
+        "captured before a later mutation keeps its raw plan; gapfill " +
+        "requires current())")
+
+    // --- decompose the SELECT list: one observed per-bucket column per
+    // distinct fill child / bare aggregate (dedup by semanticEquals —
+    // `locf(avg(v))` and a bare `avg(v)` share one observed column)
+    val obsExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    def obsIdx(e: Expression): Int = {
+      val i = obsExprs.indexWhere(_.semanticEquals(e))
+      if (i >= 0) i else { obsExprs += e; obsExprs.size - 1 }
+    }
+    val fillsNeeded = scala.collection.mutable.LinkedHashSet.empty[(Int, FillKind)]
+    def collectUses(e: Expression): Unit = e match {
+      case g if g.semanticEquals(gb) => ()
+      case a: AttributeReference if a.name == "tag" => ()
+      case f @ GapfillFill(child, kind) =>
+        if (child.exists(_.isInstanceOf[GapfillFill]))
+          fail("nested fill wrappers (locf(interpolate(…)) etc.) are not supported")
+        if (!child.exists(_.isInstanceOf[AggregateExpression]))
+          fail(s"${f.prettyName}() must wrap an aggregate expression")
+        if (kind == Interp && child.dataType != DoubleType)
+          fail("interpolate() requires a DOUBLE-typed aggregate (got " +
+            s"${child.dataType.sql}); cast inside the call: " +
+            "interpolate(CAST(… AS DOUBLE))")
+        fillsNeeded += ((obsIdx(child), kind))
+      case ae: AggregateExpression =>
+        // an optimizer rule cannot RAISE an output's nullability after
+        // analysis, and gap buckets are NULL — so a bare non-nullable
+        // aggregate (count) cannot carry them; the nullable marker can
+        if (!ae.nullable)
+          fail(s"bare ${ae.sql} is non-nullable but gap buckets are " +
+            "NULL: wrap it — gapfill_null(…) for NULL gaps, " +
+            "coalesce(gapfill_null(…), 0) for zero-fill, or " +
+            "locf(…)/interpolate(…)")
+        obsIdx(ae); ()
+      case other => other.children.foreach(collectUses)
+    }
+    rAggEx.foreach {
+      case al: Alias => collectUses(al.child)
+      case other => collectUses(other)
+    }
+
+    // --- stage 1: the observed-buckets aggregate, rebuilt over
+    // store.current() (name-remapped: destructure proved every attr
+    // below the original Aggregate is a store column passthrough)
+    val rawBase = store.current().queryExecution.analyzed
+    val nameMap: Map[String, Attribute] = rawBase.output.map(a => a.name -> a).toMap
+    def remap(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => nameMap.getOrElse(a.name, a)
+    }
+    val tsNew = nameMap.getOrElse("timestamp", fail("store scan lost its timestamp column"))
+    val dayNew = nameMap.getOrElse("g_day", fail("store scan lost its g_day column"))
+    val grainLit = Literal(grain)
+    val obsRemapped = obsExprs.toSeq.map(remap)
+    val conds: Seq[Expression] = Seq(
+      GreaterThanOrEqual(tsNew, Literal(ge)), LessThan(tsNew, Literal(lt)),
+      GreaterThanOrEqual(dayNew, Literal(ge / DayMs)),
+      LessThanOrEqual(dayNew, Literal((lt - 1) / DayMs))) ++ tagConds.map(remap)
+    val neededRefs = AttributeSet(obsRemapped.flatMap(_.references) ++
+      Seq(tsNew) ++ (if (hasTagKey) nameMap.get("tag") else None))
+    val obsSrc = Project(rawBase.output.filter(neededRefs.contains),
+      Filter(conds.reduce(And), rawBase))
+    val windowKey = Multiply(IntegralDivide(tsNew, grainLit), grainLit)
+    val tagNew: Option[Attribute] =
+      if (hasTagKey) Some(nameMap.getOrElse("tag", fail("store scan lost its tag column")))
+      else None
+    val obsKeys: Seq[Expression] = tagNew.toSeq :+ windowKey
+    val obsAliases: Seq[NamedExpression] =
+      tagNew.map(a => Alias(a, "__gf_tag")()).toSeq ++
+        Seq(Alias(windowKey, "__gf_b")()) ++
+        obsRemapped.zipWithIndex.map { case (e, i) => Alias(e, s"__gf_v$i")() }
+    val obsAgg = Aggregate(obsKeys, obsAliases, obsSrc)
+    val obsPlan = tryRewrite(obsAgg).orElse(lagFallback(obsAgg)).getOrElse(obsAgg)
+
+    // --- stage 2: densify to the spine
+    def aggE(f: aggregate.AggregateFunction): AggregateExpression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val loIdx = ge / grain
+    val hiIdx = lt / grain - 1
+    val step = Some(Literal(1L))
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val obsOut = obsPlan.output
+    val oB = obsOut(if (hasTagKey) 1 else 0)
+    val oVs = obsOut.drop(if (hasTagKey) 2 else 1)
+    val dense: LogicalPlan = if (hasTagKey) {
+      val oTag = obsOut.head
+      val order = Seq(SortOrder(oB, Ascending))
+      val rnFn = RowNumber()
+      val rnAlias = Alias(WindowExpression(rnFn,
+        WindowSpecDefinition(Seq(oTag), order, rnFn.frame)), "__gf_rn")()
+      val win = LWindow(Seq(rnAlias), Seq(oTag), order, obsPlan)
+      val bIdx = IntegralDivide(oB, grainLit)
+      val seqExpr = If(EqualTo(rnAlias.toAttribute, Literal(1)),
+        Sequence(Literal(loIdx), Literal(hiIdx), step, tz),
+        Sequence(bIdx, bIdx, step, tz))
+      val genOut = AttributeReference("__gf_i", LongType, nullable = false)()
+      val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(genOut),
+        child = win)
+      val bucket = Multiply(genOut, grainLit)
+      val fanProj = Project(
+        Seq(Alias(oTag, "__gf_tag")(), Alias(bucket, "__gf_b")()) ++
+          oVs.zipWithIndex.map { case (v, i) =>
+            Alias(If(EqualTo(bucket, oB), v, Literal(null, v.dataType)),
+              s"__gf_v$i")()
+          }, gen)
+      val fOut = fanProj.output
+      Aggregate(Seq(fOut(0), fOut(1)),
+        Seq(Alias(fOut(0), "__gf_tag")(), Alias(fOut(1), "__gf_b")()) ++
+          fOut.drop(2).zipWithIndex.map { case (v, i) =>
+            Alias(aggE(aggregate.First(v, ignoreNulls = true)), s"__gf_v$i")()
+          }, fanProj)
+    } else {
+      val genOut = AttributeReference("__gf_i", LongType, nullable = false)()
+      val spine = Project(
+        Seq(Alias(Multiply(genOut, grainLit), "__gf_b")()) ++
+          oVs.zipWithIndex.map { case (v, i) =>
+            Alias(Literal(null, v.dataType), s"__gf_v$i")()
+          },
+        Generate(Explode(Sequence(Literal(loIdx), Literal(hiIdx), step, tz)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(genOut), child = OneRowRelation()))
+      val uni = Union(Seq(obsPlan, spine))
+      val uOut = uni.output
+      Aggregate(Seq(uOut.head),
+        Seq(Alias(uOut.head, "__gf_b")()) ++
+          uOut.tail.zipWithIndex.map { case (v, i) =>
+            Alias(aggE(aggregate.First(v, ignoreNulls = true)), s"__gf_v$i")()
+          }, uni)
+    }
+
+    // --- stage 3: one window pass serves every fill
+    val dOut = dense.output
+    val dTag = if (hasTagKey) Some(dOut.head) else None
+    val dB = dOut(if (hasTagKey) 1 else 0)
+    val dVs = dOut.drop(if (hasTagKey) 2 else 1)
+    val part: Seq[Expression] = dTag.toSeq
+    val ord = Seq(SortOrder(dB, Ascending))
+    val prevSpec = WindowSpecDefinition(part, ord,
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val nextSpec = WindowSpecDefinition(part, ord,
+      SpecifiedWindowFrame(RowFrame, CurrentRow, UnboundedFollowing))
+    val winAliases = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+    val locfAttr = scala.collection.mutable.Map.empty[Int, Attribute]
+    val interpAttrs = scala.collection.mutable.Map
+      .empty[Int, (Attribute, Attribute, Attribute, Attribute)]
+    fillsNeeded.foreach {
+      case (_, NullFill) => () // the dense column itself, no window pass
+      case (i, Locf) =>
+        val a = Alias(WindowExpression(
+          aggE(aggregate.Last(dVs(i), ignoreNulls = true)), prevSpec),
+          s"__gf_locf$i")()
+        winAliases += a
+        locfAttr(i) = a.toAttribute
+      case (i, Interp) =>
+        val obsMark = CaseWhen(Seq((IsNotNull(dVs(i)), dB)), None)
+        val pv = Alias(WindowExpression(
+          aggE(aggregate.Last(dVs(i), ignoreNulls = true)), prevSpec), s"__gf_pv$i")()
+        val nv = Alias(WindowExpression(
+          aggE(aggregate.First(dVs(i), ignoreNulls = true)), nextSpec), s"__gf_nv$i")()
+        val pb = Alias(WindowExpression(
+          aggE(aggregate.Max(obsMark)), prevSpec), s"__gf_pb$i")()
+        val nb = Alias(WindowExpression(
+          aggE(aggregate.Min(obsMark)), nextSpec), s"__gf_nb$i")()
+        winAliases ++= Seq(pv, nv, pb, nb)
+        interpAttrs(i) = (pv.toAttribute, nv.toAttribute, pb.toAttribute, nb.toAttribute)
+    }
+    val filled: LogicalPlan =
+      if (winAliases.isEmpty) dense else LWindow(winAliases.toSeq, part, ord, dense)
+
+    // --- stage 4: rebuild the original outputs (names + exprIds)
+    def obsLookup(e: Expression): Int = {
+      val i = obsExprs.indexWhere(_.semanticEquals(e))
+      require(i >= 0, s"gapfill: internal — unrecorded observed expression ${e.sql}")
+      i
+    }
+    def fillResult(i: Int, kind: FillKind): Expression = kind match {
+      case NullFill => dVs(i)
+      case Locf => locfAttr(i)
+      case Interp =>
+        val (pv, nv, pb, nb) = interpAttrs(i)
+        // the engine's exact linear form (ContinuousAggregate
+        // answerGapFill Fill.Interp): (pv·(nb−b) + nv·(b−pb)) / (nb−pb)
+        Coalesce(Seq(dVs(i), CaseWhen(Seq((And(IsNotNull(pb), IsNotNull(nb)),
+          Divide(
+            Add(Multiply(pv, Cast(Subtract(nb, dB), DoubleType)),
+              Multiply(nv, Cast(Subtract(dB, pb), DoubleType))),
+            Cast(Subtract(nb, pb), DoubleType)))), None)))
+    }
+    def mapOut(e: Expression): Expression = e match {
+      case g if g.semanticEquals(gb) => dB
+      case a: AttributeReference if a.name == "tag" =>
+        dTag.getOrElse(fail("tag referenced in the SELECT list but not in GROUP BY"))
+      case GapfillFill(child, kind) => fillResult(obsLookup(child), kind)
+      case ae: AggregateExpression => dVs(obsLookup(ae))
+      case other => other.withNewChildren(other.children.map(mapOut))
+    }
+    // nullability contract: downstream consumers (sorts, the collect
+    // decoder) were bound against the ANALYZED schema — a rule must
+    // never RAISE an output's nullability (a non-nullable decoder
+    // reads a null slot as garbage 0). Key passthroughs are never
+    // null by construction (the spine generates every bucket; tags
+    // come from observed rows), so a nullability raise there is
+    // pinned back down with KnownNotNull; a raise that involves dense
+    // VALUE columns would be a genuine NULL-in-non-nullable and has
+    // already been rejected by the bare-aggregate check above.
+    def contracted(orig: NamedExpression, mapped: Expression): Expression =
+      if (orig.toAttribute.nullable || !mapped.nullable) mapped
+      else if (AttributeSet(dVs).intersect(mapped.references).isEmpty)
+        KnownNotNull(mapped)
+      else fail(s"internal: output ${orig.name} would raise nullability " +
+        "over dense values — unreachable past the bare-aggregate check")
+    val outputs: Seq[NamedExpression] = rAggEx.map {
+      case al: Alias =>
+        Alias(contracted(al, mapOut(al.child)), al.name)(exprId = al.exprId)
+      case a: AttributeReference =>
+        Alias(contracted(a, mapOut(a)), a.name)(exprId = a.exprId)
+      case other => fail(s"unsupported output expression ${other.sql}")
+    }
+    Project(outputs, filled)
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
@@ -977,6 +1355,12 @@ object RollupSqlRewrite {
     * of these names is a shadowing hazard and declines the rewrite. */
   private[engine] val StoreCols = Set("tag", "timestamp", "value", "g_day")
 
+  /** Hard cap on a gapfill spine's bucket count: each series' spine is
+    * one `sequence()` array resident on an executor (4M longs ≈ 32 MB)
+    * — beyond this the query should use a coarser bucket, and the
+    * rewrite fails loudly instead of OOMing an executor. */
+  private[engine] val MaxSpineBuckets = 4L * 1000 * 1000
+
   private val installed = TrieMap.empty[SparkSession, RollupSqlRewrite]
 
   /** Register `rollups` as automatic rewrite targets for SQL/DataFrame
@@ -994,6 +1378,7 @@ object RollupSqlRewrite {
     // compositions over them)
     graft.functions.TimeFunctions.register(spark)
     graft.functions.CounterFunctions.register(spark)
+    graft.functions.GapFillFunctions.register(spark)
     val rule = installed.synchronized {
       installed.getOrElseUpdate(spark, {
         val r = new RollupSqlRewrite()

@@ -430,7 +430,8 @@ object StoreSoak {
       // inflating the 20d routed read's ratio enough to flap the
       // flatness law) and returns the pair so §9d can reuse the stores
       def measure(days: Int)
-          : ((Double, Double, Double, Double, Int, Int, Double, Double, Double, Double),
+          : ((Double, Double, Double, Double, Int, Int, Double, Double, Double,
+              Double, Double, Double),
              (TimeSeriesStore, ContinuousAggregate)) = {
         val pair = mkStore(days)
         val (st, roll) = pair
@@ -510,6 +511,43 @@ object StoreSoak {
         val (vCtrRaw, tCtrRaw) = median3d(run(spark.sql(sqlCtr)))
         require(vCtrRouted == vCtrRaw,
           s"counter SQL routed answer diverged from the raw fold at $days days")
+        // §9e — the round-13 SQL gapfill rides the same harness: the
+        // densify-and-fill plan's OBSERVED stage is the whole cost
+        // story — routed it refolds O(days × tags) rollup rows, raw it
+        // scan-aggregates every event in the window; the spine fan-out
+        // and fill window price identically on both sides (grid-sized).
+        // Integer values => routed and raw sums compare with ==.
+        val sqlGf = s"SELECT tag, time_bucket_gapfill($DAYMS, timestamp) AS b, " +
+          s"locf(sum(value)) AS result FROM $v " +
+          s"WHERE timestamp >= 0 AND timestamp < ${days.toLong * DAYMS} " +
+          "GROUP BY 1, 2"
+        RollupSqlRewrite.register(spark, st, Seq(roll))
+        val (tGfRouted, vGfRouted) =
+          try {
+            val plan = spark.sql(sqlGf).queryExecution.executedPlan.toString
+            require(!plan.contains(s"soak-read-$days"),
+              s"gapfill SQL did not route off the raw store at $days days")
+            val (vG, tG) = median3d(run(spark.sql(sqlGf)))
+            (tG, vG)
+          } finally RollupSqlRewrite.unregister(spark, st)
+        RollupSqlRewrite.register(spark, st, Seq.empty) // raw fallback path
+        val (tGfRaw, vGfRaw) =
+          try {
+            val plan = spark.sql(sqlGf).queryExecution.executedPlan.toString
+            require(plan.contains(s"soak-read-$days"),
+              s"rollup-less gapfill SQL must scan the raw store at $days days")
+            val (vG, tG) = median3d(run(spark.sql(sqlGf)))
+            (tG, vG)
+          } finally RollupSqlRewrite.unregister(spark, st)
+        require(vGfRouted == vGfRaw,
+          s"gapfill SQL routed answer diverged from the raw fallback at $days days")
+        // absolute separation at 10x history, same shape as the
+        // counter law: the raw observed-stage scan must cost >= 1.5x
+        // the rollup refold (the shared grid/fill stages dilute the
+        // pure scan ratio, so the floor is lower than sqlCtr's 2x)
+        if (days >= 200) require(tGfRaw >= 1.5 * tGfRouted,
+          f"raw gapfill observed stage must cost >=1.5x the routed refold " +
+            f"at $days days (raw $tGfRaw%.3fs vs routed $tGfRouted%.3fs)")
         // absolute separation law AT THIS SIZE (ratio-of-ratio laws on
         // sub-second medians are jitter-fragile; the absolute gap is
         // the design claim): at 10x history the raw fold must cost
@@ -520,12 +558,13 @@ object StoreSoak {
         println(f"[soak] read($days%3dd): routed=$tRouted%.3fs rawGroup=$tRaw%.3fs " +
           f"sqlBucket=$tSqlRouted%.3fs sqlHop=$tHopRouted%.3fs " +
           f"sqlCtr=$tCtrRouted%.3fs rawCtr=$tCtrRaw%.3fs " +
+          f"sqlGf=$tGfRouted%.3fs rawGf=$tGfRaw%.3fs " +
           f"tagPruned=$tPruned%.3fs tagFull=$tFull%.3fs epiPartitions=$hit/$total")
         ((tRouted, tRaw, tPruned, tFull, hit, total, tSqlRouted, tHopRouted,
-          tCtrRouted, tCtrRaw), pair)
+          tCtrRouted, tCtrRaw, tGfRouted, tGfRaw), pair)
       }
-      val ((r20, raw20, p20, f20, hit20, _, sql20, hop20, ctr20, ctrRaw20), pair20) = measure(20)
-      val ((r200, raw200, p200, f200, hit200, total200, sql200, hop200, ctr200, ctrRaw200), pair200) = measure(200)
+      val ((r20, raw20, p20, f20, hit20, _, sql20, hop20, ctr20, ctrRaw20, gf20, gfRaw20), pair20) = measure(20)
+      val ((r200, raw200, p200, f200, hit200, total200, sql200, hop200, ctr200, ctrRaw200, gf200, gfRaw200), pair200) = measure(200)
       val routedRatio = r200 / r20
       val rawRatio = raw200 / raw20
       val prunedRatio = p200 / p20
@@ -534,9 +573,12 @@ object StoreSoak {
       val hopRatio = hop200 / hop20
       val ctrRatio = ctr200 / ctr20
       val ctrRawRatio = ctrRaw200 / ctrRaw20
+      val gfRatio = gf200 / gf20
+      val gfRawRatio = gfRaw200 / gfRaw20
       println(f"[soak] read flatness 10x history: routed=${routedRatio}%.2fx " +
         f"raw=${rawRatio}%.2fx sqlBucket=${sqlRatio}%.2fx sqlHop=${hopRatio}%.2fx " +
         f"sqlCtr=${ctrRatio}%.2fx rawCtr=${ctrRawRatio}%.2fx " +
+        f"sqlGf=${gfRatio}%.2fx rawGf=${gfRawRatio}%.2fx " +
         f"tagPruned=${prunedRatio}%.2fx tagFull=${fullRatio}%.2fx " +
         f"epiPartitions $hit20 -> $hit200 (of $total200)")
       require(rawRatio >= 2 * routedRatio,

@@ -199,6 +199,10 @@ class PlanAuditSpec extends SparkSpec {
         "ts3_cagg_sql_group_tag_sum", "ts3_cagg_sql_scalar_stats",
         "ts3_cagg_sql_window_1d", "ts3_cagg_sql_by_day_having",
         "ts3_cagg_gapfill_locf", "ts3_cagg_gapfill_interp",
+        // the SQL gapfill spelling: its markers have NO raw execution
+        // (unrouted throws), so the densify-and-fill plan must refold
+        // rollup buckets and never touch event segments
+        "ts3_cagg_sql_gapfill_locf", "ts3_cagg_sql_gapfill_interp",
         "ts3_cagg_ohlc_1d").foreach { n =>
       val p = planOf(n)
       assert(p.contains("graft-cagg-rollup"),
