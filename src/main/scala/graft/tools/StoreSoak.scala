@@ -379,6 +379,13 @@ object StoreSoak {
     // raw must degrade at least 2× more than routed across the 10×,
     // pruned partition counts must not grow, and every pair of answers
     // must match.
+    // CALIBRATION: run this section at SPARK_GRAFT_CPUS=16 — the
+    // recorded SCALE.md harness. The ratio margins are parallelism-
+    // sensitive: at local[32] the 200d raw scan parallelizes further
+    // (raw growth 3.8× → ~3.0×) while the routed shapes pay more
+    // per-task scheduling (sqlBucket 1.7× → ~2.1×), and the §9b
+    // raw ≥ 2× routed margin was measured FAILING twice at 32 cores
+    // on code that passes cleanly at 16 (round 13).
     if (sec(9)) {
       import graft.engine.{ContinuousAggregate, QueryEngine, TimeSeriesStore}
       import graft.model.{Agg, GroupBy, QueryModel, TS}
@@ -511,11 +518,17 @@ object StoreSoak {
         val (vCtrRaw, tCtrRaw) = median3d(run(spark.sql(sqlCtr)))
         require(vCtrRouted == vCtrRaw,
           s"counter SQL routed answer diverged from the raw fold at $days days")
-        // §9e — the round-13 SQL gapfill rides the same harness: the
-        // densify-and-fill plan's OBSERVED stage is the whole cost
-        // story — routed it refolds O(days × tags) rollup rows, raw it
-        // scan-aggregates every event in the window; the spine fan-out
-        // and fill window price identically on both sides (grid-sized).
+        // §9e — the round-13 SQL gapfill rides the same harness. What
+        // is (and is NOT) claimable here: the densify-and-fill stages
+        // are OUTPUT-sized (grid fan-out + fill windows — identical on
+        // both sides), and at this toy scale they dominate, so routed
+        // and raw gapfill time out near-equal (first run: 1.275s vs
+        // 1.243s at 200d) — the routed-vs-raw separation of the
+        // OBSERVED stage is §9b's sqlBucket-vs-raw flatness law, since
+        // gapfill's observed stage IS that same rewritten aggregate.
+        // The laws §9e adds: value equality routed == raw, both plan
+        // tripwires, and "routing never makes gapfill slower" — a
+        // regression guard on the whole-plan replacement's overhead.
         // Integer values => routed and raw sums compare with ==.
         val sqlGf = s"SELECT tag, time_bucket_gapfill($DAYMS, timestamp) AS b, " +
           s"locf(sum(value)) AS result FROM $v " +
@@ -541,13 +554,11 @@ object StoreSoak {
           } finally RollupSqlRewrite.unregister(spark, st)
         require(vGfRouted == vGfRaw,
           s"gapfill SQL routed answer diverged from the raw fallback at $days days")
-        // absolute separation at 10x history, same shape as the
-        // counter law: the raw observed-stage scan must cost >= 1.5x
-        // the rollup refold (the shared grid/fill stages dilute the
-        // pure scan ratio, so the floor is lower than sqlCtr's 2x)
-        if (days >= 200) require(tGfRaw >= 1.5 * tGfRouted,
-          f"raw gapfill observed stage must cost >=1.5x the routed refold " +
-            f"at $days days (raw $tGfRaw%.3fs vs routed $tGfRouted%.3fs)")
+        require(tGfRouted <= 1.3 * tGfRaw + 0.2,
+          f"routed gapfill must not cost more than the raw fallback " +
+            f"(+30%% and 0.2s jitter floor) at $days days " +
+            f"(routed $tGfRouted%.3fs vs raw $tGfRaw%.3fs) — the plan " +
+            "replacement grew overhead")
         // absolute separation law AT THIS SIZE (ratio-of-ratio laws on
         // sub-second medians are jitter-fragile; the absolute gap is
         // the design claim): at 10x history the raw fold must cost
