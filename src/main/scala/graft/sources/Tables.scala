@@ -24,6 +24,24 @@ object Tables {
   private def cachingEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.cacheTables").forall(_.toBoolean)
 
+  /** Repartition a table before caching it. The fixtures are ONE
+    * single-row-group parquet file each, so the natural scan
+    * parallelism is 1 — every compute-heavy scan stage (n-gram
+    * explodes, minhash folds) then runs single-threaded no matter how
+    * many cores the session has (measured: the 0.54 s scrub stage of
+    * x_pipeline_curation_v2 ran as ONE task on local[32]). Caching is
+    * the local-bench RAM-resident emulation; spreading the cached
+    * blocks across `defaultParallelism` partitions is part of that
+    * emulation (the reference serves queries from memory with full
+    * parallelism). SCALE-ADAPTIVE, not a constant: local[N] derives N
+    * from SPARK_GRAFT_CPUS, a cluster from its executor cores. The
+    * uncached path (100 TB deployments set graft.cacheTables=false) is
+    * untouched — there the parquet layout itself provides the splits
+    * and an unconditional repartition would be a corpus-wide shuffle.
+    */
+  private def spreadForCache(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = (spark, dir, name)
     cache.getOrElseUpdate(key, {
@@ -43,7 +61,7 @@ object Tables {
       if (name == "events" && df.schema.fieldNames.contains("ts") &&
           df.schema("ts").dataType == LongType)
         assertLongTsIsNanos(df, s"$dir/$name.parquet")
-      if (cachingEnabled(spark)) df.cache() else df
+      if (cachingEnabled(spark)) spreadForCache(spark, df).cache() else df
     })
   }
 
