@@ -149,10 +149,13 @@ object Bench {
   private[graft] val StealContaminationCutoff = 1.0
 
   /** The run's recorded whole-run CPU-steal share (`"steal_pct":N`);
-    * None where absent or null (no /proc/stat on the box). */
+    * None where absent, null (no /proc/stat on the box), or malformed —
+    * the permissive charclass can capture tails like "2.5e" that
+    * .toDouble rejects, and a crash here would take down the whole
+    * bench verdict over a diagnostics field (ADVICE r13 #2). */
   private[graft] def parseStealPct(txt: String): Option[Double] =
     raw""""steal_pct"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toDouble)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 
   /** The run-level regression verdict — medianRatio, the per-query
     * flag map, and an optional loud-abstention note. Factored out of
