@@ -258,23 +258,49 @@ object Dedup {
     * between them — measured 1.19 s → 0.92 s at sf0.1 (the explode
     * itself dominates there), but at 100 TB the removed checkpoint is
     * a corpus-sized disk materialization, which is the real win. The
-    * shuffle carries DIGESTS (fixed 32 hex chars), never reassembled
-    * n-gram text — same reasoning as [[exactByDigest]]. md5 (not
-    * xxhash64) keeps the key replayable by an external engine, which is
-    * what makes this one oracle-checkable where [[minhashPairs]] isn't.
+    * shuffle carries fixed-width gram keys ([[gramKeys]] — a 128-bit
+    * composite over pre-hashed tokens), never reassembled n-gram text —
+    * same reasoning as [[exactByDigest]]. The key is INTERNAL: the
+    * oracle recomputes the same (doc_id, n_grams, n_dup, dup_frac)
+    * OUTPUT from its own gram identity, so the engines never compare
+    * digests, only results.
     * Returns (doc_id, n_grams, n_dup, dup_frac) ordered by doc_id.
     */
+  /** 128-bit positional gram key: two independently-seeded xxhash64
+    * compositions over the PRE-HASHED token array — the occurrence
+    * explode and its window exchange carry a 16-byte struct instead of
+    * a materialized gram string md5'd to 32 hex chars (≈ 4× narrower
+    * shuffle rows, and the per-gram concat_ws string assembly — the
+    * dominant scan-stage cost of the n-gram family — disappears;
+    * guide §2.3 narrower keys / §1.2 per-task work). 128 bits keep
+    * cross-gram collisions (which could flip an `is_shared` bit)
+    * below ~1e-13 even at 10^13 corpus grams, where a single 64-bit
+    * key would collide millions of times at that scale. Token-level
+    * 64-bit hashes feeding the composition collide only if two
+    * DISTINCT TOKENS collide (≈ vocab²/2^64 — vocabularies are ≤ 10^9,
+    * fine), same argument as [[shingleHashes]]. The SHARED-gram
+    * semantics (min(id) ≠ max(id) over the key) and every output
+    * column are unchanged — spec- and oracle-pinned.
+    */
+  private def gramKeys(toksCol: Column, n: Int): Column = {
+    val hs = transform(toksCol, t => xxhash64(t))
+    // BIND the hash array via a lambda-bound variable (the [[shingles]]
+    // O(len²) trap): `hs` appears once; each gram reads n elements
+    transform(
+      sequence(lit(0), greatest(size(toksCol) - n, lit(0))),
+      i => struct(
+        xxhash64((lit(1L) +: (0 until n).map(j => get(hs, i + j))): _*).as("h1"),
+        xxhash64((lit(2L) +: (0 until n).map(j => get(hs, i + j))): _*).as("h2")))
+  }
+
   def dupNgramFraction(docs: DataFrame, n: Int = 5,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // BIND toks before the windowing lambda (the [[shingles]] O(len²) trap)
     val tokenized = docs.select(col(idCol).as("id"),
       split(col(textCol), " ").as("toks"))
-    val gram = transform(
-      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
-      i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
     val wh = Window.partitionBy(col("h"))
-    tokenized.select(col("id"), explode(gram).as("h"))
+    tokenized.select(col("id"), explode(gramKeys(col("toks"), n)).as("h"))
       .withColumn("is_shared", min(col("id")).over(wh) =!= max(col("id")).over(wh))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -291,9 +317,10 @@ object Dedup {
     * token ranges, so a curation pass can TRIM the boilerplate instead
     * of dropping the document (the actual remedy in Lee et al. 2022).
     *
-    * Plan shape: positional gram explode (md5 digests again — the
-    * shuffle never carries gram text and the oracle can replay the
-    * key), the min(id)≠max(id) cross-doc bit as a WINDOW over the
+    * Plan shape: positional gram explode ([[gramKeys]] 128-bit
+    * composites again — the shuffle never carries gram text; the
+    * oracle replays the OUTPUT, not the key), the min(id)≠max(id)
+    * cross-doc bit as a WINDOW over the
     * digest (one linear pipeline, no checkpoint/join branch — see
     * [[dupNgramFraction]]), then gaps-and-islands (pos − row_number
     * over (doc, pos)) to contract consecutive duplicated positions
@@ -308,12 +335,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val tokenized = docs.select(col(idCol).as("id"),
       split(col(textCol), " ").as("toks"))
-    val gram = transform(
-      sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
-      i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))).cast("binary")))
     val wh = Window.partitionBy(col("h"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    tokenized.select(col("id"), posexplode(gram).as(Seq("pos", "h")))
+    tokenized.select(col("id"), posexplode(gramKeys(col("toks"), n)).as(Seq("pos", "h")))
       .withColumn("is_shared", min(col("id")).over(wh) =!= max(col("id")).over(wh))
       .filter(col("is_shared"))
       .withColumn("grp", col("pos") - row_number().over(w))

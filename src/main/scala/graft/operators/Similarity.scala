@@ -285,17 +285,40 @@ object Similarity {
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
   /** `keep` nearest centroids for each row of `df` (broadcast the
-    * centroid table, window for the cut).
+    * centroid table, cut per row).
+    *
+    * keep == 1 (the corpus-scale assignment path: every kmeans/IVF
+    * build step runs it over the FULL corpus) is a map-side
+    * `max_by` aggregate, NOT a window: the window shape shuffles and
+    * sorts all |df|·|cents| scored rows just to keep one per id, while
+    * the hash aggregate partially reduces inside the scan stage and
+    * ships one row per id (guide §2.3 "aggregate before you shuffle" —
+    * k× fewer exchanged rows). The (cs desc, cent_id asc) tie-break is
+    * preserved exactly: max over struct(cs, -cent_id) picks the same
+    * centroid row_number picked. keep > 1 (probe-side, tiny query
+    * batches by contract) keeps the window cut.
     */
   private[operators] def nearestCentroids(df: DataFrame, cents: DataFrame,
                                           idName: String, vName: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(idName))
-      .orderBy(col("cs").desc, col("cent_id"))
-    df.crossJoin(broadcast(cents))
+    val scored = df.crossJoin(broadcast(cents))
       .withColumn("cs", round(cosine(col(vName), col("cv")), 6))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= keep)
-      .drop("cs", "crn", "cv")
+    if (keep == 1) {
+      val others = df.columns.filter(c => c != idName && c != vName)
+      require(others.isEmpty,
+        s"nearestCentroids keep=1: unexpected extra columns ${others.mkString(",")}")
+      scored.groupBy(col(idName))
+        .agg(max(col(vName)).as(vName), // (id → v) is functional: max = the value
+          max_by(col("cent_id"),
+            struct(col("cs").as("s"), (lit(0L) - col("cent_id")).as("nc")))
+            .as("cent_id"))
+        .select(col(idName), col(vName), col("cent_id")) // window branch's order
+    } else {
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("cs").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cs", "crn", "cv")
+    }
   }
 
   /** Build the IVF index ONCE: hash-sampled seed centroids, `refineIters`
@@ -321,12 +344,12 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       .graftCheckpoint() // computed once; reused by assignment + probing
     val cents = (0 until refineIters).foldLeft(seed) { (cs, _) =>
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cent_id"))
-      c.crossJoin(broadcast(cs))
-        .withColumn("cs", round(cosine(col("v"), col("cv")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+      // per-vec nearest centroid via the keep=1 map-side max_by (NOT a
+      // window): the Lloyd step runs over the FULL corpus, and the
+      // aggregate partially reduces in the scan stage, shipping one row
+      // per vector instead of sort-shuffling all |corpus|·k scored rows
+      // (guide §2.3). Tie-break (cs desc, cent_id asc) identical.
+      nearestCentroids(c, cs, "vec_id", "v", 1)
         .groupBy(col("cent_id"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("v"), i + 1))): _*).as("cv"))
