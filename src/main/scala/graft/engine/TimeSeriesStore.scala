@@ -240,6 +240,17 @@ final class TimeSeriesStore(spark: SparkSession, pathStr: String) {
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     df.select(col("timestamp"), col("tag"), col("value"))
       .withColumn("g_day", expr("timestamp div 86400000"))
+      // cluster the batch by (g_day, tag, timestamp) BEFORE the
+      // partitioned write: partitionBy fans every INPUT partition out
+      // into every day directory it touches, so an N-partition batch
+      // writes up to N small files per day — every later pruned read
+      // then pays N file opens/listings per day instead of one
+      // (guide §6 small-files). The range exchange makes each output
+      // task hold a contiguous (day, tag, ts) slice: day directories
+      // get one (occasionally two) well-sized files, a day too large
+      // for one task still splits by tag/ts instead of hot-spotting a
+      // single hash bucket, and the sort below stays a cheap local pass.
+      .repartitionByRange(col("g_day"), col("tag"), col("timestamp"))
       // tag-major clustering within each day partition (the reference's
       // tag index is tag → ts → row, Model.hs:92): row groups carry
       // tight parquet min/max stats on BOTH tag (contiguous tag runs)

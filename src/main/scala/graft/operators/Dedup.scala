@@ -282,25 +282,28 @@ object Dedup {
     * semantics (min(id) ≠ max(id) over the key) and every output
     * column are unchanged — spec- and oracle-pinned.
     */
-  private def gramKeys(toksCol: Column, n: Int): Column = {
-    val hs = transform(toksCol, t => xxhash64(t))
-    // BIND the hash array via a lambda-bound variable (the [[shingles]]
-    // O(len²) trap): `hs` appears once; each gram reads n elements
+  /** `hsCol` MUST be a BOUND column holding the per-token xxhash64
+    * array (the [[shingles]] O(len²) trap: passing the unbound
+    * `transform(toks, xxhash64)` expression here would re-hash the
+    * whole token array once per gram position — measured 1.2–1.8×
+    * SLOWER end-to-end than the md5 version it replaces).
+    */
+  private def gramKeys(hsCol: Column, n: Int): Column =
     transform(
-      sequence(lit(0), greatest(size(toksCol) - n, lit(0))),
+      sequence(lit(0), greatest(size(hsCol) - n, lit(0))),
       i => struct(
-        xxhash64((lit(1L) +: (0 until n).map(j => get(hs, i + j))): _*).as("h1"),
-        xxhash64((lit(2L) +: (0 until n).map(j => get(hs, i + j))): _*).as("h2")))
-  }
+        xxhash64((lit(1L) +: (0 until n).map(j => get(hsCol, i + j))): _*).as("h1"),
+        xxhash64((lit(2L) +: (0 until n).map(j => get(hsCol, i + j))): _*).as("h2")))
 
   def dupNgramFraction(docs: DataFrame, n: Int = 5,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // BIND toks before the windowing lambda (the [[shingles]] O(len²) trap)
-    val tokenized = docs.select(col(idCol).as("id"),
-      split(col(textCol), " ").as("toks"))
+    // BIND the token-hash array before the gram lambda (the
+    // [[shingles]] O(len²) trap)
+    val hashed = docs.select(col(idCol).as("id"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hs"))
     val wh = Window.partitionBy(col("h"))
-    tokenized.select(col("id"), explode(gramKeys(col("toks"), n)).as("h"))
+    hashed.select(col("id"), explode(gramKeys(col("hs"), n)).as("h"))
       .withColumn("is_shared", min(col("id")).over(wh) =!= max(col("id")).over(wh))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -333,11 +336,11 @@ object Dedup {
   def dupNgramSpans(docs: DataFrame, n: Int = 5, minRun: Int = 2,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokenized = docs.select(col(idCol).as("id"),
-      split(col(textCol), " ").as("toks"))
+    val hashed = docs.select(col(idCol).as("id"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hs"))
     val wh = Window.partitionBy(col("h"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    tokenized.select(col("id"), posexplode(gramKeys(col("toks"), n)).as(Seq("pos", "h")))
+    hashed.select(col("id"), posexplode(gramKeys(col("hs"), n)).as(Seq("pos", "h")))
       .withColumn("is_shared", min(col("id")).over(wh) =!= max(col("id")).over(wh))
       .filter(col("is_shared"))
       .withColumn("grp", col("pos") - row_number().over(w))
