@@ -503,7 +503,15 @@ final class ContinuousAggregate(spark: SparkSession,
                 .isin(changedUnits.toSeq: _*)))
           case None => rollup(store.currentForDays(toCompute))
         }
-        slice.write.partitionBy("g_day")
+        // day-cluster before the partitioned write (the writeSegment
+        // rule): partitionBy alone writes one file per day per INPUT
+        // partition, so a wide rollup slice would scatter small files
+        // into every day dir it touches; the range exchange keeps each
+        // day dir at one or two well-sized files. Locally AQE has
+        // usually coalesced the slice to one partition already — the
+        // exchange is then a no-op-sized hop, not a second write pass.
+        slice.repartitionByRange(col("g_day"), col("tag"), col("bucket_start"))
+          .write.partitionBy("g_day")
           .parquet(root.resolve(seg).toString)
         // list what was actually written (a changed unit can aggregate
         // to nothing only if it vanished; those simply get no entry)
@@ -703,7 +711,11 @@ final class ContinuousAggregate(spark: SparkSession,
     readState().foreach { st =>
       if (st.entries.map(_._1).distinct.sizeIs > 1) {
         val seg = newSegName()
-        read().write.partitionBy("g_day").parquet(root.resolve(seg).toString)
+        // same day-clustering as refresh: the compacted segment's point
+        // is ONE clean dir — scattering a file per source segment into
+        // every day dir would re-create the fan-in it exists to bound
+        read().repartitionByRange(col("g_day"), col("tag"), col("bucket_start"))
+          .write.partitionBy("g_day").parquet(root.resolve(seg).toString)
         commit(st.storeVersion, writtenDays(seg).map(d => (seg, d)))
       }
     }
