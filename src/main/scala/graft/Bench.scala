@@ -291,6 +291,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Route small-reduce-count shuffles through the sort-based writer
+      // (one output file per map task) instead of the bypass-merge
+      // writer (R files per map task). Round-15 finding: with the r14
+      // cache spread every narrow stage became 32 map tasks, and at
+      // R=32 the bypass writer opened 32×32=1024 shuffle files per
+      // exchange — thread dumps showed executor threads dominated by
+      // FileOutputStream.open0 (~3 ms/open on this ext4), inflating
+      // tiny per-query stages ~150 ms/task (measured: x_funnel 1.35 →
+      // 0.65 s, g9_group_ts_tag 0.40 → 0.25 s with threshold=1; six
+      // heavy queries all improved, none regressed). At cluster scale
+      // the setting is inert: reduce counts there exceed any threshold,
+      // so large shuffles already use this exact writer — the override
+      // only aligns small-R local shuffles with the scale path.
+      // Env-parameterized so a deployment with cheap file metadata can
+      // restore the default 200.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var warmupError: Option[String] = None

@@ -302,10 +302,10 @@ object Similarity {
                                           idName: String, vName: String, keep: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("cs", round(cosine(col(vName), col("cv")), 6))
-    if (keep == 1) {
-      val others = df.columns.filter(c => c != idName && c != vName)
-      require(others.isEmpty,
-        s"nearestCentroids keep=1: unexpected extra columns ${others.mkString(",")}")
+    // the map-side aggregate can only reconstruct (id, v) payloads; a
+    // caller with extra columns falls back to the window cut (ADVICE
+    // r14: a require() here turned a working shape into a crash)
+    if (keep == 1 && df.columns.forall(c => c == idName || c == vName)) {
       scored.groupBy(col(idName))
         .agg(max(col(vName)).as(vName), // (id → v) is functional: max = the value
           max_by(col("cent_id"),
@@ -428,11 +428,16 @@ object Similarity {
     VectorFunctions.register(corpus.sparkSession)
     require(maxClusterSize >= 2,
       s"cosineNearDupSemantic: maxClusterSize=$maxClusterSize must be >= 2")
-    val assigned = buildIvfIndex(corpus, nlist = k, refineIters = iters,
+    // `assigned` already carries each vector (vec_id, v, cent_id) — use
+    // it directly. Round-15: the previous form projected it to
+    // (id, cluster) and shuffle-joined the corpus back on id just to
+    // re-attach the SAME v it had dropped — a full corpus exchange for
+    // nothing (guide §2.4). `v` here equals the corpus projection by
+    // construction: buildIvfIndex assigns every id and never rewrites v.
+    val c = buildIvfIndex(corpus, nlist = k, refineIters = iters,
         dim = dim, vecCol = vecCol, idCol = idCol)
-      .assigned.select(col("vec_id").as("id"), col("cent_id").as("cluster"))
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(assigned, Seq("id"))
+      .assigned.select(col("vec_id").as("id"), col("v"),
+        col("cent_id").as("cluster"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     val sub = c.withColumn("__sub",
         pmod(xxhash64(col("id")),

@@ -25,7 +25,8 @@ import scala.collection.mutable
 object Profile {
 
   private final case class StageRow(id: Int, name: String, tasks: Int,
-    wallMs: Long, taskMs: Long, shufReadB: Long, shufWriteB: Long, inputB: Long)
+    wallMs: Long, taskMs: Long, gcMs: Long, shufReadB: Long, shufWriteB: Long,
+    inputB: Long)
 
   private final class Listener extends SparkListener {
     val jobStart = mutable.Map.empty[Int, Long]
@@ -49,7 +50,7 @@ object Profile {
           yield a - b).getOrElse(-1L)
         stages += StageRow(si.stageId,
           si.name.takeWhile(_ != '\n').take(90), si.numTasks, wall,
-          m.executorRunTime,
+          m.executorRunTime, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten,
           m.inputMetrics.bytesRead)
@@ -61,13 +62,19 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // dev-only A/B knobs (experiments land in Bench/operators once proven)
+    val extraConfs = sys.env.getOrElse("GRAFT_PROFILE_CONFS", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new Listener
     spark.sparkContext.addSparkListener(listener)
@@ -110,10 +117,11 @@ object Profile {
       listener.jobs.foreach { case (id, w, _) =>
         println(f"    job $id%4d  ${w / 1e3}%7.3f s")
       }
-      println("    stage  wall_s  tasks  task_s  shuf_r  shuf_w   input  name")
+      println("    stage  wall_s  tasks  task_s    gc_s  shuf_r  shuf_w   input  name")
       listener.stages.sortBy(_.id).foreach { s =>
         println(f"    ${s.id}%5d  ${s.wallMs / 1e3}%6.3f  ${s.tasks}%5d  " +
-          f"${s.taskMs / 1e3}%6.2f  ${fmtB(s.shufReadB)}%6s  ${fmtB(s.shufWriteB)}%6s  " +
+          f"${s.taskMs / 1e3}%6.2f  ${s.gcMs / 1e3}%6.2f  " +
+          f"${fmtB(s.shufReadB)}%6s  ${fmtB(s.shufWriteB)}%6s  " +
           f"${fmtB(s.inputB)}%6s  ${s.name}")
       }
     }
