@@ -2443,23 +2443,33 @@ object SparkEntry {
       rows.toDF("k", "covered_tokens", "total_tokens", "coverage")
         .orderBy(col("k"))
     }),
-    // ---- per-group percentiles: the grouped form of d3
+    // ---- per-group percentiles: the grouped form of d3. One row per
+    // tag: the single-partition sort replaces orderBy's range exchange,
+    // whose bounds sampling re-executed the percentile merge stage (the
+    // TsAnalytics.orderedSmall rule — identical total order, unique key)
     "x_group_percentiles" -> ((s, dir) =>
       Tables.ts(s, dir)
         .groupBy(col("tag").as("grp"))
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
-        .orderBy(col("grp"))),
+        .repartition(1).sortWithinPartitions(col("grp"))),
     // ---- per-group percentiles, sketch path: approx_percentile is
     // the quantile that scales (bounded-memory KLL-style sketch vs
     // exact percentile's full sort); rows-only — sketch interpolation
-    // is engine-specific — with a tolerance gate vs exact in the spec
+    // is engine-specific — with a tolerance gate vs exact in the spec.
+    // ONE sketch per group queried at both quantiles (the array form):
+    // two scalar calls built two identical sketches per group, and the
+    // single-task merge of their 32 map-side partials dominated the
+    // query (profiled 0.18 + 0.29 s — the second a re-execution under
+    // the old orderBy's range sampling). Same values by construction:
+    // the sketch is deterministic for a given partition layout.
     "x_group_percentiles_approx" -> ((s, dir) =>
       Tables.ts(s, dir)
         .groupBy(col("tag").as("grp"))
-        .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50"),
-          round(expr("approx_percentile(value, 0.95, 1000)"), 4).as("p95"))
-        .orderBy(col("grp"))),
+        .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("ps"))
+        .select(col("grp"), round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"))
+        .repartition(1).sortWithinPartitions(col("grp"))),
     // ---- fixed-width value histogram (bin = floor(value/5))
     "x_value_histogram" -> ((s, dir) =>
       Tables.ts(s, dir)

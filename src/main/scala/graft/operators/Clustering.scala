@@ -29,24 +29,35 @@ object Clustering {
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                    dim: Int = 64, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame =
+    // materialize = false: single-consumer callers — each build stage
+    // still executes once inside the one consuming plan, without the
+    // per-pass checkpoint round-trips (Similarity.buildIvfIndex doc)
     Similarity.buildIvfIndex(embeddings, nlist = k, refineIters = iters,
-        dim = dim, vecCol = vecCol, idCol = idCol)
+        dim = dim, vecCol = vecCol, idCol = idCol, materialize = false)
       .assigned.select(col("vec_id").as(idCol), col("cent_id").as("cluster"))
 
   /** Per-cluster corpus profile: size and mean vector L2 norm —
     * (cluster, n_vecs, avg_norm) ordered by size desc. One extra
-    * aggregate over the assignment.
+    * aggregate over the assignment — directly over the vector the
+    * assignment already carries (`v` = the float embedding widened to
+    * double, so the norm is bit-identical to the old embeddings join,
+    * which re-shuffled the corpus on id just to re-attach it).
     */
   def clusterProfile(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                      dim: Int = 64, vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
-    val norm = sqrt(aggregate(col(vecCol),
+    val norm = sqrt(aggregate(col("v"),
       lit(0.0), (acc, x) => acc + x * x))
-    kmeansAssign(embeddings, k, iters, dim, vecCol, idCol)
-      .join(embeddings.select(col(idCol), norm.as("nrm")), idCol)
+    Similarity.buildIvfIndex(embeddings, nlist = k, refineIters = iters,
+        dim = dim, vecCol = vecCol, idCol = idCol, materialize = false)
+      .assigned.select(col("cent_id").as("cluster"), norm.as("nrm"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("nrm")), 4).as("avg_norm"))
-      .orderBy(col("n_vecs").desc, col("cluster"))
+      // k rows — the single-partition total order (TsAnalytics.
+      // orderedSmall rule: orderBy's range sampling re-executed the
+      // whole kmeans chain, now un-checkpointed, a second time)
+      .repartition(1)
+      .sortWithinPartitions(col("n_vecs").desc, col("cluster"))
   }
 
   /** Up to `perCluster` rows from EACH k-means cluster, chosen in
@@ -60,7 +71,8 @@ object Clustering {
     Sampling.quotaPerGroup(
       kmeansAssign(embeddings, k, iters, dim, vecCol, idCol),
       "cluster", idCol, perCluster)
-      .orderBy(col("cluster"), col(idCol))
+      // ≤ k·perCluster rows — same bounded-output total-order rule
+      .repartition(1).sortWithinPartitions(col("cluster"), col(idCol))
 }
 
 /** Greedy maximal-marginal-relevance selection (Carbonell/Goldstein,

@@ -24,14 +24,28 @@ object GapFill {
     * that a downstream `Window.partitionBy(tag)` immediately
     * re-shuffles anyway — skipping it removes one Exchange + global
     * sort from every moving-avg/delta/anomaly/EWMA/ACF plan.
+    *
+    * ONE input scan (guide §2.4): the global bounds and the tag set
+    * both fold out of the materialized per-(tag, bucket) aggregate — a
+    * group exists exactly where input rows exist, so min/max bucket and
+    * distinct tags over the groups equal the same aggregates over the
+    * raw input. The previous form computed bounds and tags as separate
+    * aggregates over `ts`, scanning the input THREE times per grid (and
+    * six in corrPairs, whose self-join evaluates the grid twice); the
+    * materialized aggregate is grid-sized (≤ |tags|·|buckets| rows of
+    * three columns — the operator's own output is strictly larger), so
+    * the checkpoint trades a corpus-scale double-scan for a rollup-
+    * sized write at every scale.
     */
   def bucketCounts(ts: DataFrame, bucketMs: Long,
                    sorted: Boolean = true): DataFrame = {
+    import graft.Materialize.MaterializeOps
     val bucket = expr(s"timestamp div $bucketMs")
     val counts = ts.groupBy(col("tag"), bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val bounds = ts.agg(min(bucket).as("lo"), max(bucket).as("hi"))
-    val grid = ts.select(col("tag")).distinct()
+      .graftCheckpoint() // feeds bounds, the tag set AND the grid join
+    val bounds = counts.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = counts.select(col("tag")).distinct()
       .crossJoin(bounds) // 1-row bounds => broadcast nested loop
       .select(col("tag"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
     val dense = grid.join(counts, Seq("tag", "bucket"), "left")
@@ -107,6 +121,9 @@ object GapFill {
       round(nanvl(corr(col("cnt"), col(s"lag_$k")), lit(null).cast("double")), 4)
         .as(s"acf_$k"))
     base.groupBy(col("tag")).agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("tag"))
+      // one row per tag ([[TsAnalytics.orderedSmall]] — same total
+      // order as orderBy without the range exchange's sampling pass,
+      // which re-executes the corr-fold stage)
+      .transform(TsAnalytics.orderedSmall(_, col("tag")))
   }
 }

@@ -332,30 +332,40 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 32, refineIters: Int = 1,
                     dim: Int = 64,
-                    vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    materialize: Boolean = true): IvfIndex = {
     VectorFunctions.register(corpus.sparkSession)
+    // materialize = false: SKIP the eager per-stage checkpoints — for a
+    // SINGLE-CONSUMER caller (kmeansAssign, cosineNearDupSemantic) each
+    // intermediate (seed, every Lloyd step, the assignment) appears
+    // exactly once in the final plan, so each still executes once (the
+    // centroid tables ride the broadcast exchanges), and the 4+
+    // checkpoint round-trips were pure per-pass scheduling overhead
+    // (profiled: 3×0.13 s localCheckpoint jobs in x_dedup_semantic).
+    // Keep true where centroids AND assignment both get consumed
+    // (ivfTopK's probe side, AnnIndexStore's persisted write) — lazy
+    // centroids would re-run the Lloyd chain once per consumer there.
+    def mat(df: DataFrame): DataFrame = if (materialize) df.graftCheckpoint() else df
     // loud dim check (matches the LSH guard): the refinement's per-dim
     // averages would otherwise throw an opaque element_at error
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .filter(coalesce(assert_true(size(col("v")) === dim,
         concat(lit(s"IVF dim mismatch: expected $dim, got "),
           coalesce(size(col("v")).cast("string"), lit("null")))), lit(true)))
-    val seed = c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      .graftCheckpoint() // computed once; reused by assignment + probing
+    val seed = mat(c.orderBy(xxhash64(col("vec_id"))).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val cents = (0 until refineIters).foldLeft(seed) { (cs, _) =>
       // per-vec nearest centroid via the keep=1 map-side max_by (NOT a
       // window): the Lloyd step runs over the FULL corpus, and the
       // aggregate partially reduces in the scan stage, shipping one row
       // per vector instead of sort-shuffling all |corpus|·k scored rows
       // (guide §2.3). Tie-break (cs desc, cent_id asc) identical.
-      nearestCentroids(c, cs, "vec_id", "v", 1)
+      mat(nearestCentroids(c, cs, "vec_id", "v", 1)
         .groupBy(col("cent_id"))
         .agg(array((0 until dim).map(i =>
-          avg(element_at(col("v"), i + 1))): _*).as("cv"))
-        .graftCheckpoint()
+          avg(element_at(col("v"), i + 1))): _*).as("cv")))
     }
-    IvfIndex(cents, nearestCentroids(c, cents, "vec_id", "v", 1).graftCheckpoint())
+    IvfIndex(cents, mat(nearestCentroids(c, cents, "vec_id", "v", 1)))
   }
 
   /** Probe a [[buildIvfIndex]] index: score only the `nprobe` inverted
@@ -434,8 +444,11 @@ object Similarity {
     // re-attach the SAME v it had dropped — a full corpus exchange for
     // nothing (guide §2.4). `v` here equals the corpus projection by
     // construction: buildIvfIndex assigns every id and never rewrites v.
+    // materialize = false: the assignment is consumed exactly once (by
+    // the `sub` checkpoint below) — the build's eager per-stage
+    // checkpoints were per-pass overhead with no reuse to pay for
     val c = buildIvfIndex(corpus, nlist = k, refineIters = iters,
-        dim = dim, vecCol = vecCol, idCol = idCol)
+        dim = dim, vecCol = vecCol, idCol = idCol, materialize = false)
       .assigned.select(col("vec_id").as("id"), col("v"),
         col("cent_id").as("cluster"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))

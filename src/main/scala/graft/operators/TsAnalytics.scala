@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
 import graft.functions.NumericFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,23 @@ import org.apache.spark.sql.functions._
   * cartesian products (the corr self-join is an equi-join on bucket).
   */
 object TsAnalytics {
+
+  /** Total order for a KEY-BOUNDED result (one row per tag / tag pair /
+    * state pair — cardinalities fixed by the metric vocabulary, not the
+    * corpus): an explicit single-partition exchange + local sort on the
+    * (unique) sort keys, which is the same total order a global
+    * `orderBy` yields, WITHOUT the range exchange. The range exchange's
+    * partition-bounds sampling re-executes everything above the child's
+    * last shuffle — for these operators that is the per-tag window +
+    * final aggregate, i.e. the whole expensive stage runs twice
+    * (measured: x_time_weighted_avg 0.25 s + 0.22 s twin single-task
+    * stages reading the same 1.4 MB exchange; x_counter_rate the same
+    * shape). The [[Similarity.rankTopK]] rule, applied to the bounded
+    * TS rollups. NOT for corpus-proportional outputs (dense grids,
+    * per-user aggregates) — those keep the scale-correct global sort.
+    */
+  private[operators] def orderedSmall(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(keys: _*)
 
   /** Time-weighted average per tag over an irregularly-sampled series
     * (the TimescaleDB `time_weight('LOCF')` shape): each observation
@@ -50,7 +68,7 @@ object TsAnalytics {
           .as("twa"),
         (count(lit(1)) + 1).as("n_points"),
         sum(col("dt")).as("span_ms"))
-      .orderBy(col("tag"))
+      .transform(orderedSmall(_, col("tag"))) // one row per tag
   }
 
   /** OHLC bars (open/high/low/close) per tag per time bucket — the
@@ -102,7 +120,7 @@ object TsAnalytics {
       .select(col("tag_a"), col("tag_b"),
         when(sdProd > 0, round(col("cov") / sdProd, 4)).as("r"),
         col("n_buckets"))
-      .orderBy(col("tag_a"), col("tag_b"))
+      .transform(orderedSmall(_, col("tag_a"), col("tag_b"))) // one row per pair
   }
 
   /** PromQL-style counter increase with reset detection. The input is
@@ -141,7 +159,7 @@ object TsAnalytics {
         (sum(col("inc")).cast("double") / 100.0).as("total_increase"),
         sum(when(col("counter") < col("prev"), 1L).otherwise(0L)).as("n_resets"),
         (count(lit(1)) + 1).as("n_points"))
-      .orderBy(col("tag"))
+      .transform(orderedSmall(_, col("tag"))) // one row per tag
   }
 
   /** Classical seasonal decomposition (the moving-average STL-lite:
@@ -255,7 +273,7 @@ object TsAnalytics {
         coalesce(col("rsum").cast("double") / col("rn").cast("double"), lit(-1.0))
           .as("right_mean"),
         col("n_points"))
-      .orderBy(col("tag"))
+      .transform(orderedSmall(_, col("tag"))) // one row per tag
   }
 
   /** Linear interpolation of missing buckets (the TimescaleDB
@@ -285,14 +303,20 @@ object TsAnalytics {
     */
   def interpolateLinear(ts: DataFrame, bucketMs: Long): DataFrame = {
     val bucket = expr(s"timestamp div $bucketMs")
-    // exact per-bucket mean in 1e-4 units: half_up(scaled_sum*100 / n)
+    // exact per-bucket mean in 1e-4 units: half_up(scaled_sum*100 / n).
+    // Materialized ONCE (the bucketCounts single-scan rule): obs feeds
+    // FIVE consumers — bounds, the tag set, the dense grid join and the
+    // pv/nv neighbor joins — which previously each re-scanned the input
+    // (five corpus scans per interpolation; now one, and the
+    // checkpointed aggregate is grid-sized by construction).
     val obs = ts.groupBy(col("tag"), bucket.as("bucket"))
       .agg(sum(round(col("value") * 100).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .select(col("tag"), col("bucket"),
         expr("(2 * s * 100 + n) div (2 * n)").as("v"))
-    val bounds = ts.agg(min(bucket).as("lo"), max(bucket).as("hi"))
-    val grid = ts.select(col("tag")).distinct()
+      .graftCheckpoint()
+    val bounds = obs.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = obs.select(col("tag")).distinct()
       .crossJoin(bounds) // 1-row bounds => broadcast nested loop
       .select(col("tag"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
     val dense = grid.join(obs, Seq("tag", "bucket"), "left")
@@ -321,7 +345,13 @@ object TsAnalytics {
           when(col("pb").isNotNull && col("nb").isNotNull,
             expr("(2 * num + den) div (2 * den)")),
           lit(-10000L)).cast("double") / 10000.0).as("val"))
-      .orderBy(col("tag"), col("bucket_start"))
+      // the output is a RENDER-SIZED interpolation grid (the caller's
+      // bounded time range at fixed resolution × the tag vocabulary —
+      // the TimescaleDB interpolate() contract), so the single-
+      // partition sort applies ([[orderedSmall]]): the global orderBy's
+      // range sampling re-executed the two marked-window passes + both
+      // neighbor joins (profiled: twin 0.18/0.24 s single-task stages)
+      .transform(orderedSmall(_, col("tag"), col("bucket_start")))
   }
 
   /** Time-in-state durations per key — the TimescaleDB toolkit
@@ -450,7 +480,8 @@ object TsAnalytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("p", round(col("n").cast("double")
         / sum(col("n")).over(Window.partitionBy(col("from_state"))), 4))
-      .orderBy(col("from_state"), col("to_state"))
+      // one row per (from, to) state pair — |states|² bounded
+      .transform(orderedSmall(_, col("from_state"), col("to_state")))
   }
 
   /** Peak concurrency per day — the max number of intervals

@@ -139,16 +139,47 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("TS analytics pack stays keyed-parallel (one tag shuffle, one output sort)") {
+    // Two SinglePartition populations, distinguishable in plan text by
+    // the exchange's shuffle origin:
+    //   - `SinglePartition, REPARTITION_BY_NUM` — the DELIBERATE
+    //     bounded-output total order (TsAnalytics.orderedSmall: a
+    //     repartition(1) + local sort over the ≤|tags|-row rollup,
+    //     replacing orderBy's range exchange whose bounds sampling
+    //     re-executed the window stage),
+    //   - `SinglePartition, ENSURE_REQUIREMENTS` — planner-inserted;
+    //     legitimate ONLY above a 1-row-class aggregate (the dense
+    //     grid's global-bounds min/max). Anywhere else it means a keyed
+    //     corpus stage collapsed to one task — the regression this
+    //     tripwire exists for.
+    def spKinds(p: String): (Int, Int) = (
+      "SinglePartition, REPARTITION_BY_NUM".r.findAllIn(p).size,
+      "SinglePartition, ENSURE_REQUIREMENTS".r.findAllIn(p).size)
+
     // time-weighted avg and counter rate are window-then-aggregate on
     // the same tag key: the groupBy must REUSE the window's hash
-    // exchange (a second exchange would re-shuffle the corpus), the
-    // output sort is the only range exchange, and nothing collapses to
-    // a single partition. OHLC is one (tag, bucket) hash aggregate.
-    // state_agg and heartbeat_agg share the shape: their groupBy keys
+    // exchange (a second exchange would re-shuffle the corpus); the
+    // output rollup is ≤|tags| rows, sorted via the single-partition
+    // move — so NO range exchange and no planner-inserted collapse
+    Seq("x_time_weighted_avg", "x_counter_rate").foreach { n =>
+      val p = planOf(n)
+      val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashEx == 1, s"$n: $hashEx hash exchanges (expected 1 keyed shuffle)")
+      assert("rangepartitioning\\(".r.findAllIn(p).isEmpty,
+        s"$n: range exchange present (bounded output should single-partition sort)")
+      val (rep, ensure) = spKinds(p)
+      assert(rep == 1 && ensure == 0,
+        s"$n: SinglePartition kinds (repartition=$rep, planner=$ensure) — " +
+          "expected exactly the deliberate bounded output sort")
+      assert(p.contains("partial_"),
+        s"$n: no partial aggregation before the shuffle")
+    }
+    // OHLC / state_agg / heartbeat / live_ranges produce
+    // corpus-proportional outputs: they keep the scale-correct global
+    // range sort and must not collapse anywhere. Their groupBy keys
     // start with the window's partition key, so the window's exchange
     // must satisfy the aggregate's distribution too
-    Seq("x_time_weighted_avg", "x_counter_rate", "x_ohlc_daily",
-        "x_state_agg", "x_heartbeat_uptime", "x_live_ranges").foreach { n =>
+    Seq("x_ohlc_daily", "x_state_agg", "x_heartbeat_uptime",
+        "x_live_ranges").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("SinglePartition"),
         s"$n: single-partition exchange — a keyed stage collapsed to one task")
@@ -160,19 +191,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("partial_"),
         s"$n: no partial aggregation before the shuffle")
     }
-    // the dense-grid consumers (corr pairs, linear interpolation) may
-    // keep AT MOST one single-partition exchange: the 1-row
-    // global-bounds aggregate the grid is built from (a broadcast-side
-    // plan can elide even that from the explain text). More means a
-    // keyed stage collapsed; the global cartesian gate covers the joins.
-    // x_peak_concurrency's allowed single-partition exchange is the
-    // carry-in window over the PER-BUCKET aggregate (O(span/bucketMs)
-    // rows), never the raw event sweep — the two-phase prefix sum
+    // dense-grid consumers: each evaluation of the grid contributes one
+    // 1-row global-bounds aggregate (ENSURE_REQUIREMENTS SinglePartition
+    // over the materialized bucket counts — corr's self-join evaluates
+    // the grid twice, hence ≤2), plus at most one deliberate bounded
+    // output sort. x_peak_concurrency's allowed single-partition
+    // exchange is the carry-in window over the PER-BUCKET aggregate
+    // (O(span/bucketMs) rows), never the raw event sweep
     Seq("x_corr_pairs", "x_interp_linear", "x_seasonal_decompose",
         "x_cusum_change", "x_peak_concurrency").foreach { n =>
-      val single = "Exchange SinglePartition".r.findAllIn(planOf(n)).size
-      assert(single <= 1,
-        s"$n: $single SinglePartition exchanges (expected at most the 1-row bounds agg)")
+      val (rep, ensure) = spKinds(planOf(n))
+      assert(rep <= 1 && ensure <= 2,
+        s"$n: SinglePartition kinds (repartition=$rep, planner=$ensure) — " +
+          "expected ≤1 bounded output sort + ≤2 1-row bounds aggregates")
     }
   }
 
